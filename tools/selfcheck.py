@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Dev-loop mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+
+Reads each <out_dir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from <out_dir>/oracle_sql.json in DuckDB against the same
+testdata parquet tables, sorts columns by name (the driver does the same
+before hashing), and value-compares. Exit 1 on any mismatch.
+
+This script is development tooling only — the shipped engine is pure
+Scala/Spark and does not depend on it.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return f"{v!r}"
+    if hasattr(v, "isoformat"):  # datetime/date; strip tz info differences
+        try:
+            v = v.replace(tzinfo=None)
+        except (TypeError, AttributeError):
+            pass
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    return cols, [tuple(norm_cell(col[i]) for col in data)
+                  for i in range(table.num_rows)]
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failed.append(name)
+            continue
+        got = pq.read_table(files[0])
+        exp = con.execute(oracle[name]).arrow()
+        gcols, grows = rows_of(got)
+        ecols, erows = rows_of(exp)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
+            failed.append(name)
+            continue
+        if grows != erows:
+            print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows")
+            for i, (g, e) in enumerate(zip(grows, erows)):
+                if g != e:
+                    print(f"  first diff at row {i}:\n   spark={g}\n   duck ={e}")
+                    break
+            else:
+                print(f"  row-count-only diff (prefix equal)")
+            failed.append(name)
+            continue
+        print(f"OK   {name} ({len(grows)} rows)")
+    # queries without an oracle: report rows-only status
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name in oracle:
+            continue
+        files = glob.glob(f"{d}*.parquet")
+        n = pq.read_table(files[0]).num_rows if files else -1
+        print(f"ROWS {name}: {n}")
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        sys.exit(1)
+    print(f"\nall {len(oracle)} oracle queries match")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

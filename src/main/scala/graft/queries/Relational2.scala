@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Second tranche of the generic relational surface: set operations,
+  * scalar function families (string / date / json / array), analytic
+  * windows (lag/lead/ntile), subquery shapes, string aggregation,
+  * histograms, approximate distinct. Same determinism contract as
+  * [[Relational]] (see Q.scala).
+  */
+object Relational2 {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q13: set operations — INTERSECT / EXCEPT / UNION DISTINCT of the
+    // nation-key sets reachable from customers vs suppliers, tagged and
+    // stacked so one result exercises all three.
+    Q("q13_setops",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        val both = c.intersect(sup).withColumn("op", lit("intersect"))
+        val custOnly = c.except(sup).withColumn("op", lit("except"))
+        val either = c.union(sup).distinct().withColumn("op", lit("union"))
+        both.union(custOnly).union(either)
+          .select(col("op"), col("nationkey"))
+          .orderBy(col("op"), col("nationkey"))
+      },
+      Some("""
+        SELECT op, nationkey FROM (
+          SELECT 'intersect' AS op, nationkey FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT SELECT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT 'except' AS op, nationkey FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             EXCEPT SELECT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT 'union' AS op, nationkey FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             UNION SELECT s_nationkey FROM supplier)
+        ) ORDER BY op, nationkey
+      """)),
+
+    // ---------------------------------------------------------------
+    // q14: multi-distinct aggregation (two COUNT(DISTINCT) in one agg —
+    // Spark plans an expand + two-phase agg).
+    Q("q14_distinct_parts_suppliers",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_suppliers"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
+
+    // ---------------------------------------------------------------
+    // q15: scalar string function family over part.
+    Q("q15_string_funcs",
+      (s, d) => {
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type_prefix"),
+            regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+            regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            lpad(col("p_size").cast("string"), 3, "0").as("size_padded"),
+            split_part(col("p_type"), lit(" "), lit(1)).as("type_word1"),
+            trim(col("p_name")).as("name_trim"),
+            col("p_name").contains("blue").cast("int").as("has_blue"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LENGTH(p_name) AS name_len,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               REGEXP_EXTRACT(p_brand, '(\d+)', 1) AS brand_num,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               CONCAT_WS('-', p_brand, p_type) AS brand_type,
+               LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+               SPLIT_PART(p_type, ' ', 1) AS type_word1,
+               TRIM(p_name) AS name_trim,
+               CAST(CONTAINS(p_name, 'blue') AS INT) AS has_blue
+        FROM part ORDER BY p_partkey
+      """)),
+
+    // ---------------------------------------------------------------
+    // q16: date/time function family over orders, grouped by month.
+    Q("q16_date_funcs",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            year(col("o_orderdate")).as("yr"),
+            quarter(col("o_orderdate")).as("qtr"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+            col("o_totalprice"))
+          .groupBy(col("month"), col("yr"), col("qtr"))
+          .agg(count(lit(1)).as("n_orders"),
+               min(col("dom")).as("min_dom"),
+               max(col("days_to_98")).as("max_days_to_98"),
+               sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+          .orderBy(col("month"))
+      },
+      Some("""
+        SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+               YEAR(o_orderdate) AS yr,
+               QUARTER(o_orderdate) AS qtr,
+               COUNT(*) AS n_orders,
+               MIN(DAY(o_orderdate)) AS min_dom,
+               MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')) AS max_days_to_98,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM orders
+        GROUP BY STRFTIME(o_orderdate, '%Y-%m'), YEAR(o_orderdate), QUARTER(o_orderdate)
+        ORDER BY month
+      """)),
+
+    // ---------------------------------------------------------------
+    // q17: conditional aggregation (the receipt-pivot A1 shape,
+    // SURVEY.md §2.4, generalized): one column per event_type.
+    Q("q17_conditional_agg",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "purchase", dec2(col("value")))
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(18,2)").as("purchase_value"),
+            count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
+            count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+            max(when(col("event_type") === "view", dec2(col("value")))).as("max_view_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS purchase_value,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+               MAX(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS max_view_value
+        FROM events GROUP BY user_id ORDER BY user_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q18: JSON extraction from a string column (events.props).
+    Q("q18_json_extract",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"),
+               count(col("k")).as("n_k"),
+               min(col("k")).as("min_k"),
+               max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               SUM(k) AS sum_k, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+              FROM events)
+        GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q19: array/list operations over the embedding column.
+    Q("q19_array_ops",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            element_at(col("embedding"), 1).as("first_elem"),
+            element_at(col("embedding"), -1).as("last_elem"),
+            slice(col("embedding"), 1, 3).as("head3"),
+            col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        SELECT vec_id,
+               LEN(embedding) AS dim,
+               embedding[1] AS first_elem,
+               embedding[-1] AS last_elem,
+               embedding[1:3] AS head3,
+               label
+        FROM embeddings ORDER BY vec_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q20: analytic window functions — lag/lead/first_value per user in
+    // event-time order.
+    Q("q20_window_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            first(col("event_type")).over(w).as("first_type"),
+            row_number().over(w).as("seq"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+               LAG(value, 1) OVER w AS prev_value,
+               LEAD(value, 1) OVER w AS next_value,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               ROW_NUMBER() OVER w AS seq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q21: argmax-per-group — richest customer per nation (deterministic
+    // tie-break on custkey).
+    Q("q21_argmax_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val top = Tables.customer(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val n = Tables.nation(s, d)
+        top.join(broadcast(n), top("c_nationkey") === n("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("c_name"),
+                  dec2(col("c_acctbal")).as("acctbal"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name, c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) c
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE rn = 1
+        ORDER BY n_name
+      """)),
+
+    // ---------------------------------------------------------------
+    // q22: uncorrelated scalar subquery — customers above the global
+    // average balance (exact-decimal average on both sides).
+    Q("q22_above_avg_balance",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.agg(
+          (sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .select(col("c_custkey"), col("c_name"), dec2(col("c_acctbal")).as("acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        ORDER BY c_custkey
+      """)),
+
+    // ---------------------------------------------------------------
+    // q23: correlated-subquery shape — orders larger than their own
+    // customer's average (expressed as a window, one shuffle).
+    Q("q23_above_customer_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        Tables.orders(s, d)
+          .withColumn("cust_avg",
+            sum(dec2(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select(col("o_custkey"), col("o_orderkey"),
+                  dec2(col("o_totalprice")).as("totalprice"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+              FROM orders)
+        WHERE o_totalprice > cust_avg
+        ORDER BY o_custkey, o_orderkey
+      """)),
+
+    // ---------------------------------------------------------------
+    // q24: histogram — fixed-width bucketing of a continuous measure.
+    Q("q24_value_histogram",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(floor(col("value") / 50).cast("int").as("bucket"), col("value"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+               sum(dec2(col("value"))).cast("decimal(18,2)").as("bucket_sum"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        SELECT CAST(FLOOR(value / 50) AS INT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bucket_sum
+        FROM events GROUP BY bucket ORDER BY bucket
+      """)),
+
+    // ---------------------------------------------------------------
+    // q25: ordered string aggregation — supplier roster per nation.
+    // collect_list order is nondeterministic under parallelism, so the
+    // list is sorted before joining (same result as DuckDB's ORDER BY).
+    Q("q25_string_agg",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"),
+               count(lit(1)).as("n_suppliers"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               STRING_AGG(s_name, ',' ORDER BY s_name) AS suppliers,
+               COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """)),
+
+    // ---------------------------------------------------------------
+    // q26: UNION ALL across heterogeneous tables into one entity count.
+    Q("q26_entity_union",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_nationkey").cast("int").as("nationkey"), lit("customer").as("kind"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("kind"))
+        c.union(sup)
+          .groupBy(col("nationkey"), col("kind"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("nationkey"), col("kind"))
+      },
+      Some("""
+        SELECT nationkey, kind, COUNT(*) AS n FROM (
+          SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind FROM supplier
+        ) GROUP BY nationkey, kind ORDER BY nationkey, kind
+      """)),
+
+    // ---------------------------------------------------------------
+    // q27: IN-subquery (semi-join on a filtered, deduplicated build side).
+    Q("q27_parts_in_bulk_orders",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val bulk = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 49).select(col("l_partkey"))
+        p.join(bulk, p("p_partkey") === bulk("l_partkey"), "left_semi")
+          .select(col("p_partkey"), col("p_name"), col("p_size"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_size
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        ORDER BY p_partkey
+      """)),
+
+    // ---------------------------------------------------------------
+    // q28: ntile quartiles over a global order (single-partition window
+    // on purpose: it's a final small-cardinality stage after aggregation
+    // at scale; here it quartiles orders directly).
+    Q("q28_price_quartiles",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy(col("quartile"))
+          .agg(count(lit(1)).as("n"),
+               min(dec2(col("o_totalprice"))).as("min_price"),
+               max(dec2(col("o_totalprice"))).as("max_price"))
+          .orderBy(col("quartile"))
+      },
+      Some("""
+        SELECT quartile, COUNT(*) AS n,
+               MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+               MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+        FROM (SELECT o_totalprice,
+                     NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+              FROM orders)
+        GROUP BY quartile ORDER BY quartile
+      """)),
+
+    // ---------------------------------------------------------------
+    // q29: GROUPING SETS (beyond rollup/cube): independent subtotal sets.
+    Q("q29_grouping_sets",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .createOrReplaceTempView("q29_cn")
+        s.sql("""
+          SELECT COALESCE(n_name, '(all)') AS nation,
+                 COALESCE(c_mktsegment, '(all)') AS segment,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal
+          FROM q29_cn
+          GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+          ORDER BY nation, segment
+        """)
+      },
+      Some("""
+        SELECT COALESCE(n_name, '(all)') AS nation,
+               COALESCE(c_mktsegment, '(all)') AS segment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        ORDER BY nation, segment
+      """)),
+
+    // ---------------------------------------------------------------
+    // q30: approximate distinct (HyperLogLog++) next to the exact count.
+    // No oracle: DuckDB's approx_count_distinct uses a different sketch;
+    // the ScalaTest asserts the 5% relative-error bound instead.
+    Q("q30_approx_distinct",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      None)
+  )
+}

@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
     graft.queries.Relational.all ++
-    graft.queries.Relational2.all
+    graft.queries.Relational2.all ++
+    graft.queries.Receipts.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join orders⋈customer⋈nation⋈region with broadcast dims — the

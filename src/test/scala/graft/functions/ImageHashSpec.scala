@@ -1,0 +1,86 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Path}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** U1 aHash + J2 dedup (SURVEY.md §5 item 2: determinism, re-encode
+  * invariance) and the S1/S4 binaryFile ingest path.
+  */
+class ImageHashSpec extends SparkSuite {
+
+  /** Deterministic synthetic "receipt scan": seeded 8×8 block pattern
+    * (structurally distinct per seed, so aHashes differ across seeds).
+    */
+  private def makeImage(seed: Long, w: Int = 64, h: Int = 96): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rnd = new java.util.Random(seed)
+    val blocks = Array.fill(8, 8)(rnd.nextInt(256))
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = blocks(y * 8 / h)(x * 8 / w)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("aHash is deterministic and content-sensitive") {
+    val a = ImageHash.averageHash(encode(makeImage(1), "png"))
+    val a2 = ImageHash.averageHash(encode(makeImage(1), "png"))
+    val b = ImageHash.averageHash(encode(makeImage(2), "png"))
+    assert(a === a2)
+    assert(a !== b)
+  }
+
+  test("aHash is invariant under lossless re-encode (png → bmp)") {
+    val img = makeImage(7)
+    assert(ImageHash.averageHash(encode(img, "png")) ===
+           ImageHash.averageHash(encode(img, "bmp")))
+  }
+
+  test("aHash rejects undecodable bytes") {
+    intercept[IllegalArgumentException] {
+      ImageHash.averageHash(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("S1/S4 ingest + U1 hash column + J2 dedup over a directory scan") {
+    val dir: Path = Files.createTempDirectory("graft_images")
+    try {
+      // two distinct receipts; one re-scanned (same content, new file)
+      Files.write(dir.resolve("Scan_001.png"), encode(makeImage(1), "png"))
+      Files.write(dir.resolve("Scan_002.png"), encode(makeImage(2), "png"))
+      Files.write(dir.resolve("Scan_003.png"), encode(makeImage(1), "png"))
+      Files.write(dir.resolve("notes.txt"), "not an image".getBytes) // S4 filter drops
+
+      val scanned = ImageSource.withHash(ImageSource.images(spark, dir.toString))
+      assert(scanned.count() === 3) // pathGlobFilter excluded the .txt
+
+      val deduped = ImageSource.dedupByHash(scanned)
+      assert(deduped.count() === 2) // re-scan collapsed onto its content address
+
+      // img_id is a 16-char hex content address
+      val ids = deduped.select("img_id").collect().map(_.getString(0))
+      assert(ids.forall(_.matches("[0-9a-f]{16}")))
+
+      // SQL registration
+      ImageHash.register(spark)
+      scanned.createOrReplaceTempView("scans")
+      val n = spark.sql("SELECT COUNT(DISTINCT ahash(content)) AS n FROM scans")
+        .head().getLong(0)
+      assert(n === 2)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      Files.deleteIfExists(dir)
+    }
+  }
+}

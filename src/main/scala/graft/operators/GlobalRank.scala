@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scale-safe exact global ranking / ntile.
+  *
+  * `Window.orderBy(...)` with no partition funnels the whole table
+  * through ONE task — the classic 100 TB scale-killer. This operator
+  * computes the identical ranks with bounded per-task work:
+  *
+  *  1. `repartitionByRange` on the sort key (each partition holds a
+  *     contiguous key range),
+  *  2. local sort + `monotonically_increasing_id` (encodes
+  *     partition-id << 33 | local-index, so local order is recoverable
+  *     without another shuffle),
+  *  3. per-partition row counts → cumulative offsets (a ~#partitions-row
+  *     aggregate, broadcast back),
+  *  4. global rank = offset(partition) + local index + 1.
+  *
+  * The ranked frame is persisted so the offsets aggregate and the final
+  * output observe the SAME range partitioning (repartitionByRange
+  * samples its boundaries per evaluation; two evaluations could
+  * disagree).
+  *
+  * Results are bit-identical to `row_number() OVER (ORDER BY ...)` /
+  * `NTILE(k) OVER (ORDER BY ...)` when the sort key is a total order
+  * (include a unique tiebreak column).
+  */
+object GlobalRank {
+
+  private val LocalIdxBits = 33
+  private val LocalIdxMask = (1L << LocalIdxBits) - 1
+
+  /** Adds `rankCol` = exact 1-based global rank by `sortCols` (must be a
+    * total order) and `__n` = total row count, without a global
+    * single-partition sort.
+    */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                     numPartitions: Int = 32): DataFrame = {
+    val sorted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftrightunsigned(col("__mid"), LocalIdxBits).as("__pid")
+    // tiny: one row per partition; the single-partition window is over
+    // #partitions rows, not the data.
+    val offsets = sorted.groupBy(pid).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__n"))
+    sorted
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), LocalIdxBits))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rankCol,
+        col("__offset") + col("__mid").bitwiseAND(LocalIdxMask) + 1)
+      .drop("__pid", "__mid", "__offset")
+  }
+
+  /** Exact NTILE(k) over a global order, two-phase. Same bucket
+    * assignment as the SQL window function: with N rows, the first
+    * `N % k` buckets get `ceil(N/k)` rows, the rest `floor(N/k)`.
+    */
+  def ntile(df: DataFrame, k: Int, sortCols: Seq[Column], bucketCol: String,
+            numPartitions: Int = 32): DataFrame = {
+    val ranked = withGlobalRank(df, sortCols, "__rank", numPartitions)
+    val q = floor(col("__n") / k) // floor(long/int double div) -> long
+    val big = col("__n") % k // buckets with q+1 rows
+    val cutoff = big * (q + 1) // ranks <= cutoff are in big buckets
+    ranked
+      .withColumn(bucketCol,
+        when(col("__rank") <= cutoff,
+          (floor((col("__rank") - 1) / (q + 1)) + 1).cast("int"))
+        .otherwise(
+          (big + floor((col("__rank") - cutoff - 1) / q) + 1).cast("int")))
+      .drop("__rank", "__n")
+  }
+}

@@ -234,16 +234,27 @@ object Relational2 {
 
     // ---------------------------------------------------------------
     // q21: argmax-per-group — richest customer per nation (deterministic
-    // tie-break on custkey).
+    // tie-break on custkey). Max-by-struct aggregate: partial aggregation
+    // combines map-side, so the 25-key group never concentrates sorted
+    // partitions the way a row_number window would — at 100× the scan
+    // grows but the shuffle stays 25 rows per mapper.
     Q("q21_argmax_customer",
       (s, d) => {
-        val w = Window.partitionBy(col("c_nationkey"))
-          .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        val top = Tables.customer(s, d)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        // (acctbal, -custkey) max == (acctbal DESC, custkey ASC) first;
+        // the key pair is unique per row, so trailing fields never
+        // participate in the comparison.
+        val best = Tables.customer(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(max(struct(
+            col("c_acctbal").as("bal"),
+            (-col("c_custkey")).as("negkey"),
+            col("c_name").as("name"))).as("best"))
+          .select(col("c_nationkey"),
+            (-col("best.negkey")).as("c_custkey"),
+            col("best.name").as("c_name"),
+            col("best.bal").as("c_acctbal"))
         val n = Tables.nation(s, d)
-        top.join(broadcast(n), top("c_nationkey") === n("n_nationkey"))
+        best.join(broadcast(n), best("c_nationkey") === n("n_nationkey"))
           .select(col("n_name"), col("c_custkey"), col("c_name"),
                   dec2(col("c_acctbal")).as("acctbal"))
           .orderBy(col("n_name"))
@@ -382,14 +393,14 @@ object Relational2 {
       """)),
 
     // ---------------------------------------------------------------
-    // q28: ntile quartiles over a global order (single-partition window
-    // on purpose: it's a final small-cardinality stage after aggregation
-    // at scale; here it quartiles orders directly).
+    // q28: ntile quartiles over a global order — two-phase exact ntile
+    // (range repartition + local sort + broadcast offsets, see
+    // GlobalRank) instead of a single-partition Window.orderBy; same
+    // bucket assignment as NTILE(4), no one-task sort of the table.
     Q("q28_price_quartiles",
       (s, d) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, d)
-          .withColumn("quartile", ntile(4).over(w))
+        graft.operators.GlobalRank.ntile(Tables.orders(s, d), 4,
+            Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
           .groupBy(col("quartile"))
           .agg(count(lit(1)).as("n"),
                min(dec2(col("o_totalprice"))).as("min_price"),

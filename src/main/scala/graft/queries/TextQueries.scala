@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.text.TextAnalysis
+
+/** Text-analysis surface over the `documents` table — the training-data
+  * pipeline operators (token counting, quality scoring, language ID,
+  * n-gram profiling, fingerprinting) registered as driver-checkable
+  * queries. All per-document work is codegen'd column expressions: the
+  * 100 TB cost of q31-q33/q35 is one scan, q34 is one scan + one
+  * aggregate shuffle keyed by n-gram.
+  *
+  * Determinism for the double-valued scores: both engines compute the
+  * identical IEEE-754 expression tree, and results are emitted as
+  * `floor(x * 10000)` bigints — floor of identical doubles is identical,
+  * sidestepping engine round()-formatting differences.
+  */
+object TextQueries {
+
+  /** DuckDB twin of TextAnalysis.tokens. */
+  private val DTokens =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q31: token statistics — whitespace tokens, distinct tokens, and
+    // the BPE-ish pre-tokenizer symbol count, per document.
+    Q("q31_token_stats",
+      (s, d) => {
+        val text = col("text")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(text).cast("bigint").as("n_tokens"),
+          TextAnalysis.distinctTokenCount(text).cast("bigint").as("n_distinct"),
+          TextAnalysis.bpeTokenCount(text).cast("bigint").as("n_bpe"),
+          col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len($DTokens) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct($DTokens)) AS BIGINT) AS n_distinct,
+               CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe,
+               n_chars
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q32: quality scoring — stopword ratio, punctuation ratio, mean
+    // token length, and the composite score, scaled to floor(x*1e4).
+    Q("q32_quality_score",
+      (s, d) => {
+        val text = col("text")
+        def scaled(c: org.apache.spark.sql.Column) = floor(c * 10000)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          scaled(TextAnalysis.stopwordRatio(text)).as("stop_ratio_e4"),
+          scaled(TextAnalysis.punctRatio(text)).as("punct_ratio_e4"),
+          scaled(TextAnalysis.meanTokenLen(text)).as("mean_tok_len_e4"),
+          scaled(TextAnalysis.qualityScore(text)).as("quality_e4"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, $DTokens AS ts FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(ts) AS n_tok,
+            len(list_filter(ts, x -> list_contains(${sqlList(TextAnalysis.EnglishStopwords)}, x))) AS n_stop,
+            len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+            length(text) AS n_chars,
+            coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS tok_chars
+          FROM t
+        ), r AS (
+          SELECT doc_id,
+            CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) AS stop_ratio,
+            CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+            CAST(tok_chars AS DOUBLE) / greatest(n_tok, 1) AS mean_tok_len,
+            n_tok
+          FROM m
+        )
+        SELECT doc_id,
+               CAST(floor(stop_ratio * 10000) AS BIGINT) AS stop_ratio_e4,
+               CAST(floor(punct_ratio * 10000) AS BIGINT) AS punct_ratio_e4,
+               CAST(floor(mean_tok_len * 10000) AS BIGINT) AS mean_tok_len_e4,
+               CAST(floor(((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
+                          + least(stop_ratio * 4.0, 1.0)
+                          + greatest(0.0, 1.0 - punct_ratio * 4.0)) / 3.0) * 10000) AS BIGINT) AS quality_e4
+        FROM r ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q33: language identification — marker-token argmax, checked
+    // against the table's labeled lang, with per-language accuracy.
+    Q("q33_lang_id",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some {
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(ts, x -> list_contains(${sqlList(ms)}, x))) AS s_$lang"
+        }.mkString(",\n            ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang, $DTokens AS ts FROM documents
+        ), sc AS (
+          SELECT doc_id, lang,
+            $scores
+          FROM t
+        )
+        SELECT lang,
+               CASE WHEN $best = 0 THEN 'unknown' $caseChain END AS pred,
+               COUNT(*) AS n
+        FROM sc GROUP BY lang, pred ORDER BY lang, pred
+        """
+      }),
+
+    // ---------------------------------------------------------------
+    // q34: corpus n-gram profile — top-50 word bigrams (count desc,
+    // bigram asc: total order, so top-k is deterministic). One scan +
+    // one agg shuffle keyed by bigram; top-k is TakeOrdered, no global
+    // sort materialization.
+    Q("q34_ngram_top",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.wordNgrams(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(50)
+      },
+      Some(s"""
+        SELECT bigram, COUNT(*) AS n
+        FROM (
+          SELECT unnest(list_transform(range(1, len(ts)),
+                                       i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+          FROM (SELECT $DTokens AS ts FROM documents)
+        )
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+      """)),
+
+    // ---------------------------------------------------------------
+    // q35: document fingerprinting — order-sensitive rolling hash over
+    // normalized tokens (rows-only: DuckDB lacks crc32; the ScalaTest
+    // asserts whitespace/case invariance + order sensitivity instead).
+    Q("q35_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("fp")).as("n_distinct_fp"))
+      },
+      None)
+  )
+}

@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
     graft.queries.Relational2.all ++
     graft.queries.Receipts.all ++
-    graft.queries.TextQueries.all
+    graft.queries.TextQueries.all ++
+    graft.queries.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join orders⋈customer⋈nation⋈region with broadcast dims — the

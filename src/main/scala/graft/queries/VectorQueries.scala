@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions
+import graft.operators.{TopK, VectorLsh}
+
+/** Similarity-search surface over the `embeddings` table.
+  *
+  * Float discipline: embeddings are array<float>; both engines cast to
+  * double BEFORE any arithmetic (DuckDB's list_cosine_similarity on
+  * FLOAT[] accumulates in float — a ~1e-7 relative error that can flip
+  * coarse buckets; double-vs-double agrees to ~1e-15). Scores are
+  * emitted as floor(cos*100) and ranks break ties on vec_id, so the
+  * residual 1e-15 disagreement can't flip a hash.
+  */
+object VectorQueries {
+
+  private def emb64(c: Column): Column = c.cast("array<double>")
+
+  /** Small fixed query-vector set: the driver-side "needles". */
+  private val NumQueries = 3
+  private val K = 10
+
+  private def queryVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), emb64(col("embedding")).as("qemb"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q36: brute-force cosine top-k — the exact baseline. The query set
+    // broadcasts (BroadcastNestedLoopJoin over a 3-row side); scoring is
+    // one scan of embeddings; per-query top-k is the two-phase TopK, so
+    // no single task ever sees a query's full candidate stream.
+    Q("q36_knn_bruteforce",
+      (s, d) => {
+        val cands = Tables.embeddings(s, d)
+          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+        val scored = cands
+          .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", VectorFunctions.cosine(col("emb"), col("qemb")))
+        TopK.perKey(scored, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), K)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"),
+            floor(col("cos") * 100).as("score_e2"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+          FROM embeddings WHERE vec_id < $NumQueries
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qemb) AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2
+        FROM ranked WHERE rank <= $K
+        ORDER BY query_id, rank
+      """)),
+
+    // ---------------------------------------------------------------
+    // q37: LSH-bucketed approximate nearest neighbor — the 100 TB path.
+    // Rows index into L tables' sign-buckets (explode), queries join on
+    // (table, bucket): candidate generation is an equi-join shuffle
+    // keyed by bucket, never a cross product. Rows-only check (the
+    // recall-vs-exact contract is asserted by VectorQueriesSpec).
+    Q("q37_ann_lsh",
+      (s, d) => {
+        val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
+        def bucketed(df: DataFrame, embCol: String): DataFrame =
+          df.withColumn("tb", explode(VectorLsh.buckets(col(embCol), tables)))
+            .withColumn("tbl", col("tb.tbl"))
+            .withColumn("bucket", col("tb.bucket"))
+            .drop("tb")
+        val cands = bucketed(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), emb64(col("embedding")).as("emb")), "emb")
+        val qs = bucketed(queryVectors(s, d), "qemb")
+          .select(col("query_id"), col("qemb"), col("tbl"), col("bucket"))
+        val candidates = cands
+          .join(qs, Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          // a pair can collide in several tables — score each pair once
+          .select(col("query_id"), col("vec_id"), col("emb"), col("qemb"))
+          .dropDuplicates("query_id", "vec_id")
+          .withColumn("cos", VectorFunctions.cosine(col("emb"), col("qemb")))
+        TopK.perKey(candidates, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), K)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"),
+            floor(col("cos") * 100).as("score_e2"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---------------------------------------------------------------
+    // q38: per-label norm statistics. Per-row norms are identical
+    // doubles in both engines; the order-sensitive avg goes through an
+    // exact decimal sum (order-independent) before one double division.
+    Q("q38_norm_stats",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            VectorFunctions.norm(emb64(col("embedding"))).as("nrm"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            floor((sum(col("nrm").cast("decimal(18,9)")).cast("double")
+              / count(lit(1))) * 1000).as("avg_norm_e3"),
+            floor(min(col("nrm")) * 1000).as("min_norm_e3"),
+            floor(max(col("nrm")) * 1000).as("max_norm_e3"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n,
+               CAST(floor((CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
+                           / COUNT(*)) * 1000) AS BIGINT) AS avg_norm_e3,
+               CAST(floor(MIN(nrm) * 1000) AS BIGINT) AS min_norm_e3,
+               CAST(floor(MAX(nrm) * 1000) AS BIGINT) AS max_norm_e3
+        FROM n GROUP BY label ORDER BY label
+      """))
+  )
+}

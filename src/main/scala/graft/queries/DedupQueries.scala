@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.text.{NearDup, TextAnalysis}
+import graft.operators.{TopK, VectorLsh}
+
+/** Deduplication surface over `documents` (exact, n-gram Jaccard,
+  * MinHash-LSH, SimHash) and `embeddings` (cosine near-dup). Every
+  * variant generates candidates through an equi-join on a derived key
+  * (hash, rare-prefix shingle, band hash, sign bucket) — never an
+  * all-pairs product — because at 100 TB the candidate join IS the
+  * operator.
+  */
+object DedupQueries {
+
+  /** doc_id + distinct word-3-gram shingles (empty-gram docs dropped:
+    * they cannot form pairs and would zero-divide Jaccard).
+    */
+  private def grams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      .filter(size(col("grams")) > 0)
+
+  /** DuckDB twin of the gram pipeline. */
+  private val DGrams =
+    """
+      SELECT doc_id, grams, len(grams) AS sz FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents)
+      ) WHERE len(grams) > 0
+    """
+
+  /** Exact Jaccard of two distinct-gram arrays (identical expression
+    * shape to the oracle: inter / (|a| + |b| - inter), double).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  private def verifyPairs(cand: DataFrame, g: DataFrame, t: Double): DataFrame =
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("jac", jaccard(col("ga"), col("gb")))
+      .filter(col("jac") >= t)
+      .select(col("doc_a"), col("doc_b"), floor(col("jac") * 10000).as("jac_e4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def allPairsOracle(t: Double): String = s"""
+    WITH g AS ($DGrams),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.grams, b.grams)) AS inter,
+             a.sz AS la, b.sz AS lb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(CAST(inter AS DOUBLE) / (la + lb - inter) * 10000) AS BIGINT) AS jac_e4
+    FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $t
+    ORDER BY doc_a, doc_b
+  """
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q39: exact dedup — hash-groupBy on the normalized text (the J2
+    // content-addressing pattern on text). One shuffle keyed by digest.
+    Q("q39_exact_dedup",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+          .orderBy(col("keeper"))
+      },
+      Some("""
+        SELECT md5(lower(trim(text))) AS h,
+               COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+        FROM documents GROUP BY h ORDER BY keeper
+      """)),
+
+    // ---------------------------------------------------------------
+    // q40: n-gram Jaccard near-dup via prefix-filtered set-similarity
+    // join (Vernica/Bayardo): order each doc's shingles by global
+    // frequency, keep the floor((1-t)|g|)+1 rarest as its prefix; any
+    // pair with Jaccard >= t must intersect the prefix (a pair's
+    // intersection >= t|a| can't fit in the ceil(t|a|)-1 suffix), so
+    // prefix⋈all candidate generation has PERFECT recall — the DuckDB
+    // oracle computes all-pairs ground truth and must agree exactly.
+    Q("q40_neardup_jaccard",
+      (s, d) => {
+        val t = 0.8
+        val g = grams(s, d)
+        val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
+          explode(col("grams")).as("gram"))
+        val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        val wPrefix = Window.partitionBy(col("doc_id"))
+          .orderBy(col("freq"), col("gram"))
+        val prefix = exploded.join(freq, "gram")
+          .withColumn("rn", row_number().over(wPrefix))
+          .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+          .select(col("doc_id").as("pdoc"), col("gram"))
+        val cand = prefix
+          .join(exploded.select(col("doc_id").as("odoc"), col("gram")), "gram")
+          .filter(col("pdoc") =!= col("odoc"))
+          .select(least(col("pdoc"), col("odoc")).as("doc_a"),
+                  greatest(col("pdoc"), col("odoc")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        verifyPairs(cand, g, t)
+      },
+      Some(allPairsOracle(0.8))),
+
+    // ---------------------------------------------------------------
+    // q41: MinHash-LSH near-dup — 32-hash signatures, 8 bands × 4 rows,
+    // candidates = docs sharing a band key, then exact-Jaccard verify at
+    // t=0.7. At the corpus's similarity levels (pairs are ~0.99 or
+    // <0.2) the banding miss probability is ~(1-0.99^4)^8 ≈ 4e-12, so
+    // the all-pairs oracle is exact in practice.
+    Q("q41_minhash_lsh",
+      (s, d) => {
+        val t = 0.7
+        val g = grams(s, d)
+        val banded = g
+          .withColumn("sig", NearDup.minhashSignature(col("grams"), 32))
+          .withColumn("b", explode(NearDup.minhashBands(col("sig"), 8, 4)))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bval").as("bval"))
+        val cand = banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        verifyPairs(cand, g, t)
+      },
+      Some(allPairsOracle(0.7))),
+
+    // ---------------------------------------------------------------
+    // q42: SimHash near-dup — 64-bit simhash per doc in one projection;
+    // pigeonhole banding (4×16 bits: Hamming<=3 pairs must agree on a
+    // full band) makes candidate generation an equi-join; verify by
+    // bit_count(xor). Rows-only (no 64-bit simhash twin in DuckDB);
+    // DedupQueriesSpec pins the semantics.
+    Q("q42_simhash",
+      (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), NearDup.simhash(col("text")).as("sh"))
+        val banded = hashed
+          .withColumn("b", explode(NearDup.simhashBands(col("sh"))))
+          .select(col("doc_id"), col("sh"), col("b.band").as("band"),
+            col("b.bval").as("bval"))
+        banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+          .dropDuplicates("doc_a", "doc_b")
+          .filter(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ---------------------------------------------------------------
+    // q43: embedding-cosine near-dup — all-vector LSH self-join (sign
+    // buckets, 2 tables × 4 planes), exact cosine on candidates, global
+    // top-20 most-similar pairs. Rows-only: LSH recall < 1 by design;
+    // the spec checks candidate pairs against brute force.
+    Q("q43_embedding_neardup",
+      (s, d) => {
+        val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
+        val banded = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("tb", explode(VectorLsh.buckets(col("emb"), tables)))
+          .select(col("vec_id"), col("emb"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = banded.as("x")
+          .join(banded.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            col("x.emb").as("ea"), col("y.emb").as("eb"))
+          .dropDuplicates("vec_a", "vec_b")
+          .withColumn("cos", VectorLsh.cosine(col("ea"), col("eb")))
+          .withColumn("grp", lit(1))
+        TopK.perKey(cand, Seq("grp"), Seq(col("cos").desc, col("vec_a"), col("vec_b")), 20)
+          .select(col("vec_a"), col("vec_b"), floor(col("cos") * 100).as("score_e2"),
+            col("rank"))
+          .orderBy(col("rank"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate signatures as pure column expressions — MinHash and
+  * SimHash are computed per document in one projection (no explode, no
+  * shuffle); only the tiny band keys are ever joined on. That is the
+  * 100 TB shape: signature pass scans once, candidate generation is an
+  * equi-join on band hash.
+  */
+object NearDup {
+
+  /** k-permutation MinHash signature of a (distinct) shingle array:
+    * sig[i] = min over shingles of xxhash64(i, shingle). Null-safe for
+    * empty arrays (array_min of empty → null; callers filter).
+    */
+  def minhashSignature(grams: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(grams, g => xxhash64(lit(i), g)))): _*)
+
+  /** LSH banding: split the signature into `bands` bands of `rows`
+    * hashes; band key = xxhash64 of the sub-signature. Two docs with
+    * Jaccard s are candidates with prob 1-(1-s^rows)^bands.
+    */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rows + 1, rows)).as("bval"))): _*)
+
+  /** 64-bit SimHash over whitespace tokens (term frequency weighted by
+    * occurrence): bit j is set iff more token-hashes have bit j set
+    * than clear. Highly-overlapping token multisets land within a few
+    * bits of Hamming distance.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val n = size(hs)
+    (0 until 64).map { j =>
+      val ones = size(filter(hs, h =>
+        shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === lit(1L)))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Pigeonhole bands for Hamming search: any two 64-bit hashes within
+    * Hamming distance 3 agree exactly on at least one of 4 16-bit bands.
+    */
+  def simhashBands(sim: Column): Column =
+    array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)
+}

@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Receipts.all ++
     graft.queries.TextQueries.all ++
     graft.queries.VectorQueries.all ++
-    graft.queries.DedupQueries.all
+    graft.queries.DedupQueries.all ++
+    graft.queries.ImageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join orders⋈customer⋈nation⋈region with broadcast dims — the

@@ -50,7 +50,18 @@ object ImageHash {
     }
     var mean = 0.0
     var i = 0
-    while (i < 64) { sums(i) /= counts(i); mean += sums(i); i += 1 }
+    while (i < 64) {
+      if (counts(i) == 0) {
+        // w or h < 8: the x*8/w mapping skips grid cells. Sample the
+        // nearest pixel so every cell contributes (cells with pixels
+        // are untouched, so >=8px hashes are unchanged).
+        val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+        sums(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+      } else sums(i) /= counts(i)
+      mean += sums(i)
+      i += 1
+    }
     mean /= 64
     var hashV = 0L
     i = 0

@@ -13,25 +13,11 @@ import graft.SparkSuite
   */
 class ImageHashSpec extends SparkSuite {
 
-  /** Deterministic synthetic "receipt scan": seeded 8×8 block pattern
-    * (structurally distinct per seed, so aHashes differ across seeds).
-    */
-  private def makeImage(seed: Long, w: Int = 64, h: Int = 96): BufferedImage = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    val rnd = new java.util.Random(seed)
-    val blocks = Array.fill(8, 8)(rnd.nextInt(256))
-    for (y <- 0 until h; x <- 0 until w) {
-      val v = blocks(y * 8 / h)(x * 8 / w)
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    img
-  }
+  private def makeImage(seed: Long, w: Int = 64, h: Int = 96): BufferedImage =
+    SyntheticImages.blockImage(seed, w, h)
 
-  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, fmt, out)
-    out.toByteArray
-  }
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] =
+    SyntheticImages.encode(img, fmt)
 
   test("aHash is deterministic and content-sensitive") {
     val a = ImageHash.averageHash(encode(makeImage(1), "png"))
@@ -51,6 +37,22 @@ class ImageHashSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       ImageHash.averageHash(Array[Byte](1, 2, 3))
     }
+  }
+
+  test("aHash handles sub-8px images without NaN collapse") {
+    // w<8 skips grid cells in the x*8/w mapping; empty cells sample
+    // their nearest pixel instead of dividing by zero.
+    val tiny1 = ImageHash.averageHash(encode(makeImage(1, 3, 5), "png"))
+    val tiny2 = ImageHash.averageHash(encode(makeImage(2, 3, 5), "png"))
+    assert(tiny1 !== tiny2, "distinct tiny images must not collapse to one hash")
+    assert(ImageHash.averageHash(encode(makeImage(1, 3, 5), "png")) === tiny1)
+  }
+
+  test("q44_image_dedup registered query collapses re-scans") {
+    val df = graft.SparkEntry.queries("q44_image_dedup")(spark, "unused")
+    val rows = df.collect()
+    assert(rows.length === 8) // 8 distinct scans
+    assert(rows.map(_.getLong(1)).sum === 10) // 2 re-scans collapsed
   }
 
   test("S1/S4 ingest + U1 hash column + J2 dedup over a directory scan") {

@@ -19,7 +19,9 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
     graft.queries.VectorQueries.all ++
     graft.queries.DedupQueries.all ++
-    graft.queries.ImageQueries.all
+    graft.queries.ImageQueries.all ++
+    graft.queries.EventWindowQueries.all ++
+    graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join orders⋈customer⋈nation⋈region with broadcast dims — the

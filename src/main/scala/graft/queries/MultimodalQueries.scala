@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.{Multimodal, VectorFunctions}
+
+/** Multimodal surface: binary + text + vector in one frame. q49 runs
+  * the decode seam (rows-only: the decoder is the engine's, not SQL);
+  * q50 aggregates across all three modalities with a DuckDB oracle.
+  */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q49: decode/feature-extract over the opaque blob column through
+    // the partition-scoped decoder seam, joined back to the embedding
+    // modality. Rows-only; MultimodalSpec pins the feature semantics.
+    Q("q49_media_features",
+      (s, d) => {
+        val mm = Multimodal.table(s, d)
+        val feats = Multimodal.extractFeatures(mm)
+        mm.select(col("doc_id"), col("lang"),
+            col("media_meta.n_bytes").as("n_bytes"),
+            VectorFunctions.norm(col("embedding").cast("array<double>")).as("nrm"))
+          .join(feats, "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_bytes"),
+            element_at(col("feature"), 1).cast("bigint").as("decoded_bytes"),
+            floor(element_at(col("feature"), 2) * 100).as("byte_mean_e2"),
+            floor(col("nrm") * 1000).as("emb_norm_e3"))
+          .orderBy(col("doc_id"))
+      },
+      None, bench = false),
+
+    // ---------------------------------------------------------------
+    // q50: cross-modality aggregate — per language: docs, total payload
+    // bytes (binary), exact-decimal mean embedding norm (vector), mean
+    // token-ish chars (text). Oracle-checked.
+    Q("q50_multimodal_stats",
+      (s, d) => {
+        val mm = Multimodal.table(s, d)
+        mm.select(col("lang"),
+            col("media_meta.n_bytes").as("n_bytes"),
+            VectorFunctions.norm(col("embedding").cast("array<double>")).as("nrm"),
+            col("n_chars"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_bytes")).as("total_bytes"),
+            floor((sum(col("nrm").cast("decimal(18,9)")).cast("double")
+              / count(lit(1))) * 1000).as("avg_norm_e3"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT d.lang,
+                 octet_length(encode(d.text)) AS n_bytes,
+                 sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm,
+                 d.n_chars
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_bytes) AS total_bytes,
+               CAST(floor((CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
+                           / COUNT(*)) * 1000) AS BIGINT) AS avg_norm_e3,
+               SUM(n_chars) AS total_chars
+        FROM mm GROUP BY lang ORDER BY lang
+      """))
+  )
+}

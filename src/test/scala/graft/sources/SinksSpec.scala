@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.receipts.ReceiptPipeline
+
+class SinksSpec extends SparkSuite {
+
+  private val fixture = "/root/reference/output1.json"
+  private def derbyUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  test("K1: JDBC round-trip of pivoted summaries (Derby in-memory)") {
+    val url = derbyUrl("k1db")
+    val summaries = ReceiptPipeline.summarize(
+      ReceiptPipeline.flattenSummary(
+        ReceiptPipeline.readResponses(spark, fixture)))
+    Sinks.writeJdbc(summaries, url, "receipt_summary")
+    val back = Sinks.readJdbc(spark, url, "receipt_summary")
+    assert(back.count() === summaries.count())
+    val row = back.orderBy("img_id").head()
+    val orig = summaries.orderBy("img_id").head()
+    assert(row.getAs[String]("vendor_name") === orig.getAs[String]("vendor_name"))
+    assert(row.getAs[java.math.BigDecimal]("total") ===
+           orig.getAs[java.math.BigDecimal]("total"))
+    // the map column landed as JSON text (the reference's JSON column)
+    assert(row.getAs[String]("other_data").startsWith("{"))
+  }
+
+  test("K3: DDL bootstrap creates an empty, readable table") {
+    val url = derbyUrl("k3db")
+    val schema = ReceiptPipeline.summarize(
+      ReceiptPipeline.flattenSummary(
+        ReceiptPipeline.readResponses(spark, fixture))).schema
+    Sinks.bootstrap(spark, url, "empty_summary",
+      Sinks.jdbcReady(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)).schema)
+    val table = Sinks.readJdbc(spark, url, "empty_summary")
+    assert(table.count() === 0)
+    assert(table.columns.map(_.toLowerCase).toSet ===
+      schema.fields.map(_.name.toLowerCase).toSet)
+  }
+
+  test("K2: moveFile relocates a processed scan via the FileSystem API") {
+    val base = Files.createTempDirectory("graft_move")
+    val src = base.resolve("raw/Scan_001.png")
+    Files.createDirectories(src.getParent)
+    Files.write(src, Array[Byte](1, 2, 3))
+    val dst = base.resolve("done/Scan_001.png")
+    assert(Sinks.moveFile(spark, src.toString, dst.toString))
+    assert(!Files.exists(src) && Files.exists(dst))
+  }
+
+  test("K4: mergeSchema reads pre- and post-migration parquet as one table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // v1 schema: before the other_data migration
+    Seq(("img_a", "VendorA")).toDF("img_id", "vendor_name")
+      .write.parquet(s"$dir/p=1")
+    // v2 schema: the added JSON column (e5c6e71f62a6 migration analog)
+    Seq(("img_b", "VendorB", """{"k":"v"}"""))
+      .toDF("img_id", "vendor_name", "other_data")
+      .write.parquet(s"$dir/p=2")
+    val merged = Sinks.readMerged(spark, dir)
+    assert(merged.columns.toSet === Set("img_id", "vendor_name", "other_data", "p"))
+    val byId = merged.collect().map(r => r.getAs[String]("img_id") ->
+      Option(r.getAs[String]("other_data"))).toMap
+    assert(byId("img_a").isEmpty)   // pre-migration rows null-filled
+    assert(byId("img_b").contains("""{"k":"v"}"""))
+  }
+}

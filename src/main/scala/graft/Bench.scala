@@ -12,11 +12,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.registry.filter(_.bench).map { q =>
+    // optional comma-separated name filter for isolating queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.registry.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // queries persist intermediates (GlobalRank, shingle frames);
+      // drop them so later queries aren't measured under GC pressure
+      spark.catalog.clearCache()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,4 +31,14 @@ object VectorFunctions {
   /** cos(a,b) for arbitrary vectors. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Known-dimension dot product as a flat codegen'd expression —
+    * higher-order functions (aggregate/zip_with) evaluate interpreted
+    * with per-row allocation, which dominates pair-scoring joins. The
+    * left-fold summation order matches [[dot]] exactly, so results are
+    * bit-identical.
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i))
+      .reduce(_ + _)
 }

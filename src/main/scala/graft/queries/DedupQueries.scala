@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.{Q, Tables}
 import graft.text.{NearDup, TextAnalysis}
 import graft.operators.{TopK, VectorLsh}
@@ -18,12 +19,26 @@ object DedupQueries {
 
   /** doc_id + distinct word-3-gram shingles (empty-gram docs dropped:
     * they cannot form pairs and would zero-divide Jaccard).
+    *
+    * PERSISTED — this is load-bearing, not a cache nicety: the gram
+    * frame feeds self-joins, and without a materialization barrier
+    * Catalyst pushes the verify filter into the join condition and
+    * inlines the whole tokenize→shingle pipeline there, recomputing
+    * both documents' shingles PER CANDIDATE PAIR (observed: a
+    * single-task join predicate burning 10+ min at sf0.1). Shingle
+    * once, join cached arrays.
     */
   private def grams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+        // shingles carried as xxhash64 longs: every downstream join,
+        // explode and intersect works on 8-byte keys instead of ~20-char
+        // strings. Set semantics survive hashing whp (a collision within
+        // one pair's ~90 shingles: ~1e-12 across the corpus).
+        transform(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)),
+          g => xxhash64(g)).as("grams"))
       .filter(size(col("grams")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** DuckDB twin of the gram pipeline. */
   private val DGrams =
@@ -91,12 +106,15 @@ object DedupQueries {
 
     // ---------------------------------------------------------------
     // q40: n-gram Jaccard near-dup via prefix-filtered set-similarity
-    // join (Vernica/Bayardo): order each doc's shingles by global
-    // frequency, keep the floor((1-t)|g|)+1 rarest as its prefix; any
-    // pair with Jaccard >= t must intersect the prefix (a pair's
-    // intersection >= t|a| can't fit in the ceil(t|a|)-1 suffix), so
-    // prefix⋈all candidate generation has PERFECT recall — the DuckDB
-    // oracle computes all-pairs ground truth and must agree exactly.
+    // join (Bayardo AllPairs / PPJoin family): order each doc's
+    // shingles by global frequency (rarest first), keep the
+    // floor((1-t)|g|)+1 rarest as its prefix, and join PREFIX-TO-PREFIX.
+    // Recall is provably perfect: Jaccard >= t implies overlap
+    // alpha >= ceil(t*max(|a|,|b|)), and two sets with overlap alpha
+    // under a global token order must share a token inside their
+    // (|x|-alpha+1)-prefixes — our prefixes are at least that long.
+    // The DuckDB oracle computes all-pairs ground truth and must agree
+    // exactly.
     Q("q40_neardup_jaccard",
       (s, d) => {
         val t = 0.8
@@ -109,12 +127,11 @@ object DedupQueries {
         val prefix = exploded.join(freq, "gram")
           .withColumn("rn", row_number().over(wPrefix))
           .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
-          .select(col("doc_id").as("pdoc"), col("gram"))
-        val cand = prefix
-          .join(exploded.select(col("doc_id").as("odoc"), col("gram")), "gram")
-          .filter(col("pdoc") =!= col("odoc"))
-          .select(least(col("pdoc"), col("odoc")).as("doc_a"),
-                  greatest(col("pdoc"), col("odoc")).as("doc_b"))
+          .select(col("doc_id"), col("gram"))
+        val cand = prefix.as("x")
+          .join(prefix.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         verifyPairs(cand, g, t)
       },
@@ -134,6 +151,7 @@ object DedupQueries {
           .withColumn("sig", NearDup.minhashSignature(col("grams"), 32))
           .withColumn("b", explode(NearDup.minhashBands(col("sig"), 8, 4)))
           .select(col("doc_id"), col("b.band").as("band"), col("b.bval").as("bval"))
+          .persist(StorageLevel.MEMORY_AND_DISK) // signatures once, not per join side
         val cand = banded.as("x")
           .join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
@@ -154,10 +172,14 @@ object DedupQueries {
       (s, d) => {
         val hashed = Tables.documents(s, d)
           .select(col("doc_id"), NearDup.simhash(col("text")).as("sh"))
+        // persisted: the Hamming filter otherwise gets pushed into the
+        // self-join condition with the 64-filter simhash expression
+        // inlined — recomputed per candidate pair (see grams()).
         val banded = hashed
           .withColumn("b", explode(NearDup.simhashBands(col("sh"))))
           .select(col("doc_id"), col("sh"), col("b.band").as("band"),
             col("b.bval").as("bval"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         banded.as("x")
           .join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
@@ -180,17 +202,22 @@ object DedupQueries {
         val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
         val banded = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", graft.functions.VectorFunctions.norm(col("emb")))
           .withColumn("tb", explode(VectorLsh.buckets(col("emb"), tables)))
-          .select(col("vec_id"), col("emb"),
+          .select(col("vec_id"), col("emb"), col("nrm"),
             col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val cand = banded.as("x")
           .join(banded.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
               && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-            col("x.emb").as("ea"), col("y.emb").as("eb"))
+            col("x.emb").as("ea"), col("x.nrm").as("na"),
+            col("y.emb").as("eb"), col("y.nrm").as("nb"))
           .dropDuplicates("vec_a", "vec_b")
-          .withColumn("cos", VectorLsh.cosine(col("ea"), col("eb")))
+          .withColumn("cos",
+            graft.functions.VectorFunctions.dotUnrolled(col("ea"), col("eb"), 64)
+              / (col("na") * col("nb")))
           .withColumn("grp", lit(1))
         TopK.perKey(cand, Seq("grp"), Seq(col("cos").desc, col("vec_a"), col("vec_b")), 20)
           .select(col("vec_a"), col("vec_b"), floor(col("cos") * 100).as("score_e2"),

@@ -22,11 +22,13 @@ object VectorQueries {
   /** Small fixed query-vector set: the driver-side "needles". */
   private val NumQueries = 3
   private val K = 10
+  private val Dim = 64
 
   private def queryVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), emb64(col("embedding")).as("qemb"))
+      .withColumn("qnrm", VectorFunctions.norm(col("qemb")))
 
   val all: Seq[Q] = Seq(
 
@@ -37,11 +39,16 @@ object VectorQueries {
     // no single task ever sees a query's full candidate stream.
     Q("q36_knn_bruteforce",
       (s, d) => {
+        // norms once per row before the join; the per-pair work is one
+        // flat codegen'd dot product (same doubles as cosine()).
         val cands = Tables.embeddings(s, d)
           .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFunctions.norm(col("emb")))
         val scored = cands
           .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", VectorFunctions.cosine(col("emb"), col("qemb")))
+          .withColumn("cos",
+            VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
+              / (col("nrm") * col("qnrm")))
         TopK.perKey(scored, Seq("query_id"),
             Seq(col("cos").desc, col("vec_id")), K)
           .select(col("query_id"), col("rank"),
@@ -85,16 +92,20 @@ object VectorQueries {
             .drop("tb")
         val cands = bucketed(
           Tables.embeddings(s, d)
-            .select(col("vec_id"), emb64(col("embedding")).as("emb")), "emb")
+            .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+            .withColumn("nrm", VectorFunctions.norm(col("emb"))), "emb")
         val qs = bucketed(queryVectors(s, d), "qemb")
-          .select(col("query_id"), col("qemb"), col("tbl"), col("bucket"))
+          .select(col("query_id"), col("qemb"), col("qnrm"), col("tbl"), col("bucket"))
         val candidates = cands
           .join(qs, Seq("tbl", "bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           // a pair can collide in several tables — score each pair once
-          .select(col("query_id"), col("vec_id"), col("emb"), col("qemb"))
+          .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
+            col("qemb"), col("qnrm"))
           .dropDuplicates("query_id", "vec_id")
-          .withColumn("cos", VectorFunctions.cosine(col("emb"), col("qemb")))
+          .withColumn("cos",
+            VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
+              / (col("nrm") * col("qnrm")))
         TopK.perKey(candidates, Seq("query_id"),
             Seq(col("cos").desc, col("vec_id")), K)
           .select(col("query_id"), col("rank"),

@@ -36,6 +36,13 @@ object Receipts {
         .items(ReceiptPipeline.readResponses(s, FixturePath)).toDF(),
       None, bench = false),
 
+    Q("receipt_s7_csv_items",
+      (s, _) => {
+        val responses = ReceiptPipeline.readResponses(s, FixturePath)
+        ReceiptPipeline.itemsViaCsv(ReceiptPipeline.renderItemsCsv(responses))
+      },
+      None, bench = false),
+
     Q("receipt_j1_joined",
       (s, _) => ReceiptPipeline
         .joined(ReceiptPipeline.readResponses(s, FixturePath))

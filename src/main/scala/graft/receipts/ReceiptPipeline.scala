@@ -111,7 +111,10 @@ object ReceiptPipeline {
     * regex on price (F1), int-or-1 quantity (F6), `Unknown` item default
     * (`models.py:27`).
     */
-  def lineItems(responses: DataFrame): DataFrame = {
+  /** Raw (uncleaned) line-item field rows — the shared source for the
+    * direct path (A3) and the CSV-parity path (S7).
+    */
+  def rawLineItemRows(responses: DataFrame): DataFrame = {
     def fieldOf(tag: String): Column =
       element_at(
         filter(col("item.LineItemExpenseFields"),
@@ -125,10 +128,46 @@ object ReceiptPipeline {
         posexplode(col("grp.LineItems")).as(Seq("item_pos", "item")))
       .select(
         col("img_id"), col("doc_pos"), col("grp_pos"), col("item_pos"),
-        coalesce(stripFieldTag(fieldOf("ITEM")), lit("Unknown")).as("item_name"),
-        coalesce(moneyVal(stripFieldTag(fieldOf("PRICE"))),
-          lit(0).cast("decimal(6,2)")).as("price"),
-        quantityOrDefault(fieldOf("QUANTITY")).as("quantity"))
+        fieldOf("ITEM").as("item_raw"),
+        fieldOf("PRICE").as("price_raw"),
+        fieldOf("QUANTITY").as("qty_raw"))
+  }
+
+  private def cleanItems(raw: DataFrame, item: Column, price: Column,
+                         qty: Column): DataFrame =
+    raw.select(
+      col("img_id"), col("doc_pos"), col("grp_pos"), col("item_pos"),
+      coalesce(stripFieldTag(item), lit("Unknown")).as("item_name"),
+      coalesce(moneyVal(stripFieldTag(price)),
+        lit(0).cast("decimal(6,2)")).as("price"),
+      quantityOrDefault(qty).as("quantity"))
+
+  def lineItems(responses: DataFrame): DataFrame =
+    cleanItems(rawLineItemRows(responses),
+      col("item_raw"), col("price_raw"), col("qty_raw"))
+
+  /** S7 — line-item CSV parity (reference `anarcptlib.py:28-32,83-84`:
+    * textract-prettyprinter renders LineItemGroups to CSV, `csv.reader`
+    * re-parses). The render is `to_csv` (proper quoting for commas in
+    * item names), the re-parse `from_csv`, with the same P2 empty-row
+    * filter and F5/F6 cleaning applied post-parse. `itemsViaCsv` must
+    * equal `lineItems` exactly (ReceiptPipelineSpec).
+    */
+  def renderItemsCsv(responses: DataFrame): DataFrame =
+    rawLineItemRows(responses)
+      .select(col("img_id"), col("doc_pos"), col("grp_pos"), col("item_pos"),
+        to_csv(struct(col("item_raw"), col("price_raw"), col("qty_raw")))
+          .as("line"))
+
+  def itemsViaCsv(csvRows: DataFrame): DataFrame = {
+    val parsed = csvRows
+      .filter(length(trim(col("line"))) > 0) // P2 — empty-row filter
+      .withColumn("f", from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "item_raw STRING, price_raw STRING, qty_raw STRING"),
+        Map.empty[String, String]))
+    cleanItems(parsed,
+      col("f.item_raw"), col("f.price_raw"), col("f.qty_raw"))
   }
 
   /** Typed views of the two output tables. */

@@ -133,4 +133,29 @@ class ReceiptPipelineSpec extends SparkSuite {
     val r = ReceiptPipeline.summarize(flat).collect().head
     assert(r.getAs[java.math.BigDecimal]("total").toPlainString === "9.99")
   }
+
+  test("S7 CSV render/re-parse path equals the direct nested extraction") {
+    val direct = ReceiptPipeline.lineItems(responses)
+    val viaCsv = ReceiptPipeline.itemsViaCsv(
+      ReceiptPipeline.renderItemsCsv(responses))
+    assert(viaCsv.exceptAll(direct).isEmpty && direct.exceptAll(viaCsv).isEmpty)
+    assert(direct.count() > 0)
+  }
+
+  test("S7 from_csv applies P2/F5/F6: empty rows dropped, tags stripped, defaults") {
+    import spark.implicits._
+    val rows = Seq(
+      ("x", 0, 0, 0, "\"Choc Bar (ITEM)\",\"$2.50 (PRICE)\",\"3\""),
+      ("x", 0, 0, 1, "  "), // P2: blank line dropped
+      ("x", 0, 0, 2, "\"Milk, 2% (ITEM)\",\"1.99\",\"\"")) // comma in name; qty default
+      .toDF("img_id", "doc_pos", "grp_pos", "item_pos", "line")
+    val parsed = ReceiptPipeline.itemsViaCsv(rows)
+      .orderBy("item_pos").collect()
+    assert(parsed.length === 2)
+    assert(parsed(0).getAs[String]("item_name") === "Choc Bar")
+    assert(parsed(0).getAs[java.math.BigDecimal]("price").toPlainString === "2.50")
+    assert(parsed(0).getAs[Int]("quantity") === 3)
+    assert(parsed(1).getAs[String]("item_name") === "Milk, 2%")
+    assert(parsed(1).getAs[Int]("quantity") === 1)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.SparkSuite
+
+case class RunningTotal(n: Long, total: Double)
+
+/** Custom keyed state via KeyValueGroupedDataset.mapGroupsWithState —
+  * the engine's arbitrary-state primitive (beyond windowed aggs): state
+  * persists in the state store across micro-batches and survives
+  * per-batch grouping.
+  */
+class StatefulStreamSpec extends SparkSuite {
+
+  test("mapGroupsWithState accumulates per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+
+    val totals = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Double)],
+         state: GroupState[RunningTotal]) =>
+          val prev = state.getOption.getOrElse(RunningTotal(0L, 0.0))
+          val batch = rows.toSeq
+          val next = RunningTotal(prev.n + batch.size,
+            prev.total + batch.map(_._2).sum)
+          state.update(next)
+          (user, next.n, next.total)
+      }
+      .toDF("user", "n", "total")
+
+    val q = totals.writeStream
+      .format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(("u1", 10.0), ("u1", 5.0), ("u2", 1.0))
+      q.processAllAvailable()
+      input.addData(("u1", 2.0), ("u3", 7.0))
+      q.processAllAvailable()
+      // latest Update-mode row per user reflects accumulated state
+      val latest = spark.table("state_test")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(latest("u1") === (3L, 17.0)) // state crossed the batch boundary
+      assert(latest("u2") === (1L, 1.0))
+      assert(latest("u3") === (1L, 7.0))
+    } finally q.stop()
+  }
+}

@@ -147,8 +147,14 @@ object DedupQueries {
       (s, d) => {
         val t = 0.7
         val g = grams(s, d)
+        // signatures via ONE codegen'd hash aggregate over exploded
+        // shingles (the array form runs 32 interpreted passes per doc)
+        val sigAggs = NearDup.minhashAggs(col("gram"), 32)
         val banded = g
-          .withColumn("sig", NearDup.minhashSignature(col("grams"), 32))
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .groupBy(col("doc_id"))
+          .agg(sigAggs.head, sigAggs.tail: _*)
+          .withColumn("sig", NearDup.minhashAggsToSig(32))
           .withColumn("b", explode(NearDup.minhashBands(col("sig"), 8, 4)))
           .select(col("doc_id"), col("b.band").as("band"), col("b.bval").as("bval"))
           .persist(StorageLevel.MEMORY_AND_DISK) // signatures once, not per join side
@@ -170,11 +176,20 @@ object DedupQueries {
     // DedupQueriesSpec pins the semantics.
     Q("q42_simhash",
       (s, d) => {
+        // simhash via one codegen'd bit-vote aggregate over exploded
+        // token hashes (the column form runs 64 interpreted filters per
+        // doc). Persisted: the Hamming filter otherwise gets pushed into
+        // the self-join condition and recomputed per candidate pair.
+        val voteAggs = NearDup.simhashAggs(col("h"))
+        // plain explode: token-less docs drop out (they have no simhash
+        // signal; explode_outer would inject a phantom null-hash token)
         val hashed = Tables.documents(s, d)
-          .select(col("doc_id"), NearDup.simhash(col("text")).as("sh"))
-        // persisted: the Hamming filter otherwise gets pushed into the
-        // self-join condition with the 64-filter simhash expression
-        // inlined — recomputed per candidate pair (see grams()).
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .withColumn("h", xxhash64(col("tok")))
+          .groupBy(col("doc_id"))
+          .agg(voteAggs.head, voteAggs.tail: _*)
+          .select(col("doc_id"), NearDup.simhashAggsToHash.as("sh"))
         val banded = hashed
           .withColumn("b", explode(NearDup.simhashBands(col("sh"))))
           .select(col("doc_id"), col("sh"), col("b.band").as("band"),

@@ -99,9 +99,24 @@ object TextQueries {
     // against the table's labeled lang, with per-language accuracy.
     Q("q33_lang_id",
       (s, d) => {
+        // corpus form of TextAnalysis.langId: explode tokens once and
+        // take all marker counts in one codegen'd aggregate (the
+        // column form runs one interpreted filter pass per language per
+        // row). explode_outer keeps token-less docs (pred = unknown).
+        val markers = TextAnalysis.LangMarkers
+        val scoreAggs = markers.map { case (lang, ms) =>
+          count(when(col("tok").isin(ms: _*), lit(1))).as(s"s_$lang")
+        }
+        val best = greatest(markers.map { case (lang, _) => col(s"s_$lang") }: _*)
+        val predChain = markers.foldLeft(when(best === 0, lit("unknown"))) {
+          case (acc, (lang, _)) => acc.when(col(s"s_$lang") === best, lit(lang))
+        }
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            TextAnalysis.langId(col("text")).as("pred"))
+            explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(scoreAggs.head, scoreAggs.tail: _*)
+          .select(col("lang"), predChain.as("pred"))
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred"))

@@ -19,6 +19,17 @@ object NearDup {
     array((0 until k).map(i =>
       array_min(transform(grams, g => xxhash64(lit(i), g)))): _*)
 
+  /** Aggregate form of [[minhashSignature]] for exploded (id, gram)
+    * rows: all k mins in ONE codegen'd hash aggregate — the array form
+    * evaluates k interpreted higher-order passes per row, which
+    * dominates at corpus scale. Same hash expressions, same values.
+    */
+  def minhashAggs(gram: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => min(xxhash64(lit(i), gram)).as(s"__mh$i"))
+
+  def minhashAggsToSig(k: Int): Column =
+    array((0 until k).map(i => col(s"__mh$i")): _*)
+
   /** LSH banding: split the signature into `bands` bands of `rows`
     * hashes; band key = xxhash64 of the sub-signature. Two docs with
     * Jaccard s are candidates with prob 1-(1-s^rows)^bands.
@@ -42,6 +53,20 @@ object NearDup {
       when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
+
+  /** Aggregate form of [[simhash]] for exploded (id, token-hash) rows:
+    * 64 signed bit-votes in one codegen'd hash aggregate (ones*2 > n
+    * ⟺ Σ(±1) > 0 — identical bits for any non-empty token list).
+    */
+  def simhashAggs(tokenHash: Column): Seq[Column] =
+    (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(tokenHash, j).bitwiseAND(lit(1L)) === lit(1L),
+        lit(1)).otherwise(lit(-1))).as(s"__sb$j"))
+
+  def simhashAggsToHash: Column =
+    (0 until 64).map(j =>
+      when(col(s"__sb$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
 
   /** Pigeonhole bands for Hamming search: any two 64-bit hashes within
     * Hamming distance 3 agree exactly on at least one of 4 16-bit bands.

@@ -98,6 +98,27 @@ object EventWindowQueries {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+      """)),
+
+    // ---------------------------------------------------------------
+    // q52: salted two-phase aggregation — the skew-mitigation pattern
+    // (event_type has ~5 hot keys carrying the full table; salting
+    // splits each across 8 sub-keys, then merges partials). Exact
+    // decimal sums, so the result equals the direct groupBy.
+    Q("q52_salted_agg",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), dec2(col("value")).as("v"))
+        graft.operators.Salt.sumsBySaltedKey(e, "event_type", 8,
+            Map("total" -> col("v")))
+          .select(col("event_type"), col("n"),
+            col("total").cast("decimal(18,2)").as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM events GROUP BY event_type ORDER BY event_type
       """))
   )
 }

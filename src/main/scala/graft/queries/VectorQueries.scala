@@ -116,6 +116,46 @@ object VectorQueries {
       None),
 
     // ---------------------------------------------------------------
+    // q51: IVF-bucketed approximate nearest neighbor — the centroid
+    // scale path (vs q37's sign-LSH): corpus vectors live in their
+    // nearest centroid's inverted list; each query probes its 4
+    // nearest lists. Rows-only; VectorQueriesSpec pins recall.
+    Q("q51_ann_ivf",
+      (s, d) => {
+        import graft.operators.VectorIvf
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFunctions.norm(col("emb")))
+        // deterministic coarse centroids: a fixed sample of the corpus
+        val centroids = emb.filter(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        val lists = VectorIvf.nearestCentroids(emb, centroids, Dim,
+          keep = 1, idCol = "vec_id")
+        val probes = VectorIvf.nearestCentroids(
+          queryVectors(s, d)
+            .select(col("query_id"), col("qemb").as("emb"), col("qnrm").as("nrm")),
+          centroids, Dim, keep = 4, idCol = "query_id")
+          .select(col("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"), col("cid"))
+        val scored = lists.join(probes, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
+            col("qemb"), col("qnrm"))
+          .dropDuplicates("query_id", "vec_id")
+          .withColumn("cos",
+            VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
+              / (col("nrm") * col("qnrm")))
+        TopK.perKey(scored, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), K)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"),
+            floor(col("cos") * 100).as("score_e2"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---------------------------------------------------------------
     // q38: per-label norm statistics. Per-row norms are identical
     // doubles in both engines; the order-sensitive avg goes through an
     // exact decimal sum (order-independent) before one double division.

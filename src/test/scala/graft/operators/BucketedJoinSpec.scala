@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Bucketing as the co-located-join strategy: both fact tables written
+  * bucketed on the join key join WITHOUT a shuffle — at 100 TB the
+  * exchange, not the join, is the bottleneck, and pre-bucketing
+  * amortizes it across every downstream join on that key.
+  */
+class BucketedJoinSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join on the bucket key plans with no shuffle exchange") {
+    val tmp = Files.createTempDirectory("graft_bucketed").toString
+    val orders = graft.Tables.orders(spark, dir)
+    val customer = graft.Tables.customer(spark, dir)
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/orders").saveAsTable("orders_bucketed")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/customer").saveAsTable("customer_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      // same rows as the plain (shuffling) join
+      val expected = orders.join(customer, col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    }
+  }
+}

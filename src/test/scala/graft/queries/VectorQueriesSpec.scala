@@ -25,6 +25,18 @@ class VectorQueriesSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall@10 degraded: $recall")
   }
 
+  test("IVF ANN recall@10 against the brute-force baseline") {
+    val exact = run("q36_knn_bruteforce")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("q51_ann_ivf")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "IVF returned no candidates")
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@10 degraded: $recall")
+  }
+
   test("two-phase TopK identical to single-window row_number") {
     val df = graft.Tables.orders(spark, dir)
     val twoPhase = TopK.perKey(df, Seq("o_custkey"),

@@ -50,4 +50,31 @@ class StreamingWindowSpec extends SparkSuite {
       assert(spark.table("win_test").count() === 2)
     } finally q.stop()
   }
+
+  test("streaming session window merges within gap, splits across it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("w.start").as("start"), col("n"))
+
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // u1: 10:00,10:03 merge (gap 3m); 10:20 is a second session
+      input.addData((ts(0), "u1"), (ts(3), "u1"), (ts(20), "u1"))
+      q.processAllAvailable()
+      input.addData((ts(45), "u1")) // watermark past both sessions
+      q.processAllAvailable()
+      val done = spark.table("sess_test")
+        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(done === Set(("2024-01-01 10:00:00.0", 2L),
+                          ("2024-01-01 10:20:00.0", 1L)))
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Join shapes Spark lacks as primitives, composed scale-safe from
+  * built-ins (the SURVEY §2.5 "custom operators" preference order:
+  * compose before dropping to custom plans).
+  */
+object JoinQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q53: AS-OF join — each click matched to the same user's latest
+    // purchase at or before it (attribution). Composed as the classic
+    // scale-safe union + partitioned last-non-null window: ONE shuffle
+    // keyed by user_id, per-key sorted scan, no range join explosion.
+    // Ties (purchase at the click's exact timestamp) count as prior —
+    // purchases sort before clicks at equal ts. DuckDB's native ASOF
+    // LEFT JOIN is the oracle.
+    Q("q53_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"), col("ts").as("pts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("timestamp").as("pts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("asof_pts", last(col("pts"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            date_format(col("asof_pts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q54: range (band) join — every lineitem priced into a tier table
+    // by value interval. The tier side is tiny and broadcast, so the
+    // non-equi join is a BroadcastNestedLoopJoin over 3 rows — the plan
+    // you want; a shuffle range-join is only needed when BOTH sides are
+    // large.
+    Q("q54_range_join",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val tiers = Seq(
+          (0, 20000, "low"), (20000, 45000, "mid"),
+          (45000, 1000000, "high")).toDF("lo", "hi", "tier")
+        Tables.lineitem(s, d)
+          .join(broadcast(tiers),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("total"))
+          .orderBy(col("tier"))
+      },
+      Some("""
+        SELECT tier, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM lineitem
+        JOIN (VALUES (0, 20000, 'low'), (20000, 45000, 'mid'),
+                     (45000, 1000000, 'high')) AS t(lo, hi, tier)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY tier ORDER BY tier
+      """))
+  )
+}

@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 50+ codegen-heavy queries in one session generate enough classes to
+  // fill the default ~240m JIT code cache, after which compilation stops
+  // and expression-heavy plans fall back to the interpreter (observed:
+  // 10-15x slowdowns late in a full Bench run). Headroom + flushing.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -168,6 +168,57 @@ object TextQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q55: TF-IDF — term frequency per (doc, token) joined with smooth
+    // inverse document frequency (ln((N+1)/(df+1)) + 1), top-3 terms
+    // per document. Two aggregates keyed by (doc,token) and token — the
+    // same shuffles at any corpus size; N broadcasts as a 1-row join.
+    Q("q55_tfidf",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf") * (log((col("n_docs") + 1).cast("double")
+              / (col("df") + 1)) + 1))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").as("rank"), col("tok"),
+            floor(col("tfidf") * 10000).as("tfidf_e4"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($DTokens) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1) AS tfidf
+          FROM tf JOIN df USING (tok), n
+        ), ranked AS (
+          SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok) AS rank
+          FROM scored
+        )
+        SELECT doc_id, rank, tok, CAST(floor(tfidf * 10000) AS BIGINT) AS tfidf_e4
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+      """)),
+
+    // ---------------------------------------------------------------
     // q35: document fingerprinting — order-sensitive rolling hash over
     // normalized tokens (rows-only: DuckDB lacks crc32; the ScalaTest
     // asserts whitespace/case invariance + order sensitivity instead).

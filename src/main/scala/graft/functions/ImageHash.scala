@@ -79,6 +79,14 @@ object ImageHash {
     */
   val ahash = udf(averageHash _)
 
+  /** Failure-safe variant: undecodable bytes → null instead of a task
+    * failure. The reference's watcher logs and keeps going
+    * (`watcher.py:145-147`); one corrupt scan must not kill a stream
+    * that processes millions.
+    */
+  val ahashOrNull = udf((bytes: Array[Byte]) =>
+    try Some(averageHash(bytes)) catch { case _: Exception => None })
+
   /** 16-char hex content-id, the reference's hashed filename form. */
   def hexId(hashCol: Column): Column = lower(lpad(hex(hashCol), 16, "0"))
 
@@ -100,10 +108,14 @@ object ImageSource {
       .option("pathGlobFilter", PathGlob)
       .load(dir)
 
-  /** Content-address every image: 64-bit aHash + hex img_id. */
+  /** Content-address every image: 64-bit aHash + hex img_id.
+    * Undecodable files are dropped, not fatal (reference parity: failed
+    * scans are logged and skipped, `watcher.py:145-147`).
+    */
   def withHash(images: DataFrame): DataFrame =
     images
-      .withColumn("img_hash", ImageHash.ahash(col("content")))
+      .withColumn("img_hash", ImageHash.ahashOrNull(col("content")))
+      .filter(col("img_hash").isNotNull)
       .withColumn("img_id", ImageHash.hexId(col("img_hash")))
 
   /** J2 — content-addressed dedup: re-scans of the same receipt collapse

@@ -63,6 +63,8 @@ class ImageHashSpec extends SparkSuite {
       Files.write(dir.resolve("Scan_002.png"), encode(makeImage(2), "png"))
       Files.write(dir.resolve("Scan_003.png"), encode(makeImage(1), "png"))
       Files.write(dir.resolve("notes.txt"), "not an image".getBytes) // S4 filter drops
+      // .png extension but garbage bytes: must be skipped, not fatal
+      Files.write(dir.resolve("Scan_corrupt.png"), Array[Byte](9, 9, 9))
 
       val scanned = ImageSource.withHash(ImageSource.images(spark, dir.toString))
       assert(scanned.count() === 3) // pathGlobFilter excluded the .txt

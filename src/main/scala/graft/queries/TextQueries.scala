@@ -219,6 +219,24 @@ object TextQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q56: stratified sampling — class-balanced corpus subsetting (the
+    // train-set curation step): downsample the dominant language to
+    // ~30% while keeping the rest, with a fixed seed. Deterministic
+    // hash-based sampling (sampleBy is seeded); rows-only (sampling is
+    // implementation-defined), proportions pinned by TextQueriesSpec.
+    Q("q56_stratified_sample",
+      (s, d) => {
+        val fractions = Map("en" -> 0.3, "de" -> 1.0, "fr" -> 1.0,
+          "es" -> 1.0, "zh" -> 1.0)
+        Tables.documents(s, d)
+          .stat.sampleBy("lang", fractions, seed = 42L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      None),
+
+    // ---------------------------------------------------------------
     // q35: document fingerprinting — order-sensitive rolling hash over
     // normalized tokens (rows-only: DuckDB lacks crc32; the ScalaTest
     // asserts whitespace/case invariance + order sensitivity instead).

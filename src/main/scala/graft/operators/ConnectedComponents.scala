@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by iterative min-label propagation (HashMin) —
+  * the dedup-group step: near-duplicate PAIRS become duplicate GROUPS
+  * via transitive closure. Each iteration is one join + one aggregate
+  * (label = min(own, neighbors' labels)), converging in O(diameter)
+  * rounds; the driver only checks a scalar convergence count per round
+  * — the standard iterative-graph shape at any scale (GraphX's
+  * ConnectedComponents is this same loop).
+  */
+object ConnectedComponents {
+
+  /** edges: (src, dst) undirected pairs. Returns (id, component) where
+    * component = min vertex id reachable from `id`.
+    */
+  def labelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val both = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = both.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among self and neighbors
+      val nbrMin = both
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("lbl", "nbr_lbl"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_lbl")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.lbl") =!= col("l.lbl")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    both.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

@@ -71,6 +71,28 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), floor(col("jac") * 10000).as("jac_e4"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The q40 set-similarity join, reusable (see q40's scaladoc for the
+    * prefix-filter recall argument).
+    */
+  private def jaccardPairs(s: SparkSession, d: String, t: Double): DataFrame = {
+    val g = grams(s, d)
+    val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    val wPrefix = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("gram"))
+    val prefix = exploded.join(freq, "gram")
+      .withColumn("rn", row_number().over(wPrefix))
+      .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+      .select(col("doc_id"), col("gram"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, g, t)
+  }
+
   private def allPairsOracle(t: Double): String = s"""
     WITH g AS ($DGrams),
     p AS (
@@ -116,25 +138,7 @@ object DedupQueries {
     // The DuckDB oracle computes all-pairs ground truth and must agree
     // exactly.
     Q("q40_neardup_jaccard",
-      (s, d) => {
-        val t = 0.8
-        val g = grams(s, d)
-        val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
-          explode(col("grams")).as("gram"))
-        val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
-        val wPrefix = Window.partitionBy(col("doc_id"))
-          .orderBy(col("freq"), col("gram"))
-        val prefix = exploded.join(freq, "gram")
-          .withColumn("rn", row_number().over(wPrefix))
-          .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
-          .select(col("doc_id"), col("gram"))
-        val cand = prefix.as("x")
-          .join(prefix.as("y"),
-            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        verifyPairs(cand, g, t)
-      },
+      (s, d) => jaccardPairs(s, d, 0.8),
       Some(allPairsOracle(0.8))),
 
     // ---------------------------------------------------------------
@@ -206,6 +210,44 @@ object DedupQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None),
+
+    // ---------------------------------------------------------------
+    // q57: dedup groups — near-dup PAIRS (q40) closed into duplicate
+    // GROUPS via iterative min-label propagation (transitive closure:
+    // A~B, B~C ⟹ {A,B,C} keep one). The oracle computes the same
+    // closure with a recursive CTE over the all-pairs ground truth.
+    Q("q57_dedup_groups",
+      (s, d) => {
+        val edges = jaccardPairs(s, d, 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        graft.operators.ConnectedComponents.labelPropagation(edges)
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE g AS ($DGrams),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM p
+          WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        ),
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        )
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a ORDER BY doc_id
+      """)),
 
     // ---------------------------------------------------------------
     // q43: embedding-cosine near-dup — all-vector LSH self-join (sign

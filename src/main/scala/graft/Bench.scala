@@ -15,22 +15,29 @@ object Bench {
     // optional comma-separated name filter for isolating queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+    var failed = List.empty[String]
     val results = SparkEntry.registry.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name))).map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          failed ::= q.name
+          false
+        }
       // queries persist intermediates (GlobalRank, shingle frames);
       // drop them so later queries aren't measured under GC pressure
       spark.catalog.clearCache()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
+      if (ok) System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
       q.name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

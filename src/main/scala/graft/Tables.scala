@@ -25,14 +25,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long (legacy conf, set at session
-    * construction — Sessions.local / SparkSuite) and convert to
+    * reader rejects; read it as a nanos long (legacy conf) and convert to
     * microsecond TimestampType (truncation — sub-microsecond precision is
     * below every window/ordering granularity used here).
+    *
+    * The conf is normally set at session construction (Sessions.local /
+    * SparkSuite); for externally-built sessions this self-heals — one
+    * EXPLICIT session-wide effect, documented here: all TIMESTAMP(NANOS)
+    * parquet in the session maps to LongType afterwards (only `events`
+    * carries that type in this engine's data).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (use Sessions.local)")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

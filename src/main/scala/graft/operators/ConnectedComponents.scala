@@ -16,8 +16,12 @@ object ConnectedComponents {
 
   /** edges: (src, dst) undirected pairs. Returns (id, component) where
     * component = min vertex id reachable from `id`.
+    *
+    * Fails loudly if not converged within `maxIter` (HashMin needs up
+    * to graph-diameter rounds; silent partial labels would be silently
+    * wrong dedup groups).
     */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def labelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val both = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -46,6 +50,10 @@ object ConnectedComponents {
       iter += 1
     }
     both.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter; raise it)")
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -23,7 +23,10 @@ import org.apache.spark.storage.StorageLevel
   * The ranked frame is persisted so the offsets aggregate and the final
   * output observe the SAME range partitioning (repartitionByRange
   * samples its boundaries per evaluation; two evaluations could
-  * disagree).
+  * disagree). The cached blocks live until the caller drops them —
+  * long-lived sessions composing this operator should
+  * `spark.catalog.clearCache()` (as Verify/Bench do per query) or
+  * unpersist after consuming the result.
   *
   * Results are bit-identical to `row_number() OVER (ORDER BY ...)` /
   * `NTILE(k) OVER (ORDER BY ...)` when the sort key is a total order

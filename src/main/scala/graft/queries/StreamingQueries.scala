@@ -24,6 +24,7 @@ object StreamingQueries {
         s.read.parquet(s"$base/out")
           .withColumn("other_data", map_entries(col("other_data")))
           .drop("receipt_date") // fixture-constant; timestamp formatting noise
+          .drop("batch_id") // sink partitioning detail
           .orderBy(col("img_id"))
       },
       None, bench = false))

@@ -30,6 +30,23 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), emb64(col("embedding")).as("qemb"))
       .withColumn("qnrm", VectorFunctions.norm(col("qemb")))
 
+  /** Shared scoring tail of q36/q37/q51: cosine from precomputed norms
+    * (one flat codegen'd dot per pair), two-phase top-k, the common
+    * (query_id, rank, neighbor_id, score_e2) output contract. Input
+    * must carry (query_id, vec_id, emb, nrm, qemb, qnrm).
+    */
+  private def scoreAndRank(candidates: DataFrame): DataFrame = {
+    val scored = candidates.withColumn("cos",
+      VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
+        / (col("nrm") * col("qnrm")))
+    TopK.perKey(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("vec_id")), K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("cos") * 100).as("score_e2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -44,17 +61,8 @@ object VectorQueries {
         val cands = Tables.embeddings(s, d)
           .select(col("vec_id"), emb64(col("embedding")).as("emb"))
           .withColumn("nrm", VectorFunctions.norm(col("emb")))
-        val scored = cands
-          .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id"))
-          .withColumn("cos",
-            VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
-              / (col("nrm") * col("qnrm")))
-        TopK.perKey(scored, Seq("query_id"),
-            Seq(col("cos").desc, col("vec_id")), K)
-          .select(col("query_id"), col("rank"),
-            col("vec_id").as("neighbor_id"),
-            floor(col("cos") * 100).as("score_e2"))
-          .orderBy(col("query_id"), col("rank"))
+        scoreAndRank(cands
+          .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id")))
       },
       Some(s"""
         WITH q AS (
@@ -96,22 +104,13 @@ object VectorQueries {
             .withColumn("nrm", VectorFunctions.norm(col("emb"))), "emb")
         val qs = bucketed(queryVectors(s, d), "qemb")
           .select(col("query_id"), col("qemb"), col("qnrm"), col("tbl"), col("bucket"))
-        val candidates = cands
+        scoreAndRank(cands
           .join(qs, Seq("tbl", "bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           // a pair can collide in several tables — score each pair once
           .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
             col("qemb"), col("qnrm"))
-          .dropDuplicates("query_id", "vec_id")
-          .withColumn("cos",
-            VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
-              / (col("nrm") * col("qnrm")))
-        TopK.perKey(candidates, Seq("query_id"),
-            Seq(col("cos").desc, col("vec_id")), K)
-          .select(col("query_id"), col("rank"),
-            col("vec_id").as("neighbor_id"),
-            floor(col("cos") * 100).as("score_e2"))
-          .orderBy(col("query_id"), col("rank"))
+          .dropDuplicates("query_id", "vec_id"))
       },
       None),
 
@@ -138,20 +137,11 @@ object VectorQueries {
           centroids, Dim, keep = 4, idCol = "query_id")
           .select(col("query_id"), col("emb").as("qemb"),
             col("nrm").as("qnrm"), col("cid"))
-        val scored = lists.join(probes, "cid")
+        scoreAndRank(lists.join(probes, "cid")
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
             col("qemb"), col("qnrm"))
-          .dropDuplicates("query_id", "vec_id")
-          .withColumn("cos",
-            VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
-              / (col("nrm") * col("qnrm")))
-        TopK.perKey(scored, Seq("query_id"),
-            Seq(col("cos").desc, col("vec_id")), K)
-          .select(col("query_id"), col("rank"),
-            col("vec_id").as("neighbor_id"),
-            floor(col("cos") * 100).as("score_e2"))
-          .orderBy(col("query_id"), col("rank"))
+          .dropDuplicates("query_id", "vec_id"))
       },
       None),
 

@@ -45,17 +45,21 @@ object Sinks {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema).write.mode("append").jdbc(url, table, new Properties)
 
-  /** K2 — processed-file mover. The Hadoop FileSystem API resolves the
-    * destination scheme, so the same call serves local dirs in tests
-    * and `s3a://bucket/...` in deployment (the reference's
-    * MoveToS3Handler).
+  /** K2 — processed-file mover (the reference's MoveToS3Handler).
+    * Same-filesystem moves rename; cross-filesystem moves (local →
+    * `s3a://bucket/...`) copy-then-delete, since Hadoop's rename cannot
+    * cross schemes.
     */
   def moveFile(spark: SparkSession, src: String, dst: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new HPath(src)
     val dstPath = new HPath(dst)
-    val fs = dstPath.getFileSystem(conf)
-    fs.mkdirs(dstPath.getParent)
-    FileSystem.get(new HPath(src).toUri, conf).rename(new HPath(src), dstPath)
+    val srcFs = srcPath.getFileSystem(conf)
+    val dstFs = dstPath.getFileSystem(conf)
+    dstFs.mkdirs(dstPath.getParent)
+    if (srcFs.getUri == dstFs.getUri) srcFs.rename(srcPath, dstPath)
+    else org.apache.hadoop.fs.FileUtil.copy(
+      srcFs, srcPath, dstFs, dstPath, /*deleteSource=*/ true, conf)
   }
 
   /** K4 — schema evolution on read: parquet written before and after an

@@ -42,8 +42,10 @@ object WatchPipeline {
 
   /** Stage 1 (T1): content-address every scan and collapse re-scans —
     * J2's rename-to-hash as a watermarked streaming dedup with bounded
-    * state (re-scans arriving within the watermark window are dropped;
-    * the parquet/JDBC sink's key makes later dups idempotent).
+    * state. Re-scans arriving within the watermark window are dropped
+    * here; a re-scan later than the watermark reaches the sink again,
+    * so a deployment needing strict uniqueness puts the img_id key on
+    * the sink table (JDBC upsert) or widens the watermark.
     */
   def contentAddressed(raw: DataFrame): DataFrame =
     ImageSource.withHash(raw)
@@ -51,23 +53,35 @@ object WatchPipeline {
       .dropDuplicatesWithinWatermark("img_hash")
 
   /** Stage 2 (T1) + T2/T3: analyze each micro-batch through the
-    * enrichment seam and batch-append summaries to the sink. One
-    * checkpointed query end-to-end; `sink` defaults to parquet append
-    * (the engine's K1 shape — swap in `Sinks.jdbc` for DB parity).
+    * enrichment seam and hand (summaries, batchId) to the sink. The
+    * checkpoint makes batch REPLAY deterministic; end-to-end
+    * exactly-once additionally requires the sink to be idempotent per
+    * batchId — foreachBatch's contract. The default parquet sink
+    * (below) overwrites a batch_id partition, so a crash between sink
+    * commit and checkpoint commit replays into the same partition
+    * instead of appending duplicates.
     */
   def start(spark: SparkSession, rawDir: String, checkpointDir: String,
-            analyzer: ExpenseAnalyzer, sink: DataFrame => Unit,
+            analyzer: ExpenseAnalyzer, sink: (DataFrame, Long) => Unit,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     contentAddressed(rawScans(spark, rawDir))
       .writeStream
       .queryName("graft_watch")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val responses = Enrichment.parse(Enrichment.analyze(batch, analyzer))
-        sink(ReceiptPipeline.summarize(ReceiptPipeline.flattenSummary(responses)))
+        sink(ReceiptPipeline.summarize(ReceiptPipeline.flattenSummary(responses)),
+          batchId)
       }
       .start()
+
+  /** Idempotent-per-batch parquet sink: replaying batch N overwrites
+    * exactly batch N's partition.
+    */
+  def parquetBatchSink(outDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
   /** T4 — event-driven batch-over-new-objects variant: drain everything
     * new (per the checkpoint) and stop.
@@ -77,8 +91,7 @@ object WatchPipeline {
                       analyzer: ExpenseAnalyzer =
                         new graft.receipts.FixtureAnalyzer()): Unit = {
     val q = start(spark, rawDir, checkpointDir, analyzer,
-      batch => batch.write.mode("append").parquet(outDir),
-      Trigger.AvailableNow())
+      parquetBatchSink(outDir), Trigger.AvailableNow())
     q.awaitTermination()
   }
 }

@@ -28,12 +28,17 @@ class BucketedJoinSpec extends SparkSuite {
       val joined = spark.table("orders_bucketed")
         .join(spark.table("customer_bucketed"),
           col("o_custkey") === col("c_custkey"))
+      // ShuffleExchangeExec prints as "Exchange hashpartitioning(...)"
       val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"),
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
+      // positive control: the same join over plain parquet DOES shuffle
+      // (otherwise the assertion above is vacuous)
+      val unbucketed = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
       // same rows as the plain (shuffling) join
-      val expected = orders.join(customer, col("o_custkey") === col("c_custkey")).count()
-      assert(joined.count() === expected)
+      assert(joined.count() === unbucketed.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bucketed")

@@ -146,6 +146,61 @@ object VectorQueries {
       None),
 
     // ---------------------------------------------------------------
+    // q58: int8 scalar quantization — the storage-compression path for
+    // embeddings at scale (4 bytes -> 1 byte per dim): per-vector
+    // absmax scale, floor quantize, and the fidelity metrics that
+    // justify it (mean abs reconstruction error, cosine drift),
+    // aggregated per label through exact decimal sums.
+    Q("q58_quantization",
+      (s, d) => {
+        val v = emb64(col("embedding"))
+        val mx = array_max(transform(v, x => abs(x)))
+        val deq = transform(transform(v, x => floor(x * 127 / mx)),
+          q => q * mx / lit(127.0))
+        val err = aggregate(zip_with(v, deq, (x, y) => abs(x - y)),
+          lit(0.0), (a, x) => a + x) / Dim
+        Tables.embeddings(s, d)
+          .select(col("label"), err.as("err"),
+            VectorFunctions.cosine(deq, v).as("fid"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            floor((sum(col("err").cast("decimal(18,9)")).cast("double")
+              / count(lit(1))) * 1000000).as("avg_err_e6"),
+            floor((sum(col("fid").cast("decimal(18,9)")).cast("double")
+              / count(lit(1))) * 10000).as("avg_fidelity_e4"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+          SELECT label, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e
+        ), d AS (
+          SELECT label, v,
+                 list_transform(list_transform(v, x -> floor(x * 127 / mx)),
+                                qq -> qq * mx / 127.0) AS deq
+          FROM q
+        ), m AS (
+          SELECT label,
+                 list_sum(list_transform(range(1, ${64 + 1}),
+                   i -> abs(v[i] - deq[i]))) / ${64} AS err,
+                 list_sum(list_transform(range(1, ${64 + 1}),
+                   i -> v[i] * deq[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(deq, x -> x * x)))) AS fid
+          FROM d
+        )
+        SELECT label, COUNT(*) AS n,
+               CAST(floor((CAST(SUM(CAST(err AS DECIMAL(18,9))) AS DOUBLE)
+                           / COUNT(*)) * 1000000) AS BIGINT) AS avg_err_e6,
+               CAST(floor((CAST(SUM(CAST(fid AS DECIMAL(18,9))) AS DOUBLE)
+                           / COUNT(*)) * 10000) AS BIGINT) AS avg_fidelity_e4
+        FROM m GROUP BY label ORDER BY label
+      """)),
+
+    // ---------------------------------------------------------------
     // q38: per-label norm statistics. Per-row norms are identical
     // doubles in both engines; the order-sensitive avg goes through an
     // exact decimal sum (order-independent) before one double division.

@@ -40,6 +40,18 @@ class WatchPipelineSpec extends SparkSuite {
     assert(result.select("vendor_name").distinct().head().getString(0).nonEmpty)
   }
 
+  test("parquet batch sink is idempotent per batchId (replay-safe T3)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_sink").toString
+    val sink = WatchPipeline.parquetBatchSink(out)
+    val batch = Seq(("img_a", 1), ("img_b", 2)).toDF("img_id", "v")
+    sink(batch, 7L)
+    sink(batch, 7L) // crash-replay of the same micro-batch
+    assert(spark.read.parquet(out).count() === 2) // overwrote, not appended
+    sink(batch, 8L) // a genuinely new batch appends
+    assert(spark.read.parquet(out).count() === 4)
+  }
+
   test("checkpoint recovery is exactly-once; dedup state survives (T3)") {
     val (raw, out, ckpt, _) = freshDirs()
     scan(raw, "Scan_001.png", 1)

@@ -5,6 +5,16 @@ package graft
   * fully evaluated through a `noop`-format write — `.count()` would let
   * Catalyst prune unreferenced projections and time a near-empty plan
   * for pure-projection queries.
+  *
+  * Session hygiene between queries (OUTSIDE the timed window — the
+  * measured dt is query work only): r2 showed late queries running 2-5×
+  * slower in-session than in isolation. Three leak classes accumulate
+  * across a 55-query session and are each cleaned per query:
+  *  - cached frames (clearCache) — the per-query persists;
+  *  - localCheckpoint blocks (getPersistentRDDs sweep) — checkpointed
+  *    RDDs bypass the catalog cache, so clearCache never frees them;
+  *  - broadcast vars + shuffle files — released by the ContextCleaner
+  *    only after their references are GC'd, so nudge a GC each query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,16 +36,18 @@ object Bench {
           failed ::= q.name
           false
         }
-      // queries persist intermediates (GlobalRank, shingle frames);
-      // drop them so later queries aren't measured under GC pressure
-      spark.catalog.clearCache()
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       if (ok) System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
-      q.name -> dt
+      (q.name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries' time-to-failure is not work done — report it
+    // separately, not inside the headline total
+    val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -2,14 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components by iterative min-label propagation (HashMin) —
   * the dedup-group step: near-duplicate PAIRS become duplicate GROUPS
-  * via transitive closure. Each iteration is one join + one aggregate
-  * (label = min(own, neighbors' labels)), converging in O(diameter)
-  * rounds; the driver only checks a scalar convergence count per round
-  * — the standard iterative-graph shape at any scale (GraphX's
+  * via transitive closure. Each iteration is ONE job: a join + an
+  * aggregate (label = min(own, neighbors' labels)) materialized through
+  * an eager localCheckpoint that also carries the per-row change flag,
+  * so the convergence check reads the checkpointed blocks instead of
+  * running a second join. Converges in O(diameter) rounds — the
+  * standard iterative-graph shape at any scale (GraphX's
   * ConnectedComponents is this same loop).
   */
 object ConnectedComponents {
@@ -20,40 +21,70 @@ object ConnectedComponents {
     * Fails loudly if not converged within `maxIter` (HashMin needs up
     * to graph-diameter rounds; silent partial labels would be silently
     * wrong dedup groups).
+    *
+    * `labelPartitions` sizes the iterative frames: dedup-group graphs
+    * are orders of magnitude smaller than the corpus (only near-dup
+    * members appear), so the default keeps per-round task counts small;
+    * a billion-vertex run would raise it toward the cluster's
+    * parallelism.
+    *
+    * Memory discipline: each round's frame must TRUNCATE lineage
+    * (localCheckpoint — persist alone would grow the logical plan by
+    * one join per round and analysis cost explodes after ~20 rounds,
+    * observed on a 30-vertex chain), and the PREVIOUS round's
+    * checkpoint blocks are freed as soon as the new round lands —
+    * `spark.catalog.clearCache()` never releases checkpoint blocks, so
+    * without the sweep a long session leaks one labels frame per round.
+    * A cluster deployment with flaky executors would use reliable
+    * checkpoint() to a checkpoint dir instead.
     */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val both = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (not persist): each round's frame must TRUNCATE
-    // lineage, or the logical plan grows by one join per round and
-    // analysis cost explodes after ~20 rounds (observed on a
-    // 30-vertex chain). A cluster deployment with flaky executors
-    // would use reliable checkpoint() to a checkpoint dir instead.
+  def labelPropagation(edges: DataFrame, maxIter: Int = 50,
+                       labelPartitions: Int = 8): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    def persisted = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // Materialize the (often expensive) edge plan ONCE. The union below
+    // references it twice and every round scans it again — without a
+    // barrier the whole upstream pipeline (e.g. q57's set-similarity
+    // join) would be recomputed per reference, per round.
+    val preEdge = persisted
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val edgeIds = persisted -- preEdge
+    val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val preInit = persisted
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .withColumn("__changed", lit(false))
+      .coalesce(labelPartitions)
       .localCheckpoint()
+    var prevIds = persisted -- preInit
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among self and neighbors
+      val before = persisted
+      // min label among self and neighbors, with the change flag folded
+      // into the same (eagerly checkpointed) frame: one job per round
       val nbrMin = both
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("lbl", "nbr_lbl"), "dst")
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_lbl")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = labels.select(col("id"), col("lbl"))
+        .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          coalesce(col("nbr_min") < col("lbl"), lit(false)).as("__changed"))
+        .coalesce(labelPartitions)
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.lbl") =!= col("l.lbl")).count()
+      val newIds = persisted -- before
+      val changed = updated.filter(col("__changed")).count()
+      free(prevIds) // last round's blocks are unreachable from any plan now
+      prevIds = newIds
       labels = updated
       converged = changed == 0
       iter += 1
     }
-    both.unpersist()
+    free(edgeIds)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +

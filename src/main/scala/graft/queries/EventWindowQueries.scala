@@ -13,6 +13,12 @@ import graft.{Q, Tables}
 object EventWindowQueries {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact integer-cents view — see [[Relational]]'s final-select
+    * discipline (no raw DECIMAL in registered outputs; scale per row in
+    * the decimal domain, sum as bigint).
+    */
+  private def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
   private def fmt(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
@@ -26,15 +32,15 @@ object EventWindowQueries {
         Tables.events(s, d)
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-               sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+               sum(e2(col("value"))).as("total_e2"))
           .select(fmt(col("w.start")).as("window_start"), col("event_type"),
-                  col("n"), col("total"))
+                  col("n"), col("total_e2"))
           .orderBy(col("window_start"), col("event_type"))
       },
       Some("""
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
       """)),
 
@@ -47,14 +53,14 @@ object EventWindowQueries {
         Tables.events(s, d)
           .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
           .agg(count(lit(1)).as("n"),
-               sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
-          .select(fmt(col("w.start")).as("window_start"), col("n"), col("total"))
+               sum(e2(col("value"))).as("total_e2"))
+          .select(fmt(col("w.start")).as("window_start"), col("n"), col("total_e2"))
           .orderBy(col("window_start"))
       },
       Some("""
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM (
           SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
@@ -74,9 +80,9 @@ object EventWindowQueries {
         Tables.events(s, d)
           .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
           .agg(count(lit(1)).as("n_events"),
-               sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+               sum(e2(col("value"))).as("total_e2"))
           .select(col("user_id"), fmt(col("w.start")).as("session_start"),
-                  col("n_events"), col("total"))
+                  col("n_events"), col("total_e2"))
           .orderBy(col("user_id"), col("session_start"))
       },
       Some("""
@@ -96,7 +102,7 @@ object EventWindowQueries {
         SELECT user_id,
                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
       """)),
 
@@ -108,16 +114,15 @@ object EventWindowQueries {
     Q("q52_salted_agg",
       (s, d) => {
         val e = Tables.events(s, d)
-          .select(col("event_type"), dec2(col("value")).as("v"))
+          .select(col("event_type"), e2(col("value")).as("v"))
         graft.operators.Salt.sumsBySaltedKey(e, "event_type", 8,
-            Map("total" -> col("v")))
-          .select(col("event_type"), col("n"),
-            col("total").cast("decimal(18,2)").as("total"))
+            Map("total_e2" -> col("v")))
+          .select(col("event_type"), col("n"), col("total_e2"))
           .orderBy(col("event_type"))
       },
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM events GROUP BY event_type ORDER BY event_type
       """))
   )

@@ -62,10 +62,10 @@ object MultimodalQueries {
           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_bytes) AS total_bytes,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
                CAST(floor((CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
                            / COUNT(*)) * 1000) AS BIGINT) AS avg_norm_e3,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM mm GROUP BY lang ORDER BY lang
       """))
   )

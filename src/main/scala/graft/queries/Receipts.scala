@@ -27,8 +27,11 @@ object Receipts {
       (s, _) => ReceiptPipeline
         .summaries(ReceiptPipeline.readResponses(s, FixturePath))
         .toDF()
-        // map ordering is unspecified in parquet; emit sorted entries
-        .withColumn("other_data", map_entries(col("other_data"))),
+        // map ordering is unspecified in parquet; emit key-sorted entries
+        // serialized to JSON — complex-typed cells crash the driver's
+        // row-sort (unhashable ndarray), so registered outputs are scalar
+        .withColumn("other_data",
+          to_json(array_sort(map_entries(col("other_data"))))),
       None, bench = false),
 
     Q("receipt_a3_line_items",
@@ -46,6 +49,7 @@ object Receipts {
     Q("receipt_j1_joined",
       (s, _) => ReceiptPipeline
         .joined(ReceiptPipeline.readResponses(s, FixturePath))
-        .withColumn("other_data", map_entries(col("other_data"))),
+        .withColumn("other_data",
+          to_json(array_sort(map_entries(col("other_data"))))),
       None, bench = false))
 }

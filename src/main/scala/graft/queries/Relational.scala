@@ -27,6 +27,20 @@ object Relational {
   private def revTerm(price: Column, disc: Column): Column =
     dec2(price) * (lit(1).cast("decimal(3,2)") - dec4(disc))
 
+  /** Final-select discipline: NO raw DECIMAL column ever reaches a
+    * registered output. The drivers' pandas harness reads Spark parquet
+    * DECIMAL as `Decimal` objects but DuckDB DECIMAL/HUGEINT as float64,
+    * so identical values hash-differently. Money outputs are therefore
+    * emitted as exact scaled integers: scale each row in the decimal
+    * domain (exact — the value is integral after *10^k), THEN sum as
+    * bigint. Integer addition is associative, so the sum stays
+    * order-independent under any partitioning, with no decimal→double
+    * cast whose rounding could differ between engines.
+    */
+  private def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
+  private def revE4(price: Column, disc: Column): Column =
+    (revTerm(price, disc) * 10000).cast("bigint")
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -38,19 +52,18 @@ object Relational {
           .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-            sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
-            sum(revTerm(col("l_extendedprice"), col("l_discount")))
-              .cast("decimal(18,4)").as("sum_disc_price"),
+            sum(e2(col("l_quantity"))).as("sum_qty_e2"),
+            sum(e2(col("l_extendedprice"))).as("sum_base_price_e2"),
+            sum(revE4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price_e4"),
             (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -66,17 +79,16 @@ object Relational {
       (s, d) => {
         Tables.lineitem(s, d)
           .groupBy(col("l_orderkey"))
-          .agg(sum(revTerm(col("l_extendedprice"), col("l_discount")))
-            .cast("decimal(18,4)").as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
           .limit(10)
       },
       Some("""
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM lineitem
         GROUP BY l_orderkey
-        ORDER BY revenue DESC, l_orderkey
+        ORDER BY revenue_e4 DESC, l_orderkey
         LIMIT 10
       """)),
 
@@ -111,14 +123,13 @@ object Relational {
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
-            sum(revTerm(col("l_extendedprice"), col("l_discount")))
-              .cast("decimal(18,4)").as("revenue"),
+            sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"),
             count(lit(1)).as("n_lines"))
           .orderBy(col("p_brand"))
       },
       Some("""
         SELECT p_brand,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
                COUNT(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -138,13 +149,13 @@ object Relational {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+          .agg(sum(e2(col("o_totalprice"))).as("revenue_e2"),
                count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""
         SELECT r_name, n_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_e2,
                COUNT(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -221,13 +232,15 @@ object Relational {
         Tables.orders(s, d)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
+          // o_totalprice is a raw parquet double: emit it untouched —
+          // identical bits on both sides, no cast needed at all
           .select(col("o_custkey"), col("o_orderkey"),
-                  dec2(col("o_totalprice")).as("totalprice"), col("rn"))
+                  col("o_totalprice").as("totalprice"), col("rn"))
           .orderBy(col("o_custkey"), col("rn"))
       },
       Some("""
         SELECT o_custkey, o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+               o_totalprice AS totalprice, rn
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                      ROW_NUMBER() OVER (PARTITION BY o_custkey
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -245,18 +258,17 @@ object Relational {
           .orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
-          .withColumn("running_value",
-            sum(dec2(col("value"))).over(w).cast("decimal(18,2)"))
+          .withColumn("running_value_e2", sum(e2(col("value"))).over(w))
           .select(col("user_id"), col("event_id"), col("event_type"),
-                  col("running_value"))
+                  col("running_value_e2"))
           .orderBy(col("user_id"), col("event_id"))
       },
       Some("""
         SELECT user_id, event_id, event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(18,2)) AS running_value
+                    AS BIGINT) AS running_value_e2
         FROM events
         ORDER BY user_id, event_id
       """)),
@@ -273,18 +285,18 @@ object Relational {
         c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
-          .agg(sum(dec2(col("c_acctbal"))).cast("decimal(18,2)").as("acctbal"),
+          .agg(sum(e2(col("c_acctbal"))).as("acctbal_e2"),
                count(lit(1)).as("n_customers"))
           .select(
             coalesce(col("r_name"), lit("(all)")).as("region"),
             coalesce(col("n_name"), lit("(all)")).as("nation"),
-            col("acctbal"), col("n_customers"))
+            col("acctbal_e2"), col("n_customers"))
           .orderBy(col("region"), col("nation"))
       },
       Some("""
         SELECT COALESCE(r_name, '(all)') AS region,
                COALESCE(n_name, '(all)') AS nation,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal,
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_e2,
                COUNT(*) AS n_customers
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
@@ -302,18 +314,18 @@ object Relational {
         o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .cube(col("c_mktsegment"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n_orders"),
-               sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+               sum(e2(col("o_totalprice"))).as("total_e2"))
           .select(
             coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
             coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
-            col("n_orders"), col("total"))
+            col("n_orders"), col("total_e2"))
           .orderBy(col("segment"), col("status"))
       },
       Some("""
         SELECT COALESCE(c_mktsegment, '(all)') AS segment,
                COALESCE(o_orderstatus, '(all)') AS status,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY CUBE (c_mktsegment, o_orderstatus)
         ORDER BY segment, status

@@ -15,6 +15,13 @@ object Relational2 {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Exact integer-cents view of a money column — see [[Relational]]'s
+    * final-select discipline: no raw DECIMAL reaches a registered output
+    * (the driver's pandas harness reads the two engines' DECIMAL
+    * differently); scale per row in the decimal domain, sum as bigint.
+    */
+  private def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -119,7 +126,7 @@ object Relational2 {
           .agg(count(lit(1)).as("n_orders"),
                min(col("dom")).as("min_dom"),
                max(col("days_to_98")).as("max_days_to_98"),
-               sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+               sum(e2(col("o_totalprice"))).as("total_e2"))
           .orderBy(col("month"))
       },
       Some("""
@@ -129,7 +136,7 @@ object Relational2 {
                COUNT(*) AS n_orders,
                MIN(DAY(o_orderdate)) AS min_dom,
                MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')) AS max_days_to_98,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM orders
         GROUP BY STRFTIME(o_orderdate, '%Y-%m'), YEAR(o_orderdate), QUARTER(o_orderdate)
         ORDER BY month
@@ -143,19 +150,19 @@ object Relational2 {
         val e = Tables.events(s, d)
         e.groupBy(col("user_id"))
           .agg(
-            sum(when(col("event_type") === "purchase", dec2(col("value")))
-              .otherwise(lit(0).cast("decimal(18,2)"))).cast("decimal(18,2)").as("purchase_value"),
+            sum(when(col("event_type") === "purchase", e2(col("value")))
+              .otherwise(lit(0L))).as("purchase_value_e2"),
             count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
             count(when(col("event_type") === "error", lit(1))).as("n_errors"),
-            max(when(col("event_type") === "view", dec2(col("value")))).as("max_view_value"))
+            max(when(col("event_type") === "view", e2(col("value")))).as("max_view_value_e2"))
           .orderBy(col("user_id"))
       },
       Some("""
         SELECT user_id,
-               CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS purchase_value,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_value_e2,
                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
-               MAX(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS max_view_value
+               CAST(MAX(CASE WHEN event_type = 'view' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS max_view_value_e2
         FROM events GROUP BY user_id ORDER BY user_id
       """)),
 
@@ -175,7 +182,7 @@ object Relational2 {
       },
       Some("""
         SELECT event_type,
-               SUM(k) AS sum_k, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
+               CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
         FROM (SELECT event_type,
                      CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
               FROM events)
@@ -183,25 +190,33 @@ object Relational2 {
       """)),
 
     // ---------------------------------------------------------------
-    // q19: array/list operations over the embedding column.
+    // q19: array/list operations over the embedding column. Element
+    // values are emitted as floor(x*1e4) bigints (identical doubles in
+    // both engines, and float32 cells would hash differently across the
+    // driver's two pandas load paths); the sliced array is emitted as a
+    // comma-joined string — complex-typed cells crash the driver's
+    // row-sort (unhashable ndarray).
     Q("q19_array_ops",
       (s, d) => {
+        def e4(c: Column): Column = floor(c.cast("double") * 10000)
         Tables.embeddings(s, d)
           .select(
             col("vec_id"),
             size(col("embedding")).as("dim"),
-            element_at(col("embedding"), 1).as("first_elem"),
-            element_at(col("embedding"), -1).as("last_elem"),
-            slice(col("embedding"), 1, 3).as("head3"),
+            e4(element_at(col("embedding"), 1)).as("first_e4"),
+            e4(element_at(col("embedding"), -1)).as("last_e4"),
+            array_join(transform(slice(col("embedding"), 1, 3),
+              x => e4(x).cast("string")), ",").as("head3_e4"),
             col("label"))
           .orderBy(col("vec_id"))
       },
       Some("""
         SELECT vec_id,
                LEN(embedding) AS dim,
-               embedding[1] AS first_elem,
-               embedding[-1] AS last_elem,
-               embedding[1:3] AS head3,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS first_e4,
+               CAST(FLOOR(CAST(embedding[-1] AS DOUBLE) * 10000) AS BIGINT) AS last_e4,
+               ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3],
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)), ',') AS head3_e4,
                label
         FROM embeddings ORDER BY vec_id
       """)),
@@ -255,12 +270,13 @@ object Relational2 {
             col("best.bal").as("c_acctbal"))
         val n = Tables.nation(s, d)
         best.join(broadcast(n), best("c_nationkey") === n("n_nationkey"))
+          // c_acctbal is a raw parquet double — emit it untouched
           .select(col("n_name"), col("c_custkey"), col("c_name"),
-                  dec2(col("c_acctbal")).as("acctbal"))
+                  col("c_acctbal").as("acctbal"))
           .orderBy(col("n_name"))
       },
       Some("""
-        SELECT n_name, c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        SELECT n_name, c_custkey, c_name, c_acctbal AS acctbal
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
                                            ORDER BY c_acctbal DESC, c_custkey) AS rn
               FROM customer) c
@@ -279,11 +295,11 @@ object Relational2 {
           (sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
         c.crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("avg_bal"))
-          .select(col("c_custkey"), col("c_name"), dec2(col("c_acctbal")).as("acctbal"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("acctbal"))
           .orderBy(col("c_custkey"))
       },
       Some("""
-        SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        SELECT c_custkey, c_name, c_acctbal AS acctbal
         FROM customer
         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
         ORDER BY c_custkey
@@ -300,11 +316,11 @@ object Relational2 {
             sum(dec2(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
           .filter(col("o_totalprice") > col("cust_avg"))
           .select(col("o_custkey"), col("o_orderkey"),
-                  dec2(col("o_totalprice")).as("totalprice"))
+                  col("o_totalprice").as("totalprice"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        SELECT o_custkey, o_orderkey, o_totalprice AS totalprice
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
                        / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
@@ -321,13 +337,13 @@ object Relational2 {
           .select(floor(col("value") / 50).cast("int").as("bucket"), col("value"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
-               sum(dec2(col("value"))).cast("decimal(18,2)").as("bucket_sum"))
+               sum(e2(col("value"))).as("bucket_sum_e2"))
           .orderBy(col("bucket"))
       },
       Some("""
         SELECT CAST(FLOOR(value / 50) AS INT) AS bucket,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bucket_sum
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bucket_sum_e2
         FROM events GROUP BY bucket ORDER BY bucket
       """)),
 
@@ -403,14 +419,14 @@ object Relational2 {
             Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
           .groupBy(col("quartile"))
           .agg(count(lit(1)).as("n"),
-               min(dec2(col("o_totalprice"))).as("min_price"),
-               max(dec2(col("o_totalprice"))).as("max_price"))
+               min(col("o_totalprice")).as("min_price"),
+               max(col("o_totalprice")).as("max_price"))
           .orderBy(col("quartile"))
       },
       Some("""
         SELECT quartile, COUNT(*) AS n,
-               MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-               MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
         FROM (SELECT o_totalprice,
                      NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
               FROM orders)
@@ -429,7 +445,7 @@ object Relational2 {
           SELECT COALESCE(n_name, '(all)') AS nation,
                  COALESCE(c_mktsegment, '(all)') AS segment,
                  COUNT(*) AS n,
-                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal
+                 CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_e2
           FROM q29_cn
           GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
           ORDER BY nation, segment
@@ -439,7 +455,7 @@ object Relational2 {
         SELECT COALESCE(n_name, '(all)') AS nation,
                COALESCE(c_mktsegment, '(all)') AS segment,
                COUNT(*) AS n,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_e2
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         ORDER BY nation, segment

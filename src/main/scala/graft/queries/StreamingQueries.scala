@@ -22,7 +22,9 @@ object StreamingQueries {
         val base = Files.createTempDirectory("graft_watch_q").toString
         WatchPipeline.runAvailableNow(s, scans, s"$base/out", s"$base/ckpt")
         s.read.parquet(s"$base/out")
-          .withColumn("other_data", map_entries(col("other_data")))
+          // key-sorted JSON: complex cells crash the driver's row-sort
+          .withColumn("other_data",
+            to_json(array_sort(map_entries(col("other_data")))))
           .drop("receipt_date") // fixture-constant; timestamp formatting noise
           .drop("batch_id") // sink partitioning detail
           .orderBy(col("img_id"))

@@ -119,14 +119,24 @@ object VectorQueries {
     // scale path (vs q37's sign-LSH): corpus vectors live in their
     // nearest centroid's inverted list; each query probes its 4
     // nearest lists. Rows-only; VectorQueriesSpec pins recall.
+    //
+    // The scale knobs are C (centroid count, FIXED — independent of
+    // corpus size, so the broadcast stays tiny and assignment work is
+    // O(N·C), never O(N²)) and nprobe (=4 in VectorIvf.nearestCentroids
+    // below). A production build would learn the C centroids with
+    // k-means; any fixed set gives correct approximate semantics, so
+    // the engine takes a deterministic hash-ordered sample — a top-C
+    // TakeOrdered, no global sort.
     Q("q51_ann_ivf",
       (s, d) => {
         import graft.operators.VectorIvf
+        val C = 64
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), emb64(col("embedding")).as("emb"))
           .withColumn("nrm", VectorFunctions.norm(col("emb")))
-        // deterministic coarse centroids: a fixed sample of the corpus
-        val centroids = emb.filter(col("vec_id") % 31 === 0)
+        val centroids = emb
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(C)
           .select(col("vec_id").as("cid"), col("emb").as("cemb"),
             col("nrm").as("cnrm"))
         val lists = VectorIvf.nearestCentroids(emb, centroids, Dim,

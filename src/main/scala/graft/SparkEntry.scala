@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.Relational2.all ++
     graft.queries.Receipts.all ++
     graft.queries.TextQueries.all ++
+    graft.queries.LlmPrepQueries.all ++
     graft.queries.VectorQueries.all ++
     graft.queries.DedupQueries.all ++
     graft.queries.ImageQueries.all ++

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Expression-level helpers shared across the engine's column DSL. */
+object ColumnOps {
+
+  /** Let-binding for a single expression tree: evaluates `v` ONCE and
+    * binds it to a lambda variable visible to `body`.
+    *
+    * Why this exists: Catalyst's higher-order functions (`transform`,
+    * `filter`, `aggregate`, ...) evaluate interpreted, with no common
+    * subexpression elimination — every reference to a derived column
+    * inside a lambda re-evaluates its whole subtree PER ELEMENT.
+    * A shingle expression that references `tokens(text)` at each of L
+    * positions tokenizes the document L times: O(L²) per row (measured
+    * ~9× on the sf0.1 gram pipeline). `let(tokens(text)) { ts => ... }`
+    * collapses that back to one evaluation; the lambda variable is a
+    * bound reference, O(1) per use.
+    *
+    * Implementation: `transform(array(v), body)[1]` — the standard
+    * trick to introduce a binder with built-ins only; one single-element
+    * array allocation per row is the entire overhead.
+    */
+  def let(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+}

@@ -109,14 +109,36 @@ object ImageSource {
       .load(dir)
 
   /** Content-address every image: 64-bit aHash + hex img_id.
-    * Undecodable files are dropped, not fatal (reference parity: failed
-    * scans are logged and skipped, `watcher.py:145-147`).
+    * Undecodable files are dropped, not fatal — but OBSERVABLY: each
+    * drop is warn-logged with its path and counted in the named
+    * accumulator `graft.images.undecodable` (reference parity: the
+    * watcher logs every failed scan before skipping,
+    * `watcher.py:145-147`; at scale silent corrupt-input loss is a data
+    * bug you can't see).
     */
-  def withHash(images: DataFrame): DataFrame =
-    images
-      .withColumn("img_hash", ImageHash.ahashOrNull(col("content")))
+  def withHash(images: DataFrame): DataFrame = withHashCounted(images)._1
+
+  /** As [[withHash]], also returning the drop counter so callers
+    * (monitoring, specs) can observe corrupt-input loss after an action.
+    */
+  def withHashCounted(images: DataFrame)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val sc = images.sparkSession.sparkContext
+    val dropped = sc.longAccumulator("graft.images.undecodable")
+    val hashOrNull = udf((path: String, bytes: Array[Byte]) =>
+      try Some(ImageHash.averageHash(bytes)) catch {
+        case e: Exception =>
+          dropped.add(1L)
+          org.apache.log4j.Logger.getLogger("graft.ImageSource")
+            .warn(s"undecodable image skipped: $path (${e.getMessage})")
+          None
+      })
+    val out = images
+      .withColumn("img_hash", hashOrNull(col("path"), col("content")))
       .filter(col("img_hash").isNotNull)
       .withColumn("img_id", ImageHash.hexId(col("img_hash")))
+    (out, dropped)
+  }
 
   /** J2 — content-addressed dedup: re-scans of the same receipt collapse
     * onto one key; the *latest* write wins, matching the reference's

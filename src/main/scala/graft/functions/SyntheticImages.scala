@@ -32,10 +32,17 @@ object SyntheticImages {
   /** Idempotent fixture dir: `distinct` unique scans, the first `dups`
     * of them re-scanned (same pixels, new file), plus one non-image
     * decoy the S4 glob must drop. Returns the directory path.
+    *
+    * The directory name embeds a content token (the encoded bytes' hash
+    * for seed 1) so a change to blockImage/encode invalidates the dir —
+    * a bare file-count check would silently reuse stale fixtures from a
+    * previous build and make results machine-state-dependent.
     */
   def fixtureDir(distinct: Int = 8, dups: Int = 2): String = {
+    val token = java.lang.Long.toHexString(
+      java.util.Arrays.hashCode(encode(blockImage(1), "png")).toLong & 0xffffffffL)
     val dir: Path = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_image_fixture_${distinct}_$dups")
+      s"graft_image_fixture_${distinct}_${dups}_$token")
     val expected = distinct + dups + 1
     if (!Files.isDirectory(dir) || dir.toFile.list().length != expected) {
       Files.createDirectories(dir)

@@ -28,6 +28,15 @@ import org.apache.spark.storage.StorageLevel
   * `spark.catalog.clearCache()` (as Verify/Bench do per query) or
   * unpersist after consuming the result.
   *
+  * Cluster-failure hazard (same class ConnectedComponents documents):
+  * consistency between the offsets aggregate and the final join relies
+  * on the persisted `sorted` frame never being recomputed. Executor
+  * loss drops MEMORY_AND_DISK blocks, and a recompute re-runs
+  * `monotonically_increasing_id` — if any upstream is non-deterministic
+  * the ids (hence ranks) could silently shift. A cluster deployment
+  * with flaky executors would use reliable `checkpoint()` to a
+  * checkpoint dir (or replicated storage levels) instead of persist.
+  *
   * Results are bit-identical to `row_number() OVER (ORDER BY ...)` /
   * `NTILE(k) OVER (ORDER BY ...)` when the sort key is a total order
   * (include a unique tiebreak column).

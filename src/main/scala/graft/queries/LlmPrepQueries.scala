@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.ColumnOps.let
+import graft.text.TextAnalysis
+
+/** Pretraining-corpus preparation operators beyond dedup/quality:
+  * PII redaction, repetition signals, and benchmark-contamination
+  * screening — the standard cleanup passes (C4/Gopher-family) a
+  * training-data pipeline runs before packing. All are oracle-checked
+  * against DuckDB computing the identical expressions.
+  */
+object LlmPrepQueries {
+
+  /** DuckDB twin of TextAnalysis.tokens. */
+  private val DTokens =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  // Patterns restricted to the Java-regex ∩ RE2 common subset so both
+  // engines compile them identically (no lookarounds, no backrefs).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q59: PII redaction — detect + mask emails and phone numbers, the
+    // C4-style scrub pass. The synthetic corpus carries no PII, so both
+    // engines first append a deterministic doc_id-derived email+phone
+    // to every document (identical string expression on both sides) —
+    // the redaction is then REAL work the oracle verifies byte-exactly
+    // via md5 of the redacted text. One scan, no shuffle: the 100 TB
+    // cost is the regex pass itself.
+    Q("q59_pii_redact",
+      (s, d) => {
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com tel 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val redacted = regexp_replace(
+          regexp_replace(pii, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_count(pii, lit(EmailRe)).as("n_emails"),
+            regexp_count(pii, lit(PhoneRe)).as("n_phones"),
+            md5(redacted).as("redacted_md5"),
+            length(redacted).as("n_chars_redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH pii AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com tel 555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+                 len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+                 regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+                                '$PhoneRe', '<PHONE>', 'g') AS r
+          FROM pii
+        )
+        SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+               CAST(n_phones AS INT) AS n_phones,
+               md5(r) AS redacted_md5, CAST(len(r) AS INT) AS n_chars_redacted
+        FROM red ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q60: repetition signal — duplicate word-bigram fraction per doc
+    // (the Gopher "repetition" quality gate: high ratio ⟹ boilerplate /
+    // degenerate text). One scan; `let`-bound so the bigram array is
+    // built once per row. Ratio emitted as floor(x*1e4) of an identical
+    // IEEE double expression on both engines.
+    Q("q60_repetition",
+      (s, d) => {
+        val rep: Column = let(TextAnalysis.wordNgrams(col("text"), 2)) { gs =>
+          struct(size(gs).as("n"), size(array_distinct(gs)).as("nd"))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), rep.as("r"))
+          .filter(col("r.n") > 0)
+          .select(col("doc_id"),
+            col("r.n").cast("bigint").as("n_bigrams"),
+            col("r.nd").cast("bigint").as("n_distinct"),
+            floor((col("r.n") - col("r.nd")).cast("double") / col("r.n") * 10000)
+              .as("dup_ratio_e4"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS gs
+          FROM (SELECT doc_id, $DTokens AS ts FROM documents)
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+               CAST(floor(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+                          / len(gs) * 10000) AS BIGINT) AS dup_ratio_e4
+        FROM b WHERE len(gs) > 0 ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q61: benchmark-contamination screen — corpus documents sharing
+    // any word-4-gram with a held-out "benchmark" set (here: the
+    // deterministic doc_id%50=0 slice standing in for an eval suite).
+    // Scale shape: the benchmark gram set is small (eval suites are
+    // KBs-MBs, not TBs), so it BROADCASTS and contamination is a
+    // map-side semi-join per (doc, gram) — no shuffle of the corpus;
+    // the only shuffle is the per-doc count aggregate of the few hits.
+    Q("q61_contamination",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("doc_id"),
+            transform(array_distinct(TextAnalysis.wordNgrams(col("text"), 4)),
+              x => xxhash64(x)).as("grams"))
+        val bench = g.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("grams")).as("gram")).distinct()
+        g.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(bench), "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 2),
+                   i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3])) AS grams
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents)
+        ),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0)
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+        WHERE gram IN (SELECT gram FROM bench)
+        GROUP BY doc_id ORDER BY doc_id
+      """))
+  )
+}

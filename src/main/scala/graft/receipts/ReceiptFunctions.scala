@@ -53,6 +53,12 @@ object ReceiptFunctions {
       try_to_timestamp(norm, lit("MMM d,yyyy")),
       try_to_timestamp(norm, lit("MMM d, yyyy HH:mm")),
       try_to_timestamp(norm, lit("MMM d, yyyy")),
+      // dateutil-breadth widening (r2 advice): day-first and no-comma
+      // month-name shapes — "19 Feb 2022", "Feb 19 2022 16:48"
+      try_to_timestamp(norm, lit("d MMM yyyy HH:mm")),
+      try_to_timestamp(norm, lit("d MMM yyyy")),
+      try_to_timestamp(norm, lit("MMM d yyyy HH:mm")),
+      try_to_timestamp(norm, lit("MMM d yyyy")),
       try_to_timestamp(trim(c), lit("M/d/yyyy HH:mm")),
       try_to_timestamp(trim(c), lit("M/d/yyyy")),
       try_to_timestamp(trim(c), lit("M/d/yy")),

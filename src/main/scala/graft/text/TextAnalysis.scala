@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.ColumnOps.let
+
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, token counting (whitespace + BPE-ish regex), quality
   * scoring (length / punctuation / stopword ratios), n-gram-heuristic
@@ -26,25 +28,30 @@ object TextAnalysis {
   val BpePattern = "\\w+|[^\\w\\s]"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
-  /** Word n-grams (as join-key strings). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val count = size(ts) - (n - 1)
-    when(count > 0,
-      transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-grams (as join-key strings). `let`-bound: the token array
+    * is evaluated once per row, not once per gram position (which would
+    * be O(tokens²) per document — see [[graft.functions.ColumnOps.let]]).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    let(tokens(text)) { ts =>
+      val count = size(ts) - (n - 1)
+      when(count > 0,
+        transform(sequence(lit(0), count - 1),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
-  /** Character n-gram shingles of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = lower(trim(text))
-    val count = length(norm) - (n - 1)
-    when(count > 0,
-      array_distinct(transform(sequence(lit(0), count - 1),
-        i => substring(norm, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Character n-gram shingles of the normalized text. `let`-bound so
+    * the normalization runs once per row, not per shingle position.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    let(lower(trim(text))) { norm =>
+      val count = length(norm) - (n - 1)
+      when(count > 0,
+        array_distinct(transform(sequence(lit(0), count - 1),
+          i => substring(norm, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   // ---------------------------------------------------------------
   // Quality scoring
@@ -57,7 +64,10 @@ object TextAnalysis {
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
   def stopwordRatio(text: Column): Column =
-    stopwordCount(text).cast("double") / greatest(tokenCount(text), lit(1))
+    let(tokens(text)) { ts =>
+      size(filter(ts, t => t.isin(EnglishStopwords: _*))).cast("double") /
+        greatest(size(ts), lit(1))
+    }
 
   def punctCount(text: Column): Column = regexp_count(text, lit("[^\\w\\s]"))
 
@@ -65,19 +75,27 @@ object TextAnalysis {
     punctCount(text).cast("double") / greatest(length(text), lit(1))
 
   def meanTokenLen(text: Column): Column =
-    aggregate(transform(tokens(text), t => length(t)), lit(0),
-      (acc, l) => acc + l).cast("double") / greatest(tokenCount(text), lit(1))
+    let(tokens(text)) { ts =>
+      aggregate(transform(ts, t => length(t)), lit(0),
+        (acc, l) => acc + l).cast("double") / greatest(size(ts), lit(1))
+    }
 
   /** Composite quality score in [0,1]: long-enough, some stopwords,
     * not punctuation-soup — the standard cheap pre-filter shape for
-    * pretraining corpora.
+    * pretraining corpora. `let`-bound: one tokenization feeds all three
+    * components (length, stopword-ratio, token count).
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    (lenScore + stopScore + punctPenalty) / 3.0
-  }
+  def qualityScore(text: Column): Column =
+    let(tokens(text)) { ts =>
+      val nTok = size(ts)
+      val stopRatio =
+        size(filter(ts, t => t.isin(EnglishStopwords: _*))).cast("double") /
+          greatest(nTok, lit(1))
+      val lenScore = least(nTok.cast("double") / 20.0, lit(1.0))
+      val stopScore = least(stopRatio * 4.0, lit(1.0))
+      val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+      (lenScore + stopScore + punctPenalty) / 3.0
+    }
 
   // ---------------------------------------------------------------
   // Language identification (marker-token heuristic)
@@ -97,17 +115,18 @@ object TextAnalysis {
     * order, no hits at all → "unknown". Implemented as a max over
     * (score, priority) structs — one pass, no UDF.
     */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
-    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(
-        size(filter(ts, t => t.isin(markers: _*))).as("score"),
-        lit(LangMarkers.size - i).as("prio"),
-        lit(lang).as("lang"))
+  def langId(text: Column): Column =
+    let(tokens(text)) { ts =>
+      val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+        struct(
+          size(filter(ts, t => t.isin(markers: _*))).as("score"),
+          lit(LangMarkers.size - i).as("prio"),
+          lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("unknown"))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
-  }
 
   // ---------------------------------------------------------------
   // Document fingerprinting

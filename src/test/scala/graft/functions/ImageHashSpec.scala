@@ -66,8 +66,11 @@ class ImageHashSpec extends SparkSuite {
       // .png extension but garbage bytes: must be skipped, not fatal
       Files.write(dir.resolve("Scan_corrupt.png"), Array[Byte](9, 9, 9))
 
-      val scanned = ImageSource.withHash(ImageSource.images(spark, dir.toString))
+      val (scanned, dropped) =
+        ImageSource.withHashCounted(ImageSource.images(spark, dir.toString))
       assert(scanned.count() === 3) // pathGlobFilter excluded the .txt
+      // corrupt .png was skipped OBSERVABLY (log-and-skip parity)
+      assert(dropped.value === 1)
 
       val deduped = ImageSource.dedupByHash(scanned)
       assert(deduped.count() === 2) // re-scan collapsed onto its content address
@@ -82,6 +85,30 @@ class ImageHashSpec extends SparkSuite {
       val n = spark.sql("SELECT COUNT(DISTINCT ahash(content)) AS n FROM scans")
         .head().getLong(0)
       assert(n === 2)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      Files.deleteIfExists(dir)
+    }
+  }
+
+  test("S2: reader behaves identically through a scheme'd object-store URI") {
+    // No S3 in the sandbox; the contract under test is that the SAME
+    // reader + glob resolves scheme'd URIs through the Hadoop FileSystem
+    // API (s3a:// differs from file:// only in the FS implementation
+    // behind that API — reference `anarcptlib.py:126-133` takes either).
+    val dir: Path = Files.createTempDirectory("graft_images_s2")
+    try {
+      Files.write(dir.resolve("Scan_001.png"), encode(makeImage(1), "png"))
+      Files.write(dir.resolve("Scan_002.png"), encode(makeImage(2), "png"))
+      Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+
+      val viaPath = ImageSource.withHash(ImageSource.images(spark, dir.toString))
+      val viaUri = ImageSource.withHash(
+        ImageSource.images(spark, dir.toUri.toString)) // file:///abs/path
+      val byPath = viaPath.select("img_id").collect().map(_.getString(0)).sorted
+      val byUri = viaUri.select("img_id").collect().map(_.getString(0)).sorted
+      assert(byPath.length === 2) // glob applied on both routes
+      assert(byPath.toSeq === byUri.toSeq)
     } finally {
       dir.toFile.listFiles().foreach(_.delete())
       Files.deleteIfExists(dir)

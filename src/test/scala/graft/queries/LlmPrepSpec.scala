@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.functions.ColumnOps.let
+import graft.text.TextAnalysis
+
+/** Semantic pins for the corpus-prep operators (q59-q61). The DuckDB
+  * oracle proves cross-engine parity at sf0.01; these prove the
+  * operators do the RIGHT thing on crafted inputs.
+  */
+class LlmPrepSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  test("q59 semantics: emails and phones masked, clean text untouched") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 415-555-1234 or 650.555.9999"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("ne"),
+        regexp_count(col("text"), lit(PhoneRe)).as("np"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("red"))
+      .orderBy(col("doc_id"))
+    val rows = df.collect()
+    assert(rows(0).getInt(1) === 1)
+    assert(rows(0).getString(3) === "mail <EMAIL> now")
+    assert(rows(1).getInt(2) === 2)
+    assert(rows(1).getString(3) === "call <PHONE> or <PHONE>")
+    assert(rows(2).getInt(1) === 0 && rows(2).getInt(2) === 0)
+    assert(rows(2).getString(3) === "no pii here at all")
+  }
+
+  test("q60 semantics: duplicate-bigram ratio") {
+    def ratio(text: String): (Long, Long) = {
+      val r = Seq((1L, text)).toDF("doc_id", "text")
+        .select(let(TextAnalysis.wordNgrams(col("text"), 2)) { gs =>
+          struct(size(gs).as("n"), size(array_distinct(gs)).as("nd"))
+        }.as("r"))
+        .select(col("r.n").cast("long"), col("r.nd").cast("long"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // "a b a b a" bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert(ratio("a b a b a") === (4L, 2L))
+    // all-unique bigrams -> no repetition
+    assert(ratio("w x y z") === (3L, 3L))
+  }
+
+  test("q61 semantics: doc sharing a 4-gram with the benchmark slice is flagged") {
+    // doc 0 (benchmark, 0 % 50 == 0) and doc 1 share "one two three four";
+    // doc 2 shares nothing.
+    val docs = Seq(
+      (0L, "one two three four five"),
+      (1L, "zz one two three four yy"),
+      (2L, "totally different text entirely"))
+      .toDF("doc_id", "text")
+    val g = docs.select(col("doc_id"),
+      transform(array_distinct(TextAnalysis.wordNgrams(col("text"), 4)),
+        x => xxhash64(x)).as("grams"))
+    val bench = g.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val hits = g.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(1L -> 1L))
+  }
+}

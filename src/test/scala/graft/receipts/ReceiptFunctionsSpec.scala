@@ -63,6 +63,11 @@ class ReceiptFunctionsSpec extends SparkSuite {
     assert(date("Feb 19, 2022") === Some("2022-02-19 00:00:00.0"))
     assert(date("2/19/2022") === Some("2022-02-19 00:00:00.0"))
     assert(date("2022-02-19 16:48") === Some("2022-02-19 16:48:00.0"))
+    // r2-advice widening: day-first and no-comma month-name families
+    assert(date("19 Feb 2022") === Some("2022-02-19 00:00:00.0"))
+    assert(date("19 FEB 2022 16:48") === Some("2022-02-19 16:48:00.0"))
+    assert(date("Feb 19 2022") === Some("2022-02-19 00:00:00.0"))
+    assert(date("FEB 19 2022 16:48") === Some("2022-02-19 16:48:00.0"))
     assert(date("not a date") === None)
   }
 

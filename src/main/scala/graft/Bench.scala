@@ -19,9 +19,16 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the target environment is local[32] with 32 shuffle partitions
+    // (brief/driver config); override via SPARK_GRAFT_CPUS to isolate
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/codegen warmup: the first measured query otherwise
+    // absorbs one-off session costs (classloading, codegen compiler
+    // init, parquet footer reads) that are not query work
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // optional comma-separated name filter for isolating queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)

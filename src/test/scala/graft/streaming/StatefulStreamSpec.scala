@@ -50,4 +50,34 @@ class StatefulStreamSpec extends SparkSuite {
       assert(latest("u3") === (1L, 7.0))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark bounds state") {
+    // the streaming side of q39's content-hash dedup: re-deliveries of
+    // the same key inside the watermark horizon are suppressed, and the
+    // watermark lets the state store EVICT old keys — unbounded-stream
+    // safe, unlike plain dropDuplicates whose state grows forever
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val input = MemoryStream[(String, Timestamp)]
+    val deduped = input.toDF().toDF("digest", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("digest")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("a", ts(0)), ("a", ts(1)), ("b", ts(2)))
+      q.processAllAvailable()
+      input.addData(("a", ts(3))) // duplicate within horizon: suppressed
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select("digest")
+        .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.expressions.VectorExpressions
+
+/** Engine extension point — the library's native expressions become SQL
+  * functions in any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (Sessions.local sets
+  * it; any external session can too). `register` is the programmatic
+  * equivalent for sessions constructed without the config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  /** Idempotent per-session registration for sessions not built with
+    * the extensions config (e.g. a shared test session).
+    */
+  def register(spark: SparkSession): Unit =
+    VectorExpressions.functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

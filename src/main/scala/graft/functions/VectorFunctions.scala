@@ -22,11 +22,15 @@ object VectorFunctions {
   /** a / ‖a‖₂ (as doubles). Pre-normalizing once and storing the unit
     * vector turns every downstream cosine into a plain dot product —
     * the right trade at 100 TB (normalize in one pass, reuse forever).
+    * `let`-bound twice: the input array and its norm are each computed
+    * once per row, not per element (see [[ColumnOps.let]]).
     */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x / n)
-  }
+  def normalize(a: Column): Column =
+    ColumnOps.let(a) { arr =>
+      ColumnOps.let(norm(arr)) { n =>
+        transform(arr, x => x / n)
+      }
+    }
 
   /** cos(a,b) for arbitrary vectors. */
   def cosine(a: Column, b: Column): Column =
@@ -41,4 +45,21 @@ object VectorFunctions {
   def dotUnrolled(a: Column, b: Column, dim: Int): Column =
     (1 to dim).map(i => element_at(a, i) * element_at(b, i))
       .reduce(_ + _)
+
+  /** Native codegen'd dot product ([[graft.expressions.DotProduct]]):
+    * one fused primitive loop, no per-dimension expression nodes, no
+    * interpreted HOF — the inner loop of every pair-scoring join.
+    * Same left-to-right double accumulation as [[dot]]/[[dotUnrolled]].
+    */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Native codegen'd ‖a‖₂ ([[graft.expressions.L2Norm]]). */
+  def normNative(a: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.L2Norm(
+        org.apache.spark.sql.GraftBridge.expression(a)))
 }

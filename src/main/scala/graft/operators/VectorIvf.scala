@@ -29,7 +29,7 @@ object VectorIvf {
       .orderBy(col("__ccos").desc, col("cid"))
     df.join(broadcast(centroids))
       .withColumn("__ccos",
-        VectorFunctions.dotUnrolled(col("emb"), col("cemb"), dim)
+        VectorFunctions.dotNative(col("emb"), col("cemb"))
           / (col("nrm") * col("cnrm")))
       .withColumn("__crn", row_number().over(w))
       .filter(col("__crn") <= keep)

@@ -259,7 +259,7 @@ object DedupQueries {
         val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
         val banded = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-          .withColumn("nrm", graft.functions.VectorFunctions.norm(col("emb")))
+          .withColumn("nrm", graft.functions.VectorFunctions.normNative(col("emb")))
           .withColumn("tb", explode(VectorLsh.buckets(col("emb"), tables)))
           .select(col("vec_id"), col("emb"), col("nrm"),
             col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -273,7 +273,7 @@ object DedupQueries {
             col("y.emb").as("eb"), col("y.nrm").as("nb"))
           .dropDuplicates("vec_a", "vec_b")
           .withColumn("cos",
-            graft.functions.VectorFunctions.dotUnrolled(col("ea"), col("eb"), 64)
+            graft.functions.VectorFunctions.dotNative(col("ea"), col("eb"))
               / (col("na") * col("nb")))
           .withColumn("grp", lit(1))
         TopK.perKey(cand, Seq("grp"), Seq(col("cos").desc, col("vec_a"), col("vec_b")), 20)

@@ -22,7 +22,7 @@ object MultimodalQueries {
         val feats = Multimodal.extractFeatures(mm)
         mm.select(col("doc_id"), col("lang"),
             col("media_meta.n_bytes").as("n_bytes"),
-            VectorFunctions.norm(col("embedding").cast("array<double>")).as("nrm"))
+            VectorFunctions.normNative(col("embedding").cast("array<double>")).as("nrm"))
           .join(feats, "doc_id")
           .select(col("doc_id"), col("lang"), col("n_bytes"),
             element_at(col("feature"), 1).cast("bigint").as("decoded_bytes"),
@@ -41,7 +41,7 @@ object MultimodalQueries {
         val mm = Multimodal.table(s, d)
         mm.select(col("lang"),
             col("media_meta.n_bytes").as("n_bytes"),
-            VectorFunctions.norm(col("embedding").cast("array<double>")).as("nrm"),
+            VectorFunctions.normNative(col("embedding").cast("array<double>")).as("nrm"),
             col("n_chars"))
           .groupBy(col("lang"))
           .agg(

@@ -28,7 +28,7 @@ object VectorQueries {
     Tables.embeddings(s, d)
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), emb64(col("embedding")).as("qemb"))
-      .withColumn("qnrm", VectorFunctions.norm(col("qemb")))
+      .withColumn("qnrm", VectorFunctions.normNative(col("qemb")))
 
   /** Shared scoring tail of q36/q37/q51: cosine from precomputed norms
     * (one flat codegen'd dot per pair), two-phase top-k, the common
@@ -37,7 +37,7 @@ object VectorQueries {
     */
   private def scoreAndRank(candidates: DataFrame): DataFrame = {
     val scored = candidates.withColumn("cos",
-      VectorFunctions.dotUnrolled(col("emb"), col("qemb"), Dim)
+      VectorFunctions.dotNative(col("emb"), col("qemb"))
         / (col("nrm") * col("qnrm")))
     TopK.perKey(scored, Seq("query_id"),
         Seq(col("cos").desc, col("vec_id")), K)
@@ -60,7 +60,7 @@ object VectorQueries {
         // flat codegen'd dot product (same doubles as cosine()).
         val cands = Tables.embeddings(s, d)
           .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-          .withColumn("nrm", VectorFunctions.norm(col("emb")))
+          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
         scoreAndRank(cands
           .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id")))
       },
@@ -101,7 +101,7 @@ object VectorQueries {
         val cands = bucketed(
           Tables.embeddings(s, d)
             .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-            .withColumn("nrm", VectorFunctions.norm(col("emb"))), "emb")
+            .withColumn("nrm", VectorFunctions.normNative(col("emb"))), "emb")
         val qs = bucketed(queryVectors(s, d), "qemb")
           .select(col("query_id"), col("qemb"), col("qnrm"), col("tbl"), col("bucket"))
         scoreAndRank(cands
@@ -133,7 +133,7 @@ object VectorQueries {
         val C = 64
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-          .withColumn("nrm", VectorFunctions.norm(col("emb")))
+          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
         val centroids = emb
           .orderBy(xxhash64(col("vec_id")), col("vec_id"))
           .limit(C)
@@ -163,15 +163,30 @@ object VectorQueries {
     // aggregated per label through exact decimal sums.
     Q("q58_quantization",
       (s, d) => {
-        val v = emb64(col("embedding"))
-        val mx = array_max(transform(v, x => abs(x)))
-        val deq = transform(transform(v, x => floor(x * 127 / mx)),
-          q => q * mx / lit(127.0))
-        val err = aggregate(zip_with(v, deq, (x, y) => abs(x - y)),
-          lit(0.0), (a, x) => a + x) / Dim
+        import graft.functions.ColumnOps.let
+        // let-bound: v, the absmax scale, and the dequantized array are
+        // each computed ONCE per row — mx referenced inside a transform
+        // lambda would otherwise re-run its array_max scan per element
+        // (O(d²) per vector; measured 3.8s -> this shape at sf0.1)
+        val metrics = let(emb64(col("embedding"))) { v =>
+          let(array_max(transform(v, x => abs(x)))) { mx =>
+            let(transform(transform(v, x => floor(x * 127 / mx)),
+                q => q * mx / lit(127.0))) { deq =>
+              struct(
+                (aggregate(zip_with(v, deq, (x, y) => abs(x - y)),
+                  lit(0.0), (a, x) => a + x) / Dim).as("err"),
+                (VectorFunctions.dotNative(deq, v) /
+                  (VectorFunctions.normNative(deq) *
+                   VectorFunctions.normNative(v))).as("fid"))
+            }
+          }
+        }
         Tables.embeddings(s, d)
-          .select(col("label"), err.as("err"),
-            VectorFunctions.cosine(deq, v).as("fid"))
+          // two projections: `metrics` lands once, THEN fans out into
+          // err/fid refs (getField twice on the unprojected struct
+          // would run the whole let-chain twice per row)
+          .select(col("label"), metrics.as("m"))
+          .select(col("label"), col("m.err").as("err"), col("m.fid").as("fid"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
             floor((sum(col("err").cast("decimal(18,9)")).cast("double")
@@ -218,7 +233,7 @@ object VectorQueries {
       (s, d) => {
         Tables.embeddings(s, d)
           .select(col("label"),
-            VectorFunctions.norm(emb64(col("embedding"))).as("nrm"))
+            VectorFunctions.normNative(emb64(col("embedding"))).as("nrm"))
           .groupBy(col("label"))
           .agg(
             count(lit(1)).as("n"),

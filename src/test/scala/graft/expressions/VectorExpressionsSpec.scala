@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.{GraftExtensions, SparkSuite}
+import graft.functions.VectorFunctions
+
+/** Native vec_dot / vec_norm: bit-equality against the HOF forms (the
+  * oracle-checked queries swap freely between them), SQL registration,
+  * and correctness under both codegen and interpreted evaluation.
+  */
+class VectorExpressionsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(-0.5, 4.0, 0.25)),
+    (2L, Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)),
+    (3L, Array(1e-9, -1e9, 3.14), Array(2.0, 1e-9, -1.0)))
+    .toDF("id", "a", "b")
+
+  test("vec_dot/vec_norm match the HOF forms bit-exactly") {
+    val rows = vecs.select(
+      VectorFunctions.dotNative(col("a"), col("b")).as("nd"),
+      VectorFunctions.dot(col("a"), col("b")).as("hd"),
+      VectorFunctions.dotUnrolled(col("a"), col("b"), 3).as("ud"),
+      VectorFunctions.normNative(col("a")).as("nn"),
+      VectorFunctions.norm(col("a")).as("hn"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(4)))
+    }
+  }
+
+  test("values survive interpreted (NO_CODEGEN) evaluation identically") {
+    val get = () => vecs.select(
+      VectorFunctions.dotNative(col("a"), col("b")).as("d"),
+      VectorFunctions.normNative(col("a")).as("n"))
+      .orderBy(col("d")).collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val withCodegen = get()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(get() === withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("SQL surface: vec_dot/vec_norm registered as functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "vec_norm(array(3.0D, 4.0D)) AS n").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+
+  test("null array yields null; unequal lengths use the common prefix") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0), Array(3.0, 4.0, 99.0)),
+      (2L, null.asInstanceOf[Array[Double]], Array(1.0)))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      VectorFunctions.dotNative(col("a"), col("b")).as("d"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(1))
+  }
+}

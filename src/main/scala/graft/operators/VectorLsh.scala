@@ -23,9 +23,12 @@ object VectorLsh {
     Seq.fill(numTables)(Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  // native codegen'd dot against the literal plane (bit-identical to
+  // the aggregate/zip_with form, so bucket signs are unchanged); with
+  // T tables × P planes this runs T·P dots per row — the signature
+  // pass is the scan-dominated cost at scale
   private def dotConst(emb: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(emb, typedLit(plane.toSeq), (x, w) => x * w),
-      lit(0.0), (acc, v) => acc + v)
+    VectorFunctions.dotNative(emb, typedLit(plane.toSeq))
 
   /** Sign-bit bucket id of `emb` (array<double>) under one table. */
   def bucket(emb: Column, planes: Seq[Array[Double]]): Column =

@@ -260,18 +260,27 @@ object DedupQueries {
         val banded = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
           .withColumn("nrm", graft.functions.VectorFunctions.normNative(col("emb")))
-          .withColumn("tb", explode(VectorLsh.buckets(col("emb"), tables)))
-          .select(col("vec_id"), col("emb"), col("nrm"),
+          .withColumn("bks", VectorLsh.buckets(col("emb"), tables))
+          .withColumn("tb", explode(col("bks")))
+          .select(col("vec_id"), col("emb"), col("nrm"), col("bks"),
             col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val cand = banded.as("x")
           .join(banded.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
               && col("x.vec_id") < col("y.vec_id"))
+          // first-collision dedup: a pair colliding in several tables
+          // is scored only in the LOWEST one — a per-row filter over
+          // the two (tiny) bucket arrays, replacing a dropDuplicates
+          // whose shuffle carried both 64-double embeddings per pair
+          // (the dominant cost of this query at sf0.1)
+          .filter(col("x.tbl") ===
+            array_position(zip_with(col("x.bks"), col("y.bks"),
+              (a, b) => a.getField("bucket") === b.getField("bucket")),
+              true) - 1)
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
             col("x.emb").as("ea"), col("x.nrm").as("na"),
             col("y.emb").as("eb"), col("y.nrm").as("nb"))
-          .dropDuplicates("vec_a", "vec_b")
           .withColumn("cos",
             graft.functions.VectorFunctions.dotNative(col("ea"), col("eb"))
               / (col("na") * col("nb")))

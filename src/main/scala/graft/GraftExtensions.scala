@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.expressions.VectorExpressions
+import graft.expressions.{SetExpressions, VectorExpressions}
 
 /** Engine extension point — the library's native expressions become SQL
   * functions in any session built with
@@ -13,17 +13,19 @@ import graft.expressions.VectorExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    VectorExpressions.functions.foreach { case (name, info, builder) =>
+    GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
 }
 
 object GraftExtensions {
+  private def all = VectorExpressions.functions ++ SetExpressions.functions
+
   /** Idempotent per-session registration for sessions not built with
     * the extensions config (e.g. a shared test session).
     */
   def register(spark: SparkSession): Unit =
-    VectorExpressions.functions.foreach { case (name, info, builder) =>
+    all.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }

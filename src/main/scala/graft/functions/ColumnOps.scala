@@ -25,4 +25,14 @@ object ColumnOps {
     */
   def let(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
+
+  /** |a ∩ b| over sorted-distinct `array<bigint>` columns — the native
+    * codegen'd two-pointer merge ([[graft.expressions.IntersectCountSorted]]);
+    * callers own the `array_sort(array_distinct(...))` contract.
+    */
+  def setIntersectCountSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.IntersectCountSorted(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 }

@@ -34,9 +34,12 @@ object DedupQueries {
         // shingles carried as xxhash64 longs: every downstream join,
         // explode and intersect works on 8-byte keys instead of ~20-char
         // strings. Set semantics survive hashing whp (a collision within
-        // one pair's ~90 shingles: ~1e-12 across the corpus).
-        transform(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)),
-          g => xxhash64(g)).as("grams"))
+        // one pair's ~90 shingles: ~1e-12 across the corpus). SORTED so
+        // the verify join's intersection is the native two-pointer merge
+        // (see ColumnOps.setIntersectCountSorted) — sorted once here,
+        // consumed per candidate pair there.
+        array_sort(transform(array_distinct(TextAnalysis.wordNgrams(col("text"), 3)),
+          g => xxhash64(g))).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -54,11 +57,14 @@ object DedupQueries {
       ) WHERE len(grams) > 0
     """
 
-  /** Exact Jaccard of two distinct-gram arrays (identical expression
-    * shape to the oracle: inter / (|a| + |b| - inter), double).
+  /** Exact Jaccard of two sorted-distinct-gram arrays (identical value
+    * to the oracle's inter / (|a| + |b| - inter), double). The
+    * intersection SIZE comes from the codegen'd merge expression —
+    * `size(array_intersect(...))` built a hash set and materialized the
+    * intersection array per candidate pair, interpreted.
     */
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = graft.functions.ColumnOps.setIntersectCountSorted(a, b)
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 

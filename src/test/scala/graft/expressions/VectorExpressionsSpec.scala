@@ -60,6 +60,24 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(r.getDouble(1) === 5.0)
   }
 
+  test("set_intersect_count matches size(array_intersect) on sorted-distinct input") {
+    val df = Seq(
+      (1L, Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
+      (2L, Array.empty[Long], Array(1L, 2L)),
+      (3L, Array(-5L, 0L, 7L), Array(-5L, 0L, 7L)))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      graft.functions.ColumnOps.setIntersectCountSorted(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .orderBy(col("id")).collect()
+    rows.foreach(r => assert(r.getInt(1) === r.getInt(2)))
+    // SQL registration path
+    GraftExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT set_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS c")
+      .head().getInt(0) === 2)
+  }
+
   test("null array yields null; unequal lengths use the common prefix") {
     val df = Seq(
       (1L, Array(1.0, 2.0), Array(3.0, 4.0, 99.0)),

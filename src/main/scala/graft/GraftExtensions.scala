@@ -12,10 +12,15 @@ import graft.expressions.{SetExpressions, VectorExpressions}
   * equivalent for sessions constructed without the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // HOF dot/norm -> native codegen'd expressions, for queries written
+    // in the plain functions._ style (see NativeVectorRewrite scaladoc
+    // for the rewrite contract)
+    ext.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * forms (`aggregate(..., 0.0, _+_)` / the unrolled `reduce(_ + _)`),
   * so swapping implementations can never change oracle-checked output.
   *
-  * Null contract (documented divergence from the HOF forms, which
-  * propagate null per ELEMENT): a null array yields null; null
-  * ELEMENTS are treated as 0.0 — embeddings are dense by schema
-  * contract, and a branch per element would cost more than it guards.
+  * Null contract — EXACTLY the HOF forms': null array → null; any null
+  * element → null (`aggregate` turns a null product into a null
+  * accumulator); unequal lengths → null (`zip_with` null-pads the
+  * shorter side). This total equivalence is what lets
+  * [[graft.plans.NativeVectorRewrite]] rewrite unconditionally.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,14 +44,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     s
@@ -62,14 +67,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             $s += $a.getDouble($i) * $b.getDouble($i);
           }
+          if (!${ev.isNull}) ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 
@@ -93,13 +101,17 @@ case class L2Norm(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i)) { val v = x.getDouble(i); s += v * v }
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      s += v * v
       i += 1
     }
     math.sqrt(s)
@@ -115,12 +127,11 @@ case class L2Norm(child: Expression)
         int $n = $a.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i)) {
-            double $v = $a.getDouble($i);
-            $s += $v * $v;
-          }
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+          double $v = $a.getDouble($i);
+          $s += $v * $v;
         }
-        ${ev.value} = java.lang.Math.sqrt($s);
+        if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($s);
       """
     })
 

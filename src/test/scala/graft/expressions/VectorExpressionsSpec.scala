@@ -78,15 +78,19 @@ class VectorExpressionsSpec extends SparkSuite {
       .head().getInt(0) === 2)
   }
 
-  test("null array yields null; unequal lengths use the common prefix") {
+  test("null contract matches the HOF forms: null array / unequal lengths -> null") {
     val df = Seq(
       (1L, Array(1.0, 2.0), Array(3.0, 4.0, 99.0)),
-      (2L, null.asInstanceOf[Array[Double]], Array(1.0)))
+      (2L, null.asInstanceOf[Array[Double]], Array(1.0)),
+      (3L, Array(1.0, 2.0), Array(3.0, 4.0)))
       .toDF("id", "a", "b")
     val rows = df.select(col("id"),
-      VectorFunctions.dotNative(col("a"), col("b")).as("d"))
+      VectorFunctions.dotNative(col("a"), col("b")).as("d"),
+      VectorFunctions.dot(col("a"), col("b")).as("hof"))
       .orderBy(col("id")).collect()
-    assert(rows(0).getDouble(1) === 11.0)
-    assert(rows(1).isNullAt(1))
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2)) // zip_with null-pad
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // null array
+    assert(rows(2).getDouble(1) === 11.0)
+    assert(rows(2).getDouble(2) === 11.0)
   }
 }

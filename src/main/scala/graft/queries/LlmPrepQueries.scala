@@ -143,6 +143,50 @@ object LlmPrepQueries {
         FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
         WHERE gram IN (SELECT gram FROM bench)
         GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q62: sequence packing — assign documents to fixed token-budget
+    // training sequences (the step between cleaning and training).
+    // Distributed shape: docs are sharded (doc_id % S); packing is
+    // contiguous-fill per shard via a running token count, so each
+    // shard packs independently — the window never sees more than one
+    // shard, S scales with the cluster, and assignment is deterministic
+    // (doc_id order). Output is the per-sequence manifest.
+    Q("q62_seq_packing",
+      (s, d) => {
+        val B = 512 // token budget per packed sequence
+        val S = 8   // shards (cluster-parallelism knob)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % S).as("shard"),
+            TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          // start-offset binning: a doc belongs to the sequence its
+          // PRECEDING tokens fill into (docs larger than B still get a
+          // bin; real packers would split them — out of scope here)
+          .select(col("shard"), floor((col("cum") - col("n_tok")) / B).as("seq_id"),
+            col("n_tok"))
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("bigint").as("total_tokens"))
+          .orderBy(col("shard"), col("seq_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len($DTokens) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT shard, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT shard, CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id
       """))
   )
 }

@@ -53,6 +53,22 @@ class LlmPrepSpec extends SparkSuite {
     assert(ratio("w x y z") === (3L, 3L))
   }
 
+  test("q62 semantics: contiguous-fill packing respects the budget boundary") {
+    import org.apache.spark.sql.expressions.Window
+    // one shard, budget 5: docs of 2,2,2 tokens -> starts 0,2,4 ->
+    // seq 0,0,0; the 4th doc starts at 6 -> seq 1
+    val docs = Seq((0L, "a b"), (1L, "c d"), (2L, "e f"), (3L, "g h"))
+      .toDF("doc_id", "text")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val packed = docs
+      .select(col("doc_id"), lit(0).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), floor((col("cum") - col("n_tok")) / 5).as("seq_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("q61 semantics: doc sharing a 4-gram with the benchmark slice is flagged") {
     // doc 0 (benchmark, 0 % 50 == 0) and doc 1 share "one two three four";
     // doc 2 shares nothing.

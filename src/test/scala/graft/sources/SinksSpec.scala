@@ -69,4 +69,20 @@ class SinksSpec extends SparkSuite {
     assert(byId("img_a").isEmpty)   // pre-migration rows null-filled
     assert(byId("img_b").contains("""{"k":"v"}"""))
   }
+
+  test("format breadth: the same frame round-trips parquet, orc, json, csv") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_formats").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "name", "v")
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      df.write.format(fmt).option("header", "true").save(s"$base/$fmt")
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true")
+        .load(s"$base/$fmt")
+      val rows = back.select(col("id").cast("long"), col("name"),
+        col("v").cast("double")).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq((1L, "a", 1.5), (2L, "b", -0.25)), s"format $fmt")
+    }
+  }
 }

@@ -27,11 +27,18 @@ object GraftExtensions {
   private def all = VectorExpressions.functions ++ SetExpressions.functions
 
   /** Idempotent per-session registration for sessions not built with
-    * the extensions config (e.g. a shared test session).
+    * the extensions config (e.g. a shared test session). Registers the
+    * SQL functions AND installs [[graft.plans.NativeVectorRewrite]]
+    * (via `experimental.extraOptimizations`) so such sessions get the
+    * same HOF→native rewrite as `spark.sql.extensions` sessions.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.NativeVectorRewrite))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.NativeVectorRewrite
+  }
 }

@@ -22,13 +22,17 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are rejected STATICALLY: the merge reads
+    // elements via getLong, which would silently decode a null element
+    // as 0L — an explicit analysis error beats a wrong count.
     def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+      s"$prettyName requires (array<bigint>, array<bigint>) with " +
+        "non-nullable elements, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = IntegerType
@@ -83,8 +87,15 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 object SetExpressions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("set_intersect_count",
-      new ExpressionInfo(classOf[IntersectCountSorted].getName,
-        "set_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName, null,
+        "set_intersect_count",
+        // DESCRIBE FUNCTION surfaces the sorted-ascending contract that
+        // the two-pointer merge relies on — unsorted input undercounts.
+        "_FUNC_(a, b) - |a ∩ b| for two array<bigint> inputs that are " +
+          "SORTED ASCENDING with DISTINCT, NON-NULL elements (e.g. " +
+          "array_sort(array_distinct(x))). Unsorted input silently " +
+          "undercounts: callers own the sort.",
+        "", "", "", "array_funcs", "", "", ""),
       (children: Seq[Expression]) =>
         IntersectCountSorted(children(0), children(1))))
 }

@@ -26,6 +26,24 @@ object ColumnOps {
   def let(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
+  /** Exact fixed-point view of a 2-decimal money column: decimal sums
+    * are order-independent under any partitioning (doubles would not).
+    */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Final-select discipline — the driver-gate output contract, defined
+    * ONCE so the scaling rule cannot drift between query files: NO raw
+    * DECIMAL column ever reaches a registered output. The driver's
+    * pandas harness reads Spark parquet DECIMAL as `Decimal` objects but
+    * DuckDB DECIMAL/HUGEINT as float64, so identical values hash
+    * differently. Money outputs are therefore emitted as exact scaled
+    * integers: scale each row in the decimal domain (exact — the value
+    * is integral after ×10²), THEN sum as bigint; integer addition is
+    * associative, so the sum stays order-independent with no
+    * decimal→double cast whose rounding could differ between engines.
+    */
+  def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
+
   /** |a ∩ b| over sorted-distinct `array<bigint>` columns — the native
     * codegen'd two-pointer merge ([[graft.expressions.IntersectCountSorted]]);
     * callers own the `array_sort(array_distinct(...))` contract.

@@ -120,6 +120,14 @@ object ImageSource {
 
   /** As [[withHash]], also returning the drop counter so callers
     * (monitoring, specs) can observe corrupt-input loss after an action.
+    *
+    * At-least-once semantics: the counter increments inside a
+    * transformation, so re-evaluating the frame (a second action,
+    * a re-scan inside a join, task retry, speculation) re-counts the
+    * same corrupt file — read it after exactly one action on a frame
+    * evaluated once (persist/checkpoint first if the plan is reused).
+    * Treat the value as "≥1 means corrupt input exists", not an exact
+    * tally; the warn log carries the per-path detail.
     */
   def withHashCounted(images: DataFrame)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {

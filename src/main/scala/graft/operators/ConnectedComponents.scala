@@ -41,54 +41,73 @@ object ConnectedComponents {
   def labelPropagation(edges: DataFrame, maxIter: Int = 50,
                        labelPartitions: Int = 8): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    def persisted = sc.getPersistentRDDs.keySet.toSet
+    // Blocks owned by this call are identified by the checkpointed
+    // frame's OWN LogicalRDD id — never by diffing the session-global
+    // persistent-RDD registry, which would also capture (and later
+    // wrongly free) a caller's lazily-persisted upstream frame whose
+    // blocks first materialize inside our first job.
+    def rddIds(df: DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    // Materialize the (often expensive) edge plan ONCE. The union below
-    // references it twice and every round scans it again — without a
-    // barrier the whole upstream pipeline (e.g. q57's set-similarity
-    // join) would be recomputed per reference, per round.
-    val preEdge = persisted
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
-    val edgeIds = persisted -- preEdge
-    val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val preInit = persisted
-    var labels = both.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .withColumn("__changed", lit(false))
-      .coalesce(labelPartitions)
-      .localCheckpoint()
-    var prevIds = persisted -- preInit
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val before = persisted
-      // min label among self and neighbors, with the change flag folded
-      // into the same (eagerly checkpointed) frame: one job per round
-      val nbrMin = both
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_lbl")).as("nbr_min"))
-      val updated = labels.select(col("id"), col("lbl"))
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
-          coalesce(col("nbr_min") < col("lbl"), lit(false)).as("__changed"))
+    var owned = Set.empty[Int] // all blocks this call has created & not yet freed
+    try {
+      // Materialize the (often expensive) edge plan ONCE. The union below
+      // references it twice and every round scans it again — without a
+      // barrier the whole upstream pipeline (e.g. q57's set-similarity
+      // join) would be recomputed per reference, per round.
+      val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+      val edgeIds = rddIds(e0)
+      owned ++= edgeIds
+      val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = both.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .withColumn("__changed", lit(false))
         .coalesce(labelPartitions)
         .localCheckpoint()
-      val newIds = persisted -- before
-      val changed = updated.filter(col("__changed")).count()
-      free(prevIds) // last round's blocks are unreachable from any plan now
-      prevIds = newIds
-      labels = updated
-      converged = changed == 0
-      iter += 1
+      var prevIds = rddIds(labels)
+      owned ++= prevIds
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // min label among self and neighbors, with the change flag folded
+        // into the same (eagerly checkpointed) frame: one job per round
+        val nbrMin = both
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nbr_lbl")).as("nbr_min"))
+        val updated = labels.select(col("id"), col("lbl"))
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+            coalesce(col("nbr_min") < col("lbl"), lit(false)).as("__changed"))
+          .coalesce(labelPartitions)
+          .localCheckpoint()
+        val newIds = rddIds(updated)
+        owned ++= newIds
+        val changed = updated.filter(col("__changed")).count()
+        free(prevIds) // last round's blocks are unreachable from any plan now
+        owned --= prevIds
+        prevIds = newIds
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      free(edgeIds)
+      owned --= edgeIds
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds " +
+            "(graph diameter exceeds maxIter; raise it)")
+      // the final labels' blocks stay persisted — the returned frame
+      // reads them; the caller frees (or lets the session end) after use
+      labels.select(col("id"), col("lbl").as("component"))
+    } catch {
+      case t: Throwable =>
+        free(owned) // don't leak checkpoint blocks on a failed/abandoned run
+        throw t
     }
-    free(edgeIds)
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter; raise it)")
-    labels.select(col("id"), col("lbl").as("component"))
   }
 }

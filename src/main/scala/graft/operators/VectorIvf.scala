@@ -23,7 +23,7 @@ object VectorIvf {
   /** Rank each row's centroids by cosine; keep the best `keep`.
     * Input: df(id, emb, nrm), centroids(cid, cemb, cnrm).
     */
-  def nearestCentroids(df: DataFrame, centroids: DataFrame, dim: Int,
+  def nearestCentroids(df: DataFrame, centroids: DataFrame,
                        keep: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__ccos").desc, col("cid"))

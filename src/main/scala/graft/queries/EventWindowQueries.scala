@@ -12,13 +12,8 @@ import graft.{Q, Tables}
   */
 object EventWindowQueries {
 
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-
-  /** Exact integer-cents view — see [[Relational]]'s final-select
-    * discipline (no raw DECIMAL in registered outputs; scale per row in
-    * the decimal domain, sum as bigint).
-    */
-  private def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
+  // shared driver-gate output-shaping helpers — rationale in ColumnOps
+  import graft.functions.ColumnOps.{dec2, e2}
   private def fmt(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 

@@ -83,8 +83,13 @@ object LlmPrepQueries {
           struct(size(gs).as("n"), size(array_distinct(gs)).as("nd"))
         }
         Tables.documents(s, d)
+          // filter on the CHEAP equivalent predicate (n_bigrams > 0 ⟺
+          // tokenCount ≥ 2) BEFORE the expensive projection: a filter on
+          // r.n between the two selects would be predicate-pushed below
+          // the projection with alias substitution and evaluate the whole
+          // bigram struct twice per row
+          .filter(TextAnalysis.tokenCount(col("text")) >= 2)
           .select(col("doc_id"), rep.as("r"))
-          .filter(col("r.n") > 0)
           .select(col("doc_id"),
             col("r.n").cast("bigint").as("n_bigrams"),
             col("r.nd").cast("bigint").as("n_distinct"),

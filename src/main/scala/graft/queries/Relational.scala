@@ -16,28 +16,15 @@ import graft.{Q, Tables}
   */
 object Relational {
 
-  /** Exact fixed-point view of a 2-decimal money column: decimal sums are
-    * order-independent, so results hash-match the oracle regardless of
-    * partitioning / accumulation order (doubles would not).
-    */
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  // dec2/e2 (exact decimal view + integer-cents output shaping) are the
+  // shared driver-gate helpers — see ColumnOps for the full rationale.
+  import graft.functions.ColumnOps.{dec2, e2}
   private def dec4(c: Column): Column = c.cast("decimal(4,2)")
 
   /** revenue term: l_extendedprice * (1 - l_discount), all exact decimal */
   private def revTerm(price: Column, disc: Column): Column =
     dec2(price) * (lit(1).cast("decimal(3,2)") - dec4(disc))
 
-  /** Final-select discipline: NO raw DECIMAL column ever reaches a
-    * registered output. The drivers' pandas harness reads Spark parquet
-    * DECIMAL as `Decimal` objects but DuckDB DECIMAL/HUGEINT as float64,
-    * so identical values hash-differently. Money outputs are therefore
-    * emitted as exact scaled integers: scale each row in the decimal
-    * domain (exact — the value is integral after *10^k), THEN sum as
-    * bigint. Integer addition is associative, so the sum stays
-    * order-independent under any partitioning, with no decimal→double
-    * cast whose rounding could differ between engines.
-    */
-  private def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
   private def revE4(price: Column, disc: Column): Column =
     (revTerm(price, disc) * 10000).cast("bigint")
 

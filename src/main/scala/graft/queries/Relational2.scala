@@ -13,14 +13,8 @@ import graft.{Q, Tables}
   */
 object Relational2 {
 
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-
-  /** Exact integer-cents view of a money column — see [[Relational]]'s
-    * final-select discipline: no raw DECIMAL reaches a registered output
-    * (the driver's pandas harness reads the two engines' DECIMAL
-    * differently); scale per row in the decimal domain, sum as bigint.
-    */
-  private def e2(c: Column): Column = (dec2(c) * 100).cast("bigint")
+  // shared driver-gate output-shaping helpers — rationale in ColumnOps
+  import graft.functions.ColumnOps.{dec2, e2}
 
   val all: Seq[Q] = Seq(
 

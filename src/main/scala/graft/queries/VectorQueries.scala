@@ -139,12 +139,12 @@ object VectorQueries {
           .limit(C)
           .select(col("vec_id").as("cid"), col("emb").as("cemb"),
             col("nrm").as("cnrm"))
-        val lists = VectorIvf.nearestCentroids(emb, centroids, Dim,
+        val lists = VectorIvf.nearestCentroids(emb, centroids,
           keep = 1, idCol = "vec_id")
         val probes = VectorIvf.nearestCentroids(
           queryVectors(s, d)
             .select(col("query_id"), col("qemb").as("emb"), col("qnrm").as("nrm")),
-          centroids, Dim, keep = 4, idCol = "query_id")
+          centroids, keep = 4, idCol = "query_id")
           .select(col("query_id"), col("emb").as("qemb"),
             col("nrm").as("qnrm"), col("cid"))
         scoreAndRank(lists.join(probes, "cid")

@@ -6,8 +6,10 @@ import graft.expressions.{DotProduct, L2Norm}
 import graft.functions.VectorFunctions
 
 /** The injected optimizer rule rewrites HOF dot/norm into the native
-  * expressions — plan-asserted with a positive control (values) and a
-  * negative control (nullable elements must NOT rewrite).
+  * expressions — plan-asserted, with values checked unchanged. The
+  * rewrite is UNCONDITIONAL (nullable element arrays rewrite too): the
+  * native expressions reproduce the HOF null contract exactly, and the
+  * second test pins that nullable-input behavior on purpose.
   */
 class NativeVectorRewriteSpec extends SparkSuite {
 

@@ -78,6 +78,20 @@ class VectorExpressionsSpec extends SparkSuite {
       .head().getInt(0) === 2)
   }
 
+  test("set_intersect_count rejects nullable-element arrays at analysis time") {
+    // getLong would silently decode a null element as 0L — the contract
+    // is an explicit analysis error, not a wrong count
+    val df = spark.range(1).select(
+      array(lit(1L), lit(null).cast("bigint")).as("a"),
+      array(lit(1L), lit(2L)).as("b"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(
+        graft.functions.ColumnOps.setIntersectCountSorted(col("a"), col("b")))
+        .collect()
+    }
+    assert(err.getMessage.contains("non-nullable"))
+  }
+
   test("null contract matches the HOF forms: null array / unequal lengths -> null") {
     val df = Seq(
       (1L, Array(1.0, 2.0), Array(3.0, 4.0, 99.0)),

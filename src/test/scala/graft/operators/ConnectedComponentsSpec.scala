@@ -18,6 +18,28 @@ class ConnectedComponentsSpec extends SparkSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("labelPropagation never frees a caller's persisted upstream frame") {
+    // Regression: block cleanup must track the loop's OWN checkpoint ids.
+    // A registry set-diff around the first job would also capture a
+    // caller's lazily-persisted frame (whose cache first materializes
+    // inside that job) and silently unpersist it on return — detected
+    // here as a recompute (the accumulator counts upstream evaluations).
+    import org.apache.spark.sql.functions.{col, udf}
+    val evals = spark.sparkContext.longAccumulator("cc_upstream_evals")
+    val bump = udf((x: Long) => { evals.add(1L); x })
+    val upstream = spark.range(0, 10).select(bump(col("id")).as("v")).persist()
+    try {
+      val edges = upstream
+        .select(col("v").as("src"), (col("v") + 100L).as("dst"))
+      ConnectedComponents.labelPropagation(edges)
+      val afterCc = evals.value // upstream materialized inside CC's first job
+      assert(afterCc > 0L)
+      upstream.count() // must be served from the still-live cache
+      assert(evals.value === afterCc,
+        "upstream frame was recomputed — labelPropagation freed its cache blocks")
+    } finally upstream.unpersist()
+  }
+
   test("long chain converges (diameter ~ rounds) and low maxIter fails loudly") {
     val chain = (1L until 30L).map(i => (i, i + 1))
     val got = components(chain: _*)

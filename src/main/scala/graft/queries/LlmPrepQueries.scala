@@ -192,6 +192,65 @@ object LlmPrepQueries {
         SELECT shard, CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS seq_id,
                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q63: vocabulary construction — global token counts, min-frequency
+    // cutoff, contiguous frequency-ranked ids (the tokenizer-vocab
+    // step between corpus cleaning and training). Scale shape: one
+    // explode + one shuffle keyed on word for the counts (map-side
+    // partial agg absorbs the per-doc repetition); id assignment is
+    // GlobalRank's two-phase range partition — no single-task window
+    // over the vocabulary, which at web scale is itself millions of
+    // rows.
+    Q("q63_vocab",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 5)
+        graft.operators.GlobalRank
+          .withGlobalRank(words, Seq(col("cnt").desc, col("word")), "vocab_id")
+          .select(col("word"), col("cnt"), col("vocab_id"))
+          .orderBy(col("vocab_id"))
+      },
+      Some(s"""
+        WITH w AS (SELECT unnest($DTokens) AS word FROM documents),
+        c AS (SELECT word, COUNT(*) AS cnt FROM w
+              GROUP BY word HAVING COUNT(*) >= 5)
+        SELECT word, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+                 AS vocab_id
+        FROM c ORDER BY vocab_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q64: corpus length profile — exact continuous percentiles
+    // (p25/p50/p75/p95) of document length per language, the stats pass
+    // that sizes packing budgets and length filters. EXACT `percentile`
+    // so the oracle can match (approx sketches differ by algorithm
+    // across engines by construction); the percentile_approx sketch
+    // companion — the 100 TB path, one pass, bounded memory — is
+    // asserted against the exact values in LlmPrepSpec instead.
+    Q("q64_len_quantiles",
+      (s, d) => {
+        def pE2(p: Double, name: String) =
+          floor(percentile(col("n_chars"), lit(p)) * 100)
+            .cast("bigint").as(name)
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            pE2(0.25, "p25_e2"), pE2(0.5, "p50_e2"),
+            pE2(0.75, "p75_e2"), pE2(0.95, "p95_e2"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(floor(quantile_cont(n_chars, 0.25) * 100) AS BIGINT) AS p25_e2,
+               CAST(floor(quantile_cont(n_chars, 0.5)  * 100) AS BIGINT) AS p50_e2,
+               CAST(floor(quantile_cont(n_chars, 0.75) * 100) AS BIGINT) AS p75_e2,
+               CAST(floor(quantile_cont(n_chars, 0.95) * 100) AS BIGINT) AS p95_e2
+        FROM documents GROUP BY lang ORDER BY lang
       """))
   )
 }

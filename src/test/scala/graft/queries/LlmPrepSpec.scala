@@ -89,4 +89,41 @@ class LlmPrepSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits === Map(1L -> 1L))
   }
+
+  test("q63 semantics: contiguous frequency-ranked vocab ids") {
+    // counts: the=4, fox=3, dog=2, a=1 (cut by min-count 2)
+    val docs = Seq(
+      (1L, "the fox the dog"),
+      (2L, "the fox dog"),
+      (3L, "the fox a"))
+      .toDF("doc_id", "text")
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val got = graft.operators.GlobalRank
+      .withGlobalRank(words, Seq(col("cnt").desc, col("word")), "vocab_id")
+      .select(col("word"), col("cnt"), col("vocab_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("the", 4L, 1L), ("fox", 3L, 2L), ("dog", 2L, 3L)))
+  }
+
+  test("q64 companion: percentile_approx sketch tracks exact percentile") {
+    // the 100 TB path is the one-pass bounded-memory sketch; q64's
+    // oracle uses exact percentile (approx algorithms differ across
+    // engines), so the sketch's fidelity is pinned here instead:
+    // percentile_approx with high accuracy returns an actual data value
+    // within a tight rank neighborhood of the exact quantile.
+    val df = spark.range(1, 1001).select((col("id") * col("id")).as("v"))
+    val r = df.agg(
+      percentile(col("v"), lit(0.5)).as("exact"),
+      percentile_approx(col("v"), lit(0.5), lit(10000)).as("approx"))
+      .head()
+    val exact = r.getDouble(0)
+    val approx = r.getLong(1).toDouble
+    // rank of the approx answer must be within 1% of the true median rank
+    val rankApprox = math.sqrt(approx) // v = id² ⟹ rank = sqrt(v)
+    assert(math.abs(rankApprox - 500.5) <= 10,
+      s"approx median $approx (rank $rankApprox) too far from exact $exact")
+  }
 }

@@ -99,6 +99,47 @@ object DedupQueries {
     verifyPairs(cand, g, t)
   }
 
+  /** (doc_id, component) for every near-dup group member at Jaccard
+    * threshold `t` — q40's pairs closed under transitivity. Shared by
+    * q57 (group listing) and q66 (apply/keeper join).
+    */
+  private def components(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+    val edges = jaccardPairs(s, d, t)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents.labelPropagation(edges)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Recursive-CTE twin of [[components]] (caller prepends
+    * `WITH RECURSIVE` and selects from `comp(doc_id, component)`).
+    */
+  private def componentsOracleCtes(t: Double): String = s"""
+    g AS ($DGrams),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.grams, b.grams)) AS inter,
+             a.sz AS la, b.sz AS lb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $t
+    ),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    )
+  """
+
   private def allPairsOracle(t: Double): String = s"""
     WITH g AS ($DGrams),
     p AS (
@@ -223,36 +264,37 @@ object DedupQueries {
     // A~B, B~C ⟹ {A,B,C} keep one). The oracle computes the same
     // closure with a recursive CTE over the all-pairs ground truth.
     Q("q57_dedup_groups",
+      (s, d) => components(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH RECURSIVE ${componentsOracleCtes(0.8)}
+        SELECT doc_id, component FROM comp ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q66: dedup APPLY — the step after q57's group discovery: choose
+    // the canonical keeper per duplicate group (its min doc_id) and
+    // flag every document keep/drop. Scale shape: the component table
+    // only contains near-dup members — orders of magnitude smaller than
+    // the corpus — so the apply is a BROADCAST left join against the
+    // full corpus scan: map-side, no corpus shuffle at any scale.
+    Q("q66_dedup_apply",
       (s, d) => {
-        val edges = jaccardPairs(s, d, 0.8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        graft.operators.ConnectedComponents.labelPropagation(edges)
-          .select(col("id").as("doc_id"), col("component"))
+        val comp = components(s, d)
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(broadcast(comp), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("keeper"),
+            (col("doc_id") === coalesce(col("component"), col("doc_id")))
+              .cast("int").as("kept"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH RECURSIVE g AS ($DGrams),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.grams, b.grams)) AS inter,
-                 a.sz AS la, b.sz AS lb
-          FROM g a JOIN g b ON a.doc_id < b.doc_id
-        ),
-        pairs AS (
-          SELECT doc_a, doc_b FROM p
-          WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
-        ),
-        e AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(a, b) AS (
-          SELECT a, b FROM e
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-        )
-        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
-        FROM reach GROUP BY a ORDER BY doc_id
+        WITH RECURSIVE ${componentsOracleCtes(0.8)}
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS keeper,
+               CAST(d.doc_id = COALESCE(c.component, d.doc_id) AS INT) AS kept
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id
       """)),
 
     // ---------------------------------------------------------------

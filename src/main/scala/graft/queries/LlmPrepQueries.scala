@@ -251,6 +251,54 @@ object LlmPrepQueries {
                CAST(floor(quantile_cont(n_chars, 0.75) * 100) AS BIGINT) AS p75_e2,
                CAST(floor(quantile_cont(n_chars, 0.95) * 100) AS BIGINT) AS p95_e2
         FROM documents GROUP BY lang ORDER BY lang
+      """)),
+
+    // ---------------------------------------------------------------
+    // q65: unigram-LM scoring — the CCNet-style "does this doc look
+    // like the corpus" quality filter: train a unigram model on the
+    // corpus (word → frequency), score each doc by its tokens' mean
+    // corpus frequency and rare-token fraction. Scale shape: the LM is
+    // vocabulary-sized (MBs at web scale) → BROADCAST; scoring is a
+    // map-side join + one per-doc aggregate — the corpus shuffles once,
+    // keyed by doc_id. Scores stay in the INTEGER frequency domain
+    // (exact long sums + one correctly-rounded IEEE division) rather
+    // than log-probability: +,-,*,/ are identically rounded on both
+    // engines but libm/StrictMath `log` can differ in the last ulp,
+    // which a floor-scaled oracle hash would surface as flakes. (A
+    // production build would broadcast a KenLM-style model the same
+    // way; only the per-token score column changes.)
+    Q("q65_unigram_lm",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        val lm = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        toks.join(broadcast(lm), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("freq")).as("sum_freq"),
+            sum(when(col("freq") < 20, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tok"), col("sum_freq"),
+            floor((col("sum_freq") * 100) / col("n_tok"))
+              .cast("bigint").as("mean_freq_e2"),
+            floor((col("n_rare") * 10000) / col("n_tok"))
+              .cast("bigint").as("rare_frac_e4"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest($DTokens) AS word FROM documents),
+        lm AS (SELECT word, COUNT(*) AS freq FROM t GROUP BY word),
+        sc AS (
+          SELECT doc_id, COUNT(*) AS n_tok,
+                 CAST(SUM(freq) AS BIGINT) AS sum_freq,
+                 CAST(SUM(CASE WHEN freq < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          FROM t JOIN lm USING (word) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tok, sum_freq,
+               CAST(floor(CAST(sum_freq * 100 AS DOUBLE) / n_tok) AS BIGINT)
+                 AS mean_freq_e2,
+               CAST(floor(CAST(n_rare * 10000 AS DOUBLE) / n_tok) AS BIGINT)
+                 AS rare_frac_e4
+        FROM sc ORDER BY doc_id
       """))
   )
 }

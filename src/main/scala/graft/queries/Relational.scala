@@ -87,9 +87,14 @@ object Relational {
         val o = Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
         val li = Tables.lineitem(s, d)
-        o.join(li, o("o_orderkey") === li("l_orderkey"))
+        // "orders with ≥1 lineitem" is a LEFT SEMI join, not an inner
+        // join + COUNT DISTINCT: the semi join never multiplies rows, so
+        // the aggregate is a plain count — no distinct expand, and the
+        // lineitem side ships only its join key through the shuffle.
+        o.join(li.select(col("l_orderkey")),
+            o("o_orderkey") === col("l_orderkey"), "left_semi")
           .groupBy(col("o_orderpriority"))
-          .agg(countDistinct(col("o_orderkey")).as("order_count"))
+          .agg(count(lit(1)).as("order_count"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""

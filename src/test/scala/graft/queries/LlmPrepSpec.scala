@@ -108,6 +108,25 @@ class LlmPrepSpec extends SparkSuite {
     assert(got === Set(("the", 4L, 1L), ("fox", 3L, 2L), ("dog", 2L, 3L)))
   }
 
+  test("q65 semantics: mean corpus frequency and rare-token fraction") {
+    // corpus: "the" appears 3×, "fox"/"dog"/"cat" once each (rare < 2)
+    val docs = Seq((1L, "the fox"), (2L, "the dog"), (3L, "the cat"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val lm = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val got = toks.join(broadcast(lm), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("freq")).as("sum_freq"),
+        sum(when(col("freq") < 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"),
+        floor((col("sum_freq") * 100) / col("n_tok")).cast("bigint").as("mean_e2"),
+        floor((col("n_rare") * 10000) / col("n_tok")).cast("bigint").as("rare_e4"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc: tokens {the(3), rare(1)} -> mean = 2.0, rare frac = 0.5
+    assert(got === Map(1L -> (200L, 5000L), 2L -> (200L, 5000L), 3L -> (200L, 5000L)))
+  }
+
   test("q64 companion: percentile_approx sketch tracks exact percentile") {
     // the 100 TB path is the one-pass bounded-memory sketch; q64's
     // oracle uses exact percentile (approx algorithms differ across

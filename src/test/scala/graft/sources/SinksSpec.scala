@@ -85,4 +85,29 @@ class SinksSpec extends SparkSuite {
       assert(rows.toSeq === Seq((1L, "a", 1.5), (2L, "b", -0.25)), s"format $fmt")
     }
   }
+
+  test("partitioned layout: a partition-key filter prunes the scan to one directory") {
+    import spark.implicits._
+    // the 100 TB table layout: data written partitionBy(key) so a
+    // key-equality predicate never lists, opens, or reads the other
+    // partitions' files — pruning happens at planning, not per row
+    val base = Files.createTempDirectory("graft_partitions").toString
+    (1 to 300).map(i => (i.toLong, s"d${i % 3}", i * 1.0)).toDF("id", "day", "v")
+      .write.mode("overwrite").partitionBy("day").parquet(base)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(fail("no FileSourceScanExec in plan"))
+
+    val full = scanOf(spark.read.parquet(base))
+    assert(full.selectedPartitions.partitionCount === 3) // positive control
+
+    val pruned = spark.read.parquet(base).filter(col("day") === "d1")
+    val scan = scanOf(pruned)
+    assert(scan.partitionFilters.nonEmpty,
+      "partition-key predicate did not become a PartitionFilter")
+    assert(scan.selectedPartitions.partitionCount === 1) // only the d1 directory
+    assert(pruned.count() === 100)
+  }
 }

@@ -67,4 +67,58 @@ object Multimodal {
       }
       .toDF("doc_id", "feature")
   }
+
+  /** Frame sampling — the video analog of the decode pass: the blob is
+    * a sequence of fixed-size frames; keep every `every`-th, decode
+    * each kept frame independently. One blob row fans out to many frame
+    * rows through a lazy iterator (`flatMap` inside the partition): a
+    * long video never materializes its full frame set in memory, and
+    * the decoder still initializes once per PARTITION, not per frame.
+    * (A real build swaps FakeDecoder for a codec that seeks keyframes;
+    * the row shape, fan-out and partition-scoped init are the same.)
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int, every: Int,
+                   decoder: MediaDecoder = new FakeDecoder): DataFrame = {
+    require(frameBytes > 0 && every > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = decoder.open()
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes // trailing partial frame dropped
+          Iterator.range(0, nFrames, every).map { f =>
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, f * frameBytes, (f + 1) * frameBytes)
+            (id, f, decode(frame))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "feature")
+  }
+
+  /** Resize a variable-length feature vector to exactly `n` values by
+    * bucket means (the 1-D analog of image resize): bucket b averages
+    * the source range [b·len/n, (b+1)·len/n). Downsampling averages
+    * disjoint ranges; upsampling repeats the nearest source element.
+    * Deterministic. Empty input → zeros.
+    */
+  def resample(v: Array[Double], n: Int): Array[Double] = {
+    require(n > 0)
+    val out = new Array[Double](n)
+    if (v.isEmpty) return out
+    var b = 0
+    while (b < n) {
+      val from = (b.toLong * v.length / n).toInt
+      val until = math.max(((b + 1).toLong * v.length / n).toInt, from + 1)
+      val hi = math.min(until, v.length)
+      var s = 0.0
+      var i = from
+      while (i < hi) { s += v(i); i += 1 }
+      out(b) = s / (hi - from)
+      b += 1
+    }
+    out
+  }
 }

@@ -30,4 +30,26 @@ class MultimodalSpec extends SparkSuite {
       .filter(element_at(col("feature"), 1) =!= col("len").cast("double"))
     assert(joined.count() === 0)
   }
+
+  test("frame sampling: every k-th fixed-size frame, partial tail dropped") {
+    import spark.implicits._
+    // 10 bytes, 3-byte frames -> frames 0,1,2 (tail byte dropped);
+    // every=2 keeps frames 0 and 2
+    val blob = Array.tabulate[Byte](10)(_.toByte)
+    val df = Seq((7L, blob)).toDF("doc_id", "blob")
+    val got = Multimodal.sampleFrames(df, frameBytes = 3, every = 2)
+      .orderBy("frame_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).head))
+    // feature(0) = decoded frame length = 3.0 for every kept frame
+    assert(got.toSeq === Seq((7L, 0, 3.0), (7L, 2, 3.0)))
+  }
+
+  test("resample: bucket-mean downsize, nearest-repeat upsize, length contract") {
+    val v = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    assert(Multimodal.resample(v, 3).toSeq === Seq(1.5, 3.5, 5.5))
+    assert(Multimodal.resample(v, 6).toSeq === v.toSeq)
+    assert(Multimodal.resample(Array(1.0, 2.0), 4).toSeq === Seq(1.0, 1.0, 2.0, 2.0))
+    assert(Multimodal.resample(Array.empty[Double], 4).toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
 }

@@ -238,16 +238,26 @@ object TextQueries {
 
     // ---------------------------------------------------------------
     // q35: document fingerprinting — order-sensitive rolling hash over
-    // normalized tokens (rows-only: DuckDB lacks crc32; the ScalaTest
-    // asserts whitespace/case invariance + order sensitivity instead).
+    // normalized tokens, per doc. The hash is built from cross-engine
+    // primitives (md5-derived 56-bit token hash, explicit mod-2^56
+    // shift-xor combine — see TextAnalysis.fingerprint), so the DuckDB
+    // oracle reproduces every fingerprint bit-exactly via list_reduce.
     Q("q35_fingerprint",
       (s, d) => {
         Tables.documents(s, d)
           .select(col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp"))
-          .agg(count(lit(1)).as("n_docs"),
-               countDistinct(col("fp")).as("n_distinct_fp"))
+          .orderBy(col("doc_id"))
       },
-      None)
+      Some(s"""
+        SELECT doc_id,
+               list_reduce(
+                 list_concat([CAST(0 AS BIGINT)],
+                   list_transform($DTokens,
+                     t -> CAST('0x' || substring(md5(t), 1, 14) AS BIGINT))),
+                 (h, c) -> xor(xor((h * 32) % 72057594037927936, h >> 51), c))
+                 AS fp
+        FROM documents ORDER BY doc_id
+      """))
   )
 }

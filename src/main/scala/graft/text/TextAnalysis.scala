@@ -131,15 +131,29 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   // Document fingerprinting
 
-  /** Order-sensitive rolling fingerprint: rotate-xor fold over the
-    * crc32s of the normalized tokens. Identical normalized token
-    * sequences — and only those — collide (up to hash collisions);
-    * whitespace/case variations do not change it. Bitwise ops only, so
-    * no ANSI overflow traps.
+  /** 56-bit cross-engine token hash: the first 14 hex digits of the
+    * token's md5 read as a big-endian integer. Chosen so DuckDB can
+    * compute the identical value (`CAST('0x' || substring(md5(t), 1,
+    * 14) AS BIGINT)`), and 56 bits keeps every intermediate of the
+    * rolling combine below 2^61 — inside signed-64 range on both
+    * engines, so there is no wraparound semantics to reconcile (DuckDB
+    * raises on BIGINT overflow where the JVM wraps).
+    */
+  private def tokenHash56(t: Column): Column =
+    conv(substring(md5(encode(t, "utf-8")), 1, 14), 16, 10).cast("bigint")
+
+  private val Mod56 = 72057594037927936L // 2^56
+
+  /** Order-sensitive rolling fingerprint: shift-xor fold over the
+    * 56-bit md5 hashes of the normalized tokens, wrapped mod 2^56 by an
+    * explicit `%` (identical on both engines). Identical normalized
+    * token sequences — and only those — collide (up to hash
+    * collisions); whitespace/case variations do not change it.
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), t => crc32(encode(t, "utf-8"))),
+      transform(tokens(text), tokenHash56(_)),
       lit(0L),
-      (h, c) => shiftleft(h, 5).bitwiseXOR(shiftrightunsigned(h, 59)).bitwiseXOR(c))
+      (h, c) => ((h * 32) % Mod56)
+        .bitwiseXOR(shiftrightunsigned(h, 51)).bitwiseXOR(c))
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.ColumnOps.let
@@ -22,6 +22,19 @@ object LlmPrepQueries {
   // engines compile them identically (no lookarounds, no backrefs).
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** (doc_id, word) token stream over the corpus — the shared front of
+    * the vocabulary/LM operators (q63, q65).
+    */
+  private def tokenStream(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+
+  /** Global (word, cnt) counts — one shuffle keyed by word; map-side
+    * partial aggregation absorbs the per-doc repetition.
+    */
+  private def wordCounts(toks: DataFrame) =
+    toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   val all: Seq[Q] = Seq(
 
@@ -205,10 +218,7 @@ object LlmPrepQueries {
     // rows.
     Q("q63_vocab",
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 5)
+        val words = wordCounts(tokenStream(s, d)).filter(col("cnt") >= 5)
         graft.operators.GlobalRank
           .withGlobalRank(words, Seq(col("cnt").desc, col("word")), "vocab_id")
           .select(col("word"), col("cnt"), col("vocab_id"))
@@ -269,9 +279,12 @@ object LlmPrepQueries {
     // way; only the per-token score column changes.)
     Q("q65_unigram_lm",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
-        val lm = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        // persisted: the token stream feeds BOTH the LM aggregate and
+        // the probe side of the join — without the barrier the corpus
+        // is scanned and tokenized twice per run
+        val toks = tokenStream(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lm = wordCounts(toks).withColumnRenamed("cnt", "freq")
         toks.join(broadcast(lm), "word")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tok"),

@@ -149,11 +149,16 @@ object TextAnalysis {
     * explicit `%` (identical on both engines). Identical normalized
     * token sequences — and only those — collide (up to hash
     * collisions); whitespace/case variations do not change it.
+    * NULL text fingerprints as 0, same as empty text — matching the
+    * DuckDB twin, where `list_concat([0], NULL)` is `[0]` (a bare
+    * fold over the NULL token array would return NULL here only).
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(tokens(text), tokenHash56(_)),
-      lit(0L),
-      (h, c) => ((h * 32) % Mod56)
-        .bitwiseXOR(shiftrightunsigned(h, 51)).bitwiseXOR(c))
+    coalesce(
+      aggregate(
+        transform(tokens(text), tokenHash56(_)),
+        lit(0L),
+        (h, c) => ((h * 32) % Mod56)
+          .bitwiseXOR(shiftrightunsigned(h, 51)).bitwiseXOR(c)),
+      lit(0L))
 }

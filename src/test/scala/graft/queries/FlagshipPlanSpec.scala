@@ -21,4 +21,27 @@ class FlagshipPlanSpec extends SparkSuite {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       s"no map-side partial aggregation:\n$plan")
   }
+
+  test("q1: shipdate filter pushed to the parquet scan, columns pruned") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    // the scan hides under the AQE wrapper (not a child node) — unwrap
+    val top = df.queryExecution.executedPlan
+    val root = top.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+    }.getOrElse(top)
+    val scan = root.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // the 16-column table is pruned to exactly the 6 referenced columns
+    val read = scan.metadata("ReadSchema")
+    val expected = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate")
+    expected.foreach(c => assert(read.contains(c), s"$c missing from $read"))
+    assert(scan.requiredSchema.fields.length === expected.length,
+      s"scan reads more columns than the query needs: $read")
+  }
 }

@@ -50,6 +50,29 @@ class StreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dimension join per micro-batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("ad", "name")
+    val events = MemoryStream[(Timestamp, String)]
+    val enriched = events.toDF().toDF("ts", "ad")
+      .join(broadcast(dim), Seq("ad"), "left")
+      .select(col("ad"), col("name"))
+
+    val q = enriched.writeStream
+      .format("memory").queryName("ss_static")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      events.addData((ts(0), "a"), (ts(1), "b"), (ts(2), "unknown"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_static").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows === Set(("a", Some("Alpha")), ("b", Some("Beta")),
+        ("unknown", None)))
+    } finally q.stop()
+  }
+
   test("left-outer join emits unmatched impressions after watermark eviction") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

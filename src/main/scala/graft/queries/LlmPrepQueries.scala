@@ -312,6 +312,60 @@ object LlmPrepQueries {
                CAST(floor(CAST(n_rare * 10000 AS DOUBLE) / n_tok) AS BIGINT)
                  AS rare_frac_e4
         FROM sc ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q68: data mixture rebalancing — cap each source at its target
+    // mixture weight (the Pile/Dolma-style mixing step between curation
+    // and packing). Selection is DETERMINISTIC sampling: keep the cap
+    // smallest md5-hash-ordered docs per source — unbiased like a
+    // seeded random sample, but bit-reproducible on both engines, so
+    // the oracle checks the achieved mixture exactly. Weights are
+    // integer per-mille (a DuckDB 0.30 literal is DECIMAL while
+    // Spark's is double — floor(200*0.30) would differ; 200*300/1000
+    // is the same correctly-rounded division on both). Scale shape:
+    // one window partitioned by source (sources ≫ executors at corpus
+    // scale would switch to GlobalRank per source) + one agg.
+    Q("q68_mixture",
+      (s, d) => {
+        val B = 200 // total doc budget for the mixture
+        val wPm = when(col("source") === "src1", 300L)
+          .when(col("source") === "src2", 250L).otherwise(25L)
+        val h = conv(substring(md5(encode(
+          concat(lit("mix"), col("doc_id").cast("string")), "utf-8")),
+          1, 14), 16, 10).cast("bigint")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), wPm.as("w_pm"), h.as("h"))
+          .withColumn("rn", row_number().over(win))
+          .withColumn("cap", floor(lit(B) * col("w_pm") / 1000).cast("bigint"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_available"),
+            max(col("cap")).as("cap"),
+            sum(when(col("rn") <= col("cap"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src1' THEN 300 WHEN 'src2' THEN 250
+                      ELSE 25 END AS w_pm,
+                 CAST('0x' || substring(md5('mix' || doc_id), 1, 14) AS BIGINT)
+                   AS h
+          FROM documents
+        ),
+        r AS (
+          SELECT source, w_pm,
+                 row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS rn,
+                 CAST(floor(200 * w_pm / 1000) AS BIGINT) AS cap
+          FROM t
+        )
+        SELECT source, COUNT(*) AS n_available, MAX(cap) AS cap,
+               CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM r GROUP BY source ORDER BY source
       """))
   )
 }

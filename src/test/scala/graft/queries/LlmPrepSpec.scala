@@ -127,6 +127,18 @@ class LlmPrepSpec extends SparkSuite {
     assert(got === Map(1L -> (200L, 5000L), 2L -> (200L, 5000L), 3L -> (200L, 5000L)))
   }
 
+  test("q68 law: n_kept = min(cap, n_available), deterministic across runs") {
+    val q = graft.SparkEntry.queries("q68_mixture")
+    val r1 = q(spark, "/root/testdata/sf0.001").collect()
+    val r2 = q(spark, "/root/testdata/sf0.001").collect()
+    assert(r1.nonEmpty)
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq)
+    r1.foreach { r => // (source, n_available, cap, n_kept)
+      assert(r.getLong(3) === math.min(r.getLong(2), r.getLong(1)),
+        s"cap law violated for ${r.getString(0)}: $r")
+    }
+  }
+
   test("q64 companion: percentile_approx sketch tracks exact percentile") {
     // the 100 TB path is the one-pass bounded-memory sketch; q64's
     // oracle uses exact percentile (approx algorithms differ across

@@ -78,6 +78,15 @@ class VectorExpressionsSpec extends SparkSuite {
       .head().getInt(0) === 2)
   }
 
+  test("register installs the HOF->native rewrite rule, idempotently") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    val rules = spark.experimental.extraOptimizations
+      .count(_ eq graft.plans.NativeVectorRewrite)
+    assert(rules === 1,
+      s"expected exactly one NativeVectorRewrite, got $rules")
+  }
+
   test("set_intersect_count rejects nullable-element arrays at analysis time") {
     // getLong would silently decode a null element as 0L — the contract
     // is an explicit analysis error, not a wrong count

@@ -27,8 +27,13 @@ object Bench {
     // untimed JVM/codegen warmup: the first measured query otherwise
     // absorbs one-off session costs (classloading, codegen compiler
     // init, parquet footer reads) that are not query work
+    // NonFatal only: an OOM/LinkageError here must crash, and a broken
+    // entry query must be VISIBLE (a silently dead warmup both hides a
+    // regression and skews the first timed query)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup FAILED: $e")
+    }
     // optional comma-separated name filter for isolating queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)

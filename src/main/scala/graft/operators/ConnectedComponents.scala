@@ -35,8 +35,12 @@ object ConnectedComponents {
     * checkpoint blocks are freed as soon as the new round lands —
     * `spark.catalog.clearCache()` never releases checkpoint blocks, so
     * without the sweep a long session leaks one labels frame per round.
-    * A cluster deployment with flaky executors would use reliable
-    * checkpoint() to a checkpoint dir instead.
+    * A cluster deployment with flaky executors opts into reliable
+    * checkpoint() per round via [[Reliable]]
+    * (`spark.graft.reliableCheckpoints=true` + a checkpoint dir);
+    * the block-freeing sweep then naturally no-ops (reliable
+    * checkpoints are files, not persisted blocks — Spark GCs them
+    * with `spark.cleaner.referenceTracking.cleanCheckpoints=true`).
     */
   def labelPropagation(edges: DataFrame, maxIter: Int = 50,
                        labelPartitions: Int = 8): DataFrame = {
@@ -58,15 +62,16 @@ object ConnectedComponents {
       // references it twice and every round scans it again — without a
       // barrier the whole upstream pipeline (e.g. q57's set-similarity
       // join) would be recomputed per reference, per round.
-      val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+      val e0 = Reliable.barrier(
+        edges.select(col("src"), col("dst")))(_.localCheckpoint())
       val edgeIds = rddIds(e0)
       owned ++= edgeIds
       val both = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      var labels = both.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .withColumn("__changed", lit(false))
-        .coalesce(labelPartitions)
-        .localCheckpoint()
+      var labels = Reliable.barrier(
+        both.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id"))
+          .withColumn("__changed", lit(false))
+          .coalesce(labelPartitions))(_.localCheckpoint())
       var prevIds = rddIds(labels)
       owned ++= prevIds
       var iter = 0
@@ -78,13 +83,12 @@ object ConnectedComponents {
           .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("nbr_lbl")).as("nbr_min"))
-        val updated = labels.select(col("id"), col("lbl"))
+        val updated = Reliable.barrier(labels.select(col("id"), col("lbl"))
           .join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
             coalesce(col("nbr_min") < col("lbl"), lit(false)).as("__changed"))
-          .coalesce(labelPartitions)
-          .localCheckpoint()
+          .coalesce(labelPartitions))(_.localCheckpoint())
         val newIds = rddIds(updated)
         owned ++= newIds
         val changed = updated.filter(col("__changed")).count()

@@ -33,9 +33,10 @@ import org.apache.spark.storage.StorageLevel
   * on the persisted `sorted` frame never being recomputed. Executor
   * loss drops MEMORY_AND_DISK blocks, and a recompute re-runs
   * `monotonically_increasing_id` — if any upstream is non-deterministic
-  * the ids (hence ranks) could silently shift. A cluster deployment
-  * with flaky executors would use reliable `checkpoint()` to a
-  * checkpoint dir (or replicated storage levels) instead of persist.
+  * the ids (hence ranks) could silently shift. The escape hatch is
+  * [[Reliable]]: set `spark.graft.reliableCheckpoints=true` plus a
+  * checkpoint dir and the sorted frame goes through a reliable
+  * `checkpoint()` instead, making recomputation impossible.
   *
   * Results are bit-identical to `row_number() OVER (ORDER BY ...)` /
   * `NTILE(k) OVER (ORDER BY ...)` when the sort key is a total order
@@ -52,11 +53,11 @@ object GlobalRank {
     */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
                      numPartitions: Int = 32): DataFrame = {
-    val sorted = df
+    val sorted = Reliable.barrier(df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__mid", monotonically_increasing_id()))(
+      _.persist(StorageLevel.MEMORY_AND_DISK))
     val pid = shiftrightunsigned(col("__mid"), LocalIdxBits).as("__pid")
     // tiny: one row per partition; the single-partition window is over
     // #partitions rows, not the data.

@@ -14,21 +14,28 @@ import org.apache.spark.sql.functions._
 object Salt {
 
   /** Salted two-phase sum/count aggregation. `aggs` must be algebraic
-    * pairs (name -> column to sum). Deterministic: the salt derives
-    * from a hash of the row's columns, not rand() — the same input
-    * produces the same partials. A per-partition uniquifier is mixed
-    * into the hash so fully IDENTICAL duplicate rows of a hot key (a
-    * common skew shape, e.g. replayed events) still spread across salt
-    * buckets instead of collapsing the mitigation back to one reducer;
-    * spark_partition_id only varies the salt, never the final merged
-    * aggregate, so results stay partitioning-independent.
+    * pairs (name -> column to sum). The salt is a constant-width hash
+    * of (key, per-row uniquifier) — NOT a hash of the whole row, whose
+    * cost grows with row width for a value that only needs to spread
+    * rows. `monotonically_increasing_id` (partition id in the high
+    * bits, row position in the low) uniquifies fully IDENTICAL
+    * duplicate rows of a hot key (a common skew shape, e.g. replayed
+    * events) so they still fan out across salt buckets. The salt never
+    * reaches the final merged aggregate — phase 2 re-merges purely by
+    * `key` — so the RESULT is salt- and partitioning-independent.
+    *
+    * Cluster-failure hazard (same class GlobalRank documents): the
+    * salt assignment itself depends on physical partitioning, so a
+    * map-task recompute after executor loss can re-salt rows into
+    * different (key, __salt) partials than some reducers already
+    * fetched. A cluster deployment with flaky executors should
+    * materialize the salted frame via reliable `checkpoint()` (see
+    * [[graft.operators.Reliable]]) before the partial aggregate.
     */
   def sumsBySaltedKey(df: DataFrame, key: String, n: Int,
                       sums: Map[String, Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(
-        (df.columns.map(col) :+ spark_partition_id().cast("long")).toSeq: _*)),
-        lit(n)))
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__cnt"),
         sums.map { case (name, c) => sum(c).as(name) }.toSeq: _*)

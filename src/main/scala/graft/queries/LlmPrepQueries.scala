@@ -132,6 +132,12 @@ object LlmPrepQueries {
     // KBs-MBs, not TBs), so it BROADCASTS and contamination is a
     // map-side semi-join per (doc, gram) — no shuffle of the corpus;
     // the only shuffle is the per-doc count aggregate of the few hits.
+    // Grams are carried as xxhash64 longs (8 bytes vs ~25-byte strings
+    // in the broadcast + per-row probes); like DedupQueries' shingles,
+    // matches are exact only whp — a 64-bit collision (P ≈ n²/2⁶⁵,
+    // ~1e-11 even at a billion distinct grams) would flag a spurious
+    // hit. The oracle joins raw strings, so a collision surfaces as a
+    // hash mismatch rather than passing silently.
     Q("q61_contamination",
       (s, d) => {
         val g = Tables.documents(s, d)

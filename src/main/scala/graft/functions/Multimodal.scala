@@ -76,22 +76,31 @@ object Multimodal {
     * the decoder still initializes once per PARTITION, not per frame.
     * (A real build swaps FakeDecoder for a codec that seeks keyframes;
     * the row shape, fan-out and partition-scoped init are the same.)
+    *
+    * `resizeTo`: per-frame [[resample]] to a fixed width, fused into
+    * the same partition loop — decode → resize is one pass over each
+    * frame while it is still a JVM array. Resizing downstream of the
+    * seam (a Scala UDF on the returned frame) would re-cross the
+    * ser/de boundary per row for work the seam can do in place.
     */
   def sampleFrames(df: DataFrame, frameBytes: Int, every: Int,
+                   resizeTo: Option[Int] = None,
                    decoder: MediaDecoder = new FakeDecoder): DataFrame = {
-    require(frameBytes > 0 && every > 0)
+    require(frameBytes > 0 && every > 0 && resizeTo.forall(_ > 0))
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val decode = decoder.open()
+        val shape: Array[Double] => Array[Double] =
+          resizeTo.fold(identity[Array[Double]] _)(n => resample(_, n))
         it.flatMap { case (id, bytes) =>
           val nFrames = bytes.length / frameBytes // trailing partial frame dropped
           Iterator.range(0, nFrames, every).map { f =>
             val frame = java.util.Arrays.copyOfRange(
               bytes, f * frameBytes, (f + 1) * frameBytes)
-            (id, f, decode(frame))
+            (id, f, shape(decode(frame)))
           }
         }
       }

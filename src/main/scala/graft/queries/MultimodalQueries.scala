@@ -36,20 +36,19 @@ object MultimodalQueries {
     // q67: frame sampling — the video-shaped decode: every 4th 32-byte
     // "frame" of each blob decoded independently (partition-scoped
     // codec, lazy per-row fan-out), per-frame features resized to a
-    // fixed width by bucket means, then a per-doc aggregate over the
-    // sampled frames. Rows-only (byte-level frame slicing has no SQL
-    // twin); MultimodalSpec pins sampling + resize semantics.
+    // fixed width by bucket means INSIDE the same partition loop (one
+    // seam crossing: no ScalaUDF node downstream), then a per-doc
+    // aggregate over the sampled frames. Rows-only (byte-level frame
+    // slicing has no SQL twin); MultimodalSpec pins sampling + resize
+    // semantics and the no-UDF plan.
     Q("q67_frame_sample",
       (s, d) => {
-        val frames = Multimodal.sampleFrames(
-          Multimodal.table(s, d), frameBytes = 32, every = 4)
-        val resize = udf((v: Seq[Double]) =>
-          Multimodal.resample(v.toArray, 2))
-        frames
-          .withColumn("f2", resize(col("feature")))
+        Multimodal.sampleFrames(
+            Multimodal.table(s, d), frameBytes = 32, every = 4,
+            resizeTo = Some(2))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_frames"),
-            floor(avg(element_at(col("f2"), 2)) * 100).as("mean_f2_e2"))
+            floor(avg(element_at(col("feature"), 2)) * 100).as("mean_f2_e2"))
           .orderBy(col("doc_id"))
       },
       None, bench = false),

@@ -45,6 +45,28 @@ class MultimodalSpec extends SparkSuite {
     assert(got.toSeq === Seq((7L, 0, 3.0), (7L, 2, 3.0)))
   }
 
+  test("fused resize equals resample applied after the seam; plan has no UDF") {
+    import spark.implicits._
+    val blob = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val df = Seq((1L, blob), (2L, blob.take(40))).toDF("doc_id", "blob")
+    val fused = Multimodal.sampleFrames(df, frameBytes = 8, every = 2,
+        resizeTo = Some(2))
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val after = Multimodal.sampleFrames(df, frameBytes = 8, every = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Multimodal.resample(r.getSeq[Double](2).toArray, 2).toSeq))
+    assert(fused.toSeq === after.toSeq)
+    assert(fused.forall(_._3.length == 2))
+    // the whole q67 pipeline must stay UDF-free: resize lives inside
+    // the mapPartitions seam, not behind a second ser/de boundary
+    val q67 = graft.SparkEntry.queries("q67_frame_sample")(spark,
+      "/root/testdata/sf0.001")
+    val plan = q67.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"))
+  }
+
   test("resample: bucket-mean downsize, nearest-repeat upsize, length contract") {
     val v = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
     assert(Multimodal.resample(v, 3).toSeq === Seq(1.5, 3.5, 5.5))

@@ -55,13 +55,24 @@ object Bench {
       if (ok) System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
       (q.name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The harness captures only the LAST ~2000 chars of stdout and
+    // parses the metric line out of that tail: full nanosecond
+    // precision over 60+ queries made the line ~2700 chars, truncating
+    // its head and breaking the parse. 10ms precision is far below
+    // run-to-run variance and keeps the line comfortably inside the
+    // window (full precision stays on stderr via the per-query log).
+    def r2(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // failed queries' time-to-failure is not work done — report it
     // separately, not inside the headline total
     val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING metric line ${line.length} chars may exceed harness tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -86,6 +86,45 @@ object JoinQueries {
                      (45000, 1000000, 'high')) AS t(lo, hi, tier)
           ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY tier ORDER BY tier
-      """))
+      """)),
+
+    // ---------------------------------------------------------------
+    // q69: bucketed co-located join — both sides written bucketed on
+    // the join key, then joined with a merge hint: the join plans with
+    // ZERO shuffle exchanges (BucketedJoinSpec pins that plan, with a
+    // positive control showing the unbucketed twin DOES shuffle). At
+    // 100 TB the exchange, not the join, is the bottleneck; bucketing
+    // pays it once at write time and amortizes it across every
+    // downstream join on that key. The merge hint keeps the entry
+    // honest at sf0.01, where the dim side is otherwise broadcast-sized
+    // and the bucket layout would never be consulted.
+    Q("q69_bucketed_join",
+      (s, d) => {
+        import graft.functions.ColumnOps.e2
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$tmp/orders").saveAsTable("graft_q69_orders")
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$tmp/customer").saveAsTable("graft_q69_customer")
+        s.table("graft_q69_orders").hint("merge")
+          .join(s.table("graft_q69_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(e2(col("o_totalprice"))).as("total_e2"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """),
+      // excluded from the headline timing set: the entry's cost is the
+      // bucketed table WRITE (a one-off amortized cost in production),
+      // which would drown the join being measured
+      bench = false)
   )
 }

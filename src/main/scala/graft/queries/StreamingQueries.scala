@@ -2,18 +2,41 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Q
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
 import graft.functions.SyntheticImages
 import graft.streaming.WatchPipeline
 
-/** The T1-T4 watch pipeline registered as a driver-checkable query:
-  * synthetic scans → AvailableNow streaming run (hash → watermarked
-  * dedup → enrichment seam → pivot → parquet batch append) → read the
-  * sink back. Rows-only (streaming fixture path); WatchPipelineSpec
-  * pins exactly-once and dedup semantics.
+/** Streaming pipelines registered as driver-checkable queries. Each
+  * runs a genuine Structured Streaming query (file source → streaming
+  * operator → sink) under `Trigger.AvailableNow`, then reads the sink
+  * back as the result frame.
+  *
+  * q70/q71 are driven off a deterministic event fixture written as ONE
+  * time-sorted file per side, so the whole stream lands in a single
+  * micro-batch: the registered result is exactly the batch-SQL
+  * equivalent and carries a DuckDB oracle. The *streaming-specific*
+  * semantics that a single batch cannot show — watermark state
+  * eviction, late-data drops, cross-batch state carry — are pinned by
+  * StreamJoinSpec / StatefulStreamSpec instead (a multi-batch run's
+  * output depends on arrival order, which no batch oracle can mirror).
   */
 object StreamingQueries {
+
+  private def eventsFixture(s: SparkSession, d: String, types: Seq[String],
+                            dir: String): Unit =
+    Tables.events(s, d)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .coalesce(1).sortWithinPartitions(col("ts"))
+      .write.parquet(dir)
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType)))
 
   val all: Seq[Q] = Seq(
     Q("q48_watch_pipeline",
@@ -29,5 +52,149 @@ object StreamingQueries {
           .drop("batch_id") // sink partitioning detail
           .orderBy(col("img_id"))
       },
-      None, bench = false))
+      None, bench = false),
+
+    // ---------------------------------------------------------------
+    // q70: stream-stream inner join with an event-time band — the
+    // "attribute purchases to views" shape: each view matched to the
+    // same user's purchases within the following 24 hours. Both sides
+    // are real file streams with watermarks; the watermark delay (60
+    // days) exceeds the fixture's span so nothing is ever late and the
+    // result equals the batch join the oracle runs. State is bounded by
+    // the watermark + band condition at any scale (eviction semantics
+    // pinned in StreamJoinSpec, which a one-shot oracle can't observe).
+    Q("q70_stream_stream_join",
+      (s, _d) => {
+        val base = Files.createTempDirectory("graft_q70").toString
+        eventsFixture(s, _d, Seq("view"), s"$base/views")
+        eventsFixture(s, _d, Seq("purchase"), s"$base/purchases")
+        val v = s.readStream.schema(eventSchema).parquet(s"$base/views")
+          .withWatermark("ts", "60 days")
+          .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+            col("user_id"))
+        val p = s.readStream.schema(eventSchema).parquet(s"$base/purchases")
+          .withWatermark("ts", "60 days")
+          .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+            col("user_id").as("p_user"))
+        val joined = v.join(p, expr(
+          "user_id = p_user AND purchase_ts >= view_ts " +
+            "AND purchase_ts <= view_ts + INTERVAL 24 HOURS"))
+        val q = joined.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+          .orderBy(col("view_id"), col("purchase_id"))
+      },
+      Some("""
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '24 hours'
+        ORDER BY view_id, purchase_id
+      """),
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q71: arbitrary keyed state via mapGroupsWithState — incremental
+    // sessionization (10-minute gap, q47's rule: a gap >= 10 min starts
+    // a new session) folding each user's time-ordered events into a
+    // per-user session list that persists in the state store across
+    // micro-batches. The same ground truth as q47's session_window, but
+    // computed by the engine's arbitrary-state primitive — so the
+    // DuckDB gaps-and-islands oracle cross-checks BOTH operators against
+    // each other. Update-mode emissions re-state a user's full session
+    // list; the sink keeps the latest emission per user (idempotent
+    // batch_id partitions, exactly the T2/T3 pattern). Contract: input
+    // batches arrive time-ordered (the fixture is one sorted file);
+    // cross-batch state carry is pinned by StatefulStreamSpec.
+    Q("q71_stateful_sessions",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val gapUs = 10L * 60 * 1000000
+        val base = Files.createTempDirectory("graft_q71").toString
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .coalesce(1).sortWithinPartitions(col("ts_us"))
+          .write.parquet(s"$base/in")
+        val input = s.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("ts_us", LongType))))
+          .parquet(s"$base/in")
+          .as[(Long, Long)]
+        val sessions = input.groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long)],
+             st: GroupState[List[(Long, Long, Long)]]) =>
+              // state: chronological (start, end, n) sessions; fold this
+              // batch's sorted timestamps onto the tail session
+              var acc = st.getOption.getOrElse(Nil).reverse
+              rows.map(_._2).toArray.sorted.foreach { ts =>
+                acc = acc match {
+                  case (st0, end, n) :: rest if ts - end < gapUs =>
+                    (st0, math.max(end, ts), n + 1) :: rest
+                  case _ => (ts, ts, 1L) :: acc
+                }
+              }
+              val out = acc.reverse
+              st.update(out)
+              (user, out)
+          }
+          .toDF("user_id", "sessions")
+        val q = sessions.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+          }
+          .start()
+        q.awaitTermination()
+        val latest = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+        s.read.option("basePath", s"$base/out").parquet(s"$base/out")
+          .withColumn("__rn", row_number().over(latest))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), explode(col("sessions")).as("sess"))
+          .select(col("user_id"),
+            date_format(timestamp_micros(col("sess._1")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(timestamp_micros(col("sess._2")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            col("sess._3").as("n_events"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+      """),
+      bench = false)
+  )
 }

@@ -162,6 +162,39 @@ object DedupQueries {
     )
   """
 
+  /** DuckDB twin of q42's 56-bit simhash, generated (56 vote columns):
+    * same md5-derived token hash, same signed bit votes, same bit
+    * combine — then ALL-PAIRS Hamming<=3, which the engine's pigeonhole
+    * banding provably equals.
+    */
+  private def simhashOracle: String = {
+    val votes = (0 until 56).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val combine = (0 until 56).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      ), th AS (
+        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 14) AS BIGINT) AS h
+        FROM toks
+      ), votes AS (
+        SELECT doc_id, $votes FROM th GROUP BY doc_id
+      ), sig AS (
+        SELECT doc_id, $combine AS sh FROM votes
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY doc_a, doc_b
+    """
+  }
+
   private def allPairsOracle(t: Double): String = s"""
     WITH g AS ($DGrams),
     p AS (
@@ -242,29 +275,33 @@ object DedupQueries {
       Some(allPairsOracle(0.7))),
 
     // ---------------------------------------------------------------
-    // q42: SimHash near-dup — 64-bit simhash per doc in one projection;
-    // pigeonhole banding (4×16 bits: Hamming<=3 pairs must agree on a
-    // full band) makes candidate generation an equi-join; verify by
-    // bit_count(xor). Rows-only (no 64-bit simhash twin in DuckDB);
-    // DedupQueriesSpec pins the semantics.
+    // q42: SimHash near-dup — 56-bit simhash per doc (bit-votes over
+    // the cross-engine md5 token hash); pigeonhole banding (4×14 bits:
+    // Hamming<=3 pairs must agree on a full band) makes candidate
+    // generation an equi-join; verify by bit_count(xor). Because every
+    // primitive is cross-engine (md5 token hash, integer bit votes),
+    // the DuckDB oracle recomputes the signatures and checks ALL-PAIRS
+    // Hamming<=3 — which the banding provably equals (pigeonhole recall
+    // is exact, not probabilistic). Precision/recall vs Jaccard ground
+    // truth stays pinned by DedupQueriesSpec.
     Q("q42_simhash",
       (s, d) => {
         // simhash via one codegen'd bit-vote aggregate over exploded
-        // token hashes (the column form runs 64 interpreted filters per
+        // token hashes (the column form runs 56 interpreted filters per
         // doc). Persisted: the Hamming filter otherwise gets pushed into
         // the self-join condition and recomputed per candidate pair.
-        val voteAggs = NearDup.simhashAggs(col("h"))
+        val voteAggs = NearDup.simhashAggs(col("h"), bits = 56)
         // plain explode: token-less docs drop out (they have no simhash
         // signal; explode_outer would inject a phantom null-hash token)
         val hashed = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("tok"))
-          .withColumn("h", xxhash64(col("tok")))
+          .withColumn("h", TextAnalysis.tokenHash56(col("tok")))
           .groupBy(col("doc_id"))
           .agg(voteAggs.head, voteAggs.tail: _*)
-          .select(col("doc_id"), NearDup.simhashAggsToHash.as("sh"))
+          .select(col("doc_id"), NearDup.simhashAggsToHash(bits = 56).as("sh"))
         val banded = hashed
-          .withColumn("b", explode(NearDup.simhashBands(col("sh"))))
+          .withColumn("b", explode(NearDup.simhashBands(col("sh"), 4, 14)))
           .select(col("doc_id"), col("sh"), col("b.band").as("band"),
             col("b.bval").as("bval"))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -273,7 +310,8 @@ object DedupQueries {
             col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+            bit_count(col("x.sh").bitwiseXOR(col("y.sh")))
+              .cast("bigint").as("hamming"))
           // hamming is functionally determined by the pair, so filtering
           // BEFORE the pair-dedup is semantics-identical and shrinks the
           // dedup shuffle to actual near-dups instead of every
@@ -282,7 +320,7 @@ object DedupQueries {
           .dropDuplicates("doc_a", "doc_b")
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      Some(simhashOracle)),
 
     // ---------------------------------------------------------------
     // q57: dedup groups — near-dup PAIRS (q40) closed into duplicate

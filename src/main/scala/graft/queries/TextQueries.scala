@@ -221,20 +221,37 @@ object TextQueries {
     // ---------------------------------------------------------------
     // q56: stratified sampling — class-balanced corpus subsetting (the
     // train-set curation step): downsample the dominant language to
-    // ~30% while keeping the rest, with a fixed seed. Deterministic
-    // hash-based sampling (sampleBy is seeded); rows-only (sampling is
-    // implementation-defined), proportions pinned by TextQueriesSpec.
+    // ~30% while keeping the rest. The keep decision is a pure function
+    // of the row — 56-bit md5 key hash under an integer threshold
+    // (floor(0.3·2^56)) — so the sample is reproducible across runs,
+    // partitionings, AND engines: the DuckDB oracle reproduces the
+    // exact membership, checked via per-stratum counts + a doc_id-sum
+    // witness. (sampleBy's seeded Bernoulli is engine-defined — it
+    // could only ever be rows-only; at 100 TB hash-threshold sampling
+    // is also re-runnable per partition with no RNG-state coupling.)
+    // Proportion contract pinned by TextQueriesSpec.
     Q("q56_stratified_sample",
       (s, d) => {
-        val fractions = Map("en" -> 0.3, "de" -> 1.0, "fr" -> 1.0,
-          "es" -> 1.0, "zh" -> 1.0)
+        // floor(0.3 * 2^56): integer so both engines compare exactly
+        val thresholdEn = 21617278211378380L
+        val h56 = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":q56"))), 1, 14), 16, 10).cast("bigint")
         Tables.documents(s, d)
-          .stat.sampleBy("lang", fractions, seed = 42L)
+          .filter(col("lang") =!= "en" || h56 < thresholdEn)
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_sampled"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("doc_id")).as("sum_doc_id"))
           .orderBy(col("lang"))
       },
-      None),
+      Some("""
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents
+        WHERE lang <> 'en'
+           OR CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':q56'), 1, 14) AS BIGINT)
+              < 21617278211378380
+        GROUP BY lang ORDER BY lang
+      """)),
 
     // ---------------------------------------------------------------
     // q35: document fingerprinting — order-sensitive rolling hash over

@@ -55,24 +55,29 @@ object NearDup {
   }
 
   /** Aggregate form of [[simhash]] for exploded (id, token-hash) rows:
-    * 64 signed bit-votes in one codegen'd hash aggregate (ones*2 > n
+    * `bits` signed bit-votes in one codegen'd hash aggregate (ones*2 > n
     * ⟺ Σ(±1) > 0 — identical bits for any non-empty token list).
+    * `bits` < 64 pairs with a narrower token hash (e.g. the 56-bit
+    * cross-engine md5 hash, TextAnalysis.tokenHash56) whose high bits
+    * carry no signal.
     */
-  def simhashAggs(tokenHash: Column): Seq[Column] =
-    (0 until 64).map(j =>
+  def simhashAggs(tokenHash: Column, bits: Int = 64): Seq[Column] =
+    (0 until bits).map(j =>
       sum(when(shiftrightunsigned(tokenHash, j).bitwiseAND(lit(1L)) === lit(1L),
         lit(1)).otherwise(lit(-1))).as(s"__sb$j"))
 
-  def simhashAggsToHash: Column =
-    (0 until 64).map(j =>
+  def simhashAggsToHash(bits: Int = 64): Column =
+    (0 until bits).map(j =>
       when(col(s"__sb$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
 
-  /** Pigeonhole bands for Hamming search: any two 64-bit hashes within
-    * Hamming distance 3 agree exactly on at least one of 4 16-bit bands.
+  /** Pigeonhole bands for Hamming search: any two hashes within Hamming
+    * distance `bands - 1` agree exactly on at least one of the `bands`
+    * disjoint `bandBits`-bit bands (default: 64-bit hash, 4×16).
     */
-  def simhashBands(sim: Column): Column =
-    array((0 until 4).map(b =>
+  def simhashBands(sim: Column, bands: Int = 4, bandBits: Int = 16): Column =
+    array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)
+        shiftrightunsigned(sim, b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bval"))): _*)
 }

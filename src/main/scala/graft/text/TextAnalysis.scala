@@ -139,7 +139,7 @@ object TextAnalysis {
     * engines, so there is no wraparound semantics to reconcile (DuckDB
     * raises on BIGINT overflow where the JVM wraps).
     */
-  private def tokenHash56(t: Column): Column =
+  def tokenHash56(t: Column): Column =
     conv(substring(md5(encode(t, "utf-8")), 1, 14), 16, 10).cast("bigint")
 
   private val Mod56 = 72057594037927936L // 2^56

@@ -12,8 +12,9 @@ class TextQueriesSpec extends SparkSuite {
     val full = graft.Tables.documents(spark, dir)
       .groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // non-en strata kept whole; en downsampled to ~30% (Bernoulli, so
-    // tolerance; seeded, so the realized value is stable run-to-run)
+    // non-en strata kept whole; en downsampled to ~30% (hash-threshold
+    // keep is Bernoulli-like, so tolerance; a pure row function, so the
+    // realized value is stable run-to-run and across partitionings)
     for (l <- Seq("de", "fr", "es", "zh"))
       assert(sampled(l) == full(l), s"stratum $l should be kept whole")
     val enFrac = sampled("en").toDouble / full("en")

@@ -37,7 +37,7 @@ class NearDupSpec extends SparkSuite {
       .withColumn("h", xxhash64(col("tok")))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), NearDup.simhashAggsToHash.as("sh"))
+      .select(col("doc_id"), NearDup.simhashAggsToHash().as("sh"))
     // token-less docs drop from the agg form by design; none at this sf
     assert(columnForm.exceptAll(aggForm).isEmpty &&
            aggForm.exceptAll(columnForm).isEmpty)

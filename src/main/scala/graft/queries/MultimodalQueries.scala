@@ -15,13 +15,16 @@ object MultimodalQueries {
     // ---------------------------------------------------------------
     // q49: decode/feature-extract over the opaque blob column through
     // the partition-scoped decoder seam, joined back to the embedding
-    // modality. Rows-only; MultimodalSpec pins the feature semantics.
+    // modality. The stub decoder's features are byte-level stats, so
+    // the DuckDB oracle recomputes them from the same blob bytes
+    // (hex-pair extraction) — checking the seam's output end to end,
+    // not just rows. MultimodalSpec pins the decoder semantics.
     Q("q49_media_features",
       (s, d) => {
         val mm = Multimodal.table(s, d)
         val feats = Multimodal.extractFeatures(mm)
         mm.select(col("doc_id"), col("lang"),
-            col("media_meta.n_bytes").as("n_bytes"),
+            col("media_meta.n_bytes").cast("bigint").as("n_bytes"),
             VectorFunctions.normNative(col("embedding").cast("array<double>")).as("nrm"))
           .join(feats, "doc_id")
           .select(col("doc_id"), col("lang"), col("n_bytes"),
@@ -30,7 +33,27 @@ object MultimodalQueries {
             floor(col("nrm") * 1000).as("emb_norm_e3"))
           .orderBy(col("doc_id"))
       },
-      None, bench = false),
+      Some("""
+        WITH mm AS (
+          SELECT d.doc_id, d.lang, encode(d.text) AS blob,
+                 sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ), b AS (
+          SELECT doc_id, lang, nrm, octet_length(blob) AS len,
+                 CAST(list_sum(list_transform(range(1, octet_length(blob) + 1),
+                   i -> CAST('0x' || substring(hex(blob), 2*i - 1, 2) AS INT)))
+                   AS BIGINT) AS bsum
+          FROM mm
+        )
+        SELECT doc_id, lang,
+               CAST(len AS BIGINT) AS n_bytes,
+               CAST(len AS BIGINT) AS decoded_bytes,
+               CAST(floor(CAST(COALESCE(bsum, 0) AS DOUBLE)
+                          / greatest(len, 1) * 100) AS BIGINT) AS byte_mean_e2,
+               CAST(floor(nrm * 1000) AS BIGINT) AS emb_norm_e3
+        FROM b ORDER BY doc_id
+      """), bench = false),
 
     // ---------------------------------------------------------------
     // q67: frame sampling — the video-shaped decode: every 4th 32-byte
@@ -38,9 +61,15 @@ object MultimodalQueries {
     // codec, lazy per-row fan-out), per-frame features resized to a
     // fixed width by bucket means INSIDE the same partition loop (one
     // seam crossing: no ScalaUDF node downstream), then a per-doc
-    // aggregate over the sampled frames. Rows-only (byte-level frame
-    // slicing has no SQL twin); MultimodalSpec pins sampling + resize
-    // semantics and the no-UDF plan.
+    // aggregate over the sampled frames.
+    //
+    // The per-frame resized feature f2 = (byteMean + fold)/2 is exactly
+    // representable at 6 binary fractional digits (byteMean = sum/32),
+    // so f2*64 is an exact integer and the doc aggregate runs in the
+    // integer domain — order-independent AND cross-engine: the DuckDB
+    // oracle re-slices the same frames from the blob's hex pairs and
+    // must reproduce every value bit-for-bit. MultimodalSpec pins
+    // sampling + resize semantics and the no-UDF plan.
     Q("q67_frame_sample",
       (s, d) => {
         Multimodal.sampleFrames(
@@ -48,10 +77,38 @@ object MultimodalQueries {
             resizeTo = Some(2))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_frames"),
-            floor(avg(element_at(col("feature"), 2)) * 100).as("mean_f2_e2"))
+            sum((element_at(col("feature"), 2) * 64).cast("bigint")).as("__s64"))
+          .select(col("doc_id"), col("n_frames"),
+            floor(col("__s64").cast("double") / 64 / col("n_frames") * 100)
+              .as("mean_f2_e2"))
           .orderBy(col("doc_id"))
       },
-      None, bench = false),
+      Some("""
+        WITH mm AS (
+          SELECT d.doc_id, encode(d.text) AS blob
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ), fr AS (
+          SELECT doc_id, hex(blob) AS hx,
+                 unnest(range(0, octet_length(blob) // 32, 4)) AS fidx
+          FROM mm
+        ), fb AS (
+          SELECT doc_id, fidx,
+                 list_transform(range(0, 32),
+                   k -> CAST('0x' || substring(hx, 2*(fidx*32 + k) + 1, 2)
+                             AS BIGINT)) AS bytes
+          FROM fr
+        ), fv AS (
+          SELECT doc_id,
+                 CAST(list_sum(bytes) AS BIGINT)
+                   + 32 * list_reduce(bytes,
+                       (acc, b) -> (acc * 31 + b) & 16777215) AS v64
+          FROM fb
+        )
+        SELECT doc_id, COUNT(*) AS n_frames,
+               CAST(floor(CAST(SUM(v64) AS DOUBLE) / 64 / COUNT(*) * 100)
+                    AS BIGINT) AS mean_f2_e2
+        FROM fv GROUP BY doc_id ORDER BY doc_id
+      """), bench = false),
 
     // ---------------------------------------------------------------
     // q50: cross-modality aggregate — per language: docs, total payload

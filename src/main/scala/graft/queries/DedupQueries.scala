@@ -79,24 +79,43 @@ object DedupQueries {
 
   /** The q40 set-similarity join, reusable (see q40's scaladoc for the
     * prefix-filter recall argument).
+    *
+    * Memoized per (app, sfDir, t) through a temp parquet, like
+    * [[components]] and for the same reason: q40, q57 and q66 in one
+    * session each need the verified near-dup pair table, which is by
+    * far the most expensive sub-pipeline in the repo (gram explode +
+    * prefix self-join + per-pair verify) — and tiny on disk (near-dup
+    * pairs only). One session computes it once; on a cluster this IS
+    * the pattern (pair table written once to shared storage, every
+    * consumer reads it).
     */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
+
   private def jaccardPairs(s: SparkSession, d: String, t: Double): DataFrame = {
-    val g = grams(s, d)
-    val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("gram"))
-    val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
-    val wPrefix = Window.partitionBy(col("doc_id"))
-      .orderBy(col("freq"), col("gram"))
-    val prefix = exploded.join(freq, "gram")
-      .withColumn("rn", row_number().over(wPrefix))
-      .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
-      .select(col("doc_id"), col("gram"))
-    val cand = prefix.as("x")
-      .join(prefix.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(cand, g, t)
+    val path = pairsMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, d, t), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-jacpairs").toString
+        val g = grams(s, d)
+        val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
+          explode(col("grams")).as("gram"))
+        val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        val wPrefix = Window.partitionBy(col("doc_id"))
+          .orderBy(col("freq"), col("gram"))
+        val prefix = exploded.join(freq, "gram")
+          .withColumn("rn", row_number().over(wPrefix))
+          .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+          .select(col("doc_id"), col("gram"))
+        val cand = prefix.as("x")
+          .join(prefix.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        verifyPairs(cand, g, t).write.mode("overwrite").parquet(out)
+        out
+      })
+    s.read.parquet(path)
   }
 
   /** (doc_id, component) for every near-dup group member at Jaccard
@@ -240,7 +259,10 @@ object DedupQueries {
     // The DuckDB oracle computes all-pairs ground truth and must agree
     // exactly.
     Q("q40_neardup_jaccard",
-      (s, d) => jaccardPairs(s, d, 0.8),
+      // re-sort after the memo parquet round-trip: files come back in
+      // file order, and the registered output's order is part of the
+      // determinism contract
+      (s, d) => jaccardPairs(s, d, 0.8).orderBy(col("doc_a"), col("doc_b")),
       Some(allPairsOracle(0.8))),
 
     // ---------------------------------------------------------------

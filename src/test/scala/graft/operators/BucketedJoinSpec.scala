@@ -45,4 +45,15 @@ class BucketedJoinSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS customer_bucketed")
     }
   }
+
+  test("q69 registered entry joins on the bucket key without an exchange") {
+    // the aggregate downstream legitimately exchanges on c_mktsegment;
+    // the bucketed join itself must never exchange on the JOIN key
+    val q69 = graft.SparkEntry.queries("q69_bucketed_join")(spark, dir)
+    val plan = q69.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"q69 should merge-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey")
+      && !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"q69 must not shuffle on the bucketed join key:\n$plan")
+  }
 }

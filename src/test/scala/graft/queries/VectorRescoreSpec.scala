@@ -61,4 +61,31 @@ class VectorRescoreSpec extends SparkSuite {
   test("q51 emitted scores and ranks equal exact re-scored cosine") {
     rescore("q51_ann_ivf")
   }
+
+  test("q43 emitted pair scores and ranks equal exact re-scored cosine") {
+    // same contract for the embedding near-dup top-20: candidate pairs
+    // are LSH-specific, emitted (pair, score, rank) must be exact
+    val res = graft.SparkEntry.queries("q43_embedding_neardup")(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rows = res
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cos",
+        dot(col("va"), col("vb"))
+          / (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+      .select(col("vec_a").cast("long"), col("vec_b").cast("long"),
+        col("score_e2").cast("long"), col("rank").cast("long"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty, "q43 emitted nothing to re-score")
+    for ((a, b, scoreE2, _, cos) <- rows)
+      assert(math.floor(cos * 100).toLong == scoreE2,
+        s"q43 ($a,$b) emitted score_e2=$scoreE2 but exact cosine is $cos")
+    val byRank = rows.sortBy(_._4).map(t => (t._1, t._2)).toSeq
+    val byScore = rows.sortBy(t => (-t._5, t._1, t._2)).map(t => (t._1, t._2)).toSeq
+    assert(byRank == byScore,
+      s"q43 rank order $byRank != exact-cosine order $byScore")
+  }
 }

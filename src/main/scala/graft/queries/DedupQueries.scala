@@ -91,28 +91,49 @@ object DedupQueries {
     */
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
+  private val prefixMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
+
+  /** Per-doc prefix-filter index at threshold `t`: the floor((1-t)|g|)+1
+    * globally-rarest shingles of each doc (rarity = corpus gram
+    * frequency). This IS the dedup index a production corpus persists:
+    * memoized through a temp parquet so q40's all-pairs sweep and q72's
+    * incremental probe build it once per session — on a cluster it is
+    * written once to shared storage and every dedup batch reads it.
+    */
+  private def prefixIndex(s: SparkSession, d: String, t: Double): DataFrame = {
+    val path = prefixMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, d, t), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-jacprefix").toString
+        val exploded = grams(s, d)
+          .select(col("doc_id"), size(col("grams")).as("sz"),
+            explode(col("grams")).as("gram"))
+        val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        val wPrefix = Window.partitionBy(col("doc_id"))
+          .orderBy(col("freq"), col("gram"))
+        exploded.join(freq, "gram")
+          .withColumn("rn", row_number().over(wPrefix))
+          .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+          .select(col("doc_id"), col("gram"))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    s.read.parquet(path)
+  }
 
   private def jaccardPairs(s: SparkSession, d: String, t: Double): DataFrame = {
     val path = pairsMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, d, t), {
         val out = java.nio.file.Files
           .createTempDirectory("graft-jacpairs").toString
-        val g = grams(s, d)
-        val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
-          explode(col("grams")).as("gram"))
-        val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
-        val wPrefix = Window.partitionBy(col("doc_id"))
-          .orderBy(col("freq"), col("gram"))
-        val prefix = exploded.join(freq, "gram")
-          .withColumn("rn", row_number().over(wPrefix))
-          .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
-          .select(col("doc_id"), col("gram"))
+        val prefix = prefixIndex(s, d, t)
         val cand = prefix.as("x")
           .join(prefix.as("y"),
             col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
-        verifyPairs(cand, g, t).write.mode("overwrite").parquet(out)
+        verifyPairs(cand, grams(s, d), t).write.mode("overwrite").parquet(out)
         out
       })
     s.read.parquet(path)
@@ -271,6 +292,42 @@ object DedupQueries {
     // t=0.7. At the corpus's similarity levels (pairs are ~0.99 or
     // <0.2) the banding miss probability is ~(1-0.99^4)^8 ≈ 4e-12, so
     // the all-pairs oracle is exact in practice.
+    Q("q72_incremental_dedup",
+      // Incremental dedup — the shape a production corpus actually
+      // runs daily: the corpus side (even doc_ids stand in for the
+      // already-ingested index) persists its prefix index ONCE; each
+      // new batch (odd doc_ids) probes it with an asymmetric
+      // prefix⋈prefix equi-join — never corpus⋈corpus, and the corpus
+      // is never re-shuffled per batch. Recall is perfect by the same
+      // prefix-filter theorem as q40 (both sides carry their full
+      // (1-t)-prefix), so the all-cross-pairs oracle is exact.
+      (s, d) => {
+        val t = 0.8
+        val prefix = prefixIndex(s, d, t)
+        val corpus = prefix.filter(col("doc_id") % 2 === 0)
+        val incr = prefix.filter(col("doc_id") % 2 === 1)
+        val cand = corpus.as("x")
+          .join(incr.as("y"), col("x.gram") === col("y.gram"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        verifyPairs(cand, grams(s, d), t)
+      },
+      Some(s"""
+        WITH g AS ($DGrams),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(CAST(inter AS DOUBLE) / (la + lb - inter) * 10000)
+                    AS BIGINT) AS jac_e4
+        FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---------------------------------------------------------------
     Q("q41_minhash_lsh",
       (s, d) => {
         val t = 0.7

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import graft.{Q, Tables}
 import graft.functions.SyntheticImages
@@ -122,7 +122,6 @@ object StreamingQueries {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val gapUs = 10L * 60 * 1000000
         val base = Files.createTempDirectory("graft_q71").toString
         Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
@@ -133,25 +132,8 @@ object StreamingQueries {
             StructField("ts_us", LongType))))
           .parquet(s"$base/in")
           .as[(Long, Long)]
-        val sessions = input.groupByKey(_._1)
-          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-            (user: Long, rows: Iterator[(Long, Long)],
-             st: GroupState[List[(Long, Long, Long)]]) =>
-              // state: chronological (start, end, n) sessions; fold this
-              // batch's sorted timestamps onto the tail session
-              var acc = st.getOption.getOrElse(Nil).reverse
-              rows.map(_._2).toArray.sorted.foreach { ts =>
-                acc = acc match {
-                  case (st0, end, n) :: rest if ts - end < gapUs =>
-                    (st0, math.max(end, ts), n + 1) :: rest
-                  case _ => (ts, ts, 1L) :: acc
-                }
-              }
-              val out = acc.reverse
-              st.update(out)
-              (user, out)
-          }
-          .toDF("user_id", "sessions")
+        val sessions = graft.streaming.Sessionize.sessions(
+          input, gapUs = 10L * 60 * 1000000)
         val q = sessions.writeStream
           .trigger(Trigger.AvailableNow())
           .outputMode(OutputMode.Update())

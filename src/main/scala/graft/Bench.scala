@@ -61,7 +61,8 @@ object Bench {
     // its head and breaking the parse. 10ms precision is far below
     // run-to-run variance and keeps the line comfortably inside the
     // window (full precision stays on stderr via the per-query log).
-    def r2(v: Double): String = f"$v%.2f"
+    def r2(v: Double): String = // Locale.ROOT: "." decimal point always
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // failed queries' time-to-failure is not work done — report it

@@ -87,7 +87,13 @@ object StreamingQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$base/out")
+        // explicit schema: a zero-match run commits no part files and
+        // inference would fail on the bare _spark_metadata dir
+        s.read.schema(StructType(Seq(
+            StructField("view_id", LongType), StructField("view_ts", TimestampType),
+            StructField("user_id", LongType), StructField("purchase_id", LongType),
+            StructField("purchase_ts", TimestampType))))
+          .parquet(s"$base/out")
           .select(col("user_id"), col("view_id"), col("purchase_id"),
             date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
             date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))

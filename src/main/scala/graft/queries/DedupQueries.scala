@@ -101,43 +101,30 @@ object DedupQueries {
     * incremental probe build it once per session — on a cluster it is
     * written once to shared storage and every dedup batch reads it.
     */
-  private def prefixIndex(s: SparkSession, d: String, t: Double): DataFrame = {
-    val path = prefixMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d, t), {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-jacprefix").toString
-        val exploded = grams(s, d)
-          .select(col("doc_id"), size(col("grams")).as("sz"),
-            explode(col("grams")).as("gram"))
-        val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
-        val wPrefix = Window.partitionBy(col("doc_id"))
-          .orderBy(col("freq"), col("gram"))
-        exploded.join(freq, "gram")
-          .withColumn("rn", row_number().over(wPrefix))
-          .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
-          .select(col("doc_id"), col("gram"))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    s.read.parquet(path)
-  }
+  private def prefixIndex(s: SparkSession, d: String, t: Double): DataFrame =
+    memoParquet(prefixMemo, "graft-jacprefix", s, d, t) {
+      val exploded = grams(s, d)
+        .select(col("doc_id"), size(col("grams")).as("sz"),
+          explode(col("grams")).as("gram"))
+      val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      val wPrefix = Window.partitionBy(col("doc_id"))
+        .orderBy(col("freq"), col("gram"))
+      exploded.join(freq, "gram")
+        .withColumn("rn", row_number().over(wPrefix))
+        .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+        .select(col("doc_id"), col("gram"))
+    }
 
-  private def jaccardPairs(s: SparkSession, d: String, t: Double): DataFrame = {
-    val path = pairsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d, t), {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-jacpairs").toString
-        val prefix = prefixIndex(s, d, t)
-        val cand = prefix.as("x")
-          .join(prefix.as("y"),
-            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        verifyPairs(cand, grams(s, d), t).write.mode("overwrite").parquet(out)
-        out
-      })
-    s.read.parquet(path)
-  }
+  private def jaccardPairs(s: SparkSession, d: String, t: Double): DataFrame =
+    memoParquet(pairsMemo, "graft-jacpairs", s, d, t) {
+      val prefix = prefixIndex(s, d, t)
+      val cand = prefix.as("x")
+        .join(prefix.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      verifyPairs(cand, grams(s, d), t)
+    }
 
   /** (doc_id, component) for every near-dup group member at Jaccard
     * threshold `t` — q40's pairs closed under transitivity. Shared by
@@ -154,23 +141,33 @@ object DedupQueries {
     * pattern writes the component table once to shared storage and
     * every downstream consumer reads it.
     */
-  private val componentsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
-
-  private def components(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
-    val path = componentsMemo.getOrElseUpdate(
+  /** Session-scoped parquet memo: one (applicationId, sfDir, t)-keyed
+    * materialization per JVM, built on first use. See the rationale on
+    * [[jaccardPairs]] — a held DataFrame can't carry the memo because
+    * Bench/Verify sweep persisted blocks between queries.
+    */
+  private def memoParquet(memo: scala.collection.concurrent.TrieMap[(String, String, Double), String],
+                          prefix: String, s: SparkSession, d: String, t: Double)
+                         (build: => DataFrame): DataFrame = {
+    val path = memo.getOrElseUpdate(
       (s.sparkContext.applicationId, d, t), {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-components").toString
-        val edges = jaccardPairs(s, d, t)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        graft.operators.ConnectedComponents.labelPropagation(edges)
-          .select(col("id").as("doc_id"), col("component"))
-          .write.mode("overwrite").parquet(out)
+        val out = java.nio.file.Files.createTempDirectory(prefix).toString
+        build.write.mode("overwrite").parquet(out)
         out
       })
     s.read.parquet(path)
   }
+
+  private val componentsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
+
+  private def components(s: SparkSession, d: String, t: Double = 0.8): DataFrame =
+    memoParquet(componentsMemo, "graft-components", s, d, t) {
+      val edges = jaccardPairs(s, d, t)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.ConnectedComponents.labelPropagation(edges)
+        .select(col("id").as("doc_id"), col("component"))
+    }
 
   /** Recursive-CTE twin of [[components]] (caller prepends
     * `WITH RECURSIVE` and selects from `comp(doc_id, component)`).

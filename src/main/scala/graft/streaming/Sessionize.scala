@@ -28,8 +28,7 @@ object Sessionize {
   def fold(prev: List[(Long, Long, Long)], tsBatch: Array[Long],
            gapUs: Long): List[(Long, Long, Long)] = {
     var acc = prev.reverse // reversed: tail session first, O(1) access
-    java.util.Arrays.sort(tsBatch)
-    tsBatch.foreach { ts =>
+    tsBatch.sorted.foreach { ts => // sorted copy: callers keep their array
       acc = acc match {
         case (st0, end, n) :: rest if ts - end < gapUs =>
           (st0, math.max(end, ts), n + 1) :: rest

@@ -457,17 +457,33 @@ object Relational2 {
 
     // ---------------------------------------------------------------
     // q30: approximate distinct (HyperLogLog++) next to the exact count.
-    // No oracle: DuckDB's approx_count_distinct uses a different sketch;
-    // the ScalaTest asserts the 5% relative-error bound instead.
+    // The raw estimates are sketch-specific (DuckDB's
+    // approx_count_distinct is a different HLL), so the registered
+    // output emits the exact count plus the sketch's 5%-tolerance flag:
+    // each engine checks ITS OWN estimate against the shared exact
+    // ground truth, and the driver hash-checks that both sketches honor
+    // the bound (rsd=0.02 makes 5% a >2σ margin). The raw-estimate
+    // error bound stays pinned numerically in RowsOnlySpec.
     Q("q30_approx_distinct",
       (s, d) => {
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
             countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("approx") - col("exact_orders"))
+              <= col("exact_orders") * 0.05).cast("int").as("approx_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
-      None)
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               CAST(abs(approx_count_distinct(l_orderkey)
+                        - COUNT(DISTINCT l_orderkey))
+                    <= COUNT(DISTINCT l_orderkey) * 0.05 AS INT)
+                 AS approx_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """))
   )
 }

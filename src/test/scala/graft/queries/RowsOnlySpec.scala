@@ -11,7 +11,12 @@ class RowsOnlySpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("q30: HLL approx distinct within the configured 2% rsd (5% bound)") {
-    val rows = graft.SparkEntry.queries("q30_approx_distinct")(spark, dir)
+    // raw numeric bound on the sketch itself (the registered output
+    // carries only the tolerance flag — sketch values are engine-local)
+    val rows = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -20,6 +25,10 @@ class RowsOnlySpec extends SparkSuite {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"HLL error too large: approx=$approx exact=$exact")
     }
+    // and the registered flag must report the same verdict
+    val flags = graft.SparkEntry.queries("q30_approx_distinct")(spark, dir)
+      .collect().map(_.getAs[Int]("approx_within_5pct"))
+    assert(flags.nonEmpty && flags.forall(_ == 1))
   }
 
   test("q43: embedding near-dup pairs are real, ranked, and exactly scored") {

@@ -19,6 +19,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * the one-pass trade-off every incremental sessionizer makes; a
   * deployment with cross-batch disorder widens the batch boundary or
   * reconciles offline).
+  *
+  * Scale note: state holds each key's FULL session list, so state
+  * grows with session count per key — fine for bounded replays (the
+  * registered q71 drains a fixture), wrong for an unbounded stream.
+  * The production variant registers an event-time timeout, EMITS
+  * closed sessions once the watermark passes their end + gap, and
+  * keeps only the open tail session in state (bounded by keys, like
+  * q70's join state); the fold below is unchanged by that split.
   */
 object Sessionize {
 

@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.EventWindowQueries.all ++
     graft.queries.StreamingQueries.all ++
     graft.queries.MultimodalQueries.all ++
-    graft.queries.JoinQueries.all
+    graft.queries.JoinQueries.all ++
+    graft.queries.SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join orders⋈customer⋈nation⋈region with broadcast dims — the

@@ -19,6 +19,22 @@ class DedupQueriesSpec extends SparkSuite {
       s"LSH missed high-similarity pairs: ${exact diff lsh}")
   }
 
+  test("incremental probe agrees with the all-pairs sweep on cross-parity pairs") {
+    // q72 (asymmetric corpus-index probe) and q40 (all-pairs
+    // set-similarity join) are independent plans over the same theorem;
+    // on the even/odd split they must find EXACTLY the same pairs with
+    // the same scores
+    val full = graft.SparkEntry.queries("q40_neardup_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val crossFromFull = full.collect {
+      case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (a, b, j)
+      case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (b, a, j)
+    }.toSet
+    val incremental = graft.SparkEntry.queries("q72_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incremental === crossFromFull)
+  }
+
   test("simhash recovers most Jaccard near-dups with bounded noise") {
     // simhash Hamming<=3 is a different similarity notion than set
     // Jaccard: short docs can collide (false positives) and heavy

@@ -32,6 +32,20 @@ class SessionizeSpec extends SparkSuite {
       List((0L, 5 * Min, 2L)))
   }
 
+  test("q71's stateful sessions equal q47's session_window sessions") {
+    // two independent operators over the same ground truth: the
+    // mapGroupsWithState fold and Spark's session_window must produce
+    // identical (user, start, n) sessions on the events table
+    val dir = "/root/testdata/sf0.001"
+    val q71 = graft.SparkEntry.queries("q71_stateful_sessions")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).take(19), r.getLong(3))).toSet
+    val q47 = graft.SparkEntry.queries("q47_session_window")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(q71.nonEmpty && q71 === q47)
+  }
+
   test("state store carries an open session across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

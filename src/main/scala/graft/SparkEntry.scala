@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.StreamingQueries.all ++
     graft.queries.MultimodalQueries.all ++
     graft.queries.JoinQueries.all ++
-    graft.queries.SinkQueries.all
+    graft.queries.SinkQueries.all ++
+    graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join orders⋈customer⋈nation⋈region with broadcast dims — the

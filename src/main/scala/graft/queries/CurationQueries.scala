@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.ColumnOps.let
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * around the cleaning/dedup core: rule-based quality gating with
+  * per-document failure reasons (the Gopher/C4 filter pattern),
+  * right-to-be-forgotten purge propagation across linked tables, and a
+  * one-scan data-quality profile (the Deequ/metrics-gate pattern that
+  * decides whether a snapshot is fit to train on).
+  *
+  * All three are scan-shaped or broadcast-anti-join-shaped: at 100 TB
+  * the gate and the profile cost exactly one pass over the corpus and
+  * the purge costs one broadcast of the (small) deletion list per
+  * downstream table — no corpus shuffle anywhere.
+  */
+object CurationQueries {
+
+  /** Rule names shared between the Spark gate and its DuckDB twin. */
+  private val StopSample = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q75: composite quality gate with reasons — every rule evaluates
+    // per document in one projection (no shuffle; the orderBy is only
+    // the registered-output determinism contract). Thresholds compare
+    // in the integer domain (len_sum vs k*n_tok, 5*punct vs n_chars)
+    // so the gate is bit-reproducible across engines — no ratio
+    // doubles anywhere. A kept doc carries reasons = ''; a dropped doc
+    // lists every rule it failed (the audit trail curation teams keep).
+    Q("q75_quality_gate",
+      (s, d) => {
+        val gated = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
+            val nTok = size(ts).cast("long")
+            val lenSum = aggregate(transform(ts, t => length(t).cast("long")),
+              lit(0L), (a, l) => a + l)
+            val nStop = size(filter(ts, t => t.isin(StopSample: _*))).cast("long")
+            val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast("long")
+            val fails = array(
+              when(nTok < 20, lit("too_short")),
+              when(nTok > 2000, lit("too_long")),
+              when(lenSum < nTok * 2 || lenSum > nTok * 12, lit("word_len")),
+              when(punct * 5 >= length(col("text")).cast("long"), lit("symbol_soup")),
+              when(nStop === 0, lit("no_stopwords")))
+            struct(nTok.as("n_tok"),
+              concat_ws(",", filter(fails, f => f.isNotNull)).as("reasons"))
+          }.as("g"))
+        gated.select(col("doc_id"), col("g.n_tok").as("n_tok"),
+            when(col("g.reasons") === "", lit(1L)).otherwise(lit(0L)).as("keep"),
+            col("g.reasons").as("reasons"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(ts) AS BIGINT) AS n_tok,
+                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
+                 CAST(len(list_filter(ts,
+                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
+                 CAST(len(text) AS BIGINT) AS n_chars
+          FROM t
+        ), r AS (
+          SELECT doc_id, n_tok,
+                 COALESCE(array_to_string(list_filter([
+                   CASE WHEN n_tok < 20 THEN 'too_short' END,
+                   CASE WHEN n_tok > 2000 THEN 'too_long' END,
+                   CASE WHEN len_sum < n_tok * 2 OR len_sum > n_tok * 12 THEN 'word_len' END,
+                   CASE WHEN punct * 5 >= n_chars THEN 'symbol_soup' END,
+                   CASE WHEN n_stop = 0 THEN 'no_stopwords' END
+                 ], x -> x IS NOT NULL), ','), '') AS reasons
+          FROM m
+        )
+        SELECT doc_id, n_tok,
+               CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
+        FROM r ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q76: purge propagation (right-to-be-forgotten / takedown): a
+    // small deletion list (doc_id % 97 = 0 stands in for the request
+    // table) is BROADCAST and anti-joined against every table keyed by
+    // the same identity — documents and the 1:1-linked embeddings —
+    // so each downstream table pays one map-side anti-join, never a
+    // corpus shuffle. Output: post-purge group counts per table, the
+    // audit a deletion pipeline must produce.
+    Q("q76_purge_cascade",
+      (s, d) => {
+        val purge = broadcast(
+          Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("pid")))
+        val docsAfter = Tables.documents(s, d)
+          .join(purge, col("doc_id") === col("pid"), "left_anti")
+          .groupBy(col("source").as("grp"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("documents").as("tbl"), col("grp"), col("n"))
+        val embAfter = Tables.embeddings(s, d)
+          .join(purge, col("vec_id") === col("pid"), "left_anti")
+          .groupBy(col("label").cast("string").as("grp"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("embeddings").as("tbl"), col("grp"), col("n"))
+        docsAfter.unionAll(embAfter).orderBy(col("tbl"), col("grp"))
+      },
+      Some("""
+        WITH purge AS (SELECT doc_id AS pid FROM documents WHERE doc_id % 97 = 0),
+        a AS (
+          SELECT 'documents' AS tbl, source AS grp, COUNT(*) AS n
+          FROM documents WHERE doc_id NOT IN (SELECT pid FROM purge)
+          GROUP BY source
+          UNION ALL
+          SELECT 'embeddings', CAST(label AS VARCHAR), COUNT(*)
+          FROM embeddings WHERE vec_id NOT IN (SELECT pid FROM purge)
+          GROUP BY label
+        )
+        SELECT tbl, grp, n FROM a ORDER BY tbl, grp
+      """)),
+
+    // ---------------------------------------------------------------
+    // q77: data-quality profile — the metrics gate a pipeline computes
+    // over every snapshot before training on it (Deequ/Great-
+    // Expectations family): per-column completeness (null count),
+    // exact cardinality, numeric min/max, and a domain-conformity
+    // count, all from ONE wide aggregate over the table (the
+    // count_distinct columns share the single Expand-based aggregate;
+    // no per-metric rescans), then unpivoted to (metric, col, value)
+    // rows via stack. Doubles enter the integer domain (floor*100)
+    // before emission.
+    Q("q77_dq_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        val aggs =
+          cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")) ++
+          cols.map(c => count_distinct(col(c)).as(s"dist_$c")) ++
+          Seq(min(col("o_orderkey")).as("min_o_orderkey"),
+            max(col("o_orderkey")).as("max_o_orderkey"),
+            min(col("o_custkey")).as("min_o_custkey"),
+            max(col("o_custkey")).as("max_o_custkey"),
+            min(floor(col("o_totalprice") * 100).cast("long")).as("min_o_totalprice"),
+            max(floor(col("o_totalprice") * 100).cast("long")).as("max_o_totalprice"),
+            sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+              .as("conform_o_orderstatus"))
+        val wide = o.agg(aggs.head, aggs.tail: _*)
+        val pairs = (cols.map(c => ("null_count", c)) ++
+          cols.map(c => ("distinct_count", c)) ++
+          Seq(("min", "o_orderkey"), ("max", "o_orderkey"),
+            ("min", "o_custkey"), ("max", "o_custkey"),
+            ("min", "o_totalprice"), ("max", "o_totalprice"),
+            ("nonconforming", "o_orderstatus")))
+        val srcCol = Map("null_count" -> "null_", "distinct_count" -> "dist_",
+          "min" -> "min_", "max" -> "max_", "nonconforming" -> "conform_")
+        val stackArgs = pairs.map { case (m, c) =>
+          s"'$m', '$c', cast(${srcCol(m) + c} as bigint)"
+        }.mkString(", ")
+        wide.selectExpr(
+            s"stack(${pairs.size}, $stackArgs) as (metric, col, value)")
+          .orderBy(col("metric"), col("col"))
+      },
+      Some("""
+        SELECT metric, col, value FROM (
+          SELECT 'null_count' AS metric, 'o_orderkey' AS col,
+                 CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS value FROM orders
+          UNION ALL SELECT 'null_count', 'o_custkey',
+                 CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'null_count', 'o_orderstatus',
+                 CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) FROM orders
+          UNION ALL SELECT 'null_count', 'o_totalprice',
+                 CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) FROM orders
+          UNION ALL SELECT 'null_count', 'o_orderpriority',
+                 CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) FROM orders
+          UNION ALL SELECT 'distinct_count', 'o_orderkey',
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'distinct_count', 'o_custkey',
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'distinct_count', 'o_orderstatus',
+                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+          UNION ALL SELECT 'distinct_count', 'o_totalprice',
+                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+          UNION ALL SELECT 'distinct_count', 'o_orderpriority',
+                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+          UNION ALL SELECT 'min', 'o_orderkey',
+                 CAST(MIN(o_orderkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'max', 'o_orderkey',
+                 CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'min', 'o_custkey',
+                 CAST(MIN(o_custkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'max', 'o_custkey',
+                 CAST(MAX(o_custkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'min', 'o_totalprice',
+                 CAST(MIN(floor(o_totalprice * 100)) AS BIGINT) FROM orders
+          UNION ALL SELECT 'max', 'o_totalprice',
+                 CAST(MAX(floor(o_totalprice * 100)) AS BIGINT) FROM orders
+          UNION ALL SELECT 'nonconforming', 'o_orderstatus',
+                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        ) ORDER BY metric, col
+      """))
+  )
+}

@@ -478,6 +478,92 @@ object DedupQueries {
             col("rank"))
           .orderBy(col("rank"))
       },
-      None)
+      None),
+
+    // ---------------------------------------------------------------
+    // q74: exact SUBSTRING dedup (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"): remove every 10-token span
+    // that occurs more than once ANYWHERE in the corpus, keeping the
+    // rest of each document — finer-grained than whole-doc dedup (q39)
+    // or near-dup (q40): it scrubs boilerplate and partial copies that
+    // whole-document keys never see. A token survives iff NO shared
+    // span covers it.
+    //
+    // Scale shape: one span explode (corpus × avg_len rows of 8-byte
+    // hashes), ONE aggregate shuffle keyed by span hash (freq >= 2),
+    // a narrow join back to (doc, start) and a per-doc collect of the
+    // (few) shared starts; the reassembly is a single equi-join of the
+    // corpus with that small table — AQE broadcasts it when the
+    // duplicated population is small, and the per-row rebuild is a
+    // codegen'd HOF over token positions. Spans are carried as
+    // xxhash64 longs (exact whp, the q40/q61 argument: the oracle
+    // joins raw span strings, so a collision surfaces as a hash
+    // mismatch rather than passing silently).
+    Q("q74_substring_dedup",
+      (s, d) => {
+        val W = 10
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val spans = toks
+          .filter(size(col("ts")) >= W)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("ts")) - (W - 1)),
+              i => struct(i.as("start"),
+                xxhash64(concat_ws(" ", slice(col("ts"), i, lit(W)))).as("h"))))
+            .as("sp"))
+          .select(col("doc_id"), col("sp.start").as("start"), col("sp.h").as("h"))
+        val shared = spans.groupBy(col("h"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("h"))
+        val sharedStarts = spans.join(shared, "h")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("start"))).as("ss"))
+        toks.join(sharedStarts, Seq("doc_id"), "left")
+          .withColumn("ss", coalesce(col("ss"), array().cast("array<int>")))
+          .withColumn("kept",
+            filter(sequence(lit(1), size(col("ts"))),
+              j => !exists(col("ss"), st => st >= j - (W - 1) && st <= j)))
+          .select(col("doc_id"),
+            size(col("ts")).cast("long").as("n_tok"),
+            (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"),
+            concat_ws(" ",
+              transform(col("kept"), j => element_at(col("ts"), j))).as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sp AS (
+          SELECT doc_id, u.s AS start, u.sp AS span FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts) - 8),
+                     i -> {'s': i,
+                           'sp': array_to_string(list_slice(ts, i, i + 9), ' ')}))
+                     AS u
+            FROM t WHERE len(ts) >= 10)
+        ), shared AS (
+          SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2
+        ), ss AS (
+          SELECT doc_id, list_sort(list(start)) AS ss
+          FROM sp WHERE span IN (SELECT span FROM shared)
+          GROUP BY doc_id
+        ), f AS (
+          SELECT t.doc_id, t.ts, COALESCE(ss.ss, []) AS ss,
+                 list_filter(range(1, len(t.ts) + 1),
+                   j -> len(list_filter(COALESCE(ss.ss, []),
+                              st -> st >= j - 9 AND st <= j)) = 0) AS kept
+          FROM t LEFT JOIN ss ON t.doc_id = ss.doc_id
+        )
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_tok,
+               CAST(len(ts) - len(kept) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_transform(kept, j -> ts[j]), ' '),
+                        '') AS cleaned
+        FROM f ORDER BY doc_id
+      """))
   )
 }

@@ -55,4 +55,44 @@ class DedupQueriesSpec extends SparkSuite {
     val docs = graft.Tables.documents(spark, dir).count()
     assert(total == docs)
   }
+
+  private def substringDedup(docs: Seq[(Long, String)]): Map[Long, (Long, String)] = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssd").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    graft.SparkEntry.queries("q74_substring_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+  }
+
+  test("substring dedup removes exactly the tokens covered by a shared 10-token span") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ") // the duplicated span
+    val out = substringDedup(Seq(
+      1L -> s"alpha beta $span gamma delta",
+      2L -> s"$span tail1 tail2",
+      3L -> "completely unrelated text with no shared spans at all here"))
+    // doc 1: 14 tokens, the 10 span tokens removed, prefix+suffix survive
+    assert(out(1L) === ((10L, "alpha beta gamma delta")))
+    // doc 2: span at position 1 removed, tail survives
+    assert(out(2L) === ((10L, "tail1 tail2")))
+    // doc 3: untouched
+    assert(out(3L)._1 === 0L)
+  }
+
+  test("substring dedup counts an intra-document repeat as shared") {
+    val span = (1 to 10).map(i => s"r$i").mkString(" ")
+    val out = substringDedup(Seq(
+      1L -> s"$span mid $span", // the same span twice within one doc
+      2L -> "some other words making up a quiet unrelated document"))
+    // both occurrences removed; overlapping coverage keeps only "mid"
+    assert(out(1L) === ((20L, "mid")))
+    assert(out(2L)._1 === 0L)
+  }
+
+  test("substring dedup leaves sub-window documents untouched") {
+    val out = substringDedup(Seq(
+      1L -> "short doc under ten tokens",
+      2L -> "short doc under ten tokens")) // exact dup, but no 10-token span
+    assert(out(1L)._1 === 0L && out(2L)._1 === 0L)
+  }
 }

@@ -481,6 +481,52 @@ object DedupQueries {
       None),
 
     // ---------------------------------------------------------------
+    // q78: containment search (asymmetric near-dup): find (a, b) with
+    // |grams(a) ∩ grams(b)| / |grams(a)| >= 0.9 — "a is mostly an
+    // excerpt of b". Jaccard misses these when |b| >> |a| (a quote
+    // inside a long page has tiny Jaccard but containment ~1), so a
+    // curation pipeline runs BOTH: q40 for mutual near-dups, this for
+    // partial copies. Candidates: the prefix-filter theorem holds
+    // one-sided — inter >= t|a| forces a's floor((1-t)|a|)+1 rarest
+    // grams to intersect b's FULL set — so the join is a's prefix
+    // against the full inverted index. The shared t=0.8 prefix index
+    // (longer prefixes than containment-0.9 needs, recall preserved)
+    // is reused from q40/q72's session memo; prefix grams are the
+    // corpus-rarest, so the index is only ever probed at rare grams
+    // and the fan-out stays bounded. The all-pairs oracle is exact.
+    Q("q78_containment",
+      (s, d) => {
+        val t = 0.9
+        val g = grams(s, d)
+        val fullIndex = g.select(col("doc_id").as("doc_b"),
+          explode(col("grams")).as("bgram"))
+        val cand = prefixIndex(s, d, 0.8).as("x")
+          .join(fullIndex, col("x.gram") === col("bgram")
+            && col("x.doc_id") =!= col("doc_b"))
+          .select(col("x.doc_id").as("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+          .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+          .withColumn("inter",
+            graft.functions.ColumnOps.setIntersectCountSorted(col("ga"), col("gb")))
+          .filter(col("inter").cast("double") >= lit(t) * size(col("ga")))
+          .select(col("doc_a"), col("doc_b"),
+            floor(col("inter") * 10000 / size(col("ga"))).as("cont_e4"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH g AS ($DGrams)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(floor(len(list_intersect(a.grams, b.grams)) * 10000 / a.sz)
+                    AS BIGINT) AS cont_e4
+        FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                >= 0.9 * a.sz
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---------------------------------------------------------------
     // q74: exact SUBSTRING dedup (Lee et al., "Deduplicating Training
     // Data Makes Language Models Better"): remove every 10-token span
     // that occurs more than once ANYWHERE in the corpus, keeping the

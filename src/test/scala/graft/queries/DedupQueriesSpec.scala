@@ -56,6 +56,27 @@ class DedupQueriesSpec extends SparkSuite {
     assert(total == docs)
   }
 
+  test("containment finds an excerpt inside a long doc that Jaccard misses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    Seq(
+      1L -> (1 to 12).map(i => s"tok$i").mkString(" "), // excerpt of doc 2
+      2L -> body,
+      3L -> (100 to 160).map(i => s"other$i").mkString(" "))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val cont = graft.SparkEntry.queries("q78_containment")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1's 10 grams all appear in doc 2 -> containment 1.0, one-sided
+    assert(cont(1L -> 2L) === 10000L)
+    assert(!cont.contains(2L -> 1L), "the long doc is NOT contained in the excerpt")
+    // mutual Jaccard is 10/58 ~ 0.17: q40 at t=0.8 must NOT pair them
+    val jac = graft.SparkEntry.queries("q40_neardup_jaccard")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains(1L -> 2L))
+  }
+
   private def substringDedup(docs: Seq[(Long, String)]): Map[Long, (Long, String)] = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssd").toString

@@ -183,6 +183,59 @@ object StreamingQueries {
                COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
       """),
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q79: streaming deduplication of a REPLAYED event stream — the
+    // at-least-once-delivery reality: upstream systems (retried
+    // producers, replayed partitions) deliver every event at least
+    // once, and the consumer dedups on event_id with
+    // dropDuplicatesWithinWatermark, whose per-key state is EVICTED
+    // once the watermark passes the event (bounded state at any
+    // scale, unlike plain streaming dropDuplicates which keeps every
+    // key forever). The fixture doubles the purchase stream (verbatim
+    // replay) into one sorted file; under AvailableNow the run equals
+    // the batch DISTINCT the oracle computes. Multi-batch semantics —
+    // in-watermark duplicate dropped, post-eviction duplicate
+    // re-emitted — are pinned by StreamDedupSpec (arrival-order-
+    // dependent, so no batch oracle can mirror them).
+    Q("q79_stream_dedup",
+      (s, d) => {
+        val base = Files.createTempDirectory("graft_q79").toString
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        p.unionAll(p) // verbatim at-least-once replay
+          .coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
+          .write.parquet(s"$base/in")
+        val input = s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("ts", TimestampType), StructField("user_id", LongType))))
+          .parquet(s"$base/in")
+          .withWatermark("ts", "60 days")
+        val q = input.dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+        s.read.schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("ts", TimestampType), StructField("user_id", LongType))))
+          .parquet(s"$base/out")
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("user_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT DISTINCT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, user_id
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY event_id
+      """),
       bench = false)
   )
 }

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, prefixing every
+// stdout line with "[info] " — which breaks machine parsing of Bench's
+// single JSON metric line (the harness json-parses stdout lines; a
+// prefixed line never parses). StdoutOutput passes the child's
+// stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

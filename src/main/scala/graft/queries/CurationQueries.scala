@@ -86,6 +86,71 @@ object CurationQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q82: quality-classifier scoring — the learned-gate companion to
+    // q75's rule gate: a linear model over handcrafted per-document
+    // features (the fasttext/logistic-regression pattern corpus teams
+    // train on labeled quality judgments), applied map-side in one
+    // scan. Weights here are fixed constants — training is offline;
+    // what the ENGINE owns is exact, scalable scoring — and every
+    // feature is integer-domain (per-mille rates via exact integer
+    // division, never a double ratio), so score and label are
+    // bit-reproducible cross-engine. At 100 TB: one scan, no shuffle
+    // except the output ordering contract.
+    Q("q82_quality_classifier",
+      (s, d) => {
+        // exact integer division: (a - a mod b) / b — the subtraction
+        // makes the numerator an exact multiple, so the double divide
+        // is exact (both engines; positive operands only)
+        def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ((a - pmod(a, b)) / b).cast("long")
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
+            val nTok = size(ts).cast("long")
+            val lenSum = aggregate(transform(ts, t => length(t).cast("long")),
+              lit(0L), (a, l) => a + l)
+            val nStop = size(filter(ts, t => t.isin(StopSample: _*))).cast("long")
+            let(idiv(nStop * 1000L, nTok)) { stopPm =>
+              let(idiv(lenSum * 1000L, nTok)) { mwlPm =>
+                struct(nTok.as("n_tok"), stopPm.as("stop_pm"),
+                  (lit(10L) * nTok + lit(5L) * stopPm
+                    - lit(2L) * abs(mwlPm - 4500L)).as("score"))
+              }
+            }
+          }.as("f"))
+        scored.select(col("doc_id"), col("f.n_tok").as("n_tok"),
+            col("f.stop_pm").as("stop_pm"), col("f.score").as("score"),
+            (col("f.score") >= 600L).cast("int").as("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(ts) AS BIGINT) AS n_tok,
+                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
+                 CAST(len(list_filter(ts,
+                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop
+          FROM t
+        ), f AS (
+          SELECT doc_id, n_tok,
+                 (n_stop * 1000) // n_tok AS stop_pm,
+                 (len_sum * 1000) // n_tok AS mwl_pm
+          FROM m
+        ), sc AS (
+          SELECT doc_id, n_tok, stop_pm,
+                 10 * n_tok + 5 * stop_pm - 2 * abs(mwl_pm - 4500) AS score
+          FROM f
+        )
+        SELECT doc_id, n_tok, stop_pm, score,
+               CAST(score >= 600 AS INT) AS label
+        FROM sc ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
     // q76: purge propagation (right-to-be-forgotten / takedown): a
     // small deletion list (doc_id % 97 = 0 stands in for the request
     // table) is BROADCAST and anti-joined against every table keyed by

@@ -256,6 +256,94 @@ object VectorQueries {
                CAST(floor(MIN(nrm) * 1000) AS BIGINT) AS min_norm_e3,
                CAST(floor(MAX(nrm) * 1000) AS BIGINT) AS max_norm_e3
         FROM n GROUP BY label ORDER BY label
+      """)),
+
+    // ---------------------------------------------------------------
+    // q80: semantic dedup (the SemDeDup pattern, Abbas et al. 2023):
+    // cluster the embedding space, then look for near-duplicate pairs
+    // ONLY within a cluster — the clustering bounds the pair space, so
+    // the quadratic blowup is per-cluster, never corpus-wide. At 100 TB
+    // the corpus shuffles ONCE keyed by cluster id and each cluster's
+    // pairwise sweep is an independent task (skew knob: split oversized
+    // clusters by a secondary LSH bucket, the q43 machinery).
+    //
+    // Centroids here are the deterministic fixed set (embeddings of
+    // vec_id < C) rather than learned k-means — the choice of centroid
+    // set changes WHICH clusters form, not the operator's semantics,
+    // and a deterministic set makes the whole query (assignment,
+    // per-cluster pairs, ranks) exactly reproducible in the DuckDB
+    // twin, so this entry is hash-checked end-to-end, unlike the
+    // recall-bound q37/q43. Assignment ties break to the lower
+    // centroid id on both engines.
+    //
+    // The corpus has no true semantic dups (max pairwise cos ~0.6), so
+    // the registered output is each cluster's top-3 most-similar pairs
+    // — the ranking a SemDeDup threshold would consume.
+    Q("q80_semantic_dedup",
+      (s, d) => {
+        val C = 8
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+        val cent = e.filter(col("vec_id") < C)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        // assignment: O(N·C) map-side scores against the broadcast
+        // centroid set, argmax by (cos, lower cid) — one aggregate
+        // keyed by vec_id, no corpus self-join anywhere in this phase
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("cos",
+            VectorFunctions.dotNative(col("emb"), col("cemb"))
+              / (col("nrm") * col("cnrm")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"),
+            struct(col("cos"), (-col("cid")).as("tb"))).as("cluster"))
+        val member = e.join(assign, "vec_id")
+        val pairs = member.as("x")
+          .join(member.as("y"),
+            col("x.cluster") === col("y.cluster")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.cluster").as("cluster"),
+            col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            (VectorFunctions.dotNative(col("x.emb"), col("y.emb"))
+              / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        TopK.perKey(pairs, Seq("cluster"),
+            Seq(col("cos").desc, col("vec_a"), col("vec_b")), 3)
+          .select(col("cluster"), col("rank"), col("vec_a"), col("vec_b"),
+            floor(col("cos") * 100).as("score_e2"))
+          .orderBy(col("cluster"), col("rank"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8
+        ), s AS (
+          SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.emb, c.cemb) AS cos
+          FROM e, c
+        ), a AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM s) WHERE rn = 1
+        ), p AS (
+          SELECT ax.cluster, ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+                 list_cosine_similarity(ea.emb, eb.emb) AS cos
+          FROM e ea JOIN a ax ON ea.vec_id = ax.vec_id
+               JOIN a ay ON ax.cluster = ay.cluster
+               JOIN e eb ON eb.vec_id = ay.vec_id
+          WHERE ea.vec_id < eb.vec_id
+        ), r AS (
+          SELECT cluster, vec_a, vec_b, cos,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                                    ORDER BY cos DESC, vec_a, vec_b) AS rank
+          FROM p
+        )
+        SELECT cluster, rank, vec_a, vec_b,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2
+        FROM r WHERE rank <= 3 ORDER BY cluster, rank
       """))
   )
 }

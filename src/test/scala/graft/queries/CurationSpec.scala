@@ -95,6 +95,39 @@ class CurationSpec extends SparkSuite {
     assert(m(("nonconforming", "o_orderstatus")) === 1L)
   }
 
+  test("q82 classifier: score moves with the features it weights") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    val filler = Seq.fill(40)("word").mkString(" ") // 40 tokens, mwl 4000
+    Seq(
+      1L -> s"$filler the the the the the the the the the the", // 10 stopwords
+      2L -> s"$filler word word word word word word word word word word",
+      3L -> (Seq.fill(50)("extraordinarily").mkString(" ")) // mwl far from 4500
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.all.find(_.name == "q82_quality_classifier").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 50 tok, 10/50 stopwords -> stop_pm 200; mwl: (40*4+10*3)*1000/50=3800
+    //   score = 10*50 + 5*200 - 2*|3800-4500| = 500 + 1000 - 1400 = 100
+    assert(out(1L) === ((50L, 200L, 100L)))
+    // doc 2: same length, zero stopwords, mwl 4000 -> 500 + 0 - 1000 = -500
+    assert(out(2L) === ((50L, 0L, -500L)))
+    // doc 3: 50 long tokens, mwl 15000 -> 500 + 0 - 2*10500 = -20500
+    assert(out(3L)._3 === -20500L)
+  }
+
+  test("q82 classifier plan: map-side scoring, single scan, no shuffle before the sort") {
+    val df = CurationQueries.all.find(_.name == "q82_quality_classifier").get
+      .run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected a single documents scan, saw $scans")
+    // the only exchange allowed is the output-ordering range partition
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected non-ordering exchange:\n$plan")
+  }
+
   test("q77 profile plan: one aggregate pass, no per-metric rescans") {
     val df = CurationQueries.all.find(_.name == "q77_dq_profile").get
       .run(spark, "/root/testdata/sf0.001")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.expressions.{SetExpressions, VectorExpressions}
+import graft.expressions.{SetExpressions, SignatureAggregates, VectorExpressions}
 
 /** Engine extension point — the library's native expressions become SQL
   * functions in any session built with
@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def all = VectorExpressions.functions ++ SetExpressions.functions
+  private def all = VectorExpressions.functions ++ SetExpressions.functions ++
+    SignatureAggregates.functions
 
   /** Idempotent per-session registration for sessions not built with
     * the extensions config (e.g. a shared test session). Registers the

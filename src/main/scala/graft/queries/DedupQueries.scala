@@ -329,14 +329,14 @@ object DedupQueries {
       (s, d) => {
         val t = 0.7
         val g = grams(s, d)
-        // signatures via ONE codegen'd hash aggregate over exploded
-        // shingles (the array form runs 32 interpreted passes per doc)
-        val sigAggs = NearDup.minhashAggs(col("gram"), 32)
+        // signatures via ONE custom Catalyst aggregate over exploded
+        // shingles (single primitive-array buffer; the 32-column MIN
+        // form pays 32 expression evaluations per row and a recombine
+        // projection, the array form 32 interpreted passes per doc)
         val banded = g
           .select(col("doc_id"), explode(col("grams")).as("gram"))
           .groupBy(col("doc_id"))
-          .agg(sigAggs.head, sigAggs.tail: _*)
-          .withColumn("sig", NearDup.minhashAggsToSig(32))
+          .agg(NearDup.minhashAggNative(col("gram"), 32).as("sig"))
           .withColumn("b", explode(NearDup.minhashBands(col("sig"), 8, 4)))
           .select(col("doc_id"), col("b.band").as("band"), col("b.bval").as("bval"))
           .persist(StorageLevel.MEMORY_AND_DISK) // signatures once, not per join side
@@ -362,11 +362,12 @@ object DedupQueries {
     // truth stays pinned by DedupQueriesSpec.
     Q("q42_simhash",
       (s, d) => {
-        // simhash via one codegen'd bit-vote aggregate over exploded
-        // token hashes (the column form runs 56 interpreted filters per
-        // doc). Persisted: the Hamming filter otherwise gets pushed into
+        // simhash via ONE custom Catalyst bit-vote aggregate over
+        // exploded token hashes (single 56-slot buffer, one fused loop
+        // per row; the 56-SUM form pays 56 expression evaluations per
+        // row, the column form 56 interpreted filters per doc).
+        // Persisted: the Hamming filter otherwise gets pushed into
         // the self-join condition and recomputed per candidate pair.
-        val voteAggs = NearDup.simhashAggs(col("h"), bits = 56)
         // plain explode: token-less docs drop out (they have no simhash
         // signal; explode_outer would inject a phantom null-hash token)
         val hashed = Tables.documents(s, d)
@@ -374,8 +375,7 @@ object DedupQueries {
             explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .withColumn("h", TextAnalysis.tokenHash56(col("tok")))
           .groupBy(col("doc_id"))
-          .agg(voteAggs.head, voteAggs.tail: _*)
-          .select(col("doc_id"), NearDup.simhashAggsToHash(bits = 56).as("sh"))
+          .agg(NearDup.simhashAggNative(col("h"), bits = 56).as("sh"))
         val banded = hashed
           .withColumn("b", explode(NearDup.simhashBands(col("sh"), 4, 14)))
           .select(col("doc_id"), col("sh"), col("b.band").as("band"),

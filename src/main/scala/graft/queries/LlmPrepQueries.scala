@@ -372,6 +372,46 @@ object LlmPrepQueries {
                CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_kept
         FROM r GROUP BY source ORDER BY source
+      """)),
+
+    // ---------------------------------------------------------------
+    // q83: training-order shuffle + sharding — the EXPORT step after
+    // curation/mixing: give every document a reproducible pseudorandom
+    // position (order by a seeded hash — a deterministic permutation,
+    // not engine `rand()` whose stream is partitioning-dependent),
+    // then round-robin positions into S shards so every shard is a
+    // uniform sample of the shuffled order and shard sizes differ by
+    // at most one (what a data loader wants: any shard prefix is an
+    // unbiased curriculum slice).
+    //
+    // Scale shape: the global position comes from the two-phase
+    // GlobalRank (range repartition on the hash key + broadcast
+    // offsets) — no single-task sort of the corpus anywhere; S is a
+    // free knob and the shard assignment is arithmetic on the rank.
+    // Bit-reproducible (md5 order, integer arithmetic) ⟹ exact oracle.
+    Q("q83_train_shuffle",
+      (s, d) => {
+        val S = 8
+        val keyed = Tables.documents(s, d).select(col("doc_id"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("k"))
+        graft.operators.GlobalRank
+          .withGlobalRank(keyed, Seq(col("k"), col("doc_id")), "pos")
+          .withColumn("p", col("pos") - 1)
+          .select(col("doc_id"),
+            (col("p") % S).as("shard"),
+            ((col("p") - col("p") % S) / S).cast("long").as("pos_in_shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   - 1 AS p
+          FROM documents
+        )
+        SELECT doc_id, p % 8 AS shard, p // 8 AS pos_in_shard
+        FROM r ORDER BY doc_id
       """))
   )
 }

@@ -466,11 +466,24 @@ object Relational2 {
     // error bound stays pinned numerically in RowsOnlySpec.
     Q("q30_approx_distinct",
       (s, d) => {
-        Tables.lineitem(s, d)
+        // The sketch and the exact count are computed in SEPARATE
+        // aggregations on purpose: mixing countDistinct with
+        // approx_count_distinct makes Spark's distinct rewrite key the
+        // FIRST-level aggregate by (flag, orderkey) while carrying the
+        // partial HLL buffer — ~3 KB at rsd=0.02 — on every one of the
+        // ~N_distinct groups (observed ~1 GB of aggregation buffer at
+        // sf0.1, spill-prone and memory-sensitive). Split, the HLL
+        // buffers exist only per FLAG group, the exact path is a plain
+        // two-level distinct, and the 3-row join is broadcast. Two
+        // scans of a 2-column pruned parquet are noise by comparison.
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"))
+        val exact = li.distinct()
           .groupBy(col("l_returnflag"))
-          .agg(
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .agg(count(lit(1)).as("exact_orders"))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        exact.join(broadcast(approx), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("exact_orders"),
             (abs(col("approx") - col("exact_orders"))
               <= col("exact_orders") * 0.05).cast("int").as("approx_within_5pct"))

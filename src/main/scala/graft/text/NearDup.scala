@@ -71,6 +71,28 @@ object NearDup {
       when(col(s"__sb$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
 
+  /** [[simhashAggs]]+[[simhashAggsToHash]] as ONE custom Catalyst
+    * aggregate ([[graft.expressions.SimHashAgg]]): the whole bit-vote
+    * state lives in a single primitive-array buffer updated in one
+    * fused loop per row, instead of `bits` separate SUM aggregate
+    * columns. Identical values (spec-pinned).
+    */
+  def simhashAggNative(tokenHash: Column, bits: Int = 64): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.SimHashAgg(
+        org.apache.spark.sql.GraftBridge.expression(tokenHash), bits)
+        .toAggregateExpression())
+
+  /** [[minhashAggs]]+[[minhashAggsToSig]] as ONE custom Catalyst
+    * aggregate ([[graft.expressions.MinHashAgg]]); bit-identical
+    * signatures including the xxhash64 seed chaining (spec-pinned).
+    */
+  def minhashAggNative(gramHash: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MinHashAgg(
+        org.apache.spark.sql.GraftBridge.expression(gramHash), k)
+        .toAggregateExpression())
+
   /** Pigeonhole bands for Hamming search: any two hashes within Hamming
     * distance `bands - 1` agree exactly on at least one of the `bands`
     * disjoint `bandBits`-bit bands (default: 64-bit hash, 4×16).

@@ -139,6 +139,28 @@ class LlmPrepSpec extends SparkSuite {
     }
   }
 
+  test("q83: a permutation into balanced shards, stable across runs") {
+    val q = graft.SparkEntry.queries("q83_train_shuffle")
+    val r1 = q(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r2 = q(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r1.toSeq === r2.toSeq, "shuffle order not reproducible")
+    val n = r1.length
+    // every doc appears exactly once
+    assert(r1.map(_._1).distinct.length === n)
+    val byShard = r1.groupBy(_._2)
+    assert(byShard.keySet === (0L until 8L).toSet)
+    // round-robin: shard sizes differ by at most one...
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // ...and within-shard positions are dense 0..size-1
+    byShard.foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted.toSeq === (0L until g.length.toLong).toSeq,
+        s"shard $shard positions not dense")
+    }
+  }
+
   test("q64 companion: percentile_approx sketch tracks exact percentile") {
     // the 100 TB path is the one-pass bounded-memory sketch; q64's
     // oracle uses exact percentile (approx algorithms differ across

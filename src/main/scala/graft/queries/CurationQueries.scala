@@ -190,6 +190,55 @@ object CurationQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q84: snapshot diff — the dataset-versioning primitive: compare
+    // two corpus snapshots by (doc_id, content hash) and classify every
+    // document added / removed / changed / unchanged — what an
+    // incremental pipeline consumes to reprocess ONLY the delta, and
+    // what an audit needs to explain a training set across releases.
+    // The "old" snapshot is derived deterministically from the fixture
+    // corpus (one-in-11 docs absent = later additions; one-in-13
+    // carry a different content hash = edits) so both engines can
+    // reconstruct it exactly. Scale shape: ONE full-outer join keyed
+    // by doc_id (bucketed layout in production makes it shuffle-free);
+    // content equality compares 32-char digests, never full text.
+    Q("q84_snapshot_diff",
+      (s, d) => {
+        // one-in-17 absent from NEW = removals, so all four statuses occur
+        val newSnap = Tables.documents(s, d)
+          .filter(col("doc_id") % 17 =!= 16)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val oldSnap = Tables.documents(s, d)
+          .filter(col("doc_id") % 11 =!= 10)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, md5(concat(col("text"), lit(":prev"))))
+              .otherwise(md5(col("text"))).as("h"))
+        oldSnap.as("o")
+          .join(newSnap.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+          .select(
+            coalesce(col("n.doc_id"), col("o.doc_id")).as("doc_id"),
+            when(col("o.doc_id").isNull, "added")
+              .when(col("n.doc_id").isNull, "removed")
+              .when(col("o.h") =!= col("n.h"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH n AS (SELECT doc_id, md5(text) AS h FROM documents
+                   WHERE doc_id % 17 <> 16),
+        o AS (SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN md5(text || ':prev')
+                          ELSE md5(text) END AS h
+              FROM documents WHERE doc_id % 11 <> 10)
+        SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
     // q77: data-quality profile — the metrics gate a pipeline computes
     // over every snapshot before training on it (Deequ/Great-
     // Expectations family): per-column completeness (null count),

@@ -610,6 +610,54 @@ object DedupQueries {
                COALESCE(array_to_string(list_transform(kept, j -> ts[j]), ' '),
                         '') AS cleaned
         FROM f ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q85: leakage-safe train/val/test split — the assignment is keyed
+    // by each document's NEAR-DUP GROUP keeper (q57's component, or the
+    // doc itself when unduplicated), not by the document: a plain
+    // per-doc hash split leaks near-duplicate content across the
+    // boundary (train memorizes a doc whose near-copy sits in val, and
+    // the eval is contaminated — the split-level cousin of q61's
+    // benchmark screen). Buckets come from the q68-style 56-bit md5
+    // integer, so assignment is bit-reproducible and the oracle
+    // recomputes the whole thing — groups included — exactly.
+    // Scale shape: the component table is near-dup members only
+    // (corpus-tiny), so the group key is a BROADCAST left join onto the
+    // corpus scan and the split itself is map-side arithmetic; one
+    // shuffle total for the output ordering contract.
+    Q("q85_leakage_safe_split",
+      (s, d) => {
+        val comp = components(s, d)
+        val keeper = coalesce(col("component"), col("doc_id"))
+        val h = conv(substring(md5(encode(
+          concat(lit("split42:"), keeper.cast("string")), "utf-8")),
+          1, 14), 16, 10).cast("bigint")
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(broadcast(comp), Seq("doc_id"), "left")
+          .select(col("doc_id"), keeper.as("group_key"), pmod(h, lit(100L)).as("b"))
+          .select(col("doc_id"), col("group_key"),
+            when(col("b") < 90, "train").when(col("b") < 95, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${componentsOracleCtes(0.8)},
+        k AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        b AS (
+          SELECT doc_id, group_key,
+                 CAST('0x' || substring(md5('split42:' || CAST(group_key AS VARCHAR)), 1, 14)
+                      AS BIGINT) % 100 AS b
+          FROM k
+        )
+        SELECT doc_id, group_key,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
       """))
   )
 }

@@ -116,4 +116,36 @@ class DedupQueriesSpec extends SparkSuite {
       2L -> "short doc under ten tokens")) // exact dup, but no 10-token span
     assert(out(1L)._1 === 0L && out(2L)._1 === 0L)
   }
+
+  test("q85: near-duplicates never straddle the split boundary") {
+    val split = graft.SparkEntry.queries("q85_leakage_safe_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every doc assigned exactly once, to a real split
+    assert(split.size === graft.Tables.documents(spark, dir).count())
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the leakage guarantee: both members of every verified near-dup
+    // pair share the group key, hence the split
+    val nd = pairs("q40_neardup_jaccard")
+    assert(nd.nonEmpty)
+    nd.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"near-dup pair ($a,$b) split across ${split(a)} / ${split(b)}")
+    }
+  }
+
+  test("q84: every status is exercised and matches its modular definition") {
+    val st = graft.SparkEntry.queries("q84_snapshot_diff")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.values.toSet === Set("added", "removed", "changed", "unchanged"))
+    st.foreach { case (id, s) =>
+      val expected =
+        if (id % 11 == 10) "added" // absent from old, present in new
+        else if (id % 17 == 16) "removed" // present in old, absent from new
+        else if (id % 13 == 0) "changed"
+        else "unchanged"
+      assert(s === expected, s"doc $id: $s != $expected")
+    }
+    // docs dropped from BOTH snapshots never appear
+    assert(!st.keySet.exists(id => id % 11 == 10 && id % 17 == 16))
+  }
 }

@@ -145,6 +145,63 @@ object MultimodalQueries {
                            / COUNT(*)) * 1000) AS BIGINT) AS avg_norm_e3,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM mm GROUP BY lang ORDER BY lang
+      """)),
+
+    // ---------------------------------------------------------------
+    // q87: modality-integrity audit — the referential/shape gate a
+    // multimodal table needs before training: every document should
+    // carry its embedding (and vice versa), and every embedding must
+    // have the declared dimension. One full-outer join keyed by the
+    // shared identity + one conditional aggregate; emitted as (metric,
+    // n) rows like q77's profile. At 100 TB both sides are bucketed on
+    // the id and the join is shuffle-free; nothing here reads the
+    // text or the vector payload except the dimension check.
+    Q("q87_modality_integrity",
+      (s, d) => {
+        val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+        val embs = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), size(col("embedding")).as("dim"))
+        val joined = docs.join(embs, col("doc_id") === col("vec_id"), "full_outer")
+        val wide = joined.agg(
+          sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("docs_total"),
+          sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("embeddings_total"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("matched"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("doc_without_embedding"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("embedding_without_doc"),
+          sum(when(col("vec_id").isNotNull && col("dim") =!= 64, 1L)
+            .otherwise(0L)).as("dim_violations"))
+        val metrics = Seq("docs_total", "embeddings_total", "matched",
+          "doc_without_embedding", "embedding_without_doc", "dim_violations")
+        wide.selectExpr(s"stack(${metrics.size}, " +
+            metrics.map(m => s"'$m', cast($m as bigint)").mkString(", ") +
+            ") as (metric, n)")
+          .orderBy(col("metric"))
+      },
+      Some("""
+        WITH j AS (
+          SELECT d.doc_id, e.vec_id, len(e.embedding) AS dim
+          FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+        ),
+        w AS (
+          SELECT SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS docs_total,
+                 SUM(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS embeddings_total,
+                 SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS matched,
+                 SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS doc_without_embedding,
+                 SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS embedding_without_doc,
+                 SUM(CASE WHEN vec_id IS NOT NULL AND dim <> 64
+                          THEN 1 ELSE 0 END) AS dim_violations
+          FROM j
+        )
+        SELECT metric, n FROM (
+          SELECT 'docs_total' AS metric, CAST(docs_total AS BIGINT) AS n FROM w
+          UNION ALL SELECT 'embeddings_total', CAST(embeddings_total AS BIGINT) FROM w
+          UNION ALL SELECT 'matched', CAST(matched AS BIGINT) FROM w
+          UNION ALL SELECT 'doc_without_embedding', CAST(doc_without_embedding AS BIGINT) FROM w
+          UNION ALL SELECT 'embedding_without_doc', CAST(embedding_without_doc AS BIGINT) FROM w
+          UNION ALL SELECT 'dim_violations', CAST(dim_violations AS BIGINT) FROM w
+        ) ORDER BY metric
       """))
   )
 }

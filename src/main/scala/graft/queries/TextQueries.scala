@@ -275,6 +275,54 @@ object TextQueries {
                  (h, c) -> xor(xor((h * 32) % 72057594037927936, h >> 51), c))
                  AS fp
         FROM documents ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q86: text normalization — the cleaning pass that PRECEDES every
+    // dedup/quality operator in a real pipeline (C4-style): strip
+    // URLs, collapse runs of whitespace, trim, lowercase. The fixture
+    // corpus is already clean, so (the q59 pattern) each doc gets a
+    // deterministic dirty suffix — a URL and ragged whitespace —
+    // appended first; the normalizer must remove exactly that. Both
+    // engines run the same regex chain (the patterns stay inside the
+    // RE2 ∩ java.util.regex common dialect, like q59's) and results
+    // are compared by md5, so one divergent character anywhere fails
+    // the hash. One scan, no shuffle beyond the ordering contract.
+    Q("q86_text_normalize",
+      (s, d) => {
+        val raw = concat(col("text"),
+          lit(" see https://site"), col("doc_id"),
+          lit(".example/path?q=1&r=2 "), lit("  trailing   runs "))
+        val noUrl = regexp_replace(raw, "https?://\\S+", " ")
+        val norm = lower(trim(regexp_replace(noUrl, "\\s+", " ")))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_count(raw, lit("https?://\\S+")).as("n_urls"),
+            length(raw).cast("bigint").as("n_chars_raw"),
+            length(norm).cast("bigint").as("n_chars_norm"),
+            md5(norm).as("norm_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 text || ' see https://site' || doc_id
+                      || '.example/path?q=1&r=2 ' || '  trailing   runs '
+                   AS t
+          FROM documents
+        ),
+        norm AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, 'https?://\S+')) AS n_urls,
+                 CAST(len(t) AS BIGINT) AS n_chars_raw,
+                 lower(trim(regexp_replace(
+                   regexp_replace(t, 'https?://\S+', ' ', 'g'),
+                   '\s+', ' ', 'g'))) AS nt
+          FROM raw
+        )
+        SELECT doc_id, CAST(n_urls AS INT) AS n_urls, n_chars_raw,
+               CAST(len(nt) AS BIGINT) AS n_chars_norm, md5(nt) AS norm_md5
+        FROM norm ORDER BY doc_id
       """))
   )
 }

@@ -17,6 +17,12 @@ run / fork := true
 // prefixed line never parses). StdoutOutput passes the child's
 // stdout/stderr through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the trailing "[success] Total time ..." banner would land AFTER
+// the metric line inside the harness's ~2000-char stdout tail window,
+// eating ~75 chars of a budget the 77-query metric line nearly fills.
+// With it off, the metric line is the last stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

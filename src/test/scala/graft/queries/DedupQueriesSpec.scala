@@ -133,6 +133,16 @@ class DedupQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q85 plan: the component table broadcasts; the corpus only shuffles for ordering") {
+    val plan = graft.SparkEntry.queries("q85_leakage_safe_split")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected non-ordering corpus shuffle:\n$plan")
+  }
+
   test("q84: every status is exercised and matches its modular definition") {
     val st = graft.SparkEntry.queries("q84_snapshot_diff")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

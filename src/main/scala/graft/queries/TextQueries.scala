@@ -323,6 +323,40 @@ object TextQueries {
         SELECT doc_id, CAST(n_urls AS INT) AS n_urls, n_chars_raw,
                CAST(len(nt) AS BIGINT) AS n_chars_norm, md5(nt) AS norm_md5
         FROM norm ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q88: exact heavy hitters over an UNBOUNDED key domain, two-pass —
+    // the scale-safe form of "top tokens". q34/q63's word-keyed
+    // aggregates are exact but carry reducer state ∝ |vocabulary|; at
+    // web scale the vocabulary is corpus-sized, so pass 1 runs the
+    // Misra-Gries sketch (O(capacity) state per partial, mergeable —
+    // graft.expressions.MisraGriesAgg) to get ≤ 64 candidates that
+    // PROVABLY include every token with frequency > N/65, and pass 2
+    // exact-counts ONLY the candidates via a broadcast semi-join
+    // (reducer state ∝ 64, never ∝ vocabulary). The top-20 cutoff
+    // sits far above the N/65 guarantee line on this corpus (sf0.01:
+    // freq₂₀ ≈ 888 vs N/65 ≈ 418; checked in HeavyHittersSpec), so
+    // the two-pass result equals the oracle's full exact top-20.
+    Q("q88_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val cands = toks
+          .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 64).as("mg"))
+          .select(explode(map_keys(col("mg"))).as("tok"))
+        toks.join(broadcast(cands), "tok")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest($DTokens) AS tok FROM documents
+        )
+        SELECT tok, COUNT(*) AS n
+        FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 20
       """))
   )
 }

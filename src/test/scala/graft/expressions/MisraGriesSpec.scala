@@ -1,0 +1,70 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Contracts of the Misra-Gries aggregate and the two-pass q88 built on
+  * it: the ε = 1/(capacity+1) guarantee on real and adversarial data,
+  * through the partial/merge path, and equality of the two-pass result
+  * with the brute-force top-k where the guarantee holds.
+  */
+class MisraGriesSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def mgCounts(data: Seq[String], capacity: Int, parts: Int): Map[String, Long] = {
+    data.toDF("k").repartition(parts)
+      .agg(MisraGriesAgg.misraGries(col("k"), capacity).as("mg"))
+      .head().getMap[String, Long](0).toMap
+  }
+
+  test("every key above the N/(k+1) line survives; bounds never overcount") {
+    // adversarial order: the heavy key arrives LAST, after the sketch
+    // has filled with one-off keys and evicted repeatedly
+    val noise = (1 to 900).map(i => s"n$i")
+    val heavy = Seq.fill(300)("heavy")
+    for (parts <- Seq(1, 7)) { // single-buffer and partial/merge paths
+      val mg = mgCounts(noise ++ heavy, capacity = 8, parts = parts)
+      val n = noise.size + heavy.size
+      assert(mg.contains("heavy"), s"heavy key lost (parts=$parts): $mg")
+      assert(mg.size <= 8)
+      // lower bound: within N/(k+1) of truth, never above it
+      assert(mg("heavy") <= 300L)
+      assert(mg("heavy") >= 300L - n / 9 - 1, s"undercount too deep: ${mg("heavy")}")
+    }
+  }
+
+  test("guarantee on the corpus: all tokens above the line are candidates") {
+    val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cands = toks.repartition(5)
+      .agg(MisraGriesAgg.misraGries(col("tok"), 64).as("mg"))
+      .head().getMap[String, Long](0).keySet
+    val mustHave = exact.filter(_._2 > n / 65).keySet
+    assert(mustHave.nonEmpty)
+    assert(mustHave.subsetOf(cands.map(identity)),
+      s"guaranteed-frequent tokens missing: ${mustHave.map(identity) diff cands}")
+  }
+
+  test("q88 two-pass equals the brute-force exact top-20") {
+    val got = graft.SparkEntry.queries("q88_heavy_hitters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val brute = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === brute)
+  }
+
+  test("misra_gries is SQL-registered") {
+    graft.GraftExtensions.register(spark)
+    Seq("a", "a", "a", "b").toDF("k").createOrReplaceTempView("mg_in")
+    val m = spark.sql("SELECT misra_gries(k, 4) AS mg FROM mg_in")
+      .head().getMap[String, Long](0).toMap
+    assert(m === Map("a" -> 3L, "b" -> 1L)) // capacity >= distinct: exact
+  }
+}

@@ -72,8 +72,14 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else ",\"failed\":" + failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "unit" dropped and sf shortened to its basename: at 78 benched
+    // queries the line sits ~50 chars under the harness's ~2000-char
+    // stdout tail window — every redundant byte is margin (seconds are
+    // implied by the shape declared in BASELINE.md; the driver records
+    // the full sf itself)
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt("%.2f", total)},"queries":$qs$failedJson,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING metric line ${line.length} chars may exceed harness tail window")
     println(line)

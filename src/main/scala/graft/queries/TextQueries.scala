@@ -340,8 +340,11 @@ object TextQueries {
     // the two-pass result equals the oracle's full exact top-20.
     Q("q88_heavy_hitters",
       (s, d) => {
+        // persisted: both passes consume the exploded tokens, and the
+        // regex tokenization dominates either pass alone
         val toks = Tables.documents(s, d)
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = toks
           .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 64).as("mg"))
           .select(explode(map_keys(col("mg"))).as("tok"))

@@ -51,6 +51,56 @@ class StatefulStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful query runs on the RocksDB state store provider") {
+    // the 100 TB state path: the default HDFSBackedStateStoreProvider
+    // keeps every key's state on the executor HEAP (bounded by executor
+    // memory); RocksDB spills state to local disk with changelog/full
+    // snapshots to the checkpoint location, so per-executor state scales
+    // to disk size, not heap. Same query, same results — pinned here so
+    // the engine's stateful operators are known-good on the provider a
+    // production deployment would configure.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Double)]
+    val totals = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Double)],
+         state: GroupState[RunningTotal]) =>
+          val prev = state.getOption.getOrElse(RunningTotal(0L, 0.0))
+          val batch = rows.toSeq
+          val next = RunningTotal(prev.n + batch.size,
+            prev.total + batch.map(_._2).sum)
+          state.update(next)
+          (user, next.n, next.total)
+      }
+      .toDF("user", "n", "total")
+    val q = totals.writeStream
+      .format("memory").queryName("rocksdb_state_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(("u1", 10.0), ("u2", 1.0))
+      q.processAllAvailable()
+      input.addData(("u1", 2.0))
+      q.processAllAvailable()
+      val latest = spark.table("rocksdb_state_test")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(latest("u1") === (2L, 12.0)) // state crossed batches on RocksDB
+      assert(latest("u2") === (1L, 1.0))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark bounds state") {
     // the streaming side of q39's content-hash dedup: re-deliveries of
     // the same key inside the watermark horizon are suppressed, and the

@@ -412,6 +412,63 @@ object LlmPrepQueries {
         )
         SELECT doc_id, p % 8 AS shard, p // 8 AS pos_in_shard
         FROM r ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q89: overlapping document chunking — the windowing step between
+    // cleaning and packing/embedding: split each document's token
+    // stream into fixed-width chunks (W=32) with stride S=24, so
+    // consecutive chunks overlap by 8 tokens and no boundary loses
+    // context (the RAG-indexing / long-doc-pretraining shape). The
+    // final short chunk is kept — dropping tail tokens is a silent
+    // data loss this operator must not commit.
+    //
+    // Scale shape: one scan, one explode whose fan-out is ceil(len/S)
+    // per doc — output volume is governed by the stride knob, and
+    // chunk text is rebuilt from the SAME canonical whitespace tokens
+    // both engines split on, so reconstruction is byte-exact.
+    Q("q89_chunking",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        val chunks = let(TextAnalysis.tokens(col("text"))) { ts =>
+          transform(sequence(lit(1), greatest(size(ts), lit(1)), lit(S)),
+            (start, j) => struct(
+              j.as("chunk_idx"),
+              start.as("start"),
+              least(size(ts) - start + 1, lit(W)).as("n_tok"),
+              concat_ws(" ", slice(ts, start, lit(W))).as("chunk")))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(chunks).as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.start").as("start"), col("c.n_tok").as("n_tok"),
+            col("c.chunk").as("chunk"))
+          .filter(col("n_tok") > 0) // token-less docs emit no chunks
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), c AS (
+          SELECT doc_id, ts,
+                 list_transform(range(1, greatest(len(ts), 1) + 1, 24),
+                                s -> s) AS starts
+          FROM t
+        ), e AS (
+          SELECT doc_id, ts, u.j - 1 AS chunk_idx, starts[u.j] AS start
+          FROM c, (SELECT unnest(range(1, 1000)) AS j) u
+          WHERE u.j <= len(starts)
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(start AS INT) AS start,
+               CAST(least(len(ts) - start + 1, 32) AS INT) AS n_tok,
+               array_to_string(list_slice(ts, start, start + 31), ' ') AS chunk
+        FROM e WHERE least(len(ts) - start + 1, 32) > 0
+        ORDER BY doc_id, chunk_idx
       """))
   )
 }

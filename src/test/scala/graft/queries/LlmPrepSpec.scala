@@ -161,6 +161,35 @@ class LlmPrepSpec extends SparkSuite {
     }
   }
 
+  test("q89: chunk boundaries, overlap, and tail retention") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q89").toString
+    val toks80 = (1 to 80).map(i => s"t$i")
+    Seq(
+      (1L, toks80.mkString(" ")), // 80 tokens -> starts 1,25,49,73
+      (2L, "tiny doc"),           // sub-window -> one short chunk
+      (3L, (1 to 32).map(i => s"u$i").mkString(" "))) // exactly W -> chunks at 1 and 25
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q89_chunking")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq ===
+      Seq((1, 32), (25, 32), (49, 32), (73, 8))) // stride 24, short tail kept
+    // overlap: each chunk's last 8 tokens = next chunk's first 8
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5.split(" ").takeRight(8).toSeq === b._5.split(" ").take(8).toSeq)
+    case _ => }
+    // every token position covered by at least one chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (1 to 80).toSet)
+    assert(rows.filter(_._1 == 2L).map(c => (c._2, c._3, c._4, c._5)).toSeq ===
+      Seq((0, 1, 2, "tiny doc")))
+    assert(rows.filter(_._1 == 3L).map(c => (c._3, c._4)).toSeq ===
+      Seq((1, 32), (25, 8))) // W-length doc still gets its overlap tail
+  }
+
   test("q64 companion: percentile_approx sketch tracks exact percentile") {
     // the 100 TB path is the one-pass bounded-memory sketch; q64's
     // oracle uses exact percentile (approx algorithms differ across

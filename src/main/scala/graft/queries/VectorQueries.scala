@@ -344,6 +344,56 @@ object VectorQueries {
         SELECT cluster, rank, vec_a, vec_b,
                CAST(floor(cos * 100) AS BIGINT) AS score_e2
         FROM r WHERE rank <= 3 ORDER BY cluster, rank
+      """)),
+
+    // ---------------------------------------------------------------
+    // q90: truncation fidelity — the planning report for Matryoshka-
+    // style dimension reduction (keep the first L of 64 dims to cut
+    // storage/ANN cost 4×/2×): per label and per truncation level,
+    // how much of the vector's energy the prefix retains. For a
+    // truncation t = v[1..L], cos(v, t) = ‖t‖/‖v‖ exactly, so the
+    // retained-norm fraction IS the cosine fidelity — one scan, three
+    // prefix norms per row, exact-decimal averaging (the q58 pattern).
+    // At 100 TB: map-side everything; the only shuffle is the
+    // label-keyed aggregate.
+    Q("q90_truncation_fidelity",
+      (s, d) => {
+        import graft.functions.ColumnOps.let
+        val levels = Seq(16, 32)
+        val fids = let(emb64(col("embedding"))) { v =>
+          let(VectorFunctions.normNative(v)) { full =>
+            struct(levels.map(l =>
+              (VectorFunctions.normNative(slice(v, 1, l)) / full)
+                .as(s"f$l")): _*)
+          }
+        }
+        Tables.embeddings(s, d)
+          .select(col("label"), fids.as("f"))
+          .select(col("label") +: levels.map(l => col(s"f.f$l").as(s"f$l")): _*)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            levels.map(l =>
+              floor((sum(col(s"f$l").cast("decimal(18,9)")).cast("double")
+                / count(lit(1))) * 10000).as(s"fidelity${l}_e4")): _*)
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), f AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(list_slice(v, 1, 16), x -> x * x)))
+                   / sqrt(list_sum(list_transform(v, x -> x * x))) AS f16,
+                 sqrt(list_sum(list_transform(list_slice(v, 1, 32), x -> x * x)))
+                   / sqrt(list_sum(list_transform(v, x -> x * x))) AS f32
+          FROM e
+        )
+        SELECT label, COUNT(*) AS n,
+               CAST(floor((CAST(SUM(CAST(f16 AS DECIMAL(18,9))) AS DOUBLE)
+                           / COUNT(*)) * 10000) AS BIGINT) AS fidelity16_e4,
+               CAST(floor((CAST(SUM(CAST(f32 AS DECIMAL(18,9))) AS DOUBLE)
+                           / COUNT(*)) * 10000) AS BIGINT) AS fidelity32_e4
+        FROM f GROUP BY label ORDER BY label
       """))
   )
 }

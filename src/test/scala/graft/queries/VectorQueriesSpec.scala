@@ -37,6 +37,25 @@ class VectorQueriesSpec extends SparkSuite {
     assert(recall >= 0.2, s"IVF recall@10 degraded: $recall")
   }
 
+  test("q90: truncation fidelity is the cosine identity, monotone in L") {
+    // cos(v, zero-padded v[1..L]) == ||v_L|| / ||v|| — the identity the
+    // report relies on — checked numerically on a real vector
+    val v = graft.Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val t = v.take(16) ++ Array.fill(v.length - 16)(0.0)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val cos = dot(v, t) / (nrm(v) * nrm(t))
+    assert(math.abs(cos - nrm(v.take(16)) / nrm(v)) < 1e-12)
+    val rows = run("q90_truncation_fidelity").collect()
+      .map(r => (r.getLong(2), r.getLong(3))) // (fidelity16_e4, fidelity32_e4)
+    assert(rows.nonEmpty)
+    rows.foreach { case (f16, f32) =>
+      assert(f16 > 0 && f32 <= 10000)
+      assert(f16 <= f32, "prefix energy must grow with L")
+    }
+  }
+
   test("two-phase TopK identical to single-window row_number") {
     val df = graft.Tables.orders(spark, dir)
     val twoPhase = TopK.perKey(df, Seq("o_custkey"),

@@ -89,9 +89,11 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
     }
+    // the metric line is the LAST stdout line (showSuccess off), so the
+    // 2000-char tail contains it whole as long as line+newline <= 2000
     val full = line(qsJson("%.1f"))
-    val out = if (full.length <= 1950) full else line("{}")
-    if (out.length > 1950)
+    val out = if (full.length <= 1995) full else line("{}")
+    if (out.length > 1995)
       System.err.println(s"[bench] WARNING metric line ${out.length} chars may exceed harness tail window")
     println(out)
     spark.stop()

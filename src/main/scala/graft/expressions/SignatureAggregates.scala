@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * aggregates). Both are algebraic: `merge` is elementwise (+ / min),
   * so map-side partial aggregation applies at any scale.
   *
-  * Value contracts (pinned by NearDupSpec):
+  * Value contracts (pinned by NearDupSpec, on null-free input — both
+  * aggregates SKIP null hashes per standard SQL aggregate semantics,
+  * whereas the column forms vote -1 / hash the null; every call site
+  * explodes a non-null array, so nulls cannot reach either form):
   *  - [[SimHashAgg]] == the 56-column bit-vote form: bit j of the
   *    result is set iff strictly more input hashes have bit j set than
   *    clear (Σ±1 > 0).

@@ -75,7 +75,11 @@ object NearDup {
     * aggregate ([[graft.expressions.SimHashAgg]]): the whole bit-vote
     * state lives in a single primitive-array buffer updated in one
     * fused loop per row, instead of `bits` separate SUM aggregate
-    * columns. Identical values (spec-pinned).
+    * columns. Identical values on NULL-FREE input (spec-pinned): the
+    * native aggregate skips null hashes (standard SQL aggregate
+    * semantics), while [[simhashAggs]]' when/otherwise votes -1 for a
+    * null. Call sites feed plain `explode` over non-null token arrays,
+    * which cannot produce nulls.
     */
   def simhashAggNative(tokenHash: Column, bits: Int = 64): Column =
     org.apache.spark.sql.GraftBridge.column(
@@ -85,7 +89,11 @@ object NearDup {
 
   /** [[minhashAggs]]+[[minhashAggsToSig]] as ONE custom Catalyst
     * aggregate ([[graft.expressions.MinHashAgg]]); bit-identical
-    * signatures including the xxhash64 seed chaining (spec-pinned).
+    * signatures including the xxhash64 seed chaining (spec-pinned) —
+    * on NULL-FREE input: the native aggregate skips null grams, while
+    * [[minhashAggs]]' `xxhash64(i, gram)` of a null gram yields the
+    * input-independent seed-prefix hash, which can become the min.
+    * Call sites feed plain `explode` over non-null gram arrays.
     */
   def minhashAggNative(gramHash: Column, k: Int): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -11,6 +11,8 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      Sessions.ObjectHashFallbackThreshold.toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions
-import graft.operators.{TopK, VectorLsh}
+import graft.operators.{SemDeDup, TopK, VectorLsh}
 
 /** Similarity-search surface over the `embeddings` table.
   *
@@ -29,6 +29,39 @@ object VectorQueries {
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), emb64(col("embedding")).as("qemb"))
       .withColumn("qnrm", VectorFunctions.normNative(col("qemb")))
+
+  /** q80's centroid count — a scale knob, not a semantic constant: C is
+    * independent of corpus size (broadcast stays tiny, assignment is
+    * O(N·C)); more clusters = smaller per-cluster sweeps. Shared with
+    * the DuckDB oracle text so both engines always agree on it.
+    */
+  private val SemDeDupC = 8
+
+  /** Parameterized q80 body: SemDeDup over `embeddings` with `c`
+    * deterministic centroids (vec_id < c), reporting each cluster's
+    * top-`k` most-similar pairs. Oversized clusters (past
+    * `splitThreshold` members) are swept within secondary LSH
+    * sub-buckets — see [[graft.operators.SemDeDup.pairs]]; the default
+    * threshold can never trip at the test scales (≤2000 vectors), so
+    * the DuckDB all-within-cluster oracle stays exact.
+    */
+  def semanticDedup(s: SparkSession, d: String, c: Int = SemDeDupC,
+                    k: Int = 3,
+                    splitThreshold: Long = SemDeDup.DefaultSplitThreshold)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+    val cent = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    val member = e.join(SemDeDup.assign(e, cent), "vec_id")
+    TopK.perKey(SemDeDup.pairs(member, splitThreshold, dim = Dim),
+        Seq("cluster"), Seq(col("cos").desc, col("vec_a"), col("vec_b")), k)
+      .select(col("cluster"), col("rank"), col("vec_a"), col("vec_b"),
+        floor(col("cos") * 100).as("score_e2"))
+      .orderBy(col("cluster"), col("rank"))
+  }
 
   /** Shared scoring tail of q36/q37/q51: cosine from precomputed norms
     * (one flat codegen'd dot per pair), two-phase top-k, the common
@@ -259,15 +292,11 @@ object VectorQueries {
       """)),
 
     // ---------------------------------------------------------------
-    // q80: semantic dedup (the SemDeDup pattern, Abbas et al. 2023):
-    // cluster the embedding space, then look for near-duplicate pairs
-    // ONLY within a cluster — the clustering bounds the pair space, so
-    // the quadratic blowup is per-cluster, never corpus-wide. At 100 TB
-    // the corpus shuffles ONCE keyed by cluster id and each cluster's
-    // pairwise sweep is an independent task (skew knob: split oversized
-    // clusters by a secondary LSH bucket, the q43 machinery).
+    // q80: semantic dedup — see [[semanticDedup]] and
+    // [[graft.operators.SemDeDup]] for the operator and its 100 TB
+    // skew story (oversized-cluster secondary-LSH split).
     //
-    // Centroids here are the deterministic fixed set (embeddings of
+    // Centroids are the deterministic fixed set (embeddings of
     // vec_id < C) rather than learned k-means — the choice of centroid
     // set changes WHICH clusters form, not the operator's semantics,
     // and a deterministic set makes the whole query (assignment,
@@ -280,44 +309,12 @@ object VectorQueries {
     // the registered output is each cluster's top-3 most-similar pairs
     // — the ranking a SemDeDup threshold would consume.
     Q("q80_semantic_dedup",
-      (s, d) => {
-        val C = 8
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
-        val cent = e.filter(col("vec_id") < C)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-            col("nrm").as("cnrm"))
-        // assignment: O(N·C) map-side scores against the broadcast
-        // centroid set, argmax by (cos, lower cid) — one aggregate
-        // keyed by vec_id, no corpus self-join anywhere in this phase
-        val assign = e.crossJoin(broadcast(cent))
-          .withColumn("cos",
-            VectorFunctions.dotNative(col("emb"), col("cemb"))
-              / (col("nrm") * col("cnrm")))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"),
-            struct(col("cos"), (-col("cid")).as("tb"))).as("cluster"))
-        val member = e.join(assign, "vec_id")
-        val pairs = member.as("x")
-          .join(member.as("y"),
-            col("x.cluster") === col("y.cluster")
-              && col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.cluster").as("cluster"),
-            col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-            (VectorFunctions.dotNative(col("x.emb"), col("y.emb"))
-              / (col("x.nrm") * col("y.nrm"))).as("cos"))
-        TopK.perKey(pairs, Seq("cluster"),
-            Seq(col("cos").desc, col("vec_a"), col("vec_b")), 3)
-          .select(col("cluster"), col("rank"), col("vec_a"), col("vec_b"),
-            floor(col("cos") * 100).as("score_e2"))
-          .orderBy(col("cluster"), col("rank"))
-      },
-      Some("""
+      (s, d) => semanticDedup(s, d),
+      Some(s"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         ), c AS (
-          SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8
+          SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $SemDeDupC
         ), s AS (
           SELECT e.vec_id, c.cid,
                  list_cosine_similarity(e.emb, c.cemb) AS cos

@@ -36,6 +36,73 @@ class SemanticDedupSpec extends SparkSuite {
     }
   }
 
+  // --- the 100 TB skew knob: oversized clusters split by secondary
+  // sign-LSH so no task ever sweeps a hot cluster's full O(n²) pairs ---
+
+  private val SkewDim = 8
+  private val SkewPlanes = 4
+  private val Threshold = 40L
+
+  /** 200 members, 90% forced into cluster 0 (a hot templated-content
+    * cluster), plus a planted near-duplicate pair (same direction,
+    * scaled — cos = 1) inside the hot cluster.
+    */
+  private def skewedMembers = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(SkewDim)(rnd.nextGaussian()),
+        if (i < 180) 0L else 1L)
+    }
+    val planted = base :+ ((1000L, base(5)._2.map(_ * 1.001), 0L))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType, containsNull = false)),
+      StructField("cluster", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        planted.map { case (id, v, cl) => Row(id, v.toSeq, cl) }, 4), schema)
+      .withColumn("nrm",
+        graft.functions.VectorFunctions.normNative(col("emb")))
+  }
+
+  test("skew: oversized cluster splits into bounded sub-buckets, small cluster swept exactly") {
+    import graft.operators.{SemDeDup, VectorLsh}
+    val planes = VectorLsh.hyperplanes(1, SkewPlanes, SkewDim).head
+    val groups = SemDeDup.subBucketed(skewedMembers, Threshold, planes)
+      .groupBy(col("cluster"), col("sub")).count().collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // the hot cluster (181 members, past the threshold) fans out over
+    // sign buckets: per-task sweep work is bounded by the largest
+    // sub-bucket, which must be FAR below the cluster size (~181/16
+    // expected; 3× slack keeps the assert noise-proof)
+    val hot = groups.collect { case ((0L, _), n) => n }
+    assert(hot.size > 1, s"hot cluster did not split: $groups")
+    assert(hot.max <= 3 * 181 / SkewPlanes,
+      s"sub-bucket not bounded: max ${hot.max} of 181")
+    // the within-threshold cluster stays ONE exact-sweep group (sub 0)
+    assert(groups((1L, 0)) === 20L)
+    assert(!groups.keys.exists { case (cl, sub) => cl == 1L && sub != 0 })
+  }
+
+  test("skew: planted near-duplicate pair survives the split; no cross-cluster pairs") {
+    import graft.operators.SemDeDup
+    val out = SemDeDup.pairs(skewedMembers, Threshold,
+      numPlanes = SkewPlanes, dim = SkewDim).collect()
+    // same direction ⟹ identical sign bucket ⟹ the pair is swept
+    val dup = out.find(r => r.getLong(1) === 5L && r.getLong(2) === 1000L)
+      .getOrElse(fail(s"planted near-dup pair lost by the split"))
+    assert(dup.getDouble(3) > 0.9999)
+    // pair volume: exactly Σ n·(n-1)/2 over the swept groups — the
+    // split's whole point is that this is ≪ the unsplit 181·180/2
+    val unsplit = SemDeDup.pairs(skewedMembers, splitThreshold = 1000L,
+      numPlanes = SkewPlanes, dim = SkewDim).count()
+    assert(unsplit === (181L * 180 / 2 + 20L * 19 / 2))
+    assert(out.length < unsplit / 4,
+      s"split did not shrink the sweep: ${out.length} vs $unsplit")
+  }
+
   test("q80: per-cluster ranks are 1..k with non-increasing scores") {
     val rows = graft.SparkEntry.queries("q80_semantic_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))

@@ -62,11 +62,23 @@ object Sinks {
       srcFs, srcPath, dstFs, dstPath, /*deleteSource=*/ true, conf)
   }
 
-  /** K4 — schema evolution on read: parquet written before and after an
-    * added column reads as one table (old rows null-filled), the
-    * engine-side form of the reference's `ALTER TABLE ... ADD COLUMN
-    * other_data JSON` migration.
+  /** K4 — schema evolution on read, upgrade direction: parquet written
+    * before and after an added column reads as one table (old rows
+    * null-filled), the engine-side form of the reference's
+    * `ALTER TABLE ... ADD COLUMN other_data JSON` migration.
     */
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** K4 — downgrade direction (the migration's `drop_column`): read
+    * post-migration parquet through the OLD declared schema. Columns
+    * absent from the declaration are never read — the scan's
+    * ReadSchema is the declared subset, so the "drop" is a metadata
+    * decision at plan time, no data rewrite — and files that predate
+    * the dropped column need no special casing. The engine-side form
+    * of rolling a table back one schema version.
+    */
+  def readDeclared(spark: SparkSession, path: String,
+                   schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
 }

@@ -70,6 +70,33 @@ class SinksSpec extends SparkSuite {
     assert(byId("img_b").contains("""{"k":"v"}"""))
   }
 
+  test("K4 downgrade: new-schema parquet reads through the old declared schema, column never scanned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_downgrade").toString + "/t"
+    // post-migration data (carries other_data)
+    Seq(("img_b", "VendorB", """{"k":"v"}"""), ("img_c", "VendorC", "{}"))
+      .toDF("img_id", "vendor_name", "other_data")
+      .write.parquet(dir)
+    // roll back to the pre-migration declaration (drop_column analog)
+    val v1 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("vendor_name",
+        org.apache.spark.sql.types.StringType)))
+    val back = Sinks.readDeclared(spark, dir, v1)
+    assert(back.columns.toSeq === Seq("img_id", "vendor_name"))
+    assert(back.orderBy("img_id").collect().map(_.getString(1)).toSeq
+      === Seq("VendorB", "VendorC"))
+    // the drop is a plan-time decision: the physical scan's read schema
+    // is the declared subset — the dropped column's pages are not read
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.requiredSchema.fieldNames.toSeq === Seq("img_id", "vendor_name"))
+    assert(!scan.metadata("ReadSchema").contains("other_data"))
+  }
+
   test("format breadth: the same frame round-trips parquet, orc, json, csv") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_formats").toString

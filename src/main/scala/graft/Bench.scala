@@ -17,6 +17,44 @@ package graft
   *    only after their references are GC'd, so nudge a GC each query.
   */
 object Bench {
+
+  /** Harness stdout tail window: the driver parses the metric line out
+    * of the LAST 2000 chars of stdout; line + newline must fit.
+    */
+  val TailWindow = 1995
+
+  /** The two driver-facing JSON lines, as pure formatting (unit-tested
+    * by BenchLineSpec so registry growth can't re-break the harness
+    * parse): `_1` the full-precision detail line (BENCH_DETAIL.json,
+    * always carries the per-query map), `_2` the stdout metric line,
+    * which degrades in stages when the 0.1s-precision map would
+    * overflow the tail window: first to whole-second per-query times
+    * (a slow round — every query ≥10s — is exactly when the per-query
+    * map matters, so keep it), then to an EMPTY queries map with the
+    * headline total intact.
+    */
+  def lines(results: Seq[(String, Double, Boolean)],
+            failed: Seq[String], sfName: String): (String, String) = {
+    def fmt(prec: String, v: Double): String = // Locale.ROOT: "." always
+      String.format(java.util.Locale.ROOT, prec, Double.box(v))
+    def qsJson(prec: String) =
+      results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(prec, v) }
+        .mkString("{", ",", "}")
+    // failed queries' time-to-failure is not work done — report it
+    // separately, not inside the headline total
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def line(qs: String) =
+      s"""{"metric":"total","value":${fmt("%.2f", total)},"queries":$qs$failedJson,"sf":"$sfName"}"""
+    val detail = line(qsJson("%.2f"))
+    val stdout = Seq(qsJson("%.1f"), qsJson("%.0f"), "{}")
+      .map(line).find(_.length <= TailWindow)
+      .getOrElse(line("{}")) // headline-only; > window only if q-count is absurd
+    (detail, stdout)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target environment is local[32] with 32 shuffle partitions
@@ -55,46 +93,23 @@ object Bench {
       if (ok) System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
       (q.name, dt, ok)
     }
-    // The harness captures only the LAST 2000 chars of stdout and
-    // parses the metric line out of that tail: full nanosecond
-    // precision over 60+ queries made the line ~2700 chars, truncating
-    // its head and breaking the parse. Per-query 100ms precision is far
-    // below this host's run-to-run variance (±30%+); "unit" is dropped
-    // and sf shortened to its basename (seconds are the shape declared
-    // in BASELINE.md; the driver records the full sf itself).
-    def fmt(prec: String, v: Double): String = // Locale.ROOT: "." always
-      String.format(java.util.Locale.ROOT, prec, Double.box(v))
-    def qsJson(prec: String) =
-      results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(prec, v) }
-        .mkString("{", ",", "}")
-    // failed queries' time-to-failure is not work done — report it
-    // separately, not inside the headline total
-    val total = results.collect { case (_, v, true) => v }.sum
-    val failedJson =
-      if (failed.isEmpty) ""
-      else ",\"failed\":" + failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sfName = new java.io.File(sfDir).getName
-    def line(qs: String) =
-      s"""{"metric":"total","value":${fmt("%.2f", total)},"queries":$qs$failedJson,"sf":"$sfName"}"""
-    // Full per-query detail (10ms precision) always lands in
-    // BENCH_DETAIL.json next to the build — registry growth must never
-    // re-break the stdout parse, so if the full metric line would no
-    // longer fit the tail window the stdout copy degrades to an EMPTY
-    // queries map (headline total intact) and the detail file carries
-    // the per-query numbers.
-    val detail = line(qsJson("%.2f"))
+    // Per-query 100ms/10ms precision: far below this host's run-to-run
+    // variance (±30%+); "unit" dropped and sf shortened to its basename
+    // (seconds are the shape declared in BASELINE.md; the driver
+    // records the full sf itself). See `lines` for the tail-window
+    // degradation contract.
+    val (detail, out) = lines(results, failed.reverse,
+      new java.io.File(sfDir).getName)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
     }
+    if (out.length > TailWindow)
+      System.err.println(s"[bench] WARNING metric line ${out.length} chars may exceed harness tail window")
     // the metric line is the LAST stdout line (showSuccess off), so the
     // 2000-char tail contains it whole as long as line+newline <= 2000
-    val full = line(qsJson("%.1f"))
-    val out = if (full.length <= 1995) full else line("{}")
-    if (out.length > 1995)
-      System.err.println(s"[bench] WARNING metric line ${out.length} chars may exceed harness tail window")
     println(out)
     spark.stop()
   }

@@ -335,9 +335,11 @@ object TextQueries {
     // PROVABLY include every token with frequency > N/65, and pass 2
     // exact-counts ONLY the candidates via a broadcast semi-join
     // (reducer state ∝ 64, never ∝ vocabulary). The top-20 cutoff
-    // sits far above the N/65 guarantee line on this corpus (sf0.01:
-    // freq₂₀ ≈ 888 vs N/65 ≈ 418; checked in HeavyHittersSpec), so
-    // the two-pass result equals the oracle's full exact top-20.
+    // sits far above the N/65 guarantee line on this corpus, so the
+    // two-pass result equals the oracle's full exact top-20 —
+    // MisraGriesSpec asserts the margin at BOTH the oracle scale
+    // (sf0.01) and the bench scale (sf0.1), so corpus growth can't
+    // silently void the equals-exact argument.
     Q("q88_heavy_hitters",
       (s, d) => {
         // persisted: both passes consume the exploded tokens, and the

@@ -1,0 +1,69 @@
+package graft
+
+/** Pins the bench metric-line degradation contract (Bench.lines): the
+  * harness parses the LAST 2000 stdout chars, so the stdout line must
+  * stay under the tail window at ANY registry size — the full per-query
+  * map while it fits, an empty map (headline total intact) past that,
+  * with the detail line always carrying everything. Both shapes must
+  * stay machine-parseable JSON.
+  */
+class BenchLineSpec extends SparkSuite {
+
+  private def parse(line: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    val df = spark.read.json(Seq(line).toDS)
+    assert(!df.columns.contains("_corrupt_record"), s"unparseable: $line")
+    df.head()
+  }
+
+  test("small registry: stdout line carries the full queries map") {
+    val results = (1 to 5).map(i => (s"q$i", i * 1.0, true))
+    val (detail, out) = Bench.lines(results, Nil, "sf0.1")
+    val row = parse(out)
+    assert(row.getAs[Double]("value") === 15.0)
+    assert(row.getAs[String]("sf") === "sf0.1")
+    val qs = row.getAs[org.apache.spark.sql.Row]("queries")
+    assert(qs.schema.fieldNames.toSet === (1 to 5).map(i => s"q$i").toSet)
+    parse(detail) // detail line parses too
+  }
+
+  test("oversized registry: stdout degrades to an empty map inside the window; detail keeps everything") {
+    val results = (1 to 300).map(i => (f"q${i}%03d_some_long_query_name", i * 0.1, true))
+    val (detail, out) = Bench.lines(results, Nil, "sf0.1")
+    assert(out.length <= Bench.TailWindow, s"stdout line ${out.length} chars")
+    assert(out.contains("\"queries\":{}"))
+    val row = parse(out)
+    assert(math.abs(row.getAs[Double]("value") - results.map(_._2).sum) < 0.01)
+    // the detail file is the full record
+    val dq = parse(detail).getAs[org.apache.spark.sql.Row]("queries")
+    assert(dq.schema.fieldNames.length === 300)
+  }
+
+  test("failed queries: listed, and their time-to-failure excluded from the total") {
+    val results = Seq(("q_ok", 2.0, true), ("q_boom", 9.0, false))
+    val (_, out) = Bench.lines(results, Seq("q_boom"), "sf0.01")
+    val row = parse(out)
+    assert(row.getAs[Double]("value") === 2.0)
+    assert(row.getAs[Seq[String]]("failed") === Seq("q_boom"))
+  }
+
+  test("the CURRENT registry's bench set keeps a per-query map even at worst-case widths") {
+    // the real guard: if this fails, the next driver round would drop
+    // the per-query map — shrink the format or trim names BEFORE that.
+    // 99.9 forces the widest per-query times (a fully load-degraded
+    // round); the coarse whole-second stage must still fit.
+    val results = SparkEntry.registry.filter(_.bench)
+      .map(q => (q.name, 99.9, true))
+    val (_, out) = Bench.lines(results, Nil, "sf0.1")
+    assert(out.contains("\"q1_pricing_summary\""),
+      "per-query map expected for the current registry")
+    assert(out.length <= Bench.TailWindow,
+      s"current registry's metric line is ${out.length} chars — " +
+        "over the harness tail window")
+    // and at typical (sub-10s) widths the full 0.1s-precision map fits
+    val (_, typical) = Bench.lines(
+      SparkEntry.registry.filter(_.bench).map(q => (q.name, 9.9, true)),
+      Nil, "sf0.1")
+    assert(typical.contains("\"q1_pricing_summary\":9.9"))
+  }
+}

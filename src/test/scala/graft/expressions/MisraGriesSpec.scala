@@ -49,6 +49,27 @@ class MisraGriesSpec extends SparkSuite {
       s"guaranteed-frequent tokens missing: ${mustHave.map(identity) diff cands}")
   }
 
+  // q88's "two-pass equals exact" claim rests on the top-20 cutoff
+  // clearing the N/(capacity+1) guarantee line — a corpus property, not
+  // an algorithm property, so it is pinned at the scales the driver
+  // actually grades: sf0.01 (oracle) and sf0.1 (bench). If registry
+  // data ever grows a longer tail, this fails loudly instead of q88
+  // silently diverging from its oracle.
+  for (sf <- Seq("sf0.01", "sf0.1"))
+    test(s"q88 guarantee margin at $sf: freq20 clears the N/65 line") {
+      val counts = graft.Tables.documents(spark, s"/root/testdata/$sf")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(20)
+        .collect().map(_.getLong(1))
+      val n = counts.agg(sum("n")).head().getLong(0)
+      val freq20 = top.last
+      assert(top.length === 20)
+      assert(freq20 > n / 65,
+        s"top-20 cutoff $freq20 does not clear the guarantee line ${n / 65} " +
+          s"at $sf — q88's two-pass-equals-exact argument is void")
+    }
+
   test("q88 two-pass equals the brute-force exact top-20") {
     val got = graft.SparkEntry.queries("q88_heavy_hitters")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -151,7 +151,7 @@ object DedupQueries {
                          (build: => DataFrame): DataFrame = {
     val path = memo.getOrElseUpdate(
       (s.sparkContext.applicationId, d, t), {
-        val out = java.nio.file.Files.createTempDirectory(prefix).toString
+        val out = graft.TempDirs.scoped(prefix)
         build.write.mode("overwrite").parquet(out)
         out
       })

@@ -112,7 +112,7 @@ object JoinQueries {
         val tag = Integer.toHexString(d.hashCode)
         val (ot, ct) = (s"graft_q69_orders_$tag", s"graft_q69_customer_$tag")
         bucketedMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
+          val tmp = graft.TempDirs.scoped("graft_q69")
           Tables.orders(s, d).write.mode("overwrite")
             .bucketBy(8, "o_custkey").sortBy("o_custkey")
             .option("path", s"$tmp/orders").saveAsTable(ot)

@@ -459,9 +459,13 @@ object LlmPrepQueries {
                                 s -> s) AS starts
           FROM t
         ), e AS (
-          SELECT doc_id, ts, u.j - 1 AS chunk_idx, starts[u.j] AS start
-          FROM c, (SELECT unnest(range(1, 1000)) AS j) u
-          WHERE u.j <= len(starts)
+          -- unnest + generate_subscripts expand in lockstep, so the
+          -- enumeration is exactly len(starts) per document — no
+          -- hard-coded chunk cap that a long document could overflow
+          SELECT doc_id, ts,
+                 generate_subscripts(starts, 1) - 1 AS chunk_idx,
+                 unnest(starts) AS start
+          FROM c
         )
         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
                CAST(start AS INT) AS start,

@@ -58,7 +58,7 @@ object SinkQueries {
     Q("q81_format_roundtrip",
       (s, d) => {
         import graft.functions.ColumnOps.e2
-        val base = java.nio.file.Files.createTempDirectory("graft_q81").toString
+        val base = graft.TempDirs.scoped("graft_q81")
         val cust = Tables.customer(s, d).select(
           col("c_custkey"), col("c_name"), col("c_nationkey"),
           e2(col("c_acctbal")).as("acctbal_e2"), col("c_mktsegment"))

@@ -42,7 +42,7 @@ object StreamingQueries {
     Q("q48_watch_pipeline",
       (s, _) => {
         val scans = SyntheticImages.fixtureDir()
-        val base = Files.createTempDirectory("graft_watch_q").toString
+        val base = graft.TempDirs.scoped("graft_watch_q")
         WatchPipeline.runAvailableNow(s, scans, s"$base/out", s"$base/ckpt")
         s.read.parquet(s"$base/out")
           // key-sorted JSON: complex cells crash the driver's row-sort
@@ -65,7 +65,7 @@ object StreamingQueries {
     // pinned in StreamJoinSpec, which a one-shot oracle can't observe).
     Q("q70_stream_stream_join",
       (s, _d) => {
-        val base = Files.createTempDirectory("graft_q70").toString
+        val base = graft.TempDirs.scoped("graft_q70")
         eventsFixture(s, _d, Seq("view"), s"$base/views")
         eventsFixture(s, _d, Seq("purchase"), s"$base/purchases")
         val v = s.readStream.schema(eventSchema).parquet(s"$base/views")
@@ -128,7 +128,7 @@ object StreamingQueries {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val base = Files.createTempDirectory("graft_q71").toString
+        val base = graft.TempDirs.scoped("graft_q71")
         Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
           .coalesce(1).sortWithinPartitions(col("ts_us"))
@@ -201,7 +201,7 @@ object StreamingQueries {
     // dependent, so no batch oracle can mirror them).
     Q("q79_stream_dedup",
       (s, d) => {
-        val base = Files.createTempDirectory("graft_q79").toString
+        val base = graft.TempDirs.scoped("graft_q79")
         val p = Tables.events(s, d)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("ts"), col("user_id"))

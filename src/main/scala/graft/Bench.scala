@@ -25,21 +25,27 @@ object Bench {
 
   /** The two driver-facing JSON lines, as pure formatting (unit-tested
     * by BenchLineSpec so registry growth can't re-break the harness
-    * parse): `_1` the full-precision detail line (BENCH_DETAIL.json,
-    * always carries the per-query map), `_2` the stdout metric line,
-    * which degrades in stages when the 0.1s-precision map would
-    * overflow the tail window: first to whole-second per-query times
-    * (a slow round — every query ≥10s — is exactly when the per-query
-    * map matters, so keep it), then to an EMPTY queries map with the
-    * headline total intact.
+    * parse): `_1` the full-precision full-name detail line
+    * (BENCH_DETAIL.json — always the complete record), `_2` the stdout
+    * metric line. The stdout map keys are the short `qNN` ids (the
+    * name up to the first underscore — asserted unique) because at 80+
+    * queries the full names alone overflow the tail window; past that
+    * it degrades in stages: whole-second times (a slow round — every
+    * query ≥10s — is exactly when the per-query map matters, so keep
+    * it), then an EMPTY queries map with the headline total intact.
     */
   def lines(results: Seq[(String, Double, Boolean)],
             failed: Seq[String], sfName: String): (String, String) = {
     def fmt(prec: String, v: Double): String = // Locale.ROOT: "." always
       String.format(java.util.Locale.ROOT, prec, Double.box(v))
-    def qsJson(prec: String) =
-      results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(prec, v) }
-        .mkString("{", ",", "}")
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val stdoutKeys = // collision → full names (degradation still guards)
+      if (shortKeys.distinct.length == shortKeys.length) shortKeys
+      else results.map(_._1)
+    def qsJson(keys: Seq[String], prec: String) =
+      keys.zip(results).map { case (k, (_, v, _)) =>
+        s"\"" + k + "\":" + fmt(prec, v)
+      }.mkString("{", ",", "}")
     // failed queries' time-to-failure is not work done — report it
     // separately, not inside the headline total
     val total = results.collect { case (_, v, true) => v }.sum
@@ -48,8 +54,8 @@ object Bench {
       else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: String) =
       s"""{"metric":"total","value":${fmt("%.2f", total)},"queries":$qs$failedJson,"sf":"$sfName"}"""
-    val detail = line(qsJson("%.2f"))
-    val stdout = Seq(qsJson("%.1f"), qsJson("%.0f"), "{}")
+    val detail = line(qsJson(results.map(_._1), "%.2f"))
+    val stdout = Seq(qsJson(stdoutKeys, "%.1f"), qsJson(stdoutKeys, "%.0f"), "{}")
       .map(line).find(_.length <= TailWindow)
       .getOrElse(line("{}")) // headline-only; > window only if q-count is absurd
     (detail, stdout)

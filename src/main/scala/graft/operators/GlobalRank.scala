@@ -77,6 +77,54 @@ object GlobalRank {
       .drop("__pid", "__mid", "__offset")
   }
 
+  /** Adds `rankCol` (exact 1-based global rank by `sortCols`) AND
+    * `cumCol` (exact running sum of `value` in that order) plus
+    * `totalCol` (the grand total) — the global cumulative-distribution
+    * primitive (coverage curves, Lorenz/Zipf tables) with NO global
+    * single-partition window. Same two-phase shape as
+    * [[withGlobalRank]]: the offsets aggregate additionally carries
+    * per-partition value sums; the within-partition running sum is a
+    * window PARTITIONED by the range-partition id, so each window task
+    * sees one partition's rows, never the table. `value` should be
+    * integral (long) — the running sum is then exact and
+    * order-independent across engines.
+    */
+  def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+                       rankCol: String, cumCol: String, totalCol: String,
+                       numPartitions: Int = 32): DataFrame = {
+    val sorted = Reliable.barrier(df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__v", value)
+      .withColumn("__mid", monotonically_increasing_id()))(
+      _.persist(StorageLevel.MEMORY_AND_DISK))
+    val pid = shiftrightunsigned(col("__mid"), LocalIdxBits)
+    // one row per partition; both windows run over #partitions rows
+    val offsets = sorted.groupBy(pid.as("__pid"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__voffset",
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(totalCol, sum(col("__psum")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__voffset"), col(totalCol))
+    sorted
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), LocalIdxBits))
+      .withColumn("__lcum", sum(col("__v")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rankCol,
+        col("__offset") + col("__mid").bitwiseAND(LocalIdxMask) + 1)
+      .withColumn(cumCol, col("__voffset") + col("__lcum"))
+      .drop("__pid", "__mid", "__v", "__lcum", "__offset", "__voffset")
+  }
+
   /** Exact NTILE(k) over a global order, two-phase. Same bucket
     * assignment as the SQL window function: with N rows, the first
     * `N % k` buckets get `ceil(N/k)` rows, the rest `floor(N/k)`.

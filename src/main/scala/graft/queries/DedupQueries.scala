@@ -284,11 +284,6 @@ object DedupQueries {
       Some(allPairsOracle(0.8))),
 
     // ---------------------------------------------------------------
-    // q41: MinHash-LSH near-dup — 32-hash signatures, 8 bands × 4 rows,
-    // candidates = docs sharing a band key, then exact-Jaccard verify at
-    // t=0.7. At the corpus's similarity levels (pairs are ~0.99 or
-    // <0.2) the banding miss probability is ~(1-0.99^4)^8 ≈ 4e-12, so
-    // the all-pairs oracle is exact in practice.
     Q("q72_incremental_dedup",
       // Incremental dedup — the shape a production corpus actually
       // runs daily: the corpus side (even doc_ids stand in for the
@@ -325,6 +320,11 @@ object DedupQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q41: MinHash-LSH near-dup — 32-hash signatures, 8 bands × 4 rows,
+    // candidates = docs sharing a band key, then exact-Jaccard verify at
+    // t=0.7. At the corpus's similarity levels (pairs are ~0.99 or
+    // <0.2) the banding miss probability is ~(1-0.99^4)^8 ≈ 4e-12, so
+    // the all-pairs oracle is exact in practice.
     Q("q41_minhash_lsh",
       (s, d) => {
         val t = 0.7
@@ -658,6 +658,73 @@ object DedupQueries {
                CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                     ELSE 'test' END AS split
         FROM b ORDER BY doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q92: dedup impact — the report a pipeline owner reads before
+    // committing a dedup pass: per method, how many documents and how
+    // much text volume it would remove. Exact dedup keeps the min
+    // doc_id per normalized-content digest (q39's convention);
+    // near-dup keeps each Jaccard≥0.8 component's min-label keeper
+    // (the q57/q66 closure, memo-shared — no new pair generation).
+    // Scale: one digest-keyed aggregate plus a join of the corpus-tiny
+    // component table; integer-division percentage stays exact
+    // cross-engine.
+    Q("q92_dedup_impact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"),
+            length(col("text")).cast("long").as("n_chars"))
+        val exact = docs.groupBy(col("digest"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_nc"),
+            min_by(col("n_chars"), col("doc_id")).as("keeper_nc"))
+          .agg(sum(col("cnt")).as("docs_total"),
+            sum(col("cnt") - 1).as("docs_removed"),
+            sum(col("sum_nc") - col("keeper_nc")).as("chars_removed"))
+          .select(lit("exact").as("method"), col("docs_total"),
+            col("docs_removed"), col("chars_removed"))
+        val totals = docs.agg(count(lit(1)).as("docs_total"))
+        val neardup = components(s, d)
+          .filter(col("doc_id") =!= col("component"))
+          .join(docs, "doc_id")
+          .agg(count(lit(1)).as("docs_removed"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("chars_removed"))
+          .crossJoin(broadcast(totals))
+          .select(lit("neardup_jaccard").as("method"), col("docs_total"),
+            col("docs_removed"), col("chars_removed"))
+        exact.unionByName(neardup)
+          .withColumn("pct_docs_e4",
+            expr("(docs_removed * 10000) div docs_total"))
+          .orderBy(col("method"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${componentsOracleCtes(0.8)},
+        docs AS (
+          SELECT doc_id, md5(lower(trim(text))) AS digest,
+                 CAST(len(text) AS BIGINT) AS n_chars
+          FROM documents
+        ),
+        ex AS (
+          SELECT CAST('exact' AS VARCHAR) AS method,
+                 SUM(cnt) AS docs_total,
+                 SUM(cnt - 1) AS docs_removed,
+                 SUM(sum_nc - keeper_nc) AS chars_removed
+          FROM (SELECT digest, COUNT(*) AS cnt, SUM(n_chars) AS sum_nc,
+                       arg_min(n_chars, doc_id) AS keeper_nc
+                FROM docs GROUP BY digest)
+        ),
+        nd AS (
+          SELECT CAST('neardup_jaccard' AS VARCHAR) AS method,
+                 (SELECT COUNT(*) FROM docs) AS docs_total,
+                 COUNT(*) AS docs_removed,
+                 COALESCE(SUM(d.n_chars), 0) AS chars_removed
+          FROM comp c JOIN docs d USING (doc_id)
+          WHERE c.doc_id <> c.component
+        )
+        SELECT method, docs_total, docs_removed, chars_removed,
+               (docs_removed * 10000) // docs_total AS pct_docs_e4
+        FROM (SELECT * FROM ex UNION ALL SELECT * FROM nd)
+        ORDER BY method
       """))
   )
 }

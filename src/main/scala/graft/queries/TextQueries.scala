@@ -362,6 +362,54 @@ object TextQueries {
         )
         SELECT tok, COUNT(*) AS n
         FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+      """)),
+
+    // ---------------------------------------------------------------
+    // q91: vocabulary coverage — the tokenizer-budget planning query:
+    // what fraction of all token OCCURRENCES do the k most frequent
+    // token types cover, at the k's a vocab budget would consider. A
+    // tokenizer team reads this table to pick vocab size; a data team
+    // reads it as the corpus's Zipf head-heaviness.
+    //
+    // Scale shape: one vocabulary-keyed count (state ∝ vocab, the
+    // q63 family), then the coverage curve through GlobalRank's
+    // two-phase cumulative sum — exact global rank AND running sum
+    // with no single-task window anywhere (the naive
+    // `SUM(n) OVER (ORDER BY n DESC)` funnels the whole vocabulary
+    // through one task at 100 TB). Integer-division scaling keeps the
+    // fraction exact cross-engine.
+    Q("q91_vocab_coverage",
+      (s, d) => {
+        // checkpoints sized to the synthetic corpus's 31-type
+        // vocabulary so the report carries a real curve; a production
+        // run passes the 2^10..2^17 ladder a tokenizer budget spans
+        val ks = Seq(1L, 5L, 10L, 20L, 30L)
+        val counts = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        graft.operators.GlobalRank.withGlobalCumSum(counts,
+            Seq(col("n").desc, col("tok")), col("n"),
+            "k", "cum_tokens", "total_tokens")
+          .filter(col("k").isin(ks: _*))
+          .select(col("k"), col("n").as("kth_freq"), col("cum_tokens"),
+            expr("(cum_tokens * 10000) div total_tokens").as("coverage_e4"))
+          .orderBy(col("k"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT unnest($DTokens) AS tok FROM documents),
+        counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        ranked AS (
+          SELECT tok, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS k,
+                 SUM(n) OVER (ORDER BY n DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                 SUM(n) OVER () AS total_tokens
+          FROM counts
+        )
+        SELECT k, n AS kth_freq, cum_tokens,
+               (cum_tokens * 10000) // total_tokens AS coverage_e4
+        FROM ranked WHERE k IN (1, 5, 10, 20, 30)
+        ORDER BY k
       """))
   )
 }

@@ -16,15 +16,23 @@ class BenchLineSpec extends SparkSuite {
     df.head()
   }
 
-  test("small registry: stdout line carries the full queries map") {
-    val results = (1 to 5).map(i => (s"q$i", i * 1.0, true))
+  test("small registry: stdout carries the map under short qNN keys; detail keeps full names") {
+    val results = (1 to 5).map(i => (s"q${i}_some_name", i * 1.0, true))
     val (detail, out) = Bench.lines(results, Nil, "sf0.1")
     val row = parse(out)
     assert(row.getAs[Double]("value") === 15.0)
     assert(row.getAs[String]("sf") === "sf0.1")
     val qs = row.getAs[org.apache.spark.sql.Row]("queries")
     assert(qs.schema.fieldNames.toSet === (1 to 5).map(i => s"q$i").toSet)
-    parse(detail) // detail line parses too
+    val dq = parse(detail).getAs[org.apache.spark.sql.Row]("queries")
+    assert(dq.schema.fieldNames.toSet
+      === (1 to 5).map(i => s"q${i}_some_name").toSet)
+  }
+
+  test("short-key collision falls back to full names (still window-guarded)") {
+    val results = Seq(("q7_alpha", 1.0, true), ("q7_beta", 2.0, true))
+    val (_, out) = Bench.lines(results, Nil, "sf0.1")
+    assert(out.contains("\"q7_alpha\"") && out.contains("\"q7_beta\""))
   }
 
   test("oversized registry: stdout degrades to an empty map inside the window; detail keeps everything") {
@@ -52,18 +60,21 @@ class BenchLineSpec extends SparkSuite {
     // the per-query map — shrink the format or trim names BEFORE that.
     // 99.9 forces the widest per-query times (a fully load-degraded
     // round); the coarse whole-second stage must still fit.
-    val results = SparkEntry.registry.filter(_.bench)
-      .map(q => (q.name, 99.9, true))
-    val (_, out) = Bench.lines(results, Nil, "sf0.1")
-    assert(out.contains("\"q1_pricing_summary\""),
+    val benched = SparkEntry.registry.filter(_.bench)
+    // the short-key scheme requires distinct qNN prefixes — a registry
+    // invariant worth its own failure message
+    val prefixes = benched.map(_.name.takeWhile(_ != '_'))
+    assert(prefixes.distinct.length === prefixes.length,
+      s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct)}")
+    val (_, out) = Bench.lines(benched.map(q => (q.name, 99.9, true)), Nil, "sf0.1")
+    assert(out.contains("\"q1\":"),
       "per-query map expected for the current registry")
     assert(out.length <= Bench.TailWindow,
       s"current registry's metric line is ${out.length} chars — " +
         "over the harness tail window")
     // and at typical (sub-10s) widths the full 0.1s-precision map fits
     val (_, typical) = Bench.lines(
-      SparkEntry.registry.filter(_.bench).map(q => (q.name, 9.9, true)),
-      Nil, "sf0.1")
-    assert(typical.contains("\"q1_pricing_summary\":9.9"))
+      benched.map(q => (q.name, 9.9, true)), Nil, "sf0.1")
+    assert(typical.contains("\"q1\":9.9"))
   }
 }

@@ -38,6 +38,24 @@ class GlobalRankSpec extends SparkSuite {
     assert(r.exceptAll(windowNtile(3, 7)).isEmpty)
   }
 
+  test("withGlobalCumSum equals the global running-sum window (rank, cum, total)") {
+    val vals = df(101).withColumn("w", (col("id") % 13 + 1).cast("long"))
+    val got = GlobalRank.withGlobalCumSum(vals,
+        Seq(col("v"), col("id")), col("w"), "r", "cum", "total",
+        numPartitions = 4)
+      .select(col("id"), col("r"), col("cum"), col("total"))
+    val w = Window.orderBy(col("v"), col("id"))
+    val expected = vals
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("w")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("id"), col("r"), col("cum"), col("total"))
+    assert(got.exceptAll(expected).isEmpty &&
+           expected.exceptAll(got).isEmpty)
+  }
+
   test("withGlobalRank equals row_number over the global order") {
     val ranked = GlobalRank.withGlobalRank(df(101),
         Seq(col("v"), col("id")), "r", numPartitions = 4)

@@ -725,6 +725,61 @@ object DedupQueries {
                (docs_removed * 10000) // docs_total AS pct_docs_e4
         FROM (SELECT * FROM ex UNION ALL SELECT * FROM nd)
         ORDER BY method
+      """)),
+
+    // ---------------------------------------------------------------
+    // q93: threshold calibration sweep — the table a data engineer
+    // reads BEFORE choosing a near-dup threshold: pairs and distinct
+    // documents each candidate threshold would merge. ONE
+    // prefix-filtered pair join at the lowest candidate (recall above
+    // it is perfect by q40's prefix argument); every higher
+    // threshold's row is a conditional count over the same verified
+    // pair table — no per-threshold re-join. The 0.6 index is a
+    // separate memo from the 0.8 production one: calibrating below
+    // the committed threshold is exactly the case where the cheaper
+    // index can't answer.
+    Q("q93_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, d, 0.6)
+        val ths = Seq(6000L, 7000L, 8000L, 9000L).toDF("threshold_e4")
+        val matched = pairs.join(broadcast(ths),
+          col("jac_e4") >= col("threshold_e4"))
+        val nPairs = matched.groupBy(col("threshold_e4"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDocs = matched
+          .select(col("threshold_e4"),
+            explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+          .groupBy(col("threshold_e4"))
+          .agg(countDistinct(col("doc")).as("n_docs"))
+        nPairs.join(nDocs, "threshold_e4").orderBy(col("threshold_e4"))
+      },
+      Some(s"""
+        WITH g AS ($DGrams),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ),
+        j AS (
+          SELECT doc_a, doc_b,
+                 CAST(floor(CAST(inter AS DOUBLE) / (la + lb - inter) * 10000)
+                      AS BIGINT) AS jac_e4
+          FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6
+        ),
+        t AS (SELECT unnest(CAST([6000, 7000, 8000, 9000] AS BIGINT[]))
+                     AS threshold_e4),
+        m AS (SELECT t.threshold_e4, j.doc_a, j.doc_b
+              FROM t JOIN j ON j.jac_e4 >= t.threshold_e4),
+        np AS (SELECT threshold_e4, COUNT(*) AS n_pairs
+               FROM m GROUP BY threshold_e4),
+        nd AS (SELECT threshold_e4, COUNT(DISTINCT doc) AS n_docs
+               FROM (SELECT threshold_e4, unnest([doc_a, doc_b]) AS doc FROM m)
+               GROUP BY threshold_e4)
+        SELECT np.threshold_e4, np.n_pairs, nd.n_docs
+        FROM np JOIN nd USING (threshold_e4)
+        ORDER BY threshold_e4
       """))
   )
 }

@@ -410,6 +410,67 @@ object TextQueries {
                (cum_tokens * 10000) // total_tokens AS coverage_e4
         FROM ranked WHERE k IN (1, 5, 10, 20, 30)
         ORDER BY k
+      """)),
+
+    // ---------------------------------------------------------------
+    // q94: quality–length correlation — the curation diagnostic that
+    // tells you whether a length floor and a quality gate are
+    // REDUNDANT filters (r → 1: keep one) or independent signals
+    // (r → 0: keep both), per language. Pearson r from exact integer
+    // sums (token count and the q32 quality integer are bigints on
+    // both engines; every Σ is exact long arithmetic, then ONE
+    // identical double expression), so floor(r·1e4) is deterministic
+    // cross-engine — never engine-native corr(), whose accumulation
+    // order is unspecified. Scale: one scan, one lang-keyed aggregate.
+    Q("q94_quality_length_corr",
+      (s, d) => {
+        val stats = Tables.documents(s, d).select(
+            col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("x"),
+            floor(TextAnalysis.qualityScore(col("text")) * 10000).as("y"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        stats.select(col("lang"), col("n"),
+            floor(
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                  * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              * 10000).as("pearson_e4"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang, text, $DTokens AS ts FROM documents
+        ), m AS (
+          SELECT lang,
+                 len(ts) AS n_tok,
+                 len(list_filter(ts, tk ->
+                   list_contains(${sqlList(TextAnalysis.EnglishStopwords)}, tk))) AS n_stop,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 length(text) AS n_chars
+          FROM t
+        ), v AS (
+          SELECT lang, CAST(n_tok AS BIGINT) AS x,
+                 CAST(floor(((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
+                            + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4.0, 1.0)
+                            + greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4.0))
+                           / 3.0) * 10000) AS BIGINT) AS y
+          FROM m
+        ), a AS (
+          SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM v GROUP BY lang
+        )
+        SELECT lang, n,
+               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    * 10000) AS BIGINT) AS pearson_e4
+        FROM a ORDER BY lang
       """))
   )
 }

@@ -25,4 +25,34 @@ class RegistryPlanSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"unbounded cartesian product in: ${offenders.mkString(", ")}")
   }
+
+  // SURVEY §8 claims these are one-scan queries with column pruning
+  // reaching parquet — pin the scan schema so a refactor that drags
+  // extra columns through the explode fails here
+  for ((name, expected) <- Seq(
+      "q91_vocab_coverage" -> Set("text"),
+      "q94_quality_length_corr" -> Set("text", "lang")))
+    test(s"$name reads only ${expected.mkString("+")} from documents") {
+      spark.catalog.clearCache()
+      // file scans hide under AQE wrappers and — for queries that
+      // persist an intermediate (GlobalRank's sorted frame) — inside
+      // the InMemoryRelation's cached plan; recurse through both
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collectLeaves().flatMap {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.initialPlan)
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            scansOf(m.relation.cachedPlan)
+          case _ => Nil
+        }
+      val scans = scansOf(
+        SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      assert(scans.nonEmpty, "no FileSourceScanExec found")
+      scans.foreach { s =>
+        assert(s.requiredSchema.fieldNames.toSet.subsetOf(expected),
+          s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
 }

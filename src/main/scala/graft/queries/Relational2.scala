@@ -409,7 +409,12 @@ object Relational2 {
     // bucket assignment as NTILE(4), no one-task sort of the table.
     Q("q28_price_quartiles",
       (s, d) => {
-        graft.operators.GlobalRank.ntile(Tables.orders(s, d), 4,
+        // project BEFORE the two-phase ntile: GlobalRank persists its
+        // range-sorted input, which is a pruning barrier — without
+        // this, the whole 9-column orders row (o_comment included)
+        // rides the range shuffle and the cache for a 2-column query
+        graft.operators.GlobalRank.ntile(
+            Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey")), 4,
             Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
           .groupBy(col("quartile"))
           .agg(count(lit(1)).as("n"),

@@ -38,6 +38,10 @@ object StreamingQueries {
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType)))
 
+  /** DuckDB twin of TextAnalysis.tokens (q95's quality recompute). */
+  private val DocTokens =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
   val all: Seq[Q] = Seq(
     Q("q48_watch_pipeline",
       (s, _) => {
@@ -235,6 +239,96 @@ object StreamingQueries {
                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, user_id
         FROM events WHERE event_type = 'purchase'
         ORDER BY event_id
+      """),
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q95: streaming ingest-quality monitoring — the dashboard query a
+    // corpus ingest runs continuously: per event-time window, document
+    // volume, total quality mass, and how many clear the gate. This is
+    // the engine's first STREAMING windowed aggregation entry (q45-47
+    // prove the window semantics in batch): watermarked tumbling
+    // windows over a document stream, quality computed IN the stream
+    // (the q32 composite — proving the curation expressions are
+    // streaming-safe), Append output.
+    //
+    // The oracle encodes Append mode's closure rule explicitly: a
+    // window emits only once the watermark (here: max event time,
+    // watermark delay 0) passes its END, so the twin excludes windows
+    // still open at end-of-stream — the honest semantic difference
+    // between a streaming and a batch aggregation, made checkable.
+    // Integer outputs only (counts + quality-integer sum): exact
+    // cross-engine.
+    Q("q95_stream_quality_windows",
+      (s, d) => {
+        import graft.text.TextAnalysis
+        val base = graft.TempDirs.scoped("graft_q95")
+        // deterministic event time: one doc per minute from 2024-01-01
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            timestamp_seconds(lit(1704067200L) + col("doc_id") * 60).as("ts"),
+            col("text"))
+          .coalesce(1).sortWithinPartitions(col("doc_id"))
+          .write.parquet(s"$base/in")
+        val input = s.readStream.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("ts", TimestampType),
+            StructField("text", StringType))))
+          .parquet(s"$base/in")
+          .withWatermark("ts", "0 seconds")
+        val agg = input
+          .withColumn("q", floor(TextAnalysis.qualityScore(col("text")) * 10000))
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("q")).as("sum_quality_e4"),
+            count(when(col("q") >= 5000, 1)).as("n_pass"))
+        val q = agg.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n_docs"), col("sum_quality_e4"), col("n_pass"))
+          .orderBy(col("window_start"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+                 text, $DocTokens AS ts_tok
+          FROM documents
+        ), m AS (
+          SELECT ts,
+                 len(ts_tok) AS n_tok,
+                 len(list_filter(ts_tok, tk ->
+                   list_contains(${graft.text.TextAnalysis.EnglishStopwords
+                     .map(w => s"'$w'").mkString("[", ",", "]")}, tk))) AS n_stop,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 length(text) AS n_chars
+          FROM t
+        ), v AS (
+          SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+                 CAST(floor(((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
+                            + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4.0, 1.0)
+                            + greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4.0))
+                           / 3.0) * 10000) AS BIGINT) AS q
+          FROM m
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_docs,
+               CAST(SUM(q) AS BIGINT) AS sum_quality_e4,
+               CAST(COUNT(*) FILTER (q >= 5000) AS BIGINT) AS n_pass
+        FROM v
+        -- Append-mode closure: only windows the end-of-stream watermark
+        -- (max event time, delay 0) has passed
+        WHERE ws + INTERVAL 10 MINUTE <=
+              (SELECT MAX(TIMESTAMP '2024-01-01 00:00:00'
+                          + doc_id * INTERVAL 1 MINUTE) FROM documents)
+        GROUP BY ws ORDER BY window_start
       """),
       bench = false)
   )

@@ -413,6 +413,50 @@ object TextQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q96: per-language heavy hitters — q88's two-pass pattern as a
+    // GROUPED aggregate: one Misra-Gries sketch per language (the
+    // per-key ObjectHashAggregate shape the pinned sort-fallback
+    // threshold protects — Sessions.scala), then exact recount of the
+    // per-language candidates via a broadcast semi-join, top-5 per
+    // language through the two-phase TopK. Reducer state is
+    // O(langs × capacity), never ∝ vocabulary. On this corpus the
+    // capacity (32) exceeds the vocabulary (31), so the sketch is
+    // exact by construction and the oracle equality is unconditional;
+    // at web scale the same per-language N/(capacity+1) margin
+    // argument as q88 applies.
+    Q("q96_heavy_hitters_by_lang",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = toks.groupBy(col("lang"))
+          .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 32).as("mg"))
+          .select(col("lang"), explode(map_keys(col("mg"))).as("tok"))
+        val counts = toks.join(broadcast(cands), Seq("lang", "tok"))
+          .groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TopK.perKey(counts, Seq("lang"),
+            Seq(col("n").desc, col("tok")), 5)
+          .select(col("lang"), col("rank"), col("tok"), col("n"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT lang, unnest($DTokens) AS tok FROM documents
+        ), counts AS (
+          SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+        ), ranked AS (
+          SELECT lang, tok, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, tok) AS rank
+          FROM counts
+        )
+        SELECT lang, CAST(rank AS INT) AS rank, tok, n
+        FROM ranked WHERE rank <= 5
+        ORDER BY lang, rank
+      """)),
+
+    // ---------------------------------------------------------------
     // q94: quality–length correlation — the curation diagnostic that
     // tells you whether a length floor and a quality gate are
     // REDUNDANT filters (r → 1: keep one) or independent signals

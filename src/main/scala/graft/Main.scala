@@ -45,6 +45,15 @@ object Main {
   private val DefaultDbUrl = "jdbc:derby:graft_db;create=true"
   private val ImageSuffixes = Set(".png", ".jpg", ".jpeg")
 
+  private def intValue(opt: String, v: String): Int =
+    try v.toInt
+    catch { case _: NumberFormatException =>
+      throw BadParameter(s"Option '$opt' requires an integer, got '$v'")
+    }
+
+  private def missingValue(opt: String): Nothing =
+    throw BadParameter(s"Option '$opt' requires an argument")
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("WARN")
@@ -138,6 +147,7 @@ object Main {
       case ("--s3doc-bucket" | "-s3bucket") :: v :: t => s3Bucket = v; parse(t)
       case "--db-url" :: v :: t => dbUrl = v; parse(t)
       case "--fixture" :: v :: t => fixture = v; parse(t)
+      case opt :: Nil if opt.startsWith("-") => missingValue(opt)
       case bad :: _ => throw BadParameter(s"unknown option $bad")
     }
     parse(args)
@@ -184,9 +194,10 @@ object Main {
     var pos = List.empty[String]
     @tailrec def parse(rest: List[String]): Unit = rest match {
       case Nil =>
-      case ("--pause" | "-p") :: v :: t => pause = v.toInt; parse(t)
+      case ("--pause" | "-p") :: v :: t => pause = intValue("--pause", v); parse(t)
       case "--once" :: t => once = true; parse(t)
       case p :: t if !p.startsWith("-") => pos :+= p; parse(t)
+      case opt :: Nil => missingValue(opt) // value-taking option, no value
       case bad :: _ => throw BadParameter(s"unknown option $bad")
     }
     parse(args)
@@ -197,7 +208,9 @@ object Main {
     for (d <- Seq(watchDir, outDir))
       if (!Files.isDirectory(Paths.get(d)))
         throw BadParameter(s"$d does not exists.")
-    if (Paths.get(watchDir).toAbsolutePath == Paths.get(outDir).toAbsolutePath)
+    // toRealPath (safe: both verified to exist) so aliases — `d` vs
+    // `d/.`, symlinks — can't sneak the sink inside the watched dir
+    if (Paths.get(watchDir).toRealPath() == Paths.get(outDir).toRealPath())
       throw BadParameter("Directories can not be the same.")
     out(s"Watching $watchDir for newly scanned receipts...")
     val checkpoint = s"$outDir/_checkpoint"
@@ -221,6 +234,7 @@ object Main {
     @tailrec def parse(rest: List[String]): Unit = rest match {
       case Nil =>
       case "--db-url" :: v :: t => dbUrl = v; parse(t)
+      case opt :: Nil if opt.startsWith("-") => missingValue(opt)
       case bad :: _ => throw BadParameter(s"unknown option $bad")
     }
     parse(args)

@@ -672,9 +672,13 @@ object DedupQueries {
     // cross-engine.
     Q("q92_dedup_impact",
       (s, d) => {
+        // persisted: the digest+length projection feeds the exact
+        // aggregate AND the near-dup join — one text scan, one md5
+        // pass, not three
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"),
             length(col("text")).cast("long").as("n_chars"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val exact = docs.groupBy(col("digest"))
           .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_nc"),
             min_by(col("n_chars"), col("doc_id")).as("keeper_nc"))
@@ -683,7 +687,9 @@ object DedupQueries {
             sum(col("sum_nc") - col("keeper_nc")).as("chars_removed"))
           .select(lit("exact").as("method"), col("docs_total"),
             col("docs_removed"), col("chars_removed"))
-        val totals = docs.agg(count(lit(1)).as("docs_total"))
+        // the corpus total is already in the exact branch's one row —
+        // no third scan
+        val totals = exact.select(col("docs_total"))
         val neardup = components(s, d)
           .filter(col("doc_id") =!= col("component"))
           .join(docs, "doc_id")

@@ -15,8 +15,7 @@ import graft.text.TextAnalysis
 object LlmPrepQueries {
 
   /** DuckDB twin of TextAnalysis.tokens. */
-  private val DTokens =
-    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val DTokens = OracleSql.DTokens // shared oracle fragment
 
   // Patterns restricted to the Java-regex ∩ RE2 common subset so both
   // engines compile them identically (no lookarounds, no backrefs).

@@ -39,8 +39,7 @@ object StreamingQueries {
     StructField("user_id", LongType), StructField("event_type", StringType)))
 
   /** DuckDB twin of TextAnalysis.tokens (q95's quality recompute). */
-  private val DocTokens =
-    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val DocTokens = OracleSql.DTokens
 
   val all: Seq[Q] = Seq(
     Q("q48_watch_pipeline",
@@ -305,8 +304,8 @@ object StreamingQueries {
           SELECT ts,
                  len(ts_tok) AS n_tok,
                  len(list_filter(ts_tok, tk ->
-                   list_contains(${graft.text.TextAnalysis.EnglishStopwords
-                     .map(w => s"'$w'").mkString("[", ",", "]")}, tk))) AS n_stop,
+                   list_contains(${OracleSql.sqlList(
+                     graft.text.TextAnalysis.EnglishStopwords)}, tk))) AS n_stop,
                  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
                  length(text) AS n_chars
           FROM t

@@ -18,12 +18,9 @@ import graft.text.TextAnalysis
   */
 object TextQueries {
 
-  /** DuckDB twin of TextAnalysis.tokens. */
-  private val DTokens =
-    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
-
-  private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ",", "]")
+  // one shared definition of the oracle fragments — see OracleSql
+  private val DTokens = OracleSql.DTokens
+  private def sqlList(xs: Seq[String]): String = OracleSql.sqlList(xs)
 
   val all: Seq[Q] = Seq(
 
@@ -478,12 +475,18 @@ object TextQueries {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
+        // zero-variance guard: a language with one document (or one
+        // constant feature) has an undefined r — emit NULL on BOTH
+        // engines instead of Spark's floor(NaN)=0 vs DuckDB's
+        // CAST(NaN) error
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
         stats.select(col("lang"), col("n"),
-            floor(
-              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-                / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-                  * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-              * 10000).as("pearson_e4"))
+            when(vx > 0 && vy > 0,
+              floor(
+                ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                  / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+                * 10000)).as("pearson_e4"))
           .orderBy(col("lang"))
       },
       Some(s"""
@@ -510,10 +513,12 @@ object TextQueries {
           FROM v GROUP BY lang
         )
         SELECT lang, n,
-               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-                    * 10000) AS BIGINT) AS pearson_e4
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                         * 10000) AS BIGINT)
+               END AS pearson_e4
         FROM a ORDER BY lang
       """))
   )

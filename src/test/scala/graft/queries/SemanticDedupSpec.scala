@@ -74,12 +74,12 @@ class SemanticDedupSpec extends SparkSuite {
       .groupBy(col("cluster"), col("sub")).count().collect()
       .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
     // the hot cluster (181 members, past the threshold) fans out over
-    // sign buckets: per-task sweep work is bounded by the largest
-    // sub-bucket, which must be FAR below the cluster size (~181/16
-    // expected; 3× slack keeps the assert noise-proof)
+    // the 2^SkewPlanes sign buckets: per-task sweep work is bounded by
+    // the largest sub-bucket, which must be FAR below the cluster size
+    // (~181/16 expected; 3× slack keeps the assert noise-proof)
     val hot = groups.collect { case ((0L, _), n) => n }
     assert(hot.size > 1, s"hot cluster did not split: $groups")
-    assert(hot.max <= 3 * 181 / SkewPlanes,
+    assert(hot.max <= 3 * 181 / (1 << SkewPlanes),
       s"sub-bucket not bounded: max ${hot.max} of 181")
     // the within-threshold cluster stays ONE exact-sweep group (sub 0)
     assert(groups((1L, 0)) === 20L)

@@ -125,4 +125,23 @@ class MainSpec extends SparkSuite {
     val (code, out) = runCli("frobnicate")
     assert(code === 2 && out.head.contains("usage:"))
   }
+
+  test("option-argument errors: non-integer --pause and missing values exit 2 with the right message") {
+    val d1 = Files.createTempDirectory("graft_cli_p1").toString
+    val d2 = Files.createTempDirectory("graft_cli_p2").toString
+    val (c1, o1) = runCli("watch", d1, d2, "--pause", "abc")
+    assert(c1 === 2 && o1.head.contains("requires an integer"))
+    val (c2, o2) = runCli("watch", d1, d2, "--pause")
+    assert(c2 === 2 && o2.head.contains("requires an argument"))
+    val (c3, o3) = runCli("analyze", "--db-url")
+    assert(c3 === 2 && o3.head.contains("requires an argument"))
+    val (c4, o4) = runCli("db", "init", "--db-url")
+    assert(c4 === 2 && o4.head.contains("requires an argument"))
+  }
+
+  test("same-directory guard sees through path aliases") {
+    val d = Files.createTempDirectory("graft_cli_alias").toString
+    val (code, out) = runCli("watch", d, s"$d/.")
+    assert(code === 2 && out.head.contains("can not be the same"))
+  }
 }

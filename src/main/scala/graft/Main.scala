@@ -147,7 +147,11 @@ object Main {
       case ("--s3doc-bucket" | "-s3bucket") :: v :: t => s3Bucket = v; parse(t)
       case "--db-url" :: v :: t => dbUrl = v; parse(t)
       case "--fixture" :: v :: t => fixture = v; parse(t)
-      case opt :: Nil if opt.startsWith("-") => missingValue(opt)
+      // only a KNOWN value-taking option gets the missing-argument
+      // diagnosis; an unknown flag is unknown in any position
+      case opt :: Nil if Set("--image-file", "-f", "--s3doc-key", "-s3key",
+        "--s3doc-bucket", "-s3bucket", "--db-url", "--fixture")(opt) =>
+        missingValue(opt)
       case bad :: _ => throw BadParameter(s"unknown option $bad")
     }
     parse(args)
@@ -194,10 +198,11 @@ object Main {
     var pos = List.empty[String]
     @tailrec def parse(rest: List[String]): Unit = rest match {
       case Nil =>
-      case ("--pause" | "-p") :: v :: t => pause = intValue("--pause", v); parse(t)
+      case (opt @ ("--pause" | "-p")) :: v :: t =>
+        pause = intValue(opt, v); parse(t)
       case "--once" :: t => once = true; parse(t)
       case p :: t if !p.startsWith("-") => pos :+= p; parse(t)
-      case opt :: Nil => missingValue(opt) // value-taking option, no value
+      case opt :: Nil if Set("--pause", "-p")(opt) => missingValue(opt)
       case bad :: _ => throw BadParameter(s"unknown option $bad")
     }
     parse(args)
@@ -209,9 +214,16 @@ object Main {
       if (!Files.isDirectory(Paths.get(d)))
         throw BadParameter(s"$d does not exists.")
     // toRealPath (safe: both verified to exist) so aliases — `d` vs
-    // `d/.`, symlinks — can't sneak the sink inside the watched dir
-    if (Paths.get(watchDir).toRealPath() == Paths.get(outDir).toRealPath())
+    // `d/.`, symlinks — can't dodge the checks
+    val (watchReal, outReal) =
+      (Paths.get(watchDir).toRealPath(), Paths.get(outDir).toRealPath())
+    if (watchReal == outReal)
       throw BadParameter("Directories can not be the same.")
+    // beyond the reference's equality check: a sink nested inside the
+    // watched tree would put parquet output and the checkpoint where
+    // the watcher looks for scans
+    if (outReal.startsWith(watchReal))
+      throw BadParameter("OUT_DIR can not be inside WATCH_DIR.")
     out(s"Watching $watchDir for newly scanned receipts...")
     val checkpoint = s"$outDir/_checkpoint"
     if (once)
@@ -234,7 +246,7 @@ object Main {
     @tailrec def parse(rest: List[String]): Unit = rest match {
       case Nil =>
       case "--db-url" :: v :: t => dbUrl = v; parse(t)
-      case opt :: Nil if opt.startsWith("-") => missingValue(opt)
+      case "--db-url" :: Nil => missingValue("--db-url")
       case bad :: _ => throw BadParameter(s"unknown option $bad")
     }
     parse(args)

@@ -14,4 +14,26 @@ private[queries] object OracleSql {
   /** A Scala string list as a DuckDB list literal. */
   def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** Per-document quality metric projection (n_tok / n_stop / n_punct /
+    * n_chars) over a row carrying `text` and a tokens list column —
+    * the shared front of the quality-composite twin.
+    */
+  def qualityMetrics(stopwords: Seq[String], toksCol: String = "ts"): String =
+    s"""len($toksCol) AS n_tok,
+       |                 len(list_filter($toksCol, tk ->
+       |                   list_contains(${sqlList(stopwords)}, tk))) AS n_stop,
+       |                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+       |                 length(text) AS n_chars""".stripMargin
+
+  /** DuckDB twin of [[graft.text.TextAnalysis.qualityScore]] scaled to
+    * floor(q·1e4), over the [[qualityMetrics]] columns. ONE definition:
+    * q94 and q95 both embed it, so a coefficient or regex fix cannot
+    * desynchronize their oracles.
+    */
+  val QualityE4: String =
+    """CAST(floor(((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
+      |                            + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4.0, 1.0)
+      |                            + greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4.0))
+      |                           / 3.0) * 10000) AS BIGINT)""".stripMargin
 }

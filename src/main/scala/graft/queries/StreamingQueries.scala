@@ -302,19 +302,12 @@ object StreamingQueries {
           FROM documents
         ), m AS (
           SELECT ts,
-                 len(ts_tok) AS n_tok,
-                 len(list_filter(ts_tok, tk ->
-                   list_contains(${OracleSql.sqlList(
-                     graft.text.TextAnalysis.EnglishStopwords)}, tk))) AS n_stop,
-                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-                 length(text) AS n_chars
+                 ${OracleSql.qualityMetrics(
+                   graft.text.TextAnalysis.EnglishStopwords, "ts_tok")}
           FROM t
         ), v AS (
           SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
-                 CAST(floor(((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
-                            + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4.0, 1.0)
-                            + greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4.0))
-                           / 3.0) * 10000) AS BIGINT) AS q
+                 ${OracleSql.QualityE4} AS q
           FROM m
         )
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -324,9 +317,7 @@ object StreamingQueries {
         FROM v
         -- Append-mode closure: only windows the end-of-stream watermark
         -- (max event time, delay 0) has passed
-        WHERE ws + INTERVAL 10 MINUTE <=
-              (SELECT MAX(TIMESTAMP '2024-01-01 00:00:00'
-                          + doc_id * INTERVAL 1 MINUTE) FROM documents)
+        WHERE ws + INTERVAL 10 MINUTE <= (SELECT MAX(ts) FROM t)
         GROUP BY ws ORDER BY window_start
       """),
       bench = false)

@@ -494,18 +494,11 @@ object TextQueries {
           SELECT lang, text, $DTokens AS ts FROM documents
         ), m AS (
           SELECT lang,
-                 len(ts) AS n_tok,
-                 len(list_filter(ts, tk ->
-                   list_contains(${sqlList(TextAnalysis.EnglishStopwords)}, tk))) AS n_stop,
-                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-                 length(text) AS n_chars
+                 ${OracleSql.qualityMetrics(TextAnalysis.EnglishStopwords)}
           FROM t
         ), v AS (
           SELECT lang, CAST(n_tok AS BIGINT) AS x,
-                 CAST(floor(((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
-                            + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4.0, 1.0)
-                            + greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4.0))
-                           / 3.0) * 10000) AS BIGINT) AS y
+                 ${OracleSql.QualityE4} AS y
           FROM m
         ), a AS (
           SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,

@@ -144,4 +144,18 @@ class MainSpec extends SparkSuite {
     val (code, out) = runCli("watch", d, s"$d/.")
     assert(code === 2 && out.head.contains("can not be the same"))
   }
+
+  test("a sink nested inside the watched tree is rejected") {
+    val d = Files.createTempDirectory("graft_cli_nest")
+    val inner = Files.createDirectory(d.resolve("out"))
+    val (code, out) = runCli("watch", d.toString, inner.toString)
+    assert(code === 2 && out.head.contains("inside WATCH_DIR"))
+  }
+
+  test("an unknown flag is 'unknown option' in ANY position, not a missing-value error") {
+    val (c1, o1) = runCli("analyze", "--bogus")
+    assert(c1 === 2 && o1.head.contains("unknown option --bogus"))
+    val (c2, o2) = runCli("analyze", "--bogus", "-f", "x.png")
+    assert(c2 === 2 && o2.head.contains("unknown option --bogus"))
+  }
 }

@@ -26,12 +26,23 @@ class ObjectHashFallbackSpec extends SparkSuite {
 
   // 600 distinct doc keys forced into ONE upstream partition — far past
   // Spark's default threshold of 128, far under the pinned one.
-  private def perDocSignatures: DataFrame =
+  private def perDocRows =
     spark.range(120000)
       .select((col("id") % 600).as("doc_id"), xxhash64(col("id")).as("gram"))
       .repartition(1)
+
+  // every TypedImperativeAggregate the engine groups per key
+  private def perKeyAggs: Seq[(String, DataFrame)] = Seq(
+    "minhash_agg" -> perDocRows.groupBy(col("doc_id"))
+      .agg(NearDup.minhashAggNative(col("gram"), 32).as("sig")),
+    "simhash_agg" -> perDocRows.groupBy(col("doc_id"))
+      .agg(NearDup.simhashAggNative(col("gram"), bits = 56).as("sh")),
+    "misra_gries" -> perDocRows
+      .withColumn("tok", (col("gram") % 97).cast("string"))
       .groupBy(col("doc_id"))
-      .agg(NearDup.minhashAggNative(col("gram"), 32).as("sig"))
+      .agg(MisraGriesAgg.misraGries(col("tok"), 32).as("mg")))
+
+  private def perDocSignatures: DataFrame = perKeyAggs.head._2
 
   /** Executes `df` and sums `numTasksFallBacked` over its
     * ObjectHashAggregateExec nodes (AQE is disabled by the callers so
@@ -57,13 +68,14 @@ class ObjectHashFallbackSpec extends SparkSuite {
     }
   }
 
-  test("pinned threshold: per-doc signature aggregation never sort-falls-back") {
+  test("pinned threshold: NO per-key custom aggregate sort-falls-back (minhash/simhash/misra-gries)") {
     withConf("spark.sql.adaptive.enabled", "false") {
       assert(spark.conf.get(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
         === Sessions.ObjectHashFallbackThreshold.toString,
         "suite session must carry the engine's pinned threshold")
-      assert(fallbackTasks(perDocSignatures) === 0L)
+      for ((name, df) <- perKeyAggs)
+        assert(fallbackTasks(df) === 0L, s"$name fell back to sort")
     }
   }
 

@@ -139,7 +139,7 @@ object Main {
     var s3Key: Option[String] = None
     var s3Bucket = "receipt-image"
     var dbUrl = DefaultDbUrl
-    var fixture = "/root/reference/output1.json"
+    var fixture = FixtureAnalyzer.resolve()
     @tailrec def parse(rest: List[String]): Unit = rest match {
       case Nil =>
       case ("--image-file" | "-f") :: v :: t => imageFile = Some(v); parse(t)

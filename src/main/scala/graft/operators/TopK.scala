@@ -32,4 +32,28 @@ object TopK {
       .filter(col(rankCol) <= k)
       .drop("__pid", "__lrn")
   }
+
+  /** Exact GLOBAL top-k (no key). `perKey` with a constant key is NOT
+    * this: Catalyst folds the literal partition expression away and the
+    * phase-2 window runs partitionless — every survivor (k·P rows; at
+    * 100k tasks and k=20 that's 2M rows) through ONE task, which the
+    * registry-wide plan sweep rightly flags. Here phase 1 prunes to k
+    * survivors per input partition as before, and phase 2 ranks them
+    * through [[GlobalRank]]'s two-phase offsets shape — bounded
+    * per-task work everywhere, no partitionless window in the plan.
+    * `order` must be a total order (include a unique tiebreak), which
+    * also makes the result identical to `row_number() OVER (ORDER BY
+    * order)` filtered to k.
+    */
+  def global(df: DataFrame, order: Seq[Column], k: Int,
+             rankCol: String = "rank"): DataFrame = {
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val survivors = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= k)
+      .drop("__pid", "__lrn")
+    GlobalRank.withGlobalRank(survivors, order, rankCol)
+      .filter(col(rankCol) <= k)
+      .drop("__n")
+  }
 }

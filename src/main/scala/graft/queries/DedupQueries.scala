@@ -472,8 +472,10 @@ object DedupQueries {
           .withColumn("cos",
             graft.functions.VectorFunctions.dotNative(col("ea"), col("eb"))
               / (col("na") * col("nb")))
-          .withColumn("grp", lit(1))
-        TopK.perKey(cand, Seq("grp"), Seq(col("cos").desc, col("vec_a"), col("vec_b")), 20)
+        // global top-20: TopK.global, not perKey with a constant key —
+        // Catalyst folds a literal partition key away and the rank
+        // window would run partitionless over every candidate pair
+        TopK.global(cand, Seq(col("cos").desc, col("vec_a"), col("vec_b")), 20)
           .select(col("vec_a"), col("vec_b"), floor(col("cos") * 100).as("score_e2"),
             col("rank"))
           .orderBy(col("rank"))
@@ -712,23 +714,23 @@ object DedupQueries {
         ),
         ex AS (
           SELECT CAST('exact' AS VARCHAR) AS method,
-                 SUM(cnt) AS docs_total,
-                 SUM(cnt - 1) AS docs_removed,
-                 SUM(sum_nc - keeper_nc) AS chars_removed
+                 CAST(SUM(cnt) AS BIGINT) AS docs_total,
+                 CAST(SUM(cnt - 1) AS BIGINT) AS docs_removed,
+                 CAST(SUM(sum_nc - keeper_nc) AS BIGINT) AS chars_removed
           FROM (SELECT digest, COUNT(*) AS cnt, SUM(n_chars) AS sum_nc,
                        arg_min(n_chars, doc_id) AS keeper_nc
                 FROM docs GROUP BY digest)
         ),
         nd AS (
           SELECT CAST('neardup_jaccard' AS VARCHAR) AS method,
-                 (SELECT COUNT(*) FROM docs) AS docs_total,
-                 COUNT(*) AS docs_removed,
-                 COALESCE(SUM(d.n_chars), 0) AS chars_removed
+                 CAST((SELECT COUNT(*) FROM docs) AS BIGINT) AS docs_total,
+                 CAST(COUNT(*) AS BIGINT) AS docs_removed,
+                 CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS chars_removed
           FROM comp c JOIN docs d USING (doc_id)
           WHERE c.doc_id <> c.component
         )
         SELECT method, docs_total, docs_removed, chars_removed,
-               (docs_removed * 10000) // docs_total AS pct_docs_e4
+               CAST((docs_removed * 10000) // docs_total AS BIGINT) AS pct_docs_e4
         FROM (SELECT * FROM ex UNION ALL SELECT * FROM nd)
         ORDER BY method
       """)),

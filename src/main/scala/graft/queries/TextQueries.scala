@@ -398,13 +398,13 @@ object TextQueries {
         ranked AS (
           SELECT tok, n,
                  ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS k,
-                 SUM(n) OVER (ORDER BY n DESC, tok
-                              ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-                 SUM(n) OVER () AS total_tokens
+                 CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                 CAST(SUM(n) OVER () AS BIGINT) AS total_tokens
           FROM counts
         )
         SELECT k, n AS kth_freq, cum_tokens,
-               (cum_tokens * 10000) // total_tokens AS coverage_e4
+               CAST((cum_tokens * 10000) // total_tokens AS BIGINT) AS coverage_e4
         FROM ranked WHERE k IN (1, 5, 10, 20, 30)
         ORDER BY k
       """)),

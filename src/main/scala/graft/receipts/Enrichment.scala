@@ -25,12 +25,42 @@ trait ExpenseAnalyzer extends Serializable {
   * analyze_expense response (the reference's own dev fixture — the only
   * real responses that exist) for every image.
   */
-final class FixtureAnalyzer(path: String = "/root/reference/output1.json")
+final class FixtureAnalyzer(path: String = FixtureAnalyzer.resolve())
     extends ExpenseAnalyzer {
   def open(): (String, Array[Byte]) => String = {
-    val json = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    val json = FixtureAnalyzer.load(path)
     (_, _) => json
   }
+}
+
+/** Default-fixture resolution so the shipped CLI is not bound to this
+  * dev container's read-only reference checkout: an explicit
+  * `GRAFT_FIXTURE` env var wins, then a bundled classpath resource
+  * (`classpath:/fixtures/analyze_expense.json` — a deployment packages
+  * its own capture there), then the dev-container path as documented
+  * fallback. Resolution happens ONCE on the driver at construction;
+  * `load` runs wherever `open()` runs, so a filesystem path must be
+  * visible to executors on a real cluster.
+  */
+object FixtureAnalyzer {
+  private[graft] val EnvVar = "GRAFT_FIXTURE"
+  private val Resource = "/fixtures/analyze_expense.json"
+  private val DevPath = "/root/reference/output1.json"
+  private val ClasspathPrefix = "classpath:"
+
+  def resolve(): String =
+    sys.env.get(EnvVar)
+      .orElse(Option(getClass.getResource(Resource))
+        .map(_ => ClasspathPrefix + Resource))
+      .getOrElse(DevPath)
+
+  def load(path: String): String =
+    if (path.startsWith(ClasspathPrefix)) {
+      val in = getClass.getResourceAsStream(path.stripPrefix(ClasspathPrefix))
+      require(in != null, s"missing classpath resource $path")
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    } else new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
 }
 
 object Enrichment {

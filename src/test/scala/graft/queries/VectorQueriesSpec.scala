@@ -68,4 +68,17 @@ class VectorQueriesSpec extends SparkSuite {
       .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     assert(twoPhase.exceptAll(single).isEmpty && single.exceptAll(twoPhase).isEmpty)
   }
+
+  test("TopK.global identical to global row_number, no partitionless window") {
+    spark.catalog.clearCache() // GlobalRank persists its sorted frame
+    val df = graft.Tables.orders(spark, dir)
+    val global = TopK.global(df,
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 25, "rn")
+      .select(col("o_orderkey"), col("rn"))
+    val single = df.withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 25)
+      .select(col("o_orderkey"), col("rn"))
+    assert(global.exceptAll(single).isEmpty && single.exceptAll(global).isEmpty)
+  }
 }

@@ -11,11 +11,13 @@ before hashing), and value-compares. Exit 1 on any mismatch.
 This script is development tooling only — the shipped engine is pure
 Scala/Spark and does not depend on it.
 """
+import decimal
 import glob
 import json
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -23,6 +25,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm_cell(v):
+    if isinstance(v, decimal.Decimal):
+        # The driver's hash is TYPE-sensitive: DuckDB SUM(BIGINT) returns
+        # HUGEINT (arrow decimal128) where Spark returns int64, and
+        # str(Decimal('42')) == str(42) would hide that here. Keep the
+        # type tag so an uncast oracle aggregate fails locally (r7 judge:
+        # q91/q92 shipped hash-red because this stringified).
+        return f"dec:{v}"
     if isinstance(v, float):
         return f"{v!r}"
     if hasattr(v, "isoformat"):  # datetime/date; strip tz info differences
@@ -34,6 +43,45 @@ def norm_cell(v):
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def type_family(t):
+    """Canonical type class mirroring the driver hash's sensitivity:
+    decimal vs int vs float must differ; physical widths and
+    string/large_string representation differences must not."""
+    if pa.types.is_null(t):
+        return "null"  # all-NULL column: wildcard, matches anything
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return f"list<{type_family(t.value_type)}>"
+    return str(t)
+
+
+def type_mismatches(got, exp):
+    """Columns whose arrow type family differs (sorted-name order)."""
+    bad = []
+    for c in sorted(got.column_names):
+        gf = type_family(got.schema.field(c).type)
+        ef = type_family(exp.schema.field(c).type)
+        if gf != ef and "null" not in (gf, ef):
+            bad.append(f"{c}: spark={gf} oracle={ef}")
+    return bad
 
 
 def rows_of(table):
@@ -62,6 +110,11 @@ def main(out_dir, sf_dir):
         ecols, erows = rows_of(exp)
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
+            failed.append(name)
+            continue
+        tbad = type_mismatches(got, exp)
+        if tbad:
+            print(f"FAIL {name}: type mismatch — {'; '.join(tbad)}")
             failed.append(name)
             continue
         if grows != erows:

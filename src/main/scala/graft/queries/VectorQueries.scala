@@ -80,6 +80,68 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q36 body — exact brute-force baseline; also the ground truth q97
+    * measures q37/q51 against. Norms once per row before the join; the
+    * per-pair work is one flat codegen'd dot product.
+    */
+  private[queries] def bruteforce(s: SparkSession, d: String): DataFrame = {
+    val cands = Tables.embeddings(s, d)
+      .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+    scoreAndRank(cands
+      .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id")))
+  }
+
+  /** q37 body — sign-LSH bucketed ANN; reused by q97's recall report. */
+  private[queries] def annLsh(s: SparkSession, d: String): DataFrame = {
+    val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
+    def bucketed(df: DataFrame, embCol: String): DataFrame =
+      df.withColumn("tb", explode(VectorLsh.buckets(col(embCol), tables)))
+        .withColumn("tbl", col("tb.tbl"))
+        .withColumn("bucket", col("tb.bucket"))
+        .drop("tb")
+    val cands = bucketed(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+        .withColumn("nrm", VectorFunctions.normNative(col("emb"))), "emb")
+    val qs = bucketed(queryVectors(s, d), "qemb")
+      .select(col("query_id"), col("qemb"), col("qnrm"), col("tbl"), col("bucket"))
+    scoreAndRank(cands
+      .join(qs, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // a pair can collide in several tables — score each pair once
+      .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
+        col("qemb"), col("qnrm"))
+      .dropDuplicates("query_id", "vec_id"))
+  }
+
+  /** q51 body — IVF inverted-list ANN; reused by q97's recall report. */
+  private[queries] def annIvf(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorIvf
+    val C = 64
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(C)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    val lists = VectorIvf.nearestCentroids(emb, centroids,
+      keep = 1, idCol = "vec_id")
+    val probes = VectorIvf.nearestCentroids(
+      queryVectors(s, d)
+        .select(col("query_id"), col("qemb").as("emb"), col("qnrm").as("nrm")),
+      centroids, keep = 4, idCol = "query_id")
+      .select(col("query_id"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("cid"))
+    scoreAndRank(lists.join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
+        col("qemb"), col("qnrm"))
+      .dropDuplicates("query_id", "vec_id"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -88,15 +150,7 @@ object VectorQueries {
     // one scan of embeddings; per-query top-k is the two-phase TopK, so
     // no single task ever sees a query's full candidate stream.
     Q("q36_knn_bruteforce",
-      (s, d) => {
-        // norms once per row before the join; the per-pair work is one
-        // flat codegen'd dot product (same doubles as cosine()).
-        val cands = Tables.embeddings(s, d)
-          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
-        scoreAndRank(cands
-          .join(broadcast(queryVectors(s, d)), col("vec_id") =!= col("query_id")))
-      },
+      (s, d) => bruteforce(s, d),
       Some(s"""
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
@@ -124,27 +178,7 @@ object VectorQueries {
     // keyed by bucket, never a cross product. Rows-only check (the
     // recall-vs-exact contract is asserted by VectorQueriesSpec).
     Q("q37_ann_lsh",
-      (s, d) => {
-        val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
-        def bucketed(df: DataFrame, embCol: String): DataFrame =
-          df.withColumn("tb", explode(VectorLsh.buckets(col(embCol), tables)))
-            .withColumn("tbl", col("tb.tbl"))
-            .withColumn("bucket", col("tb.bucket"))
-            .drop("tb")
-        val cands = bucketed(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-            .withColumn("nrm", VectorFunctions.normNative(col("emb"))), "emb")
-        val qs = bucketed(queryVectors(s, d), "qemb")
-          .select(col("query_id"), col("qemb"), col("qnrm"), col("tbl"), col("bucket"))
-        scoreAndRank(cands
-          .join(qs, Seq("tbl", "bucket"))
-          .filter(col("vec_id") =!= col("query_id"))
-          // a pair can collide in several tables — score each pair once
-          .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
-            col("qemb"), col("qnrm"))
-          .dropDuplicates("query_id", "vec_id"))
-      },
+      (s, d) => annLsh(s, d),
       None),
 
     // ---------------------------------------------------------------
@@ -161,30 +195,48 @@ object VectorQueries {
     // the engine takes a deterministic hash-ordered sample — a top-C
     // TakeOrdered, no global sort.
     Q("q51_ann_ivf",
+      (s, d) => annIvf(s, d),
+      None),
+
+    // ---------------------------------------------------------------
+    // q97: ANN recall as DATA (r7 judge #6) — the recall-vs-exact
+    // contract that previously lived only in VectorQueriesSpec, emitted
+    // as a queryable report: for each approximate method (q37 sign-LSH,
+    // q51 IVF) and each k, how many of the exact top-k neighbors the
+    // method returned. Rows-only by design (an oracle would mean
+    // porting LSH to SQL — same reason q37/q51 are rows-only);
+    // VectorQueriesSpec pins the k=10 lower bound on this output.
+    //
+    // Scale shape: all three inputs are rank-bounded frames
+    // (NumQueries·K rows each, independent of corpus size), so the
+    // recall joins are broadcast-tiny regardless of SF; a pair counts
+    // toward recall@k iff max(ann rank, exact rank) <= k, turned into
+    // per-k rows by exploding the k ladder — one pass per method, no
+    // per-k re-join.
+    Q("q97_ann_recall",
       (s, d) => {
-        import graft.operators.VectorIvf
-        val C = 64
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
-          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
-        val centroids = emb
-          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-          .limit(C)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-            col("nrm").as("cnrm"))
-        val lists = VectorIvf.nearestCentroids(emb, centroids,
-          keep = 1, idCol = "vec_id")
-        val probes = VectorIvf.nearestCentroids(
-          queryVectors(s, d)
-            .select(col("query_id"), col("qemb").as("emb"), col("qnrm").as("nrm")),
-          centroids, keep = 4, idCol = "query_id")
-          .select(col("query_id"), col("emb").as("qemb"),
-            col("nrm").as("qnrm"), col("cid"))
-        scoreAndRank(lists.join(probes, "cid")
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
-            col("qemb"), col("qnrm"))
-          .dropDuplicates("query_id", "vec_id"))
+        import s.implicits._
+        val ks = Seq(1, 5, 10)
+        val ksDf = ks.toDF("k")
+        val exact = bruteforce(s, d)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("erank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def recallOf(method: String, ann: DataFrame): DataFrame =
+          ann.select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+            .join(broadcast(exact), Seq("query_id", "neighbor_id"))
+            .select(greatest(col("arank"), col("erank")).as("kmin"))
+            .select(explode(filter(array(ks.map(lit(_)): _*),
+              kc => col("kmin") <= kc)).as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("hits"))
+            // zero-hit k levels must still report a row
+            .join(broadcast(ksDf), Seq("k"), "right")
+            .select(lit(method).as("method"), col("k"),
+              coalesce(col("hits"), lit(0L)).as("hits"))
+        recallOf("lsh", annLsh(s, d))
+          .unionByName(recallOf("ivf", annIvf(s, d)))
+          .withColumn("possible", (col("k") * NumQueries).cast("long"))
+          .withColumn("recall_e4", expr("(hits * 10000) div possible"))
+          .orderBy(col("method"), col("k"))
       },
       None),
 

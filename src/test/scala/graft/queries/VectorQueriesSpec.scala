@@ -69,6 +69,24 @@ class VectorQueriesSpec extends SparkSuite {
     assert(twoPhase.exceptAll(single).isEmpty && single.exceptAll(twoPhase).isEmpty)
   }
 
+  test("q97 recall report: bounds hold and k=10 recall clears the spec floor") {
+    spark.catalog.clearCache()
+    val rows = run("q97_ann_recall").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length === 6) // 2 methods x k in {1, 5, 10}
+    rows.foreach { case (m, k, hits, possible, e4) =>
+      assert(possible === 3L * k, s"$m@$k possible")
+      assert(hits >= 0 && hits <= possible, s"$m@$k hits=$hits")
+      assert(e4 === hits * 10000 / possible, s"$m@$k recall_e4")
+    }
+    // the same 0.2 floor the direct recall specs pin, now on the
+    // registered report itself
+    rows.filter(_._2 == 10).foreach { case (m, _, _, _, e4) =>
+      assert(e4 >= 2000, s"$m recall@10 degraded: $e4")
+    }
+  }
+
   test("TopK.global identical to global row_number, no partitionless window") {
     spark.catalog.clearCache() // GlobalRank persists its sorted frame
     val df = graft.Tables.orders(spark, dir)

@@ -37,23 +37,23 @@ object TopK {
     * this: Catalyst folds the literal partition expression away and the
     * phase-2 window runs partitionless — every survivor (k·P rows; at
     * 100k tasks and k=20 that's 2M rows) through ONE task, which the
-    * registry-wide plan sweep rightly flags. Here phase 1 prunes to k
-    * survivors per input partition as before, and phase 2 ranks them
-    * through [[GlobalRank]]'s two-phase offsets shape — bounded
-    * per-task work everywhere, no partitionless window in the plan.
-    * `order` must be a total order (include a unique tiebreak), which
-    * also makes the result identical to `row_number() OVER (ORDER BY
-    * order)` filtered to k.
+    * registry-wide plan sweep rightly flags. Here the top-k itself is
+    * Spark's native `ORDER BY ... LIMIT k` shape — planned as
+    * TakeOrderedAndProject: each task keeps its own top-k heap, one
+    * bounded merge of P·k rows, never a full sort — and the rank is a
+    * local id over the k surviving rows (one partition of k rows by
+    * construction, not a data funnel). No window operator in the plan
+    * at all.
+    *
+    * `order` must be a total order (include a unique tiebreak) — the
+    * result is then identical to `row_number() OVER (ORDER BY order)`
+    * filtered to k. `k` must be a genuine top-k (small — Spark falls
+    * back to a global sort past `topKSortFallbackThreshold`); to rank
+    * EVERY row, use [[GlobalRank.withGlobalRank]] instead.
     */
   def global(df: DataFrame, order: Seq[Column], k: Int,
-             rankCol: String = "rank"): DataFrame = {
-    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val survivors = df.withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(local))
-      .filter(col("__lrn") <= k)
-      .drop("__pid", "__lrn")
-    GlobalRank.withGlobalRank(survivors, order, rankCol)
-      .filter(col(rankCol) <= k)
-      .drop("__n")
-  }
+             rankCol: String = "rank"): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .coalesce(1).sortWithinPartitions(order: _*)
+      .withColumn(rankCol, (monotonically_increasing_id() + 1).cast("int"))
 }

@@ -788,6 +788,124 @@ object DedupQueries {
         SELECT np.threshold_e4, np.n_pairs, nd.n_docs
         FROM np JOIN nd USING (threshold_e4)
         ORDER BY threshold_e4
+      """)),
+
+    // ---------------------------------------------------------------
+    // q98: duplicate-cluster size histogram — the dedup diagnostic
+    // read alongside q92's impact report: are near-dups isolated pairs
+    // or giant templated families? (Web-scale corpora are dominated by
+    // a few huge boilerplate clusters; a 5+-heavy histogram says "fix
+    // the source", a 2-heavy one says "dedup and move on".)
+    //
+    // Scale: the component table holds only dup members (corpus-tiny);
+    // the size aggregate is over #clusters, and singleton counting is
+    // a doc_id-projection anti-join against that tiny table —
+    // broadcastable at any corpus size. No full-text scan anywhere:
+    // the one expensive input (the pair join) is the session-shared
+    // memo q40/q57/q92 already paid for.
+    Q("q98_dup_cluster_sizes",
+      (s, d) => {
+        val comp = components(s, d)
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+        val clustered = sizes
+          .groupBy(when(col("sz") >= 5, lit("5+"))
+            .otherwise(col("sz").cast("string")).as("bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        val singles = Tables.documents(s, d).select(col("doc_id"))
+          .join(broadcast(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit("1").as("bucket"), col("n_clusters"),
+            col("n_clusters").as("n_docs"))
+        clustered.unionByName(singles).orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${componentsOracleCtes(0.8)},
+        sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+        clustered AS (
+          SELECT CASE WHEN sz >= 5 THEN '5+' ELSE CAST(sz AS VARCHAR) END
+                   AS bucket,
+                 COUNT(*) AS n_clusters,
+                 CAST(SUM(sz) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY 1
+        ),
+        singles AS (
+          SELECT CAST('1' AS VARCHAR) AS bucket,
+                 COUNT(*) AS n_clusters, COUNT(*) AS n_docs
+          FROM documents dd
+          WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = dd.doc_id)
+        )
+        SELECT bucket, n_clusters, n_docs FROM clustered
+        UNION ALL SELECT bucket, n_clusters, n_docs FROM singles
+        ORDER BY bucket
+      """)),
+
+    // ---------------------------------------------------------------
+    // q99: per-source duplication rates — the mixture-planning input
+    // q68 consumes upstream: for each source, how many docs an exact
+    // pass and a near-dup pass would each remove ("removed" = not the
+    // min-doc_id keeper of its digest group / component, the same
+    // keeper rule as q39/q92). A source with a high dup rate gets its
+    // mixture weight cut before sampling, not after.
+    //
+    // Scale: one digest-keyed aggregate over a (doc_id, source,
+    // digest) projection; the near-dup side joins the corpus-tiny
+    // component table; everything downstream is keyed by source
+    // (bounded cardinality). Exact integer rates via div.
+    Q("q99_source_dup_rates",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(lower(trim(col("text")))).as("digest"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val keepers = docs.groupBy(col("digest"))
+          .agg(min(col("doc_id")).as("keeper"))
+        val exactRemoved = docs.join(keepers, "digest")
+          .filter(col("doc_id") =!= col("keeper"))
+          .groupBy(col("source")).agg(count(lit(1)).as("exact_removed"))
+        val ndRemoved = components(s, d)
+          .filter(col("doc_id") =!= col("component"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("neardup_removed"))
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(exactRemoved), Seq("source"), "left")
+          .join(broadcast(ndRemoved), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("exact_removed"), lit(0L)).as("exact_removed"),
+            coalesce(col("neardup_removed"), lit(0L)).as("neardup_removed"))
+          .withColumn("exact_rate_e4",
+            expr("(exact_removed * 10000) div n_docs"))
+          .withColumn("neardup_rate_e4",
+            expr("(neardup_removed * 10000) div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${componentsOracleCtes(0.8)},
+        docs AS (
+          SELECT doc_id, source, md5(lower(trim(text))) AS digest
+          FROM documents
+        ),
+        k AS (SELECT digest, MIN(doc_id) AS keeper FROM docs GROUP BY digest),
+        er AS (
+          SELECT source, COUNT(*) AS exact_removed
+          FROM docs JOIN k USING (digest)
+          WHERE doc_id <> keeper GROUP BY source
+        ),
+        nr AS (
+          SELECT d.source, COUNT(*) AS neardup_removed
+          FROM comp c JOIN docs d USING (doc_id)
+          WHERE c.doc_id <> c.component GROUP BY d.source
+        ),
+        t AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY source)
+        SELECT t.source, t.n_docs,
+               CAST(COALESCE(er.exact_removed, 0) AS BIGINT) AS exact_removed,
+               CAST(COALESCE(nr.neardup_removed, 0) AS BIGINT) AS neardup_removed,
+               CAST((COALESCE(er.exact_removed, 0) * 10000) // t.n_docs
+                    AS BIGINT) AS exact_rate_e4,
+               CAST((COALESCE(nr.neardup_removed, 0) * 10000) // t.n_docs
+                    AS BIGINT) AS neardup_rate_e4
+        FROM t LEFT JOIN er USING (source) LEFT JOIN nr USING (source)
+        ORDER BY t.source
       """))
   )
 }

@@ -513,6 +513,59 @@ object TextQueries {
                          * 10000) AS BIGINT)
                END AS pearson_e4
         FROM a ORDER BY lang
+      """)),
+
+    // ---------------------------------------------------------------
+    // q100: n-gram novelty curve — per document, the fraction of its
+    // distinct 3-grams whose FIRST corpus occurrence (min doc_id over
+    // containing docs) is this document. The dataset-ordering
+    // diagnostic: a corpus whose late documents add no novel grams is
+    // saturated (stop crawling / cut the source); near-zero novelty
+    // for one doc flags it as assembled from existing content even
+    // when no single near-dup pair fires.
+    //
+    // Scale shape: explode distinct grams once → one gram-keyed MIN
+    // aggregate (the same inverted-index shuffle the dedup family
+    // uses) → join back on gram → one doc-keyed count. No all-pairs
+    // anything; exact integers end to end.
+    Q("q100_ngram_novelty",
+      (s, d) => {
+        val dg = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              TextAnalysis.wordNgrams(col("text"), 3))).as("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val firsts = dg.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        dg.join(firsts, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum((col("doc_id") === col("first_doc")).cast("long")).as("novel"))
+          .withColumn("novelty_e4", expr("(novel * 10000) div n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id, grams FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+                     AS grams
+            FROM (SELECT doc_id, $DTokens AS ts FROM documents)
+          ) WHERE len(grams) > 0
+        ),
+        dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        f AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+        SELECT dg.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel,
+               CAST((CAST(SUM(CASE WHEN dg.doc_id = f.first_doc
+                                   THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+                    // COUNT(*) AS BIGINT) AS novelty_e4
+        FROM dg JOIN f USING (gram)
+        GROUP BY dg.doc_id
+        ORDER BY dg.doc_id
       """))
   )
 }

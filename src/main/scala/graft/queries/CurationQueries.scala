@@ -318,6 +318,110 @@ object CurationQueries {
                  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
                                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
         ) ORDER BY metric, col
+      """)),
+
+    // ---------------------------------------------------------------
+    // q102: classifier calibration — the table read BEFORE picking
+    // q82's deployment threshold: sweep candidate thresholds over the
+    // classifier score with the q75 rule gate as ground truth, and
+    // report TP/FP/FN + precision/recall per threshold (the q93
+    // calibration pattern applied to quality classification). All
+    // features integer, both engines compute the IDENTICAL exact
+    // divisions; zero-denominator cells emit NULL on both sides.
+    //
+    // Scale: one text scan computing the per-doc features, a
+    // broadcast nested-loop against the 4-row threshold frame, one
+    // threshold-keyed aggregate — nothing ∝ N² and the cross join's
+    // build side is constant-size.
+    Q("q102_classifier_calibration",
+      (s, d) => {
+        import s.implicits._
+        def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ((a - pmod(a, b)) / b).cast("long")
+        val feats = Tables.documents(s, d).select(col("doc_id"), col("text"),
+            let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
+              struct(size(ts).cast("long").as("n_tok"),
+                aggregate(transform(ts, t => length(t).cast("long")),
+                  lit(0L), (a, l) => a + l).as("len_sum"),
+                size(filter(ts, t => t.isin(StopSample: _*)))
+                  .cast("long").as("n_stop"))
+            }.as("f"))
+          .select(col("doc_id"),
+            col("f.n_tok").as("n_tok"), col("f.len_sum").as("len_sum"),
+            col("f.n_stop").as("n_stop"),
+            regexp_count(col("text"), lit("[^\\w\\s]")).cast("long").as("punct"),
+            length(col("text")).cast("long").as("n_chars"))
+        // q82's score and q75's gate, over one shared feature pass
+        val scored = feats.select(col("doc_id"),
+          (lit(10L) * col("n_tok")
+            + lit(5L) * idiv(col("n_stop") * 1000L, col("n_tok"))
+            - lit(2L) * abs(idiv(col("len_sum") * 1000L, col("n_tok")) - 4500L))
+            .as("score"),
+          (col("n_tok") >= 20 && col("n_tok") <= 2000
+            && col("len_sum") >= col("n_tok") * 2
+            && col("len_sum") <= col("n_tok") * 12
+            && col("punct") * 5 < col("n_chars") && col("n_stop") > 0)
+            .cast("long").as("keep"))
+        val ths = Seq(400L, 600L, 800L, 1000L).toDF("threshold")
+        scored.crossJoin(broadcast(ths))
+          .select(col("threshold"),
+            (col("score") >= col("threshold")).cast("long").as("pred"),
+            col("keep"))
+          .groupBy(col("threshold"))
+          .agg(sum(col("pred") * col("keep")).as("tp"),
+            sum(col("pred") * (lit(1L) - col("keep"))).as("fp"),
+            sum((lit(1L) - col("pred")) * col("keep")).as("fn"))
+          .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              expr("(tp * 10000) div (tp + fp)")).as("precision_e4"),
+            when(col("tp") + col("fn") > 0,
+              expr("(tp * 10000) div (tp + fn)")).as("recall_e4"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(ts) AS BIGINT) AS n_tok,
+                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
+                 CAST(len(list_filter(ts,
+                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
+                 CAST(len(text) AS BIGINT) AS n_chars
+          FROM t
+        ), sc AS (
+          SELECT doc_id,
+                 10 * n_tok + 5 * ((n_stop * 1000) // n_tok)
+                   - 2 * abs(((len_sum * 1000) // n_tok) - 4500) AS score,
+                 CASE WHEN n_tok >= 20 AND n_tok <= 2000
+                       AND len_sum >= n_tok * 2 AND len_sum <= n_tok * 12
+                       AND punct * 5 < n_chars AND n_stop > 0
+                      THEN 1 ELSE 0 END AS keep
+          FROM m
+        ), th AS (
+          SELECT unnest(CAST([400, 600, 800, 1000] AS BIGINT[])) AS threshold
+        ), a AS (
+          SELECT threshold,
+                 CAST(SUM(CASE WHEN score >= threshold THEN keep ELSE 0 END)
+                      AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN score >= threshold THEN 1 - keep ELSE 0 END)
+                      AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN score < threshold THEN keep ELSE 0 END)
+                      AS BIGINT) AS fn
+          FROM sc CROSS JOIN th GROUP BY threshold
+        )
+        SELECT threshold, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN CAST((tp * 10000) // (tp + fp) AS BIGINT)
+               END AS precision_e4,
+               CASE WHEN tp + fn > 0
+                    THEN CAST((tp * 10000) // (tp + fn) AS BIGINT)
+               END AS recall_e4
+        FROM a ORDER BY threshold
       """))
   )
 }

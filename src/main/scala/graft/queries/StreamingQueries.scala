@@ -320,6 +320,78 @@ object StreamingQueries {
         WHERE ws + INTERVAL 10 MINUTE <= (SELECT MAX(ts) FROM t)
         GROUP BY ws ORDER BY window_start
       """),
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q101: streaming per-window duplication rate — the at-least-once
+    // delivery-health dashboard: how much of each hour's arriving
+    // purchase stream is replayed duplicates? (A spike says a producer
+    // is stuck retrying; q79 is the consumer-side FIX, this is the
+    // monitor that tells you it's happening.) Two CHAINED stateful
+    // aggregations in one streaming query — (window, event_id) arrival
+    // counts, then a per-window rollup of distinct ids — the multiple-
+    // stateful-operator shape Spark supports for time-window aggs;
+    // both levels' state is watermark-evicted, so state is bounded by
+    // ids per open window, never the stream. Same Append-closure
+    // oracle contract as q95: only windows the end-of-stream watermark
+    // passed emit, encoded in the twin's WHERE. Integer outputs only.
+    Q("q101_stream_dup_rate",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q101")
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"))
+        p.unionAll(p) // verbatim at-least-once replay
+          .coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
+          .write.parquet(s"$base/in")
+        val input = s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("ts", TimestampType))))
+          .parquet(s"$base/in")
+          .withWatermark("ts", "0 seconds")
+        val perId = input
+          .groupBy(window(col("ts"), "1 hour"), col("event_id"))
+          .agg(count(lit(1)).as("arrivals"))
+        val perWindow = perId
+          .groupBy(col("window"))
+          .agg(sum(col("arrivals")).as("n_arrivals"),
+            count(lit(1)).as("n_unique"))
+        val q = perWindow.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n_arrivals"), col("n_unique"),
+            expr("((n_arrivals - n_unique) * 10000) div n_arrivals")
+              .as("dup_rate_e4"))
+          .orderBy(col("window_start"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_id FROM p),
+        g AS (SELECT ws, COUNT(*) AS n_arrivals,
+                     COUNT(DISTINCT event_id) AS n_unique
+              FROM b GROUP BY ws)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               n_arrivals, n_unique,
+               CAST(((n_arrivals - n_unique) * 10000) // n_arrivals AS BIGINT)
+                 AS dup_rate_e4
+        FROM g
+        -- Append-mode closure: only windows the end-of-stream watermark
+        -- (max event time, delay 0) has passed
+        WHERE ws + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM p)
+        ORDER BY window_start
+      """),
       bench = false)
   )
 }

@@ -119,6 +119,141 @@ object EventWindowQueries {
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_e2
         FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q103: ordered conversion funnel (r8) — view → click-after-view →
+    // purchase-after-click, the staple product-analytics query, with a
+    // 24-hour conversion window per stage (at sf0.01: 150 → 60 → 25).
+    // The ordering constraint (each stage's event strictly AFTER the
+    // previous stage's first event, within the window) is what makes
+    // this more than three COUNT(DISTINCT)s.
+    //
+    // Scale: ONE user-keyed shuffle, no joins — per user we take
+    // min(view ts) plus the click/purchase timestamp lists (bounded by
+    // that user's event count, the standard funnel working-set
+    // assumption), then resolve the chain with array_min∘filter
+    // map-side. collect_list partials merge, so the combine is
+    // map-side too. The oracle resolves the same chain with joins.
+    Q("q103_funnel",
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            collect_list(when(col("event_type") === "click", col("ts")))
+              .as("clicks"),
+            collect_list(when(col("event_type") === "purchase", col("ts")))
+              .as("buys"))
+          .select(col("t_view"),
+            array_min(filter(col("clicks"), c =>
+              c > col("t_view") &&
+                c <= col("t_view") + expr("INTERVAL 24 HOURS")))
+              .as("t_click"),
+            col("buys"))
+          .select(col("t_view"), col("t_click"),
+            array_min(filter(col("buys"), b =>
+              b > col("t_click") &&
+                b <= col("t_click") + expr("INTERVAL 24 HOURS")))
+              .as("t_buy"))
+        perUser
+          .agg(count(col("t_view")).as("n0"),
+               count(col("t_click")).as("n1"),
+               count(col("t_buy")).as("n2"))
+          .selectExpr("""stack(3,
+              CAST(1 AS BIGINT), 'view', n0, CAST(NULL AS BIGINT),
+              CAST(2 AS BIGINT), 'click_after_view', n1,
+                CASE WHEN n0 > 0 THEN (n1 * 10000) div n0 END,
+              CAST(3 AS BIGINT), 'purchase_after_click', n2,
+                CASE WHEN n1 > 0 THEN (n2 * 10000) div n1 END
+            ) AS (stage_ord, stage, n_users, conv_e4)""")
+          .orderBy(col("stage_ord"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 24 HOUR
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_buy
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 24 HOUR
+          GROUP BY e.user_id
+        ), n AS (
+          SELECT (SELECT COUNT(*) FROM v) AS n0,
+                 (SELECT COUNT(*) FROM c) AS n1,
+                 (SELECT COUNT(*) FROM p) AS n2
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage,
+                 CAST(n0 AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS conv_e4
+          FROM n
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'click_after_view', CAST(n1 AS BIGINT),
+                 CASE WHEN n0 > 0 THEN CAST((n1 * 10000) // n0 AS BIGINT) END
+          FROM n
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase_after_click', CAST(n2 AS BIGINT),
+                 CASE WHEN n1 > 0 THEN CAST((n2 * 10000) // n1 AS BIGINT) END
+          FROM n
+        ) ORDER BY stage_ord
+      """)),
+
+    // ---------------------------------------------------------------
+    // q104: weekly retention cohorts (r8) — cohort = epoch-aligned
+    // week of a user's first event; cell (cohort, offset) = distinct
+    // users from that cohort active offset weeks later. The classic
+    // engagement matrix.
+    //
+    // Scale: user-keyed shuffle → per-user (first week, distinct-week
+    // set; bounded by weeks, not events) → explode → cohort-keyed agg.
+    // No events-side join at all; cohort sizes are a #weeks-row frame,
+    // joined broadcast. Week ids stay integer epoch-week indexes —
+    // no engine-specific timestamp bucketing to diverge on.
+    Q("q104_retention_cohorts",
+      (s, d) => {
+        val byUser = Tables.events(s, d)
+          .select(col("user_id"),
+            floor(col("ts").cast("long") / 604800L).cast("long").as("wk"))
+          .groupBy(col("user_id"))
+          .agg(min(col("wk")).as("wk0"), collect_set(col("wk")).as("wks"))
+        val active = byUser
+          .select(col("wk0"), explode(col("wks")).as("wk"))
+          .groupBy(col("wk0"), (col("wk") - col("wk0")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = byUser.groupBy(col("wk0"))
+          .agg(count(lit(1)).as("cohort_size"))
+        active.join(broadcast(sizes), "wk0")
+          .select(col("wk0").as("cohort_week"), col("week_offset"),
+            col("n_active"), col("cohort_size"),
+            expr("(n_active * 10000) div cohort_size").as("retention_e4"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+          FROM events
+        ), u AS (
+          SELECT user_id, MIN(wk) AS wk0 FROM e GROUP BY 1
+        ), a AS (
+          SELECT DISTINCT e.user_id, u.wk0, e.wk - u.wk0 AS week_offset
+          FROM e JOIN u USING (user_id)
+        ), cs AS (
+          SELECT wk0, COUNT(*) AS cohort_size FROM u GROUP BY 1
+        ), r AS (
+          SELECT wk0, week_offset, COUNT(*) AS n_active FROM a GROUP BY 1, 2
+        )
+        SELECT r.wk0 AS cohort_week, CAST(r.week_offset AS BIGINT) AS week_offset,
+               CAST(r.n_active AS BIGINT) AS n_active,
+               CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+               CAST((r.n_active * 10000) // cs.cohort_size AS BIGINT) AS retention_e4
+        FROM r JOIN cs USING (wk0) ORDER BY cohort_week, week_offset
       """))
   )
 }

@@ -422,6 +422,135 @@ object CurationQueries {
                     THEN CAST((tp * 10000) // (tp + fn) AS BIGINT)
                END AS recall_e4
         FROM a ORDER BY threshold
+      """)),
+
+    // ---------------------------------------------------------------
+    // q105: end-to-end curation yield report (r8) — the capstone
+    // integration query: run the full curation chain
+    //   raw → exact-dedup keepers (q39 semantics)
+    //       → rule quality gate (q75 predicate)
+    //       → decontamination (q61 semantics: drop the held-out
+    //         benchmark docs AND anything sharing a 4-gram with them)
+    // and report per-source doc counts at every stage plus the final
+    // token yield — the one table a dataset owner reads to see where
+    // each source's data went.
+    //
+    // Scale: one corpus scan computes all per-doc features + the
+    // digest; the only corpus-sized shuffles are the digest-keyed
+    // keeper aggregate and its doc_id-keyed join back. The benchmark
+    // gram set and the contaminated-id list are both tiny → broadcast
+    // joins. Stage membership is FLAGS, not filters, so the per-source
+    // rollup is a single aggregate of one annotated frame.
+    Q("q105_curation_yield",
+      (s, d) => {
+        import s.implicits._
+        val feats = Tables.documents(s, d).select(
+            col("doc_id"), col("source"), col("text"),
+            let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
+              struct(size(ts).cast("long").as("n_tok"),
+                aggregate(transform(ts, t => length(t).cast("long")),
+                  lit(0L), (a, l) => a + l).as("len_sum"),
+                size(filter(ts, t => t.isin(StopSample: _*)))
+                  .cast("long").as("n_stop"))
+            }.as("f"),
+            md5(lower(trim(col("text")))).as("h"))
+          .select(col("doc_id"), col("source"), col("h"),
+            col("f.n_tok").as("n_tok"), col("f.len_sum").as("len_sum"),
+            col("f.n_stop").as("n_stop"),
+            regexp_count(col("text"), lit("[^\\w\\s]")).cast("long").as("punct"),
+            length(col("text")).cast("long").as("n_chars"))
+        val keepers = feats.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(1L).as("is_keeper"))
+        val grams = Tables.documents(s, d).select(col("doc_id"),
+          transform(
+            array_distinct(graft.text.TextAnalysis.wordNgrams(col("text"), 4)),
+            x => xxhash64(x)).as("grams"))
+        val bench = grams.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("grams")).as("gram")).distinct()
+        val contaminated = grams.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(bench), "gram")
+          .select(col("doc_id")).distinct()
+          .withColumn("is_contam", lit(1L))
+        feats
+          .join(keepers, Seq("doc_id"), "left")
+          .join(broadcast(contaminated), Seq("doc_id"), "left")
+          .select(col("source"), col("n_tok"),
+            coalesce(col("is_keeper"), lit(0L)).as("keeper"),
+            (col("n_tok") >= 20 && col("n_tok") <= 2000
+              && col("len_sum") >= col("n_tok") * 2
+              && col("len_sum") <= col("n_tok") * 12
+              && col("punct") * 5 < col("n_chars") && col("n_stop") > 0)
+              .cast("long").as("gate"),
+            (col("doc_id") % 50 === 0
+              || coalesce(col("is_contam"), lit(0L)) === 1L)
+              .cast("long").as("dropped"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("keeper")).as("n_dedup"),
+            sum(col("keeper") * col("gate")).as("n_quality"),
+            sum(col("keeper") * col("gate") * (lit(1L) - col("dropped")))
+              .as("n_final"),
+            coalesce(sum(when(
+                col("keeper") * col("gate") * (lit(1L) - col("dropped")) === 1L,
+                col("n_tok"))), lit(0L)).as("tok_final"))
+          .select(col("source"), col("n_raw"), col("n_dedup"),
+            col("n_quality"), col("n_final"),
+            expr("(n_final * 10000) div n_raw").as("yield_e4"),
+            col("tok_final"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, text,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), m AS (
+          SELECT doc_id, source,
+                 CAST(len(ts) AS BIGINT) AS n_tok,
+                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
+                 CAST(len(list_filter(ts,
+                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
+                 CAST(len(text) AS BIGINT) AS n_chars,
+                 md5(lower(trim(text))) AS h
+          FROM t
+        ), k AS (
+          SELECT h, MIN(doc_id) AS keeper FROM m GROUP BY h
+        ), g AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 2),
+                   i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3])) AS grams
+          FROM t
+        ), bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+        ), cont AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+          WHERE gram IN (SELECT gram FROM bench)
+        ), f AS (
+          SELECT m.source, m.n_tok,
+                 CASE WHEN m.doc_id = k.keeper THEN 1 ELSE 0 END AS keeper,
+                 CASE WHEN m.n_tok >= 20 AND m.n_tok <= 2000
+                       AND m.len_sum >= m.n_tok * 2 AND m.len_sum <= m.n_tok * 12
+                       AND m.punct * 5 < m.n_chars AND m.n_stop > 0
+                      THEN 1 ELSE 0 END AS gate,
+                 CASE WHEN m.doc_id % 50 = 0
+                       OR m.doc_id IN (SELECT doc_id FROM cont)
+                      THEN 1 ELSE 0 END AS dropped
+          FROM m JOIN k USING (h)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(keeper) AS BIGINT) AS n_dedup,
+               CAST(SUM(keeper * gate) AS BIGINT) AS n_quality,
+               CAST(SUM(keeper * gate * (1 - dropped)) AS BIGINT) AS n_final,
+               CAST((SUM(keeper * gate * (1 - dropped)) * 10000) // COUNT(*)
+                    AS BIGINT) AS yield_e4,
+               CAST(COALESCE(SUM(CASE WHEN keeper * gate * (1 - dropped) = 1
+                                      THEN n_tok END), 0) AS BIGINT) AS tok_final
+        FROM f GROUP BY source ORDER BY source
       """))
   )
 }

@@ -566,6 +566,70 @@ object TextQueries {
         FROM dg JOIN f USING (gram)
         GROUP BY dg.doc_id
         ORDER BY dg.doc_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q106: pairwise source-overlap matrix (r8) — shared distinct
+    // 3-grams and Jaccard between every pair of sources: the
+    // cross-source redundancy diagnostic read next to q99's dup rates
+    // and q68's mixture weights (two sources with high overlap
+    // shouldn't both be upweighted).
+    //
+    // Scale: inverted-index shape, never all-pairs on documents — one
+    // (source, gram)-distinct shuffle, a gram-keyed self-equi-join
+    // whose per-gram fan-out is bounded by (#sources choose 2), and a
+    // pair-keyed count. Grams travel as xxhash64 longs (the q61
+    // pattern; the oracle joins raw strings, so a collision would
+    // surface as a hash mismatch, not pass silently). Source gram-set
+    // sizes are a #sources-row frame → broadcast joins.
+    Q("q106_source_overlap",
+      (s, d) => {
+        val sg = Tables.documents(s, d)
+          .select(col("source"),
+            explode(array_distinct(
+              TextAnalysis.wordNgrams(col("text"), 3))).as("g"))
+          .select(col("source"), xxhash64(col("g")).as("gram"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = sg.as("a").join(sg.as("b"), "gram")
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("n").as("n_a"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("n").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            expr("(n_shared * 10000) div (n_a + n_b - n_shared)")
+              .as("jaccard_e4"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source,
+                 list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+                   AS grams
+          FROM (SELECT source, $DTokens AS ts FROM documents)
+        ),
+        sg AS (SELECT DISTINCT source, unnest(grams) AS gram FROM g),
+        sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+        p AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          FROM sg a JOIN sg b USING (gram)
+          WHERE a.source < b.source GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+               CAST((p.n_shared * 10000) // (za.n + zb.n - p.n_shared)
+                    AS BIGINT) AS jaccard_e4
+        FROM p
+        JOIN sz za ON za.source = p.src_a
+        JOIN sz zb ON zb.source = p.src_b
+        ORDER BY src_a, src_b
       """))
   )
 }

@@ -392,6 +392,75 @@ object StreamingQueries {
         WHERE ws + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM p)
         ORDER BY window_start
       """),
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q108: stream–static enrichment join (r8) — the remaining
+    // streaming join shape after q70's stream–stream: a purchase
+    // stream enriched against the STATIC customer dimension
+    // (broadcast; no state, no watermark needed for the join itself),
+    // then a windowed revenue rollup per market segment. This is the
+    // canonical streaming-ETL enrich-then-aggregate pipeline; at scale
+    // the dimension broadcast means the stream never shuffles before
+    // the windowed agg. Watermark advances on the PRE-join event time,
+    // so the oracle's closure predicate uses max ts of the raw
+    // purchase stream; unmatched user ids drop (inner join) in both
+    // engines. Exact decimal money, integer outputs.
+    Q("q108_stream_enrichment",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q108")
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+          .coalesce(1).sortWithinPartitions(col("ts"), col("user_id"))
+          .write.parquet(s"$base/in")
+        val input = s.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("value", DoubleType))))
+          .parquet(s"$base/in")
+          .withWatermark("ts", "0 seconds")
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val agg = input
+          .join(broadcast(dim), input("user_id") === dim("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour"), col("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum(graft.functions.ColumnOps.e2(col("value"))).as("total_e2"))
+        val q = agg.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("segment"), col("n"), col("total_e2"))
+          .orderBy(col("window_start"), col("segment"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        ), j AS (
+          SELECT p.ts, p.value, c.c_mktsegment AS segment
+          FROM p JOIN customer c ON c.c_custkey = p.user_id
+        ), b AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, segment, value
+          FROM j
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, segment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_e2
+        FROM b
+        -- Append-mode closure: watermark advances on the raw purchase
+        -- stream's event time, delay 0
+        WHERE ws + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM p)
+        GROUP BY ws, segment ORDER BY window_start, segment
+      """),
       bench = false)
   )
 }

@@ -443,6 +443,68 @@ object VectorQueries {
                CAST(floor((CAST(SUM(CAST(f32 AS DECIMAL(18,9))) AS DOUBLE)
                            / COUNT(*)) * 10000) AS BIGINT) AS fidelity32_e4
         FROM f GROUP BY label ORDER BY label
+      """)),
+
+    // ---------------------------------------------------------------
+    // q107: cluster-vs-label purity (r8) — assign every vector to its
+    // nearest of 8 deterministic centroids (vec_id < 8, the q80
+    // convention) and report each cluster's size, majority label, and
+    // purity: the table read before trusting embedding clusters for
+    // cluster-balanced sampling or SemDeDup pruning.
+    //
+    // Scale: assignment is the IVF broadcast pattern (O(N·C) scored
+    // rows, per-vector rank bounded by C); everything after is a
+    // (cluster, label) contingency aggregate — tiny — plus broadcast
+    // totals. Cross-engine argmax determinism is the proven q80/q36
+    // contract: identical double cosine, ties broken by centroid id.
+    Q("q107_cluster_purity",
+      (s, d) => {
+        val C = 8
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            emb64(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+        val centroids = emb.filter(col("vec_id") < C)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        val contingency = graft.operators.VectorIvf
+          .nearestCentroids(emb, centroids, keep = 1, idCol = "vec_id")
+          .groupBy(col("cid"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val totals = contingency.groupBy(col("cid"))
+          .agg(sum(col("n")).as("n_members"))
+        graft.operators.TopK
+          .perKey(contingency, Seq("cid"), Seq(col("n").desc, col("label")), 1)
+          .join(broadcast(totals), "cid")
+          .select(col("cid").as("cluster_id"), col("n_members"),
+            col("label").as("majority_label"), col("n").as("n_majority"),
+            expr("(n * 10000) div n_members").as("purity_e4"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+          FROM embeddings WHERE vec_id < 8
+        ), r AS (
+          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, c.cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), c.cemb) DESC, c.cid) AS rn
+          FROM embeddings e, c
+        ), a AS (
+          SELECT cid, label, COUNT(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2
+        ), m AS (
+          SELECT cid, label, n,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                                    ORDER BY n DESC, label) AS rn,
+                 SUM(n) OVER (PARTITION BY cid) AS tot
+          FROM a
+        )
+        SELECT cid AS cluster_id, CAST(tot AS BIGINT) AS n_members,
+               label AS majority_label, CAST(n AS BIGINT) AS n_majority,
+               CAST((n * 10000) // tot AS BIGINT) AS purity_e4
+        FROM m WHERE rn = 1 ORDER BY cluster_id
       """))
   )
 }

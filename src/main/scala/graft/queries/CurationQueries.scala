@@ -459,6 +459,12 @@ object CurationQueries {
             col("f.n_stop").as("n_stop"),
             regexp_count(col("text"), lit("[^\\w\\s]")).cast("long").as("punct"),
             length(col("text")).cast("long").as("n_chars"))
+          // feats feeds both the keeper aggregate and the final rollup;
+          // grams feeds both the benchmark set and the contamination
+          // probe — persist the small derived frames (no text column)
+          // so the corpus text is scanned/tokenized exactly twice, not
+          // four times
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keepers = feats.groupBy(col("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), lit(1L).as("is_keeper"))
@@ -466,6 +472,7 @@ object CurationQueries {
           transform(
             array_distinct(graft.text.TextAnalysis.wordNgrams(col("text"), 4)),
             x => xxhash64(x)).as("grams"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = grams.filter(col("doc_id") % 50 === 0)
           .select(explode(col("grams")).as("gram")).distinct()
         val contaminated = grams.filter(col("doc_id") % 50 =!= 0)

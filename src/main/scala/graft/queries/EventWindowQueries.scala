@@ -223,6 +223,9 @@ object EventWindowQueries {
             floor(col("ts").cast("long") / 604800L).cast("long").as("wk"))
           .groupBy(col("user_id"))
           .agg(min(col("wk")).as("wk0"), collect_set(col("wk")).as("wks"))
+          // feeds both the activity explode and the cohort sizes:
+          // persist the per-user frame so events shuffle once
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val active = byUser
           .select(col("wk0"), explode(col("wks")).as("wk"))
           .groupBy(col("wk0"), (col("wk") - col("wk0")).as("week_offset"))

@@ -471,6 +471,9 @@ object VectorQueries {
           .nearestCentroids(emb, centroids, keep = 1, idCol = "vec_id")
           .groupBy(col("cid"), col("label"))
           .agg(count(lit(1)).as("n"))
+          // feeds both the majority rank and the totals: persist the
+          // C×labels-row frame so the O(N·C) assignment runs once
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val totals = contingency.groupBy(col("cid"))
           .agg(sum(col("n")).as("n_members"))
         graft.operators.TopK

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.ColumnOps.let
@@ -21,6 +22,83 @@ object CurationQueries {
   /** Rule names shared between the Spark gate and its DuckDB twin. */
   private val StopSample = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
+  // ---- shared rule-gate / classifier core (q75 · q82 · q102 · q105) —
+  // the thresholds, the per-doc feature scan, the gate predicate and
+  // the classifier score each exist ONCE (with one DuckDB twin each),
+  // so a threshold or coefficient change cannot desynchronize queries
+  // that claim to share semantics (q102 calibrates q82 against q75;
+  // q105's quality stage IS q75's gate).
+  private val MinTok = 20L
+  private val MaxTok = 2000L
+  private val MinLenX = 2L
+  private val MaxLenX = 12L
+  private val PunctFactor = 5L
+  private val ScoreCut = 600L
+
+  /** Exact integer division: (a - a mod b) / b — the subtraction makes
+    * the numerator an exact multiple, so the double divide is exact
+    * (both engines; positive operands only). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** One-scan per-doc integer features + content digest: doc_id,
+    * source, h, n_tok, len_sum, n_stop, punct, n_chars. Columns a
+    * caller doesn't use prune away at the parquet scan. */
+  private def gateFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"),
+        let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
+          struct(size(ts).cast("long").as("n_tok"),
+            aggregate(transform(ts, t => length(t).cast("long")),
+              lit(0L), (a, l) => a + l).as("len_sum"),
+            size(filter(ts, t => t.isin(StopSample: _*)))
+              .cast("long").as("n_stop"))
+        }.as("f"),
+        md5(lower(trim(col("text")))).as("h"))
+      .select(col("doc_id"), col("source"), col("h"),
+        col("f.n_tok").as("n_tok"), col("f.len_sum").as("len_sum"),
+        col("f.n_stop").as("n_stop"),
+        regexp_count(col("text"), lit("[^\\w\\s]")).cast("long").as("punct"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** The rule-gate predicate over [[gateFeatures]] columns. */
+  private def ruleKeep: Column =
+    col("n_tok") >= MinTok && col("n_tok") <= MaxTok &&
+      col("len_sum") >= col("n_tok") * MinLenX &&
+      col("len_sum") <= col("n_tok") * MaxLenX &&
+      col("punct") * PunctFactor < col("n_chars") && col("n_stop") > 0
+
+  /** q82's linear classifier score over [[gateFeatures]] columns —
+    * exact integer domain (per-mille rates via [[idiv]]). */
+  private def classifierScore: Column =
+    lit(10L) * col("n_tok") +
+      lit(5L) * idiv(col("n_stop") * 1000L, col("n_tok")) -
+      lit(2L) * abs(idiv(col("len_sum") * 1000L, col("n_tok")) - 4500L)
+
+  /** DuckDB twin of [[gateFeatures]]: a complete CTE body over
+    * `documents`; embed as `m AS ($gateFeaturesSql)`. */
+  private def gateFeaturesSql: String =
+    s"""SELECT doc_id, source,
+       |                 CAST(len(ts) AS BIGINT) AS n_tok,
+       |                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
+       |                 CAST(len(list_filter(ts,
+       |                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
+       |                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
+       |                 CAST(len(text) AS BIGINT) AS n_chars,
+       |                 md5(lower(trim(text))) AS h
+       |          FROM (SELECT doc_id, source, text, ${OracleSql.DTokens} AS ts
+       |                FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[ruleKeep]]. */
+  private def ruleKeepSql: String =
+    s"n_tok >= $MinTok AND n_tok <= $MaxTok" +
+      s" AND len_sum >= n_tok * $MinLenX AND len_sum <= n_tok * $MaxLenX" +
+      s" AND punct * $PunctFactor < n_chars AND n_stop > 0"
+
+  /** DuckDB twin of [[classifierScore]]. */
+  private def classifierScoreSql: String =
+    "10 * n_tok + 5 * ((n_stop * 1000) // n_tok)" +
+      " - 2 * abs(((len_sum * 1000) // n_tok) - 4500)"
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -33,49 +111,33 @@ object CurationQueries {
     // lists every rule it failed (the audit trail curation teams keep).
     Q("q75_quality_gate",
       (s, d) => {
-        val gated = Tables.documents(s, d).select(col("doc_id"), col("text"),
-          let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
-            val nTok = size(ts).cast("long")
-            val lenSum = aggregate(transform(ts, t => length(t).cast("long")),
-              lit(0L), (a, l) => a + l)
-            val nStop = size(filter(ts, t => t.isin(StopSample: _*))).cast("long")
-            val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast("long")
-            val fails = array(
-              when(nTok < 20, lit("too_short")),
-              when(nTok > 2000, lit("too_long")),
-              when(lenSum < nTok * 2 || lenSum > nTok * 12, lit("word_len")),
-              when(punct * 5 >= length(col("text")).cast("long"), lit("symbol_soup")),
-              when(nStop === 0, lit("no_stopwords")))
-            struct(nTok.as("n_tok"),
-              concat_ws(",", filter(fails, f => f.isNotNull)).as("reasons"))
-          }.as("g"))
-        gated.select(col("doc_id"), col("g.n_tok").as("n_tok"),
-            when(col("g.reasons") === "", lit(1L)).otherwise(lit(0L)).as("keep"),
-            col("g.reasons").as("reasons"))
+        val fails = array(
+          when(col("n_tok") < MinTok, lit("too_short")),
+          when(col("n_tok") > MaxTok, lit("too_long")),
+          when(col("len_sum") < col("n_tok") * MinLenX
+            || col("len_sum") > col("n_tok") * MaxLenX, lit("word_len")),
+          when(col("punct") * PunctFactor >= col("n_chars"),
+            lit("symbol_soup")),
+          when(col("n_stop") === 0, lit("no_stopwords")))
+        gateFeatures(s, d)
+          .select(col("doc_id"), col("n_tok"),
+            concat_ws(",", filter(fails, f => f.isNotNull)).as("reasons"))
+          .select(col("doc_id"), col("n_tok"),
+            when(col("reasons") === "", lit(1L)).otherwise(lit(0L)).as("keep"),
+            col("reasons"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id, text,
-                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                             x -> x <> '') AS ts
-          FROM documents
-        ), m AS (
-          SELECT doc_id,
-                 CAST(len(ts) AS BIGINT) AS n_tok,
-                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
-                 CAST(len(list_filter(ts,
-                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
-                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
-                 CAST(len(text) AS BIGINT) AS n_chars
-          FROM t
+        WITH m AS (
+          $gateFeaturesSql
         ), r AS (
           SELECT doc_id, n_tok,
                  COALESCE(array_to_string(list_filter([
-                   CASE WHEN n_tok < 20 THEN 'too_short' END,
-                   CASE WHEN n_tok > 2000 THEN 'too_long' END,
-                   CASE WHEN len_sum < n_tok * 2 OR len_sum > n_tok * 12 THEN 'word_len' END,
-                   CASE WHEN punct * 5 >= n_chars THEN 'symbol_soup' END,
+                   CASE WHEN n_tok < $MinTok THEN 'too_short' END,
+                   CASE WHEN n_tok > $MaxTok THEN 'too_long' END,
+                   CASE WHEN len_sum < n_tok * $MinLenX
+                          OR len_sum > n_tok * $MaxLenX THEN 'word_len' END,
+                   CASE WHEN punct * $PunctFactor >= n_chars THEN 'symbol_soup' END,
                    CASE WHEN n_stop = 0 THEN 'no_stopwords' END
                  ], x -> x IS NOT NULL), ','), '') AS reasons
           FROM m
@@ -98,55 +160,25 @@ object CurationQueries {
     // except the output ordering contract.
     Q("q82_quality_classifier",
       (s, d) => {
-        // exact integer division: (a - a mod b) / b — the subtraction
-        // makes the numerator an exact multiple, so the double divide
-        // is exact (both engines; positive operands only)
-        def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          ((a - pmod(a, b)) / b).cast("long")
-        val scored = Tables.documents(s, d).select(col("doc_id"),
-          let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
-            val nTok = size(ts).cast("long")
-            val lenSum = aggregate(transform(ts, t => length(t).cast("long")),
-              lit(0L), (a, l) => a + l)
-            val nStop = size(filter(ts, t => t.isin(StopSample: _*))).cast("long")
-            let(idiv(nStop * 1000L, nTok)) { stopPm =>
-              let(idiv(lenSum * 1000L, nTok)) { mwlPm =>
-                struct(nTok.as("n_tok"), stopPm.as("stop_pm"),
-                  (lit(10L) * nTok + lit(5L) * stopPm
-                    - lit(2L) * abs(mwlPm - 4500L)).as("score"))
-              }
-            }
-          }.as("f"))
-        scored.select(col("doc_id"), col("f.n_tok").as("n_tok"),
-            col("f.stop_pm").as("stop_pm"), col("f.score").as("score"),
-            (col("f.score") >= 600L).cast("int").as("label"))
+        gateFeatures(s, d)
+          .select(col("doc_id"), col("n_tok"),
+            idiv(col("n_stop") * 1000L, col("n_tok")).as("stop_pm"),
+            classifierScore.as("score"))
+          .select(col("doc_id"), col("n_tok"), col("stop_pm"), col("score"),
+            (col("score") >= ScoreCut).cast("int").as("label"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                             x -> x <> '') AS ts
-          FROM documents
-        ), m AS (
-          SELECT doc_id,
-                 CAST(len(ts) AS BIGINT) AS n_tok,
-                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
-                 CAST(len(list_filter(ts,
-                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop
-          FROM t
-        ), f AS (
+        WITH m AS (
+          $gateFeaturesSql
+        ), sc AS (
           SELECT doc_id, n_tok,
                  (n_stop * 1000) // n_tok AS stop_pm,
-                 (len_sum * 1000) // n_tok AS mwl_pm
+                 $classifierScoreSql AS score
           FROM m
-        ), sc AS (
-          SELECT doc_id, n_tok, stop_pm,
-                 10 * n_tok + 5 * stop_pm - 2 * abs(mwl_pm - 4500) AS score
-          FROM f
         )
         SELECT doc_id, n_tok, stop_pm, score,
-               CAST(score >= 600 AS INT) AS label
+               CAST(score >= $ScoreCut AS INT) AS label
         FROM sc ORDER BY doc_id
       """)),
 
@@ -336,32 +368,10 @@ object CurationQueries {
     Q("q102_classifier_calibration",
       (s, d) => {
         import s.implicits._
-        def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          ((a - pmod(a, b)) / b).cast("long")
-        val feats = Tables.documents(s, d).select(col("doc_id"), col("text"),
-            let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
-              struct(size(ts).cast("long").as("n_tok"),
-                aggregate(transform(ts, t => length(t).cast("long")),
-                  lit(0L), (a, l) => a + l).as("len_sum"),
-                size(filter(ts, t => t.isin(StopSample: _*)))
-                  .cast("long").as("n_stop"))
-            }.as("f"))
-          .select(col("doc_id"),
-            col("f.n_tok").as("n_tok"), col("f.len_sum").as("len_sum"),
-            col("f.n_stop").as("n_stop"),
-            regexp_count(col("text"), lit("[^\\w\\s]")).cast("long").as("punct"),
-            length(col("text")).cast("long").as("n_chars"))
         // q82's score and q75's gate, over one shared feature pass
-        val scored = feats.select(col("doc_id"),
-          (lit(10L) * col("n_tok")
-            + lit(5L) * idiv(col("n_stop") * 1000L, col("n_tok"))
-            - lit(2L) * abs(idiv(col("len_sum") * 1000L, col("n_tok")) - 4500L))
-            .as("score"),
-          (col("n_tok") >= 20 && col("n_tok") <= 2000
-            && col("len_sum") >= col("n_tok") * 2
-            && col("len_sum") <= col("n_tok") * 12
-            && col("punct") * 5 < col("n_chars") && col("n_stop") > 0)
-            .cast("long").as("keep"))
+        val scored = gateFeatures(s, d).select(col("doc_id"),
+          classifierScore.as("score"),
+          ruleKeep.cast("long").as("keep"))
         val ths = Seq(400L, 600L, 800L, 1000L).toDF("threshold")
         scored.crossJoin(broadcast(ths))
           .select(col("threshold"),
@@ -379,28 +389,12 @@ object CurationQueries {
           .orderBy(col("threshold"))
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id, text,
-                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                             x -> x <> '') AS ts
-          FROM documents
-        ), m AS (
-          SELECT doc_id,
-                 CAST(len(ts) AS BIGINT) AS n_tok,
-                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
-                 CAST(len(list_filter(ts,
-                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
-                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
-                 CAST(len(text) AS BIGINT) AS n_chars
-          FROM t
+        WITH m AS (
+          $gateFeaturesSql
         ), sc AS (
           SELECT doc_id,
-                 10 * n_tok + 5 * ((n_stop * 1000) // n_tok)
-                   - 2 * abs(((len_sum * 1000) // n_tok) - 4500) AS score,
-                 CASE WHEN n_tok >= 20 AND n_tok <= 2000
-                       AND len_sum >= n_tok * 2 AND len_sum <= n_tok * 12
-                       AND punct * 5 < n_chars AND n_stop > 0
-                      THEN 1 ELSE 0 END AS keep
+                 $classifierScoreSql AS score,
+                 CASE WHEN $ruleKeepSql THEN 1 ELSE 0 END AS keep
           FROM m
         ), th AS (
           SELECT unnest(CAST([400, 600, 800, 1000] AS BIGINT[])) AS threshold
@@ -443,27 +437,12 @@ object CurationQueries {
     // rollup is a single aggregate of one annotated frame.
     Q("q105_curation_yield",
       (s, d) => {
-        import s.implicits._
-        val feats = Tables.documents(s, d).select(
-            col("doc_id"), col("source"), col("text"),
-            let(graft.text.TextAnalysis.tokens(col("text"))) { ts =>
-              struct(size(ts).cast("long").as("n_tok"),
-                aggregate(transform(ts, t => length(t).cast("long")),
-                  lit(0L), (a, l) => a + l).as("len_sum"),
-                size(filter(ts, t => t.isin(StopSample: _*)))
-                  .cast("long").as("n_stop"))
-            }.as("f"),
-            md5(lower(trim(col("text")))).as("h"))
-          .select(col("doc_id"), col("source"), col("h"),
-            col("f.n_tok").as("n_tok"), col("f.len_sum").as("len_sum"),
-            col("f.n_stop").as("n_stop"),
-            regexp_count(col("text"), lit("[^\\w\\s]")).cast("long").as("punct"),
-            length(col("text")).cast("long").as("n_chars"))
-          // feats feeds both the keeper aggregate and the final rollup;
-          // grams feeds both the benchmark set and the contamination
-          // probe — persist the small derived frames (no text column)
-          // so the corpus text is scanned/tokenized exactly twice, not
-          // four times
+        // feats feeds both the keeper aggregate and the final rollup;
+        // grams feeds both the benchmark set and the contamination
+        // probe — persist the small derived frames (no text column)
+        // so the corpus text is scanned/tokenized exactly twice, not
+        // four times
+        val feats = gateFeatures(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keepers = feats.groupBy(col("h"))
           .agg(min(col("doc_id")).as("doc_id"))
@@ -485,11 +464,7 @@ object CurationQueries {
           .join(broadcast(contaminated), Seq("doc_id"), "left")
           .select(col("source"), col("n_tok"),
             coalesce(col("is_keeper"), lit(0L)).as("keeper"),
-            (col("n_tok") >= 20 && col("n_tok") <= 2000
-              && col("len_sum") >= col("n_tok") * 2
-              && col("len_sum") <= col("n_tok") * 12
-              && col("punct") * 5 < col("n_chars") && col("n_stop") > 0)
-              .cast("long").as("gate"),
+            ruleKeep.cast("long").as("gate"),
             (col("doc_id") % 50 === 0
               || coalesce(col("is_contam"), lit(0L)) === 1L)
               .cast("long").as("dropped"))
@@ -509,27 +484,14 @@ object CurationQueries {
           .orderBy(col("source"))
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id, source, text,
-                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                             x -> x <> '') AS ts
-          FROM documents
-        ), m AS (
-          SELECT doc_id, source,
-                 CAST(len(ts) AS BIGINT) AS n_tok,
-                 CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS len_sum,
-                 CAST(len(list_filter(ts,
-                   x -> x IN (${StopSample.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
-                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct,
-                 CAST(len(text) AS BIGINT) AS n_chars,
-                 md5(lower(trim(text))) AS h
-          FROM t
+        WITH m AS (
+          $gateFeaturesSql
         ), k AS (
           SELECT h, MIN(doc_id) AS keeper FROM m GROUP BY h
         ), g AS (
           SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 2),
                    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3])) AS grams
-          FROM t
+          FROM (SELECT doc_id, ${OracleSql.DTokens} AS ts FROM documents)
         ), bench AS (
           SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
         ), cont AS (
@@ -539,10 +501,7 @@ object CurationQueries {
         ), f AS (
           SELECT m.source, m.n_tok,
                  CASE WHEN m.doc_id = k.keeper THEN 1 ELSE 0 END AS keeper,
-                 CASE WHEN m.n_tok >= 20 AND m.n_tok <= 2000
-                       AND m.len_sum >= m.n_tok * 2 AND m.len_sum <= m.n_tok * 12
-                       AND m.punct * 5 < m.n_chars AND m.n_stop > 0
-                      THEN 1 ELSE 0 END AS gate,
+                 CASE WHEN $ruleKeepSql THEN 1 ELSE 0 END AS gate,
                  CASE WHEN m.doc_id % 50 = 0
                        OR m.doc_id IN (SELECT doc_id FROM cont)
                       THEN 1 ELSE 0 END AS dropped

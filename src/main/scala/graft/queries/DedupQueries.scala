@@ -415,13 +415,16 @@ object DedupQueries {
     // the canonical keeper per duplicate group (its min doc_id) and
     // flag every document keep/drop. Scale shape: the component table
     // only contains near-dup members — orders of magnitude smaller than
-    // the corpus — so the apply is a BROADCAST left join against the
-    // full corpus scan: map-side, no corpus shuffle at any scale.
+    // the corpus — so the apply normally plans as a broadcast left join
+    // against the full corpus scan (map-side, no corpus shuffle). The
+    // hint is deliberately OMITTED: stats/AQE pick the broadcast when
+    // comp is small and degrade to a shuffle join in a pathological
+    // all-duplicates corpus, instead of a forced-broadcast driver OOM.
     Q("q66_dedup_apply",
       (s, d) => {
         val comp = components(s, d)
         Tables.documents(s, d).select(col("doc_id"))
-          .join(broadcast(comp), Seq("doc_id"), "left")
+          .join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("keeper"),
             (col("doc_id") === coalesce(col("component"), col("doc_id")))
@@ -636,7 +639,9 @@ object DedupQueries {
           concat(lit("split42:"), keeper.cast("string")), "utf-8")),
           1, 14), 16, 10).cast("bigint")
         Tables.documents(s, d).select(col("doc_id"))
-          .join(broadcast(comp), Seq("doc_id"), "left")
+          // unhinted like q66: broadcasts when comp is (normally) tiny,
+          // survives the all-duplicates regime by degrading to a shuffle
+          .join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"), keeper.as("group_key"), pmod(h, lit(100L)).as("b"))
           .select(col("doc_id"), col("group_key"),
             when(col("b") < 90, "train").when(col("b") < 95, "val")
@@ -797,12 +802,14 @@ object DedupQueries {
     // a few huge boilerplate clusters; a 5+-heavy histogram says "fix
     // the source", a 2-heavy one says "dedup and move on".)
     //
-    // Scale: the component table holds only dup members (corpus-tiny);
-    // the size aggregate is over #clusters, and singleton counting is
-    // a doc_id-projection anti-join against that tiny table —
-    // broadcastable at any corpus size. No full-text scan anywhere:
-    // the one expensive input (the pair join) is the session-shared
-    // memo q40/q57/q92 already paid for.
+    // Scale: the component table holds only dup members (corpus-tiny
+    // in the normal regime); the size aggregate is over #clusters, and
+    // singleton counting is a doc_id-projection anti-join against that
+    // table — left unhinted so stats/AQE broadcast it when small but
+    // degrade to a shuffle in the dup-heavy regime this very histogram
+    // exists to diagnose. No full-text scan anywhere: the one
+    // expensive input (the pair join) is the session-shared memo
+    // q40/q57/q92 already paid for.
     Q("q98_dup_cluster_sizes",
       (s, d) => {
         val comp = components(s, d)
@@ -813,7 +820,7 @@ object DedupQueries {
             .otherwise(col("sz").cast("string")).as("bucket"))
           .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
         val singles = Tables.documents(s, d).select(col("doc_id"))
-          .join(broadcast(comp.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("n_clusters"))
           .select(lit("1").as("bucket"), col("n_clusters"),
             col("n_clusters").as("n_docs"))

@@ -13,7 +13,9 @@ class CurationSpec extends SparkSuite {
 
   private def gate(docs: Seq[(Long, String)]) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
-    docs.toDF("doc_id", "text").write.mode("overwrite")
+    // the shared gateFeatures frame selects `source` too — carry it
+    docs.map { case (id, t) => (id, t, "src0") }
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     CurationQueries.all.find(_.name == "q75_quality_gate").get
       .run(spark, dir).collect()
@@ -102,7 +104,8 @@ class CurationSpec extends SparkSuite {
       1L -> s"$filler the the the the the the the the the the", // 10 stopwords
       2L -> s"$filler word word word word word word word word word word",
       3L -> (Seq.fill(50)("extraordinarily").mkString(" ")) // mwl far from 4500
-    ).toDF("doc_id", "text").write.mode("overwrite")
+    ).map { case (id, t) => (id, t, "src0") }
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val out = CurationQueries.all.find(_.name == "q82_quality_classifier").get
       .run(spark, dir).collect()

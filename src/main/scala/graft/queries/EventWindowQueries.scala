@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -257,6 +258,64 @@ object EventWindowQueries {
                CAST(cs.cohort_size AS BIGINT) AS cohort_size,
                CAST((r.n_active * 10000) // cs.cohort_size AS BIGINT) AS retention_e4
         FROM r JOIN cs USING (wk0) ORDER BY cohort_week, week_offset
+      """)),
+
+    // ---------------------------------------------------------------
+    // q109: SCD2 interval build (r8) — the warehouse dimension-history
+    // op: derive each user's attribute (tier = props.k div 25) and
+    // collapse the event log into validity intervals via
+    // gaps-and-islands (new interval iff the tier differs from the
+    // previous event's; valid_to = next interval's start, NULL while
+    // current). This is change-data capture folded to history — the
+    // shape every slowly-changing-dimension pipeline materializes.
+    //
+    // Scale: both windows partition by user_id (high-cardinality —
+    // one shuffle, no single-task funnel); the second window runs on
+    // the change rows only. Ordering inside a user is (ts, event_id)
+    // so ties cannot flap; the output ORDER BY covers the full row.
+    Q("q109_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (get_json_object(col("props"), "$.k").cast("long") -
+              pmod(get_json_object(col("props"), "$.k").cast("long"), lit(25L)))
+              .divide(lit(25L)).cast("long").as("tier"))
+        val starts = t
+          .withColumn("prev", lag(col("tier"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("tier"))
+        val w2 = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        starts
+          .withColumn("nxt", lead(col("ts"), 1).over(w2))
+          .select(col("user_id"), col("tier"),
+            fmt(col("ts")).as("valid_from"), fmt(col("nxt")).as("valid_to"))
+          .orderBy(col("user_id"), col("valid_from"), col("tier"),
+            col("valid_to"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, event_id,
+                 CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 25 AS tier
+          FROM events
+        ), m AS (
+          SELECT *, LAG(tier) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+          FROM t
+        ), st AS (
+          SELECT user_id, tier, ts, event_id FROM m
+          WHERE prev IS NULL OR prev <> tier
+        ), iv AS (
+          SELECT user_id, tier, ts,
+                 LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+          FROM st
+        )
+        SELECT user_id, tier,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(nxt, '%Y-%m-%d %H:%M:%S') AS valid_to
+        FROM iv ORDER BY user_id, valid_from, tier, valid_to
       """))
   )
 }

@@ -316,6 +316,195 @@ object EventWindowQueries {
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
                strftime(nxt, '%Y-%m-%d %H:%M:%S') AS valid_to
         FROM iv ORDER BY user_id, valid_from, tier, valid_to
+      """)),
+
+    // ---------------------------------------------------------------
+    // q110: first-order Markov transition matrix over per-user event
+    // sequences — P(next event type | current) as an exact-integer
+    // e4 probability ((cnt·10000) div row-total, no floating point).
+    // The lead() window shuffles once on user_id (high cardinality —
+    // no skew); the transition-pair aggregation is |types|² rows.
+    Q("q110_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("from_total", sum(col("n")).over(tot))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("CAST((n * 10000) DIV from_total AS BIGINT)").as("p_e4"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), pairs AS (
+          SELECT from_type, to_type, COUNT(*) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS p_e4
+        FROM pairs ORDER BY from_type, to_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q111: time-decayed engagement score per user — weight halves per
+    // whole week of age relative to the corpus max timestamp. The decay
+    // is kept exactly rational (16 div 2^(weeks), weeks ≤ 4 over the
+    // 30-day corpus) so the weighted sum is pure bigint arithmetic:
+    // order-independent and hash-stable, unlike a float exp() decay.
+    // One broadcast scalar (max ts) + one user-keyed aggregation.
+    Q("q111_decayed_engagement",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val anchor = ev.agg(max(col("ts")).as("mx"))
+        ev.crossJoin(broadcast(anchor))
+          .select(col("user_id"),
+            (e2(col("value")) *
+              expr("16 DIV CAST(pow(2, datediff(CAST(mx AS DATE), CAST(ts AS DATE)) DIV 7) AS BIGINT)"))
+              .as("wv"))
+          .groupBy(col("user_id"))
+          .agg(expr("CAST(SUM(wv) DIV 16 AS BIGINT)").as("decayed_e2"),
+               count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events)
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        * (16 // CAST(POW(2, DATEDIFF('day', CAST(ts AS DATE), md) // 7) AS BIGINT)))
+                    // 16 AS BIGINT) AS decayed_e2,
+               COUNT(*) AS n_events
+        FROM events, mx
+        GROUP BY user_id ORDER BY user_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q112: 7-day rolling distinct active users per observed day.
+    // NOT a range join: each (day,user) is expanded map-side into the
+    // ≤7 window days it contributes to (explode of a constant array),
+    // then one equi-join against the tiny observed-day dimension
+    // (broadcast) and one exact-distinct aggregation. The expansion
+    // factor is the window length — fixed — so the shape is a 7×
+    // map-side blow-up plus two hash shuffles regardless of scale.
+    Q("q112_rolling_actives",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        ud.withColumn("x", explode(sequence(lit(0), lit(6))))
+          .select(expr("date_add(day, x)").as("day"), col("user_id"))
+          .join(broadcast(days), "day")
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("active_7d"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                  col("active_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), days AS (SELECT DISTINCT day FROM ud),
+        ex AS (
+          SELECT ud.day + CAST(x AS INTEGER) AS day, user_id
+          FROM ud, UNNEST(generate_series(0, 6)) AS t(x)
+        )
+        SELECT strftime(ex.day, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS active_7d
+        FROM ex JOIN days ON ex.day = days.day
+        GROUP BY 1 ORDER BY day
+      """)),
+
+    // ---------------------------------------------------------------
+    // q113: robust per-type outlier report — lower median and median
+    // absolute deviation (MAD), both computed over the e2-quantized
+    // value histogram, flagging values beyond 3·MAD. Quantization
+    // bounds the histogram at (max−min)·100 buckets per type no matter
+    // the row count, so the per-type cumulative windows run over
+    // compressed aggregates, not data rows — that's what makes an
+    // exact median scale where sort-based percentile would funnel.
+    // All arithmetic is bigint (lower median, not interpolated), so
+    // the result is hash-stable across engines.
+    Q("q113_mad_outliers",
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .groupBy(col("event_type"), e2(col("value")).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val byType = Window.partitionBy(col("event_type"))
+        val cumW = byType.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val medOf = h
+          .withColumn("n", sum(col("cnt")).over(byType))
+          .withColumn("cum", sum(col("cnt")).over(cumW))
+          .filter(col("cum") >= expr("(n + 1) DIV 2"))
+          .groupBy(col("event_type"))
+          .agg(min(col("v")).as("med_e2"), max(col("n")).as("n"))
+        val dev = h.join(broadcast(medOf), "event_type")
+          .groupBy(col("event_type"), abs(col("v") - col("med_e2")).as("dv"))
+          .agg(sum(col("cnt")).as("cnt"),
+               max(col("med_e2")).as("med_e2"), max(col("n")).as("n"))
+        val devCum = byType.orderBy(col("dv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val madOf = dev
+          .withColumn("cum", sum(col("cnt")).over(devCum))
+          .filter(col("cum") >= expr("(n + 1) DIV 2"))
+          .groupBy(col("event_type"))
+          .agg(min(col("dv")).as("mad_e2"))
+        h.join(broadcast(medOf), "event_type")
+          .join(broadcast(madOf), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), max(col("med_e2")).as("med_e2"),
+               max(col("mad_e2")).as("mad_e2"),
+               sum(when(abs(col("v") - col("med_e2")) > col("mad_e2") * 3,
+                     col("cnt")).otherwise(lit(0L))).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), c AS (
+          SELECT *, SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h
+        ), med AS (
+          SELECT event_type, MIN(v) AS med_e2, MAX(n) AS n
+          FROM c WHERE cum >= (n + 1) // 2 GROUP BY 1
+        ), dh AS (
+          SELECT h.event_type, ABS(v - med_e2) AS dv, SUM(cnt) AS cnt,
+                 MAX(med_e2) AS med_e2, MAX(n) AS n
+          FROM h JOIN med ON h.event_type = med.event_type
+          GROUP BY 1, 2
+        ), dc AS (
+          SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM dh
+        ), mad AS (
+          SELECT event_type, MIN(dv) AS mad_e2
+          FROM dc WHERE cum >= (n + 1) // 2 GROUP BY 1
+        )
+        SELECT h.event_type, CAST(MAX(med.n) AS BIGINT) AS n,
+               MAX(med.med_e2) AS med_e2, MAX(mad.mad_e2) AS mad_e2,
+               CAST(SUM(CASE WHEN ABS(v - med.med_e2) > mad.mad_e2 * 3
+                             THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM h JOIN med ON h.event_type = med.event_type
+               JOIN mad ON h.event_type = mad.event_type
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -630,6 +630,109 @@ object TextQueries {
         JOIN sz za ON za.source = p.src_a
         JOIN sz zb ON zb.source = p.src_b
         ORDER BY src_a, src_b
+      """)),
+
+    // ---------------------------------------------------------------
+    // q114: sentence-granularity dedup rate per source — a finer lens
+    // than q39's whole-doc digests and q74's byte spans: a sentence is
+    // duplicated when it occurs in ≥2 distinct documents anywhere in
+    // the corpus, and each source is scored by the fraction of its
+    // sentence occurrences that are corpus-duplicated (boilerplate
+    // detector). Shape: one explode, one sentence-keyed aggregation,
+    // one sentence-keyed equi-join back — all hash-partitioned on the
+    // sentence, never all-pairs, so it scales like exact dedup.
+    Q("q114_sentence_dedup",
+      (s, d) => {
+        val sent = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), "\\. ")).as("s0"))
+          .select(col("doc_id"), col("source"), trim(col("s0")).as("s"))
+          .filter(col("s") =!= "")
+        val dups = sent.groupBy(col("s"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("s"), lit(1L).as("isdup"))
+        sent.join(dups, Seq("s"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sent"),
+            sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+          .withColumn("dup_e4", expr("(n_dup * 10000) DIV n_sent"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH sent AS (
+          SELECT doc_id, source, trim(s) AS s
+          FROM (SELECT doc_id, source, unnest(string_split(text, '. ')) AS s
+                FROM documents)
+          WHERE trim(s) <> ''
+        ), dups AS (
+          SELECT s FROM sent GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT source, COUNT(*) AS n_sent,
+               CAST(SUM(CASE WHEN dups.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST((SUM(CASE WHEN dups.s IS NOT NULL THEN 1 ELSE 0 END)
+                     * 10000) // COUNT(*) AS BIGINT) AS dup_e4
+        FROM sent LEFT JOIN dups ON sent.s = dups.s
+        GROUP BY source ORDER BY source
+      """)),
+
+    // ---------------------------------------------------------------
+    // q115: collocation extraction — the top-15 adjacent-token bigrams
+    // by corpus frequency, scored with the Dice coefficient and the
+    // conditional probability P(w2|w1), both as exact-integer e4
+    // ((a·10000) div b — no floating point, hash-stable). Unigram and
+    // bigram counts are two token-keyed aggregations; the score join
+    // is bigram⋈unigram equi on each word; the top-15 is Spark's
+    // native ORDER BY LIMIT (TakeOrderedAndProject — per-task heaps,
+    // no global sort), so nothing funnels at scale.
+    Q("q115_collocations",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uni = docs
+          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val bi = docs
+          .select(explode(
+            graft.text.TextAnalysis.wordNgrams(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("w1"),
+                  split(col("g"), " ").getItem(1).as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        val scored = bi
+          .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+                "w1")
+          .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+                "w2")
+          .select(col("w1"), col("w2"), col("n"), col("c1"), col("c2"),
+            expr("(2 * n * 10000) DIV (c1 + c2)").as("dice_e4"),
+            expr("(n * 10000) DIV c1").as("pcond_e4"))
+        graft.operators.TopK.global(scored,
+            Seq(col("n").desc, col("w1"), col("w2")), 15)
+          .orderBy(col("rank"))
+      },
+      Some(s"""
+        WITH t AS (SELECT $DTokens AS ts FROM documents),
+        uc AS (
+          SELECT w, COUNT(*) AS c FROM (SELECT unnest(ts) AS w FROM t)
+          GROUP BY w
+        ), bc AS (
+          SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+                 COUNT(*) AS n
+          FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                         i -> ts[i] || ' ' || ts[i + 1])) AS g
+                FROM t WHERE len(ts) >= 2)
+          GROUP BY 1, 2
+        )
+        SELECT w1, w2, n, c1, c2, dice_e4, pcond_e4,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS INT) AS rank
+        FROM (
+          SELECT bc.w1, bc.w2, CAST(bc.n AS BIGINT) AS n,
+                 CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+                 CAST((2 * bc.n * 10000) // (u1.c + u2.c) AS BIGINT) AS dice_e4,
+                 CAST((bc.n * 10000) // u1.c AS BIGINT) AS pcond_e4
+          FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+        )
+        ORDER BY n DESC, w1, w2 LIMIT 15
       """))
   )
 }

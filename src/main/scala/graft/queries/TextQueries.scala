@@ -733,6 +733,36 @@ object TextQueries {
           FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
         )
         ORDER BY n DESC, w1, w2 LIMIT 15
+      """)),
+
+    // ---------------------------------------------------------------
+    // q116: deterministic per-source uniform sample — exactly k docs
+    // per source, chosen by md5(doc_id) order. The hash is a fixed
+    // pseudo-random permutation both engines compute identically, so
+    // the "reservoir" is reproducible run-to-run and engine-to-engine
+    // (the property that matters for training-data sampling: the same
+    // corpus always yields the same sample). Runs through
+    // [[graft.operators.TopK.perKey]] — the two-phase per-key top-k —
+    // so a skewed source (one source = 90% of the corpus) cannot
+    // funnel into a single task the way a bare ranking window would.
+    Q("q116_sample_per_source",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            md5(col("doc_id").cast("string")).as("skey"))
+        graft.operators.TopK.perKey(docs, Seq("source"),
+            Seq(col("skey"), col("doc_id")), 5)
+          .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""
+        SELECT source, rank, doc_id, n_chars
+        FROM (SELECT source, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+              FROM documents)
+        WHERE rank <= 5
+        ORDER BY source, rank
       """))
   )
 }

@@ -505,6 +505,91 @@ object EventWindowQueries {
         FROM h JOIN med ON h.event_type = med.event_type
                JOIN mad ON h.event_type = mad.event_type
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ---------------------------------------------------------------
+    // q117: top-10 session opening paths — the first ≤3 event types of
+    // every 10-minute session (q47's gap rule), counted corpus-wide:
+    // the sequence-mining summary product analytics reads next to the
+    // q103 funnel (which paths actually happen vs the one we designed
+    // for). Per-session ordering is (ts, event_id) inside a
+    // session_window aggregate — one user-keyed shuffle; the path
+    // count is a tiny second agg; top-10 is native ORDER BY LIMIT.
+    Q("q117_session_paths",
+      (s, d) => {
+        val paths = Tables.events(s, d)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "10 minutes").as("w"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("ev"))
+          .select(concat_ws(">",
+            transform(slice(col("ev"), 1, 3), x => x("event_type"))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        graft.operators.TopK.global(paths,
+            Seq(col("n_sessions").desc, col("path")), 10)
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ), p AS (
+          SELECT array_to_string(
+                   list_slice(array_agg(event_type ORDER BY ts, event_id),
+                              1, 3), '>') AS path
+          FROM s GROUP BY user_id, sid
+        ), pc AS (
+          SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        )
+        SELECT path, n_sessions,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+                    AS INT) AS rank
+        FROM pc ORDER BY n_sessions DESC, path LIMIT 10
+      """)),
+
+    // ---------------------------------------------------------------
+    // q118: longest consecutive-day activity streak per user — the
+    // date-arithmetic gaps-and-islands twin of q109's value-change
+    // intervals: distinct user-days, island id = day − row_number
+    // (consecutive days share it), island lengths, max per user. Every
+    // window is user-keyed (high cardinality), the distinct is one
+    // hash shuffle — nothing funnels.
+    Q("q118_activity_streaks",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        ud.withColumn("grp", expr("date_sub(day, row_number() OVER " +
+            "(PARTITION BY user_id ORDER BY day))"))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+               sum(col("len")).as("n_active_days"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), g AS (
+          SELECT user_id, day,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INTEGER) AS grp
+          FROM ud
+        ), runs AS (
+          SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(SUM(len) AS BIGINT) AS n_active_days
+        FROM runs GROUP BY user_id ORDER BY user_id
       """))
   )
 }

@@ -590,6 +590,108 @@ object EventWindowQueries {
         SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
                CAST(SUM(len) AS BIGINT) AS n_active_days
         FROM runs GROUP BY user_id ORDER BY user_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q119: rate-burst detection — minutes where an event type's count
+    // is ≥3 AND exceeds 3× its trailing-hour per-minute average (n·20 >
+    // trailing sum — exact integers, no division; the n≥3 floor keeps
+    // sparse 1-event minutes from reading as bursts). Events are
+    // pre-aggregated to
+    // (type, epoch-minute) FIRST, so the per-type RANGE window runs
+    // over a bounded minute series (≤ minutes-in-retention rows per
+    // type) no matter how many raw events — the same
+    // compress-then-window trick as q113. Minutes are emitted as raw
+    // epoch-minute bigints: no timestamp formatting, no tz surface.
+    Q("q119_burst_detection",
+      (s, d) => {
+        val pm = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 60").as("m"))
+          .agg(count(lit(1)).as("n"))
+        val trail = Window.partitionBy(col("event_type")).orderBy(col("m"))
+          .rangeBetween(-60, -1)
+        pm.withColumn("trail_n", sum(col("n")).over(trail))
+          .filter(col("trail_n").isNotNull && col("n") >= 3 &&
+            col("n") * 20 > col("trail_n"))
+          .select(col("event_type"), col("m"), col("n"), col("trail_n"))
+          .orderBy(col("event_type"), col("m"))
+      },
+      Some("""
+        WITH pm AS (
+          SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT *, SUM(n) OVER (PARTITION BY event_type ORDER BY m
+                       RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING) AS trail_n
+          FROM pm
+        )
+        SELECT event_type, m, n, CAST(trail_n AS BIGINT) AS trail_n
+        FROM t
+        WHERE trail_n IS NOT NULL AND n >= 3 AND n * 20 > trail_n
+        ORDER BY event_type, m
+      """)),
+
+    // ---------------------------------------------------------------
+    // q120: RFM segmentation — recency / frequency / monetary exact
+    // tertiles over purchase activity, the classic customer-base
+    // summary. Tier boundaries are EXACT global ranks ((rank−1)·3 div
+    // n), not approximate percentiles, computed three times through
+    // GlobalRank's two-phase rank (range-partition + per-partition
+    // offsets) — no single-task ORDER BY window at any user count.
+    // Tie-breaks on user_id make every rank total; all arithmetic is
+    // integer (days, counts, e2 cents). Tier 1 = most recent for R;
+    // tier 3 = highest for F/M.
+    Q("q120_rfm_segments",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val ev = Tables.events(s, d)
+        val anchor = ev.agg(max(to_date(col("ts"))).as("md"))
+        val base = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(to_date(col("ts"))).as("lastd"),
+               count(lit(1)).as("freq"),
+               sum(e2(col("value"))).as("mon"))
+          .crossJoin(broadcast(anchor))
+          .select(col("user_id"), datediff(col("md"), col("lastd")).as("rec"),
+                  col("freq"), col("mon"))
+        val ranked = Seq[(String, Column)](
+            "rr" -> col("rec"), "fr" -> col("freq"), "mr" -> col("mon"))
+          .foldLeft(base) { case (df, (rc, c)) =>
+            GlobalRank.withGlobalRank(df, Seq(c, col("user_id")), rc)
+          }
+        val n = base.agg(count(lit(1)).as("nu"))
+        ranked.crossJoin(broadcast(n))
+          .select(concat_ws("-",
+              expr("((rr - 1) * 3) DIV nu + 1"),
+              expr("((fr - 1) * 3) DIV nu + 1"),
+              expr("((mr - 1) * 3) DIV nu + 1")).as("segment"))
+          .groupBy(col("segment")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+        p AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS lastd, COUNT(*) AS freq,
+                 SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mon
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), m AS (
+          SELECT user_id, DATEDIFF('day', lastd, md) AS rec, freq, mon
+          FROM p, mx
+        ), r AS (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (ORDER BY rec, user_id) AS rr,
+                 ROW_NUMBER() OVER (ORDER BY freq, user_id) AS fr,
+                 ROW_NUMBER() OVER (ORDER BY mon, user_id) AS mr,
+                 COUNT(*) OVER () AS n
+          FROM m
+        )
+        SELECT CAST(((rr - 1) * 3) // n + 1 AS VARCHAR) || '-' ||
+               CAST(((fr - 1) * 3) // n + 1 AS VARCHAR) || '-' ||
+               CAST(((mr - 1) * 3) // n + 1 AS VARCHAR) AS segment,
+               COUNT(*) AS n_users
+        FROM r GROUP BY 1 ORDER BY segment
       """))
   )
 }

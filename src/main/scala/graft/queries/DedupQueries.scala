@@ -913,6 +913,57 @@ object DedupQueries {
                     AS BIGINT) AS neardup_rate_e4
         FROM t LEFT JOIN er USING (source) LEFT JOIN nr USING (source)
         ORDER BY t.source
+      """)),
+
+    // ---------------------------------------------------------------
+    // q122: near-dup graph degree histogram (t=0.8) — the node-level
+    // companion to q98's cluster sizes: how many verified neighbors
+    // each doc has (degree 0 = singleton, counted via anti-join). A
+    // corpus whose mass sits at high degree is template-dominated;
+    // q98 can't distinguish one dense clique from a long chain of the
+    // same size — the degree distribution can. Input is the
+    // session-shared verified-pair memo (paid once by q40), so this is
+    // two tiny aggregations + one anti-join, no text rescan.
+    Q("q122_dup_degree_hist",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d, 0.8)
+        val deg = pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        val hist = deg.groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_docs"))
+        val zeros = Tables.documents(s, d).select(col("doc_id"))
+          .join(deg.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(0L).as("degree"), col("n_docs"))
+        hist.unionByName(zeros).orderBy(col("degree"))
+      },
+      Some(s"""
+        WITH g AS ($DGrams),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM p
+          WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        ),
+        ends AS (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs
+        ),
+        deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id),
+        hist AS (SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree),
+        z AS (
+          SELECT CAST(0 AS BIGINT) AS degree, COUNT(*) AS n_docs
+          FROM documents dd
+          WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.doc_id = dd.doc_id)
+        )
+        SELECT degree, n_docs FROM hist
+        UNION ALL SELECT degree, n_docs FROM z
+        ORDER BY degree
       """))
   )
 }

@@ -692,6 +692,54 @@ object EventWindowQueries {
                CAST(((mr - 1) * 3) // n + 1 AS VARCHAR) AS segment,
                COUNT(*) AS n_users
         FROM r GROUP BY 1 ORDER BY segment
+      """)),
+
+    // ---------------------------------------------------------------
+    // q121: exact p50/p90/p99 per event type by the nearest-rank rule
+    // (value at rank ceil(p·n/100)), computed over the e2-quantized
+    // value histogram like q113 — the cumulative window runs over
+    // ≤ (max−min)·100 compressed buckets per type, never over data
+    // rows, which is what lets an EXACT tail percentile (the ops
+    // metric approx_percentile can't pin down) scale. All arithmetic
+    // is bigint: rank thresholds are (n·p + 99) div 100, outputs are
+    // conditional MINs over the cumulative counts.
+    Q("q121_value_percentiles",
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .groupBy(col("event_type"), e2(col("value")).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val byType = Window.partitionBy(col("event_type"))
+        val cumW = byType.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("n", sum(col("cnt")).over(byType))
+          .withColumn("cum", sum(col("cnt")).over(cumW))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            expr("MIN(CASE WHEN cum >= (n * 50 + 99) DIV 100 THEN v END)")
+              .as("p50_e2"),
+            expr("MIN(CASE WHEN cum >= (n * 90 + 99) DIV 100 THEN v END)")
+              .as("p90_e2"),
+            expr("MIN(CASE WHEN cum >= (n * 99 + 99) DIV 100 THEN v END)")
+              .as("p99_e2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), c AS (
+          SELECT *, SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50_e2,
+               MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90_e2,
+               MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99_e2
+        FROM c GROUP BY 1 ORDER BY event_type
       """))
   )
 }

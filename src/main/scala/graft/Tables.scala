@@ -24,23 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long (legacy conf) and convert to
-    * microsecond TimestampType (truncation — sub-microsecond precision is
-    * below every window/ordering granularity used here).
+  /** events.ts arrives in one of two physical shapes depending on the
+    * testdata generation: parquet TIMESTAMP(NANOS) (readable only as a
+    * nanos long via the legacy conf, then truncated to microseconds) or
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Both are normalized here to session-zoned
+    * TimestampType — the session runs in UTC (Sessions.local), so the
+    * NTZ→LTZ cast maps wall-clock to the identical epoch instant the
+    * nanos path produced, and every downstream window/watermark/epoch
+    * computation sees one type regardless of the source encoding.
     *
     * The conf is normally set at session construction (Sessions.local /
     * SparkSuite); for externally-built sessions this self-heals — one
     * EXPLICIT session-wide effect, documented here: all TIMESTAMP(NANOS)
     * parquet in the session maps to LongType afterwards (only `events`
-    * carries that type in this engine's data).
+    * ever carried that type in this engine's data).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

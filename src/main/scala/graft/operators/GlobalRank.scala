@@ -125,6 +125,44 @@ object GlobalRank {
       .drop("__pid", "__mid", "__v", "__lcum", "__offset", "__voffset")
   }
 
+  /** Adds `strictCol` = exact running MAX of `value` over all
+    * STRICTLY-preceding rows in the global `sortCols` order (null for
+    * the global first row) — the prefix-dominance primitive (skyline /
+    * pareto-frontier queries, staircase envelopes) with NO global
+    * single-partition window. Two-phase like [[withGlobalCumSum]]: the
+    * offsets aggregate carries per-partition maxes, the broadcast side
+    * turns them into a strict prefix max across partitions, and the
+    * within-partition strict prefix max is a window PARTITIONED by the
+    * range-partition id with frame (unboundedPreceding, -1).
+    * `greatest` merges the two (it ignores nulls unless both are null,
+    * which is exactly the wanted identity element).
+    */
+  def withGlobalStrictCumMax(df: DataFrame, sortCols: Seq[Column],
+                             value: Column, strictCol: String,
+                             numPartitions: Int = 32): DataFrame = {
+    val sorted = Reliable.barrier(df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__v", value)
+      .withColumn("__mid", monotonically_increasing_id()))(
+      _.persist(StorageLevel.MEMORY_AND_DISK))
+    val pid = shiftrightunsigned(col("__mid"), LocalIdxBits)
+    // one row per partition; the window runs over #partitions rows
+    val offsets = sorted.groupBy(pid.as("__pid"))
+      .agg(max(col("__v")).as("__pmax"))
+      .withColumn("__moffset", max(col("__pmax")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__moffset"))
+    sorted
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), LocalIdxBits))
+      .withColumn("__lmax", max(col("__v")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(strictCol, greatest(col("__lmax"), col("__moffset")))
+      .drop("__pid", "__mid", "__v", "__lmax", "__moffset")
+  }
+
   /** Exact NTILE(k) over a global order, two-phase. Same bucket
     * assignment as the SQL window function: with N rows, the first
     * `N % k` buckets get `ceil(N/k)` rows, the rest `floor(N/k)`.

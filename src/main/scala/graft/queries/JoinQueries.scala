@@ -138,6 +138,124 @@ object JoinQueries {
       // excluded from the headline timing set: the entry's cost is the
       // bucketed table WRITE (a one-off amortized cost in production),
       // which would drown the join being measured
-      bench = false)
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q123: co-purchase item-item similarity — the classic
+    // co-occurrence join (market-basket / item-based collaborative
+    // filtering). Pair generation is the scale-critical step: the
+    // self-join is keyed on l_orderkey, so fan-out per order is
+    // basket_size² — bounded by the largest basket (≤ 7 lineitems in
+    // this schema), NEVER corpus². The pair aggregate shuffles on
+    // (item, item); item frequencies are a catalog-bounded side joined
+    // after the co ≥ 2 support filter has already shrunk the pair
+    // table. Similarity is exact integer cosine²: co²·10⁶ div (nᵢ·nⱼ)
+    // — no floats, engine-independent (domain note: co²·10⁶ fits long
+    // for co up to ~3·10⁶; at web-scale co-counts, divide before
+    // scaling or go to DECIMAL). For unbounded baskets (a user-item
+    // matrix, not orders) the sampling variant of this join is DIMSUM;
+    // the bounded-basket exact form is the right tool here.
+    Q("q123_copurchase_similarity",
+      (s, d) => {
+        val oi = copurchaseItems(s, d)
+        val cnt = oi.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        val pairs = oi.as("a")
+          .join(oi.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pi"), col("b.pk").as("pj"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        pairs
+          .join(cnt.withColumnRenamed("pk", "pi").withColumnRenamed("n", "ni"), "pi")
+          .join(cnt.withColumnRenamed("pk", "pj").withColumnRenamed("n", "nj"), "pj")
+          .select(col("pi"), col("pj"), col("co"),
+            expr("co * co * 1000000 DIV (ni * nj)").as("cos2_e6"))
+          .orderBy(col("cos2_e6").desc, col("pi"), col("pj"))
+          .limit(100)
+      },
+      Some("""
+        WITH oi AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), cnt AS (
+          SELECT pk, COUNT(*) AS n FROM oi GROUP BY pk
+        ), pairs AS (
+          SELECT a.pk AS pi, b.pk AS pj, COUNT(*) AS co
+          FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )
+        SELECT pi, pj, CAST(co AS BIGINT) AS co,
+               CAST(co * co * 1000000 // (ci.n * cj.n) AS BIGINT) AS cos2_e6
+        FROM pairs
+        JOIN cnt ci ON pi = ci.pk JOIN cnt cj ON pj = cj.pk
+        ORDER BY cos2_e6 DESC, pi, pj LIMIT 100
+      """)),
+
+    // ---------------------------------------------------------------
+    // q125: triangle count on the co-purchase graph — the standard
+    // graph-cohesion metric, computed with the oriented-edge trick:
+    // edges carry pi < pj, so each triangle {a<b<c} is generated
+    // exactly once by joining (a,b)⋈(b,c) on the shared middle vertex
+    // and closing against (a,c). Both joins are equi-joins on vertex
+    // ids; wedge fan-out is Σ deg(v)² over the SUPPORT-FILTERED edge
+    // set (co ≥ 2), which is what keeps the wedge table tractable — at
+    // production scale the orientation is by DEGREE (low→high), which
+    // provably bounds per-vertex wedge work by arboricity; id-order is
+    // the deterministic stand-in at this graph size. Reports edges,
+    // wedges, triangles, and the global clustering coefficient in e6
+    // (3·tri·10⁶ div wedges — exact integers).
+    Q("q125_triangle_count",
+      (s, d) => {
+        val oi = copurchaseItems(s, d)
+        val e = oi.as("a")
+          .join(oi.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pi"), col("b.pk").as("pj"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+          .select(col("pi"), col("pj"))
+          .persist()
+        val wedges = e.as("e1")
+          .join(e.as("e2"), col("e1.pj") === col("e2.pi"))
+          .select(col("e1.pi").as("a"), col("e1.pj").as("b"), col("e2.pj").as("c"))
+        val tri = wedges
+          .join(e.as("e3"), col("a") === col("e3.pi") && col("c") === col("e3.pj"))
+        val out = e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+          .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            expr("n_triangles * 3 * 1000000 DIV n_wedges").as("clustering_e6"))
+        out
+      },
+      Some("""
+        WITH oi AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), e AS (
+          SELECT a.pk AS pi, b.pk AS pj
+          FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), w AS (
+          SELECT e1.pi AS a, e1.pj AS b, e2.pj AS c
+          FROM e e1 JOIN e e2 ON e1.pj = e2.pi
+        ), t AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM w JOIN e e3 ON w.a = e3.pi AND w.c = e3.pj
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(n_triangles * 3 * 1000000 // (SELECT COUNT(*) FROM w) AS BIGINT)
+                 AS clustering_e6
+        FROM t
+      """))
   )
+
+  /** Distinct (order, item) incidence — the shared front of the
+    * co-purchase graph queries (q123/q125). DISTINCT first: a part
+    * appearing on two lineitems of one order is one basket membership.
+    */
+  private def copurchaseItems(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
 }

@@ -472,6 +472,43 @@ object LlmPrepQueries {
                array_to_string(list_slice(ts, start, start + 31), ' ') AS chunk
         FROM e WHERE least(len(ts) - start + 1, 32) > 0
         ORDER BY doc_id, chunk_idx
+      """)),
+
+    // ---------------------------------------------------------------
+    // q126: size-weighted Bernoulli sample — each document is kept with
+    // probability n_chars / max(n_chars), the standard
+    // probability-proportional-to-size corpus subsample (longer docs
+    // carry more training signal per row of overhead). The coin is a
+    // DETERMINISTIC seeded hash — h = (doc_id mod M)·K mod M, M =
+    // 1000003 (prime), K = 2654435761 (Knuth's multiplicative constant)
+    // — so the sample is reproducible across runs AND engines, and the
+    // inclusion test h·w_max < w·M is exact integer arithmetic (fits
+    // long: M·K ≈ 2.7·10¹⁵). Scale shape: one tiny max() broadcast +
+    // a pure map-side filter — the corpus never shuffles; the per-source
+    // report is a vocabulary-bounded agg. This is the sampling design
+    // where inclusion must be auditable (reproducing which docs made a
+    // training mix); for statistically independent draws swap h for
+    // rand() with a per-run seed — same plan shape.
+    Q("q126_weighted_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mx = docs.agg(max(col("n_chars")).as("wmax"))
+        docs.crossJoin(broadcast(mx))
+          .withColumn("h", expr("((doc_id % 1000003) * 2654435761) % 1000003"))
+          .filter(col("h") * col("wmax") < col("n_chars") * lit(1000003L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+               sum(col("n_chars")).as("chars_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(n_chars) AS wmax FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+        FROM documents, mx
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000003 * wmax
+              < n_chars * 1000003
+        GROUP BY source ORDER BY source
       """))
   )
 }

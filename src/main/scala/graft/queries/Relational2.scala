@@ -502,6 +502,56 @@ object Relational2 {
                     <= COUNT(DISTINCT l_orderkey) * 0.05 AS INT)
                  AS approx_within_5pct
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
+
+    // ---------------------------------------------------------------
+    // q124: pareto frontier (2-D skyline) — the parts no other part
+    // strictly dominates on (cheaper price, larger size): b dominates a
+    // iff b.price ≤ a.price ∧ b.size ≥ a.size with one inequality
+    // strict. The naive form is an all-pairs NOT EXISTS (the oracle, n²
+    // — fine for DuckDB at sf0.01, fatal at 100 TB). Scale shape: parts
+    // compress to one row per DISTINCT price (pmax = best size at that
+    // price), then GlobalRank.withGlobalStrictCumMax computes each
+    // price's best-size-among-strictly-cheaper via the two-phase
+    // range-partitioned prefix max — no task ever windows over more
+    // than one range partition, at any price cardinality. A price is a
+    // frontier price iff pmax beats that strict prefix (ties lose:
+    // an equal size at a cheaper price dominates); a part is on the
+    // frontier iff it carries its price's pmax at a frontier price —
+    // equal (price, size) duplicates all survive, matching the
+    // dominance definition. Prices are compared in exact e2 cents on
+    // both engines.
+    Q("q124_pareto_frontier",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), e2(col("p_retailprice")).as("price_e2"),
+                  col("p_size"))
+        val perPrice = p.groupBy(col("price_e2"))
+          .agg(max(col("p_size")).as("pmax"))
+        val frontierPrices = GlobalRank.withGlobalStrictCumMax(
+            perPrice, Seq(col("price_e2")), col("pmax").cast("long"), "best_cheaper")
+          .filter(col("best_cheaper").isNull || col("pmax") > col("best_cheaper"))
+          .select(col("price_e2"), col("pmax"))
+        p.join(frontierPrices, Seq("price_e2"))
+          .filter(col("p_size") === col("pmax"))
+          .select(col("p_partkey"), col("price_e2"), col("p_size"))
+          .orderBy(col("price_e2"), col("p_partkey"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT p_partkey,
+                 CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_e2,
+                 p_size
+          FROM part
+        )
+        SELECT p_partkey, price_e2, p_size FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.price_e2 <= a.price_e2 AND b.p_size >= a.p_size
+            AND (b.price_e2 < a.price_e2 OR b.p_size > a.p_size))
+        ORDER BY price_e2, p_partkey
       """))
   )
 }

@@ -56,6 +56,22 @@ class GlobalRankSpec extends SparkSuite {
            expected.exceptAll(got).isEmpty)
   }
 
+  test("withGlobalStrictCumMax equals the strict-prefix max window") {
+    val vals = df(101).withColumn("w", ((col("id") * 31) % 17).cast("long"))
+    val got = GlobalRank.withGlobalStrictCumMax(vals,
+        Seq(col("v"), col("id")), col("w"), "sm", numPartitions = 4)
+      .select(col("id"), col("sm"))
+    val w = Window.orderBy(col("v"), col("id"))
+    val expected = vals
+      .withColumn("sm", max(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("id"), col("sm"))
+    assert(got.exceptAll(expected).isEmpty &&
+           expected.exceptAll(got).isEmpty)
+    // the global first row has no strict predecessor
+    assert(got.filter(col("sm").isNull).count() == 1)
+  }
+
   test("withGlobalRank equals row_number over the global order") {
     val ranked = GlobalRank.withGlobalRank(df(101),
         Seq(col("v"), col("id")), "r", numPartitions = 4)

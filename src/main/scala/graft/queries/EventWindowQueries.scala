@@ -740,6 +740,127 @@ object EventWindowQueries {
                MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90_e2,
                MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99_e2
         FROM c GROUP BY 1 ORDER BY event_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q127: SCD2 point-in-time lookup — each purchase priced against
+    // the dimension value valid AT ITS TIMESTAMP (the feature-store /
+    // training-data temporal-correctness join: never read a future
+    // attribute). The dimension history is q109's change stream
+    // restricted to 'view' events (tier = props.k div 25); probes are
+    // purchases. NOT an interval join: the union + partitioned
+    // last-non-null window (q53's as-of machinery, aimed at a derived
+    // dimension) resolves every probe in ONE shuffle keyed by user_id
+    // — no range-join explosion, no interval table materialized.
+    // Same-instant semantics are pinned by the sort (ts, is_probe,
+    // event_id): a change AT the probe's ts is visible (changes sort
+    // first), and concurrent same-ts changes resolve to the highest
+    // event_id deterministically. Purchases before any view report
+    // tier NULL (explicit NULLS FIRST on both engines — their default
+    // null order differs).
+    Q("q127_scd2_lookup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val changes = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(0).as("is_probe"),
+            (get_json_object(col("props"), "$.k").cast("long") -
+              pmod(get_json_object(col("props"), "$.k").cast("long"), lit(25L)))
+              .divide(lit(25L)).cast("long").as("tier"),
+            lit(null).cast("long").as("val_e2"))
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(1).as("is_probe"), lit(null).cast("long").as("tier"),
+            e2(col("value")).as("val_e2"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        changes.unionByName(probes)
+          .withColumn("cur_tier", last(col("tier"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .groupBy(col("cur_tier").as("tier"))
+          .agg(count(lit(1)).as("n_purchases"),
+               sum(col("val_e2")).as("value_e2"))
+          .orderBy(col("tier").asc_nulls_first)
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id, ts, event_id, 0 AS is_probe,
+                 CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 25
+                   AS tier,
+                 CAST(NULL AS BIGINT) AS val_e2
+          FROM events WHERE event_type = 'view'
+          UNION ALL
+          SELECT user_id, ts, event_id, 1, NULL,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+          FROM events WHERE event_type = 'purchase'
+        ), f AS (
+          SELECT *, LAST_VALUE(tier IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cur_tier
+          FROM u
+        )
+        SELECT cur_tier AS tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(val_e2) AS BIGINT) AS value_e2
+        FROM f WHERE is_probe = 1
+        GROUP BY 1 ORDER BY tier NULLS FIRST
+      """)),
+
+    // ---------------------------------------------------------------
+    // q128: A/B experiment lift — users split into two deterministic
+    // arms (user_id parity — the auditable stand-in for a salted
+    // assignment hash), conversion = a purchase strictly after the
+    // user's first view (exposure). Per-user reduction first (ONE
+    // shuffle keyed by user_id: min view ts + conditional purchase
+    // stats), then a 2-row arm rollup — conversion rates in exact e4
+    // integers (conv·10⁴ div n), no floats anywhere. The per-user
+    // frame is the scale contract: arm totals are map-side combines
+    // over it, never a second pass over raw events.
+    Q("q128_ab_lift",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+            max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"),
+            sum(when(col("event_type") === "purchase", e2(col("value")))
+              .otherwise(lit(0L))).as("purch_e2"))
+          .filter(col("first_view").isNotNull)
+          .withColumn("converted",
+            when(col("last_purchase") > col("first_view"), lit(1L))
+              .otherwise(lit(0L)))
+        per
+          .groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
+          .agg(count(lit(1)).as("n_users"),
+               sum(col("converted")).as("n_converted"),
+               sum(when(col("converted") === 1, col("purch_e2"))
+                 .otherwise(lit(0L))).as("conv_value_e2"))
+          .withColumn("conv_e4", expr("n_converted * 10000 DIV n_users"))
+          .orderBy(col("arm"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                 MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase,
+                 COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS purch_e2
+          FROM events GROUP BY user_id
+        ), c AS (
+          SELECT user_id % 2 AS arm,
+                 CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END
+                   AS converted,
+                 purch_e2
+          FROM per WHERE first_view IS NOT NULL
+        )
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(CASE WHEN converted = 1 THEN purch_e2 ELSE 0 END)
+                 AS BIGINT) AS conv_value_e2,
+               CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_e4
+        FROM c GROUP BY arm ORDER BY arm
       """))
   )
 }

@@ -648,6 +648,9 @@ object EventWindowQueries {
         import graft.operators.GlobalRank
         val ev = Tables.events(s, d)
         val anchor = ev.agg(max(to_date(col("ts"))).as("md"))
+        // persisted: consumed four times (sampled + shuffled by the
+        // first rank pass, and by the user-count aggregate) — without
+        // this the purchase reduction re-runs from the events scan
         val base = ev.filter(col("event_type") === "purchase")
           .groupBy(col("user_id"))
           .agg(max(to_date(col("ts"))).as("lastd"),
@@ -656,6 +659,7 @@ object EventWindowQueries {
           .crossJoin(broadcast(anchor))
           .select(col("user_id"), datediff(col("md"), col("lastd")).as("rec"),
                   col("freq"), col("mon"))
+          .persist()
         val ranked = Seq[(String, Column)](
             "rr" -> col("rec"), "fr" -> col("freq"), "mr" -> col("mon"))
           .foldLeft(base) { case (df, (rc, c)) =>

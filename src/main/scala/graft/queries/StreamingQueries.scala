@@ -461,6 +461,83 @@ object StreamingQueries {
         WHERE ws + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM p)
         GROUP BY ws, segment ORDER BY window_start, segment
       """),
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q129: streaming CDC upsert — the SCD1 / MERGE INTO sink shape: a
+    // purchase stream maintains a keyed current-state table
+    // (last-write-wins per user), processed as FOUR micro-batches
+    // (maxFilesPerTrigger=1 over a range-partitioned fixture) so the
+    // merge genuinely runs batch-over-batch. Each foreachBatch (1)
+    // reduces the batch to a per-user argmax DELTA — max of
+    // struct(ts, event_id, value) picks the latest row exactly like
+    // q21, so the merge is associative and arrival order across
+    // batches CANNOT change the result — then (2) merges delta into
+    // the state table by the same argmax union, written to a new
+    // versioned dir (the read-current/write-next/swap discipline a
+    // plain-parquet state table needs; on Delta/Iceberg this whole
+    // closure is one MERGE INTO). Scale: batch work is one user-keyed
+    // reduce; the state table is dimension-sized (one row per user),
+    // so the merge union is state + delta, never the stream's history.
+    Q("q129_stream_upsert",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q129")
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            graft.functions.ColumnOps.e2(col("value")).as("value_e2"))
+          .repartitionByRange(4, col("ts"))
+          .write.parquet(s"$base/in")
+        val input = s.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("event_id", LongType),
+            StructField("value_e2", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+        def argmax(df: DataFrame): DataFrame = df
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value_e2"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.value_e2").as("value_e2"))
+        // driver-held pointer to the current state version — the
+        // stand-in for a table format's transaction log
+        val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+        val q = input.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val delta = argmax(batch)
+            val merged = Option(latest.get) match {
+              case Some(prev) => argmax(delta.unionByName(s.read.parquet(prev)))
+              case None => delta
+            }
+            val next = s"$base/state_$batchId"
+            merged.write.mode("overwrite").parquet(next)
+            latest.set(next)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(latest.get)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            col("value_e2").as("last_value_e2"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_e2
+          FROM events WHERE event_type = 'purchase'
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM p
+        )
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               value_e2 AS last_value_e2
+        FROM r WHERE rn = 1 ORDER BY user_id
+      """),
       bench = false)
   )
 }

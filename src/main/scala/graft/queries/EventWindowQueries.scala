@@ -865,6 +865,82 @@ object EventWindowQueries {
                  AS BIGINT) AS conv_value_e2,
                CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_e4
         FROM c GROUP BY arm ORDER BY arm
+      """)),
+
+    // ---------------------------------------------------------------
+    // q131: calendar gap fill — densify the per-(type, day) count
+    // series over the full observed date range, missing days as 0 (the
+    // step every dashboard/forecast consumer needs before windowing,
+    // since q119-style RANGE frames are correct on sparse series but
+    // chart/ML consumers want dense ones). The dense axis is generated,
+    // not scanned: sequence(min, max) on a 1-row bounds aggregate ×
+    // the distinct-type dimension (broadcast nested-loop over
+    // #days·#types rows — both dimension-sized), then ONE left join
+    // against the real counts keyed (type, day). Events are
+    // pre-aggregated before the join, so the dense frame never touches
+    // raw rows.
+    Q("q131_gap_fill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val types = ev.select(col("event_type")).distinct()
+        days.crossJoin(broadcast(types))
+          .join(counts, Seq("event_type", "day"), "left")
+          .na.fill(0L, Seq("n"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        ), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+        days AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+          FROM b
+        ), t AS (SELECT DISTINCT event_type FROM ev),
+        c AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+        SELECT t.event_type AS event_type, days.day AS day,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM days CROSS JOIN t
+        LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day
+        ORDER BY 1, 2
+      """)),
+
+    // ---------------------------------------------------------------
+    // q132: cumulative unique users per day — the growth curve. The
+    // naive COUNT(DISTINCT) OVER (ORDER BY day) carries an
+    // ever-growing distinct set through one task; the scale shape is
+    // first-touch attribution: per-user MIN(day) (one user-keyed agg),
+    // collapse to per-day new-user counts (calendar-bounded), then the
+    // exact running sum via GlobalRank.withGlobalCumSum — cumulative
+    // uniques ≡ cumsum of first appearances, an identity that turns an
+    // unbounded-state window into two bounded aggs + the two-phase
+    // cumsum. Output carries new_users and cum_users per day.
+    Q("q132_cumulative_uniques",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val perDay = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("new_users"))
+        GlobalRank.withGlobalCumSum(perDay, Seq(col("day")),
+            col("new_users"), "__r", "cum_users", "__t")
+          .select(col("day"), col("new_users"), col("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+        ), p AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+        SELECT day, CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM p ORDER BY day
       """))
   )
 }

@@ -552,6 +552,37 @@ object Relational2 {
           WHERE b.price_e2 <= a.price_e2 AND b.p_size >= a.p_size
             AND (b.price_e2 < a.price_e2 OR b.p_size > a.p_size))
         ORDER BY price_e2, p_partkey
+      """)),
+
+    // ---------------------------------------------------------------
+    // q130: pivot / cross-tab — the wide reshape (`groupBy().pivot()`)
+    // the rollup/cube family (q11/q12/q29) doesn't cover: documents
+    // counted source × language with languages AS COLUMNS. The pivot
+    // value list is EXPLICIT — the scale contract: without it Spark
+    // first runs a distinct scan over the pivot column AND the output
+    // schema becomes data-dependent (a driver-side collect of
+    // unbounded width); with it the reshape is one ordinary hash
+    // aggregate producing 5 conditional counts. Missing combinations
+    // land as 0, not null (na.fill — the cross-tab convention, and it
+    // keeps both engines' hash types identical).
+    Q("q130_pivot_source_lang",
+      (s, d) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .na.fill(0L, langs)
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
+        FROM documents GROUP BY source ORDER BY source
       """))
   )
 }

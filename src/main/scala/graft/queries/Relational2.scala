@@ -583,6 +583,45 @@ object Relational2 {
                CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
                CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
         FROM documents GROUP BY source ORDER BY source
+      """)),
+
+    // ---------------------------------------------------------------
+    // q134: unpivot / melt — the inverse reshape of q130: per-flag
+    // lineitem measures (count, total qty, total price) melted from
+    // columns into (measure, value) rows via `stack()`. Stack is a
+    // GENERATOR (one codegen'd pass, fan-out = #measures per row), not
+    // a union of re-scans — the aggregate runs once and the melt costs
+    // #groups·#measures rows, which is why melting AFTER the reduce is
+    // the scale order (melting raw rows first would triple the shuffle
+    // volume for identical output). Values share one bigint domain
+    // (counts, e0 qty, e2 cents) — the long-format contract.
+    Q("q134_unpivot_measures",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("qty_total"),
+            sum(e2(col("l_extendedprice"))).as("price_e2_total"))
+          .selectExpr("l_returnflag",
+            """stack(3, 'n_items', n_items, 'qty_total', qty_total,
+                     'price_e2_total', price_e2_total) AS (measure, value)""")
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS price_e2_total
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, measure, value FROM (
+          SELECT l_returnflag, 'n_items' AS measure, n_items AS value FROM a
+          UNION ALL
+          SELECT l_returnflag, 'qty_total', qty_total FROM a
+          UNION ALL
+          SELECT l_returnflag, 'price_e2_total', price_e2_total FROM a)
+        ORDER BY l_returnflag, measure
       """))
   )
 }

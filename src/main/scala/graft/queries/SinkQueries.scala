@@ -98,6 +98,81 @@ object SinkQueries {
       """),
       // bench=false: measures tmpfs write throughput of three format
       // encoders, not query execution
-      bench = false)
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q133: z-order layout audit — quantifies what rewriting lineitem
+    // in Morton-curve order of (l_partkey, l_suppkey) would buy
+    // data-skipping: rows are assigned to 16 equal-width buckets of
+    // the interleaved-bit z-value (the files an OPTIMIZE ZORDER BY
+    // would write) AND to 16 buckets of the natural l_orderkey insert
+    // order, and the per-bucket (min,max) key spans — exactly the
+    // zone-map stats a reader prunes on — are reported side by side:
+    // z-buckets cut the wide key's span to 1/4-1/32 of its domain
+    // (both keys' spans shrink in the lightly-filled buckets), while
+    // insert-order buckets span the whole domain of both keys — zero
+    // pruning power. The z-value is 32 codegen'd shift/mask terms (16 bits
+    // per key — covers the key domains here; widen per key range), no
+    // UDF; the audit itself is one scan + two 16-group aggregates.
+    Q("q133_zorder_layout",
+      (s, d) => {
+        def zvalue(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (0 until 16).map { i =>
+            shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+              shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          }.reduce(_ + _)
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey")))
+        val bounds = t.agg(min(col("z")).as("zlo"), max(col("z")).as("zhi"),
+          min(col("l_orderkey")).as("olo"), max(col("l_orderkey")).as("ohi"))
+        val x = t.crossJoin(broadcast(bounds))
+          .withColumn("zbin", expr("(z - zlo) * 16 DIV (zhi - zlo + 1)"))
+          .withColumn("nbin",
+            expr("(l_orderkey - olo) * 16 DIV (ohi - olo + 1)"))
+        def spans(df: org.apache.spark.sql.DataFrame, bin: String,
+                  suffix: String): org.apache.spark.sql.DataFrame =
+          df.groupBy(col(bin).as("bin"))
+            .agg(count(lit(1)).as(s"n_$suffix"),
+              (max(col("l_partkey")) - min(col("l_partkey")))
+                .as(s"part_span_$suffix"),
+              (max(col("l_suppkey")) - min(col("l_suppkey")))
+                .as(s"supp_span_$suffix"))
+        spans(x, "zbin", "z").join(spans(x, "nbin", "nat"), "bin")
+          .orderBy(col("bin"))
+      },
+      Some {
+        val zExpr = (0 until 16).map { i =>
+          s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
+            s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT l_orderkey, l_partkey, l_suppkey, $zExpr AS z FROM lineitem
+        ), b AS (
+          SELECT MIN(z) AS zlo, MAX(z) AS zhi,
+                 MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+          FROM t
+        ), x AS (
+          SELECT t.*, (z - zlo) * 16 // (zhi - zlo + 1) AS zbin,
+                 (l_orderkey - olo) * 16 // (ohi - olo + 1) AS nbin
+          FROM t, b
+        ), zs AS (
+          SELECT zbin AS bin, CAST(COUNT(*) AS BIGINT) AS n_z,
+                 CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS part_span_z,
+                 CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS supp_span_z
+          FROM x GROUP BY 1
+        ), ns AS (
+          SELECT nbin AS bin, CAST(COUNT(*) AS BIGINT) AS n_nat,
+                 CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS part_span_nat,
+                 CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS supp_span_nat
+          FROM x GROUP BY 1
+        )
+        SELECT bin, n_z, part_span_z, supp_span_z, n_nat, part_span_nat,
+               supp_span_nat
+        FROM zs JOIN ns USING (bin) ORDER BY bin
+      """
+      })
   )
 }

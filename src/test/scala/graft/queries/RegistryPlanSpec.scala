@@ -74,11 +74,17 @@ class RegistryPlanSpec extends SparkSuite {
 
   // SURVEY §8 claims these are one-scan queries with column pruning
   // reaching parquet — pin the scan schema so a refactor that drags
-  // extra columns through the explode fails here
-  for ((name, expected) <- Seq(
-      "q91_vocab_coverage" -> Set("text"),
-      "q94_quality_length_corr" -> Set("text", "lang")))
-    test(s"$name reads only ${expected.mkString("+")} from documents") {
+  // extra columns through fails here. The third element restricts the
+  // assert to scans of that table's file (memo-parquet re-reads and
+  // other tables in the same plan are exempt).
+  for ((name, table, expected) <- Seq(
+      ("q91_vocab_coverage", "documents", Set("text")),
+      ("q94_quality_length_corr", "documents", Set("text", "lang")),
+      ("q126_weighted_sample", "documents", Set("doc_id", "n_chars", "source")),
+      ("q123_copurchase_similarity", "lineitem", Set("l_orderkey", "l_partkey")),
+      ("q133_zorder_layout", "lineitem",
+        Set("l_orderkey", "l_partkey", "l_suppkey"))))
+    test(s"$name reads only ${expected.mkString("+")} from $table") {
       spark.catalog.clearCache()
       // file scans hide under AQE wrappers and — for queries that
       // persist an intermediate (GlobalRank's sorted frame) — inside
@@ -95,7 +101,9 @@ class RegistryPlanSpec extends SparkSuite {
         }
       val scans = scansOf(
         SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
-      assert(scans.nonEmpty, "no FileSourceScanExec found")
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains(s"$table.parquet")))
+      assert(scans.nonEmpty, s"no FileSourceScanExec over $table found")
       scans.foreach { s =>
         assert(s.requiredSchema.fieldNames.toSet.subsetOf(expected),
           s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")

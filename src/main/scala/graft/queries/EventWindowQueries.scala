@@ -941,6 +941,43 @@ object EventWindowQueries {
                CAST(SUM(new_users) OVER (ORDER BY day
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         FROM p ORDER BY day
+      """)),
+
+    // ---------------------------------------------------------------
+    // q135: EWMA trend per event type — exponential smoothing
+    // (α = 1/2) of the daily count series as a sequential FOLD:
+    // s_t = (s_{t-1} + x_t) div 2 in e3 integers, seeded with the
+    // first day (list_reduce semantics, mirrored exactly on both
+    // engines), observed days only. A recursion can't be windowed;
+    // the scale answer is that the series is CALENDAR-BOUNDED: events
+    // compress to (type, day) counts first (the q113/q119 trick), so
+    // the collect_list + aggregate() HOF folds over ≤ days-in-range
+    // elements per type — driver-free, bounded state, and the fold
+    // itself is a codegen'd higher-order function, not a UDF.
+    Q("q135_ewma_smoothing",
+      (s, d) => {
+        val pm = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        pm.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
+          .withColumn("a", expr("transform(sd, p -> p.n * 1000)"))
+          .select(col("event_type"), size(col("a")).as("n_days"),
+            expr("""aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),
+                    (s, x) -> (s + x) DIV 2)""").as("sm_e3"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH pm AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), l AS (
+          SELECT event_type, list(n ORDER BY day) AS ns FROM pm GROUP BY 1
+        )
+        SELECT event_type, CAST(len(ns) AS INT) AS n_days,
+               CAST(list_reduce(list_transform(ns, x -> CAST(x * 1000 AS BIGINT)),
+                                (s, x) -> (s + x) // 2) AS BIGINT) AS sm_e3
+        FROM l ORDER BY event_type
       """))
   )
 }

@@ -479,6 +479,8 @@ object StreamingQueries {
     // closure is one MERGE INTO). Scale: batch work is one user-keyed
     // reduce; the state table is dimension-sized (one row per user),
     // so the merge union is state + delta, never the stream's history.
+    // The merge loop lives in streaming/UpsertPipeline; its
+    // multi-batch semantics are spec-pinned (UpsertPipelineSpec).
     Q("q129_stream_upsert",
       (s, d) => {
         val base = graft.TempDirs.scoped("graft_q129")
@@ -488,37 +490,14 @@ object StreamingQueries {
             graft.functions.ColumnOps.e2(col("value")).as("value_e2"))
           .repartitionByRange(4, col("ts"))
           .write.parquet(s"$base/in")
-        val input = s.readStream
-          .schema(StructType(Seq(StructField("user_id", LongType),
+        val (state, _) = graft.streaming.UpsertPipeline.runAvailableNow(
+          s, s"$base/in", base,
+          StructType(Seq(StructField("user_id", LongType),
             StructField("ts", TimestampType),
             StructField("event_id", LongType),
-            StructField("value_e2", LongType))))
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$base/in")
-        def argmax(df: DataFrame): DataFrame = df
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"), col("value_e2"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.value_e2").as("value_e2"))
-        // driver-held pointer to the current state version — the
-        // stand-in for a table format's transaction log
-        val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
-        val q = input.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val delta = argmax(batch)
-            val merged = Option(latest.get) match {
-              case Some(prev) => argmax(delta.unionByName(s.read.parquet(prev)))
-              case None => delta
-            }
-            val next = s"$base/state_$batchId"
-            merged.write.mode("overwrite").parquet(next)
-            latest.set(next)
-          }
-          .start()
-        q.awaitTermination()
-        s.read.parquet(latest.get)
+            StructField("value_e2", LongType))),
+          keyCol = "user_id", ordCols = Seq("ts", "event_id"))
+        state
           .select(col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
             col("value_e2").as("last_value_e2"))

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CDC upsert (SCD1 / MERGE INTO discipline) over a keyed
+  * stream: every micro-batch is reduced to a per-key argmax delta
+  * (latest row by `ordCols`, the q21 max-of-struct pattern) and merged
+  * into a versioned current-state table by the same argmax over
+  * state ∪ delta. The merge is associative, so micro-batch arrival
+  * order cannot change the final state; each batch writes a NEW
+  * versioned dir (read-current/write-next/swap — what a plain-parquet
+  * state table needs; on Delta/Iceberg the closure is one MERGE INTO).
+  *
+  * Scale: per-batch work is one key-grouped reduce; the state table is
+  * dimension-sized (one row per key), so the merge union reads state +
+  * delta, never the stream's history. Registered as q129.
+  */
+object UpsertPipeline {
+
+  /** Drains `inDir` (one micro-batch per file via maxFilesPerTrigger=1)
+    * and returns (final state DataFrame, number of micro-batches run).
+    * `keyCol` identifies the entity; `ordCols` order its versions
+    * (last wins; must be a total order per key for determinism).
+    */
+  def runAvailableNow(s: SparkSession, inDir: String, base: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      keyCol: String, ordCols: Seq[String]): (DataFrame, Long) = {
+    val valCols = schema.fieldNames.filterNot(_ == keyCol)
+    def argmax(df: DataFrame): DataFrame = df
+      .groupBy(col(keyCol))
+      .agg(max(struct((ordCols ++ valCols.filterNot(ordCols.contains))
+        .map(col): _*)).as("__m"))
+      .select(col(keyCol) +: valCols.map(c => col(s"__m.$c").as(c)): _*)
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = argmax(batch)
+        val merged = Option(latest.get) match {
+          case Some(prev) => argmax(delta.unionByName(s.read.parquet(prev)))
+          case None => delta
+        }
+        val next = s"$base/state_$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        latest.set(next)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    (s.read.parquet(latest.get), batches.get)
+  }
+}

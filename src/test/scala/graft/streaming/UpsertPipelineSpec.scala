@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSuite
+
+/** Pins what q129's single-batch-shaped oracle cannot: the upsert
+  * genuinely runs MULTI-batch (one micro-batch per input file) and the
+  * cross-batch merge is last-write-wins by the order columns, not by
+  * arrival. */
+class UpsertPipelineSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("ver", LongType),
+    StructField("v", LongType)))
+
+  test("one micro-batch per file; merged state is last-write-wins by ver") {
+    import spark.implicits._
+    val base = graft.TempDirs.scoped("graft_upsert_spec")
+    // file 1 carries the NEWER version of key 1 (ver 3) — if the merge
+    // were arrival-ordered instead of ver-ordered, file 2's ver 2 row
+    // would clobber it
+    Seq((1L, 3L, 30L), (2L, 1L, 200L)).toDF("k", "ver", "v")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    Seq((1L, 2L, 20L), (3L, 1L, 300L)).toDF("k", "ver", "v")
+      .coalesce(1).write.parquet(s"$base/in/f2")
+    // flatten: the file source lists leaf files; two parquet part-files
+    val fs = new java.io.File(s"$base/in")
+    val parts = for {
+      d <- fs.listFiles.toSeq if d.isDirectory
+      f <- d.listFiles if f.getName.endsWith(".parquet")
+    } yield f
+    val in = s"$base/flat"
+    new java.io.File(in).mkdirs()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$in/part$i.parquet"))
+    }
+    val (state, nBatches) = UpsertPipeline.runAvailableNow(
+      spark, in, s"$base/run", schema, keyCol = "k", ordCols = Seq("ver"))
+    assert(nBatches == 2, s"expected one micro-batch per file, got $nBatches")
+    val rows = state.orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 3L, 30L), (2L, 1L, 200L), (3L, 1L, 300L)))
+  }
+}

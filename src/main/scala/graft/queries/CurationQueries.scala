@@ -517,6 +517,76 @@ object CurationQueries {
                CAST(COALESCE(SUM(CASE WHEN keeper * gate * (1 - dropped) = 1
                                       THEN n_tok END), 0) AS BIGINT) AS tok_final
         FROM f GROUP BY source ORDER BY source
+      """)),
+
+    // ---------------------------------------------------------------
+    // q136: declarative DQ expectations — the gating layer ABOVE
+    // q77's profile: a rule table (metric, op, threshold) evaluated
+    // against corpus metrics, emitting per-expectation pass/fail (the
+    // Deequ/Great-Expectations "constraint suite" a pipeline runs
+    // before promoting a snapshot). ONE wide aggregate computes every
+    // metric in a single scan; the single metrics row is melted with
+    // stack() and equi-joined to the broadcast literal rule table —
+    // adding an expectation costs one rule row, never another pass.
+    // All ratios are exact e4 integers; pass is an int (1/0) so both
+    // engines hash identically.
+    Q("q136_dq_expectations",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val rules = Seq(
+          ("min_n_chars", "ge", 1L), ("max_n_chars", "le", 10000L),
+          ("unique_doc_id_e4", "ge", 10000L), ("null_lang_e4", "le", 0L),
+          ("nonempty_text_e4", "ge", 9500L))
+          .toDF("metric", "op", "threshold")
+        val m = Tables.documents(s, d).agg(
+          count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_n_chars"),
+          max(col("n_chars")).as("max_n_chars"),
+          countDistinct(col("doc_id")).as("nd"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nl"),
+          sum(when(length(trim(col("text"))) > 0, 1L).otherwise(0L)).as("ne"))
+        val melted = m.selectExpr(
+          """stack(5,
+               'min_n_chars', min_n_chars,
+               'max_n_chars', max_n_chars,
+               'unique_doc_id_e4', nd * 10000 DIV n,
+               'null_lang_e4', nl * 10000 DIV n,
+               'nonempty_text_e4', ne * 10000 DIV n) AS (metric, value)""")
+        melted.join(broadcast(rules), "metric")
+          .withColumn("pass",
+            when(col("op") === "ge", col("value") >= col("threshold"))
+              .otherwise(col("value") <= col("threshold")).cast("int"))
+          .select(col("metric"), col("op"), col("threshold"), col("value"),
+            col("pass"))
+          .orderBy(col("metric"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+                 MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
+                 COUNT(DISTINCT doc_id) AS nd,
+                 SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl,
+                 SUM(CASE WHEN LENGTH(TRIM(text)) > 0 THEN 1 ELSE 0 END) AS ne
+          FROM documents
+        ), v AS (
+          SELECT 'min_n_chars' AS metric, CAST(min_n_chars AS BIGINT) AS value FROM m
+          UNION ALL SELECT 'max_n_chars', CAST(max_n_chars AS BIGINT) FROM m
+          UNION ALL SELECT 'unique_doc_id_e4', CAST(nd * 10000 // n AS BIGINT) FROM m
+          UNION ALL SELECT 'null_lang_e4', CAST(nl * 10000 // n AS BIGINT) FROM m
+          UNION ALL SELECT 'nonempty_text_e4', CAST(ne * 10000 // n AS BIGINT) FROM m
+        ), r AS (
+          SELECT * FROM (VALUES
+            ('min_n_chars', 'ge', 1), ('max_n_chars', 'le', 10000),
+            ('unique_doc_id_e4', 'ge', 10000), ('null_lang_e4', 'le', 0),
+            ('nonempty_text_e4', 'ge', 9500)) AS t(metric, op, threshold)
+        )
+        SELECT v.metric AS metric, op, CAST(threshold AS BIGINT) AS threshold,
+               value,
+               CAST(CASE WHEN op = 'ge' THEN value >= threshold
+                         ELSE value <= threshold END AS INT) AS pass
+        FROM v JOIN r ON v.metric = r.metric
+        ORDER BY 1
       """))
   )
 }

@@ -234,6 +234,51 @@ object JoinQueries {
                CAST(n_triangles * 3 * 1000000 // (SELECT COUNT(*) FROM w) AS BIGINT)
                  AS clustering_e6
         FROM t
+      """)),
+
+    // ---------------------------------------------------------------
+    // q137: approximate string join (edit distance ≤ 1) — entity
+    // resolution's fuzzy-match core, via DELETION-NEIGHBORHOOD
+    // blocking (FastSS): each name emits its len+1 single-deletion
+    // variants (itself included); two strings within one edit —
+    // insertion, deletion, or substitution — provably share a variant,
+    // so candidates come from an EQUI-join on the variant key and the
+    // O(n²) all-pairs compare lives only in the DuckDB oracle. Exact
+    // levenshtein runs on candidates alone (codegen'd built-in). At k
+    // edits the neighborhood is C(len, k)-sized — this is the k=1
+    // sweet spot; larger k wants q40's gram machinery instead. Scale:
+    // variant fan-out is len+1 per row, the join is keyed on variant,
+    // and candidate volume is governed by blocking selectivity, not
+    // corpus².
+    Q("q137_fuzzy_name_join",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("k"), lower(col("s_name")).as("nm"))
+        val vars = sup.select(col("k"), col("nm"),
+          explode(expr(
+            """array_union(array(nm),
+                 transform(sequence(0, length(nm) - 1),
+                   i -> concat(substring(nm, 1, i), substring(nm, i + 2))))"""
+          )).as("v"))
+        vars.as("a")
+          .join(vars.as("b"), col("a.v") === col("b.v") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("ka"), col("b.k").as("kb"),
+            col("a.nm").as("na"), col("b.nm").as("nb"))
+          .distinct()
+          .filter(levenshtein(col("na"), col("nb")) <= 1)
+          .select(col("ka"), col("kb"),
+            levenshtein(col("na"), col("nb")).cast("int").as("dist"))
+          .orderBy(col("ka"), col("kb"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT s_suppkey AS k, LOWER(s_name) AS nm FROM supplier
+        )
+        SELECT a.k AS ka, b.k AS kb,
+               CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        FROM s a JOIN s b ON a.k < b.k
+        WHERE levenshtein(a.nm, b.nm) <= 1
+        ORDER BY ka, kb
       """))
   )
 

@@ -29,16 +29,19 @@ object Tables {
     * nanos long via the legacy conf, then truncated to microseconds) or
     * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
     * TIMESTAMP_NTZ). Both are normalized here to session-zoned
-    * TimestampType — the session runs in UTC (Sessions.local), so the
-    * NTZ→LTZ cast maps wall-clock to the identical epoch instant the
-    * nanos path produced, and every downstream window/watermark/epoch
-    * computation sees one type regardless of the source encoding.
+    * TimestampType — under this engine's UTC session convention
+    * (Sessions.local / SparkSuite) the NTZ→LTZ cast maps wall-clock to
+    * the identical epoch instant the nanos path produced, and every
+    * downstream window/watermark/epoch computation sees one type
+    * regardless of the source encoding.
     *
-    * The conf is normally set at session construction (Sessions.local /
-    * SparkSuite); for externally-built sessions this self-heals — one
-    * EXPLICIT session-wide effect, documented here: all TIMESTAMP(NANOS)
-    * parquet in the session maps to LongType afterwards (only `events`
-    * ever carried that type in this engine's data).
+    * Externally-built sessions: the nanosAsLong conf below self-heals
+    * (one EXPLICIT session-wide effect — all TIMESTAMP(NANOS) parquet
+    * in the session maps to LongType afterwards; only `events` ever
+    * carried that type here), but the NTZ cast does NOT self-heal a
+    * non-UTC session — it is wall-clock-preserving, so a session in
+    * another zone reads micros-encoded instants shifted by its offset.
+    * Run the engine in UTC (as every built-in entry point does).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._

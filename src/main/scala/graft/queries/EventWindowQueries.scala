@@ -18,6 +18,13 @@ object EventWindowQueries {
   private def fmt(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** The SCD2 dimension attribute shared by q109 (interval build) and
+    * q127 (point-in-time lookup): tier = props.k div 25. props.k is
+    * non-negative, so truncating DIV equals the oracles' floor `//`.
+    */
+  private def propsTier: Column =
+    expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25")
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -279,9 +286,7 @@ object EventWindowQueries {
           .orderBy(col("ts"), col("event_id"))
         val t = Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"),
-            (get_json_object(col("props"), "$.k").cast("long") -
-              pmod(get_json_object(col("props"), "$.k").cast("long"), lit(25L)))
-              .divide(lit(25L)).cast("long").as("tier"))
+            propsTier.as("tier"))
         val starts = t
           .withColumn("prev", lag(col("tier"), 1).over(w))
           .filter(col("prev").isNull || col("prev") =!= col("tier"))
@@ -767,10 +772,7 @@ object EventWindowQueries {
         val ev = Tables.events(s, d)
         val changes = ev.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts"), col("event_id"),
-            lit(0).as("is_probe"),
-            (get_json_object(col("props"), "$.k").cast("long") -
-              pmod(get_json_object(col("props"), "$.k").cast("long"), lit(25L)))
-              .divide(lit(25L)).cast("long").as("tier"),
+            lit(0).as("is_probe"), propsTier.as("tier"),
             lit(null).cast("long").as("val_e2"))
         val probes = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("event_id"),
@@ -815,56 +817,55 @@ object EventWindowQueries {
     // q128: A/B experiment lift — users split into two deterministic
     // arms (user_id parity — the auditable stand-in for a salted
     // assignment hash), conversion = a purchase strictly after the
-    // user's first view (exposure). Per-user reduction first (ONE
-    // shuffle keyed by user_id: min view ts + conditional purchase
-    // stats), then a 2-row arm rollup — conversion rates in exact e4
-    // integers (conv·10⁴ div n), no floats anywhere. The per-user
-    // frame is the scale contract: arm totals are map-side combines
-    // over it, never a second pass over raw events.
+    // user's first view (exposure), and conv_value_e2 counts ONLY
+    // post-exposure purchase revenue (a pre-exposure purchase is
+    // neither a conversion nor attributable value). Shape: exposure
+    // frame (per-user min view ts) ⋈ purchases with ts > exposure →
+    // per-user post stats, then a 2-row arm rollup — both reductions
+    // and the join are keyed by user_id (ONE shuffle key end to end);
+    // rates are exact e4 integers (conv·10⁴ div n), no floats.
     Q("q128_ab_lift",
       (s, d) => {
-        val per = Tables.events(s, d)
+        val ev = Tables.events(s, d)
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+        val post = ev.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts") > col("fv"))
           .groupBy(col("user_id"))
-          .agg(
-            min(when(col("event_type") === "view", col("ts"))).as("first_view"),
-            max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"),
-            sum(when(col("event_type") === "purchase", e2(col("value")))
-              .otherwise(lit(0L))).as("purch_e2"))
-          .filter(col("first_view").isNotNull)
-          .withColumn("converted",
-            when(col("last_purchase") > col("first_view"), lit(1L))
-              .otherwise(lit(0L)))
-        per
+          .agg(count(lit(1)).as("np"), sum(e2(col("value"))).as("pe2"))
+        fv.join(post, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("np").isNotNull, lit(1L)).otherwise(lit(0L)).as("converted"),
+            coalesce(col("pe2"), lit(0L)).as("cv"))
           .groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
           .agg(count(lit(1)).as("n_users"),
                sum(col("converted")).as("n_converted"),
-               sum(when(col("converted") === 1, col("purch_e2"))
-                 .otherwise(lit(0L))).as("conv_value_e2"))
+               sum(col("cv")).as("conv_value_e2"))
           .withColumn("conv_e4", expr("n_converted * 10000 DIV n_users"))
           .orderBy(col("arm"))
       },
       Some("""
-        WITH per AS (
-          SELECT user_id,
-                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-                 MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase,
-                 COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   ELSE 0 END), 0) AS purch_e2
-          FROM events GROUP BY user_id
-        ), c AS (
-          SELECT user_id % 2 AS arm,
-                 CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END
-                   AS converted,
-                 purch_e2
-          FROM per WHERE first_view IS NOT NULL
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS fv FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), post AS (
+          SELECT e.user_id, COUNT(*) AS np,
+                 SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS pe2
+          FROM events e JOIN fv USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > fv.fv
+          GROUP BY e.user_id
+        ), per AS (
+          SELECT fv.user_id,
+                 CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END AS converted,
+                 COALESCE(pe2, 0) AS cv
+          FROM fv LEFT JOIN post ON fv.user_id = post.user_id
         )
-        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n_users,
                CAST(SUM(converted) AS BIGINT) AS n_converted,
-               CAST(SUM(CASE WHEN converted = 1 THEN purch_e2 ELSE 0 END)
-                 AS BIGINT) AS conv_value_e2,
+               CAST(SUM(cv) AS BIGINT) AS conv_value_e2,
                CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_e4
-        FROM c GROUP BY arm ORDER BY arm
+        FROM per GROUP BY 1 ORDER BY arm
       """)),
 
     // ---------------------------------------------------------------

@@ -192,27 +192,35 @@ object JoinQueries {
     // edges carry pi < pj, so each triangle {a<b<c} is generated
     // exactly once by joining (a,b)⋈(b,c) on the shared middle vertex
     // and closing against (a,c). Both joins are equi-joins on vertex
-    // ids; wedge fan-out is Σ deg(v)² over the SUPPORT-FILTERED edge
-    // set (co ≥ 2), which is what keeps the wedge table tractable — at
-    // production scale the orientation is by DEGREE (low→high), which
-    // provably bounds per-vertex wedge work by arboricity; id-order is
-    // the deterministic stand-in at this graph size. Reports edges,
-    // wedges, triangles, and the global clustering coefficient in e6
-    // (3·tri·10⁶ div wedges — exact integers).
+    // ids; oriented wedge fan-out is bounded by the SUPPORT-FILTERED
+    // edge set (co ≥ 2) — at production scale the orientation is by
+    // DEGREE (low→high), which provably bounds per-vertex wedge work
+    // by arboricity; id-order is the deterministic stand-in at this
+    // graph size. The clustering coefficient uses the UNORIENTED
+    // 2-path count Σ_v C(deg(v), 2) as its denominator (the oriented
+    // wedge set sees each triangle only once and misses high-id-center
+    // paths — it is a generation artifact, not the metric's
+    // denominator): clustering_e6 = 3·tri·10⁶ div Σ C(deg,2), exact
+    // integers (deg·(deg−1) is always even). The edge frame is
+    // persisted — it feeds the wedge join, the closure join, the
+    // degree table, and the edge count.
     Q("q125_triangle_count",
       (s, d) => {
-        val e = copurchaseEdges(s, d).select(col("pi"), col("pj"))
+        val e = copurchaseEdges(s, d).select(col("pi"), col("pj")).persist()
         val wedges = e.as("e1")
           .join(e.as("e2"), col("e1.pj") === col("e2.pi"))
-          .select(col("e1.pi").as("a"), col("e1.pj").as("b"), col("e2.pj").as("c"))
+          .select(col("e1.pi").as("a"), col("e2.pj").as("c"))
         val tri = wedges
           .join(e.as("e3"), col("a") === col("e3.pi") && col("c") === col("e3.pj"))
-        val out = e.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+        val paths2 = e.select(col("pi").as("v"))
+          .unionAll(e.select(col("pj").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(paths2))
           .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             expr("n_triangles * 3 * 1000000 DIV n_wedges").as("clustering_e6"))
-        out
       },
       Some("""
         WITH oi AS (
@@ -221,19 +229,24 @@ object JoinQueries {
           SELECT a.pk AS pi, b.pk AS pj
           FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
           GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), w AS (
-          SELECT e1.pi AS a, e1.pj AS b, e2.pj AS c
-          FROM e e1 JOIN e e2 ON e1.pj = e2.pi
+        ), deg AS (
+          SELECT v, COUNT(*) AS deg FROM (
+            SELECT pi AS v FROM e UNION ALL SELECT pj FROM e)
+          GROUP BY 1
+        ), w2 AS (
+          SELECT SUM(deg * (deg - 1) // 2) AS n_wedges FROM deg
         ), t AS (
           SELECT COUNT(*) AS n_triangles
-          FROM w JOIN e e3 ON w.a = e3.pi AND w.c = e3.pj
+          FROM (SELECT e1.pi AS a, e2.pj AS c
+                FROM e e1 JOIN e e2 ON e1.pj = e2.pi) w
+          JOIN e e3 ON w.a = e3.pi AND w.c = e3.pj
         )
         SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-               CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
                CAST(n_triangles AS BIGINT) AS n_triangles,
-               CAST(n_triangles * 3 * 1000000 // (SELECT COUNT(*) FROM w) AS BIGINT)
+               CAST(n_triangles * 3 * 1000000 // n_wedges AS BIGINT)
                  AS clustering_e6
-        FROM t
+        FROM t, w2
       """)),
 
     // ---------------------------------------------------------------

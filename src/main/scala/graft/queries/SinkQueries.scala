@@ -113,7 +113,8 @@ object SinkQueries {
     // insert-order buckets span the whole domain of both keys — zero
     // pruning power. The z-value is 32 codegen'd shift/mask terms (16 bits
     // per key — covers the key domains here; widen per key range), no
-    // UDF; the audit itself is one scan + two 16-group aggregates.
+    // UDF; the audit is ONE cached scan feeding a bounds aggregate
+    // and two 16-group span aggregates.
     Q("q133_zorder_layout",
       (s, d) => {
         def zvalue(a: org.apache.spark.sql.Column,
@@ -122,15 +123,20 @@ object SinkQueries {
             shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
               shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
           }.reduce(_ + _)
+        // persisted: t feeds the bounds aggregate AND the binned frame,
+        // x feeds both span aggregates — without the persists the scan
+        // and the 32-term z expression would re-run per consumer
         val t = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
           .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey")))
+          .persist()
         val bounds = t.agg(min(col("z")).as("zlo"), max(col("z")).as("zhi"),
           min(col("l_orderkey")).as("olo"), max(col("l_orderkey")).as("ohi"))
         val x = t.crossJoin(broadcast(bounds))
           .withColumn("zbin", expr("(z - zlo) * 16 DIV (zhi - zlo + 1)"))
           .withColumn("nbin",
             expr("(l_orderkey - olo) * 16 DIV (ohi - olo + 1)"))
+          .persist()
         def spans(df: org.apache.spark.sql.DataFrame, bin: String,
                   suffix: String): org.apache.spark.sql.DataFrame =
           df.groupBy(col(bin).as("bin"))
@@ -139,7 +145,13 @@ object SinkQueries {
                 .as(s"part_span_$suffix"),
               (max(col("l_suppkey")) - min(col("l_suppkey")))
                 .as(s"supp_span_$suffix"))
-        spans(x, "zbin", "z").join(spans(x, "nbin", "nat"), "bin")
+        // full outer: a bucket empty under ONE layout (sparse z space)
+        // must still report the other layout's row — an inner join
+        // would under-report exactly the skew the audit measures.
+        // Counts zero-fill; spans stay null for the empty side.
+        spans(x, "zbin", "z").join(spans(x, "nbin", "nat"),
+            Seq("bin"), "full_outer")
+          .na.fill(0L, Seq("n_z", "n_nat"))
           .orderBy(col("bin"))
       },
       Some {
@@ -169,9 +181,11 @@ object SinkQueries {
                  CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS supp_span_nat
           FROM x GROUP BY 1
         )
-        SELECT bin, n_z, part_span_z, supp_span_z, n_nat, part_span_nat,
-               supp_span_nat
-        FROM zs JOIN ns USING (bin) ORDER BY bin
+        SELECT bin, CAST(COALESCE(n_z, 0) AS BIGINT) AS n_z,
+               part_span_z, supp_span_z,
+               CAST(COALESCE(n_nat, 0) AS BIGINT) AS n_nat,
+               part_span_nat, supp_span_nat
+        FROM zs FULL JOIN ns USING (bin) ORDER BY bin
       """
       })
   )

@@ -56,6 +56,17 @@ object UpsertPipeline {
       }
       .start()
     q.awaitTermination()
-    (s.read.parquet(latest.get), batches.get)
+    // zero micro-batches (a drain with no pending files) is a
+    // legitimate outcome: return an empty state frame in the output
+    // shape (key first, then value columns) instead of dereferencing
+    // a never-set state pointer
+    val state = Option(latest.get) match {
+      case Some(p) => s.read.parquet(p)
+      case None => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          schema(keyCol) +: valCols.map(schema(_))))
+    }
+    (state, batches.get)
   }
 }

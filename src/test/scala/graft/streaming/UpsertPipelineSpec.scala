@@ -43,4 +43,14 @@ class UpsertPipelineSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, 3L, 30L), (2L, 1L, 200L), (3L, 1L, 300L)))
   }
+
+  test("zero pending files drain: zero batches, empty state in output shape") {
+    val base = graft.TempDirs.scoped("graft_upsert_empty")
+    new java.io.File(s"$base/in").mkdirs()
+    val (state, n) = UpsertPipeline.runAvailableNow(
+      spark, s"$base/in", s"$base/run", schema, keyCol = "k", ordCols = Seq("ver"))
+    assert(n == 0)
+    assert(state.count() == 0)
+    assert(state.columns.toSeq == Seq("k", "ver", "v"))
+  }
 }

@@ -52,7 +52,17 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        // the NTZ->LTZ cast is wall-clock-preserving: a non-UTC session
+        // would read micros-encoded instants shifted by its offset.
+        // Enforce the documented UTC convention instead of trusting it.
+        val tz = s.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and the NTZ->LTZ cast is wall-clock-" +
+            s"preserving: session timeZone must be UTC, got '$tz' " +
+            "(set spark.sql.session.timeZone=UTC, as Sessions.local does)")
+        df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -220,7 +220,10 @@ object JoinQueries {
           .crossJoin(broadcast(paths2))
           .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-            expr("n_triangles * 3 * 1000000 DIV n_wedges").as("clustering_e6"))
+            // nullif guard: on a degenerate edge set Spark DIV null-s
+            // where DuckDB // raises — align both on NULL
+            expr("n_triangles * 3 * 1000000 DIV nullif(n_wedges, 0)")
+              .as("clustering_e6"))
       },
       Some("""
         WITH oi AS (
@@ -244,7 +247,7 @@ object JoinQueries {
         SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
                CAST(n_wedges AS BIGINT) AS n_wedges,
                CAST(n_triangles AS BIGINT) AS n_triangles,
-               CAST(n_triangles * 3 * 1000000 // n_wedges AS BIGINT)
+               CAST(n_triangles * 3 * 1000000 // nullif(n_wedges, 0) AS BIGINT)
                  AS clustering_e6
         FROM t, w2
       """)),

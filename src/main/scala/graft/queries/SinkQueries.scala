@@ -131,8 +131,16 @@ object SinkQueries {
           .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey")))
           .persist()
         val bounds = t.agg(min(col("z")).as("zlo"), max(col("z")).as("zhi"),
-          min(col("l_orderkey")).as("olo"), max(col("l_orderkey")).as("ohi"))
+          min(col("l_orderkey")).as("olo"), max(col("l_orderkey")).as("ohi"),
+          max(col("l_partkey")).as("__phi"), max(col("l_suppkey")).as("__shi"))
+        // the 16-bit interleave silently degrades once a key outgrows
+        // 2^16 (l_partkey does from sf1 up) — enforce the documented
+        // domain instead of relying on the comment: assert_true raises
+        // at runtime on violation; when the domain holds it is NULL and
+        // the filter keeps every row (isNull), surviving column pruning
         val x = t.crossJoin(broadcast(bounds))
+          .filter(assert_true(col("__phi") < 65536 && col("__shi") < 65536,
+            lit("q133 zvalue interleaves 16 bits/key; key domain >= 2^16 — widen the interleave")).isNull)
           .withColumn("zbin", expr("(z - zlo) * 16 DIV (zhi - zlo + 1)"))
           .withColumn("nbin",
             expr("(l_orderkey - olo) * 16 DIV (ohi - olo + 1)"))

@@ -575,26 +575,38 @@ object TextQueries {
     // and q68's mixture weights (two sources with high overlap
     // shouldn't both be upweighted).
     //
-    // Scale: inverted-index shape, never all-pairs on documents — one
-    // (source, gram)-distinct shuffle, a gram-keyed self-equi-join
-    // whose per-gram fan-out is bounded by (#sources choose 2), and a
-    // pair-keyed count. Grams travel as xxhash64 longs (the q61
-    // pattern; the oracle joins raw strings, so a collision would
-    // surface as a hash mismatch, not pass silently). Source gram-set
-    // sizes are a #sources-row frame → broadcast joins.
+    // Scale: posting-list shape, never all-pairs on documents — ONE
+    // gram-keyed aggregate builds the distinct source set per gram
+    // (collect_set; bounded by #sources, ~20), and source pairs are
+    // emitted MAP-SIDE from each posting list by a HOF over the sorted
+    // set — the gram-keyed self-equi-join this replaces (r8 shape,
+    // 6.4 s driver-benched, the registry's slowest) paid a second
+    // full shuffle of the (source, gram) frame plus the join itself.
+    // Per-gram pair fan-out is still bounded by (#sources choose 2).
+    // Source gram-set sizes fall out of the same aggregated frame (one
+    // exploded pass over #grams rows — no rescan of documents). Grams
+    // travel as xxhash64 longs (the q61 pattern; the oracle joins raw
+    // strings, so a collision would surface as a hash mismatch, not
+    // pass silently). Sizes are a #sources-row frame → broadcast joins.
     Q("q106_source_overlap",
       (s, d) => {
-        val sg = Tables.documents(s, d)
+        val byGram = Tables.documents(s, d)
           .select(col("source"),
             explode(array_distinct(
               TextAnalysis.wordNgrams(col("text"), 3))).as("g"))
           .select(col("source"), xxhash64(col("g")).as("gram"))
-          .distinct()
+          .groupBy(col("gram"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val inter = sg.as("a").join(sg.as("b"), "gram")
-          .filter(col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        val sizes = byGram.select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = byGram
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> named_struct('src_a', a, 'src_b', b))))""")).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
           .agg(count(lit(1)).as("n_shared"))
         inter
           .join(broadcast(sizes.select(col("source").as("src_a"),

@@ -33,7 +33,18 @@ object UpsertPipeline {
       .agg(max(struct((ordCols ++ valCols.filterNot(ordCols.contains))
         .map(col): _*)).as("__m"))
       .select(col(keyCol) +: valCols.map(c => col(s"__m.$c").as(c)): _*)
-    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // The streaming checkpoint at $base/ckpt persists batch offsets, so
+    // a rerun against the same base skips already-committed batches —
+    // the current-state pointer must be recovered from disk (highest
+    // committed state_* dir), not assumed empty, or the drain would
+    // silently return stale/empty state after a restart.
+    val committed = Option(new java.io.File(base).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("state_") &&
+        f.getName.stripPrefix("state_").forall(_.isDigit))
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](
+      if (committed.isEmpty) null
+      else committed.maxBy(_.getName.stripPrefix("state_").toLong).getAbsolutePath)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = s.readStream
       .schema(schema)

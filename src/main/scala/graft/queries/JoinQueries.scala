@@ -188,37 +188,32 @@ object JoinQueries {
 
     // ---------------------------------------------------------------
     // q125: triangle count on the co-purchase graph — the standard
-    // graph-cohesion metric, computed with the oriented-edge trick:
-    // edges carry pi < pj, so each triangle {a<b<c} is generated
-    // exactly once by joining (a,b)⋈(b,c) on the shared middle vertex
-    // and closing against (a,c). Both joins are equi-joins on vertex
-    // ids; oriented wedge fan-out is bounded by the SUPPORT-FILTERED
-    // edge set (co ≥ 2) — at production scale the orientation is by
-    // DEGREE (low→high), which provably bounds per-vertex wedge work
-    // by arboricity; id-order is the deterministic stand-in at this
-    // graph size. The clustering coefficient uses the UNORIENTED
-    // 2-path count Σ_v C(deg(v), 2) as its denominator (the oriented
-    // wedge set sees each triangle only once and misses high-id-center
-    // paths — it is a generation artifact, not the metric's
-    // denominator): clustering_e6 = 3·tri·10⁶ div Σ C(deg,2), exact
-    // integers (deg·(deg−1) is always even). The edge frame is
-    // persisted — it feeds the wedge join, the closure join, the
-    // degree table, and the edge count.
+    // graph-cohesion metric, via `operators.Triangles`: edges are
+    // oriented low-degree → high-degree (ties by id), so each triangle
+    // is generated exactly once by the wedge equi-join + closure
+    // equi-join AND per-vertex wedge work is bounded by arboricity
+    // (Chiba–Nishizeki) — a degree-d hub contributes ZERO oriented
+    // wedges instead of the ~(d/2)² an id-order can leave it
+    // (TrianglesSpec pins the separation on a star+clique fixture).
+    // Wedge fan-out runs on the SUPPORT-FILTERED edge set (co ≥ 2).
+    // The clustering coefficient uses the UNORIENTED 2-path count
+    // Σ_v C(deg(v), 2) as its denominator (the oriented wedge set sees
+    // each triangle only once — it is a generation artifact, not the
+    // metric's denominator), reusing the degree table the orientation
+    // already built: clustering_e6 = 3·tri·10⁶ div Σ C(deg,2), exact
+    // integers (deg·(deg−1) is always even). The oriented edge frame
+    // is persisted — it feeds the wedge join, the closure join, and
+    // the edge count.
     Q("q125_triangle_count",
       (s, d) => {
-        val e = copurchaseEdges(s, d).select(col("pi"), col("pj")).persist()
-        val wedges = e.as("e1")
-          .join(e.as("e2"), col("e1.pj") === col("e2.pi"))
-          .select(col("e1.pi").as("a"), col("e2.pj").as("c"))
-        val tri = wedges
-          .join(e.as("e3"), col("a") === col("e3.pi") && col("c") === col("e3.pj"))
-        val paths2 = e.select(col("pi").as("v"))
-          .unionAll(e.select(col("pj").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val e = copurchaseEdges(s, d).select(col("pi"), col("pj"))
+        val (o0, deg) = graft.operators.Triangles.orientByDegree(e)
+        val o = o0.persist()
+        val paths2 = deg
           .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
-        e.agg(count(lit(1)).as("n_edges"))
+        o.agg(count(lit(1)).as("n_edges"))
           .crossJoin(broadcast(paths2))
-          .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+          .crossJoin(broadcast(graft.operators.Triangles.countOriented(o)))
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             // nullif guard: on a degenerate edge set Spark DIV null-s
             // where DuckDB // raises — align both on NULL

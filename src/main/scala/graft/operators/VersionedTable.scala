@@ -1,0 +1,157 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal snapshot-versioned parquet table: a commit-log directory of
+  * manifest files gives plain parquet the three properties a 100 TB
+  * pipeline reaches for a table format for — ATOMIC commit visibility,
+  * TIME TRAVEL (`readVersion`), and a MERGE INTO closure
+  * (`commitMerge`, the q129 SCD1 argmax discipline) — from public
+  * first principles (the Delta/Iceberg commit-protocol idea: data
+  * files are immutable and invisible until a manifest names them).
+  *
+  * Layout under `base/`:
+  *   d{version}/part-*.parquet     immutable data files of one commit
+  *   _log/{version%020d}.commit    manifest: relative paths composing
+  *                                 that VERSION's full snapshot view
+  *
+  * Commit protocol (crash-safe, single-winner):
+  *   1. write the new data files under d{n} — unreferenced until step 3,
+  *      so a crash here leaves only invisible orphans (spec-pinned);
+  *   2. write the manifest to a hidden temp file in _log/;
+  *   3. publish via hard-link create-EXCLUSIVE (link(2) fails with
+  *      EEXIST if version n was already committed) — an atomic
+  *      rename() would silently REPLACE an existing marker on POSIX,
+  *      turning a lost race into silent data loss; the link makes the
+  *      second writer of version n fail loudly (optimistic
+  *      concurrency, spec-pinned).
+  *
+  * An APPEND commit writes only its delta files (manifest = previous
+  * manifest + new files — O(delta) I/O); a MERGE commit is
+  * copy-on-write of the keyed current-state table (dimension-sized by
+  * construction — one row per key — so the rewrite is bounded by the
+  * key domain, never by history). Readers of version n see exactly the
+  * manifest's file list regardless of concurrent writers.
+  *
+  * Local-FS `java.nio` is the sandbox I/O seam; on a cluster the same
+  * three steps run through the Hadoop FileSystem API (object stores
+  * need the same create-exclusive publish, e.g. an S3 conditional PUT).
+  */
+object VersionedTable {
+
+  private def logDir(base: String): Path = Paths.get(base, "_log")
+
+  private def markerPath(base: String, v: Long): Path =
+    logDir(base).resolve(f"$v%020d.commit")
+
+  /** Highest committed version, or None for an empty/uninitialized table.
+    * Orphan data dirs (a crash between data write and publish) are
+    * invisible here by construction.
+    */
+  def latestVersion(base: String): Option[Long] = {
+    val log = logDir(base)
+    if (!Files.isDirectory(log)) return None
+    val vs = Files.list(log).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".commit") &&
+        n.stripSuffix(".commit").forall(_.isDigit))
+      .map(_.stripSuffix(".commit").toLong)
+      .toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def readManifest(base: String, v: Long): Seq[String] = {
+    val m = markerPath(base, v)
+    require(Files.exists(m),
+      s"version $v does not exist in $base (latest: ${latestVersion(base)})")
+    Files.readAllLines(m).asScala.toSeq
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+  }
+
+  /** The table as of committed version `v` (1-based) — time travel. */
+  def readVersion(s: SparkSession, base: String, v: Long): DataFrame = {
+    val files = readManifest(base, v).map(f => s"$base/$f")
+    s.read.parquet(files: _*)
+  }
+
+  def readLatest(s: SparkSession, base: String): DataFrame = {
+    val v = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $base"))
+    readVersion(s, base, v)
+  }
+
+  /** Append `df` as version latest+1: writes ONLY the delta's files;
+    * the manifest carries forward the previous version's file list.
+    */
+  def commitAppend(s: SparkSession, base: String, df: DataFrame): Long =
+    commit(s, base, df, "append") { (prev, fresh) => prev ++ fresh }
+
+  /** MERGE INTO closure: the new version's state is the per-key argmax
+    * (latest by `ordCols`) of previous state ∪ `delta` — associative,
+    * so commit order across deltas cannot change the final state. The
+    * first merge commit on an empty table is the delta's own argmax.
+    * Copy-on-write: the manifest references only the freshly written
+    * state files.
+    */
+  def commitMerge(s: SparkSession, base: String, delta: DataFrame,
+                  keyCol: String, ordCols: Seq[String]): Long = {
+    val merged = latestVersion(base) match {
+      case Some(v) =>
+        argmaxLatest(readVersion(s, base, v).unionByName(delta), keyCol, ordCols)
+      case None => argmaxLatest(delta, keyCol, ordCols)
+    }
+    commit(s, base, merged, "merge") { (_, fresh) => fresh }
+  }
+
+  /** Latest row per key by `ordCols` (the q21/q129 max-of-struct
+    * argmax; `ordCols` must totally order rows within a key).
+    */
+  def argmaxLatest(df: DataFrame, keyCol: String,
+                   ordCols: Seq[String]): DataFrame = {
+    val valCols = df.columns.filterNot(_ == keyCol).toSeq
+    df.groupBy(col(keyCol))
+      .agg(max(struct((ordCols ++ valCols.filterNot(ordCols.contains))
+        .map(col): _*)).as("__m"))
+      .select(col(keyCol) +: valCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  private def commit(s: SparkSession, base: String, df: DataFrame,
+                     op: String)(
+      files: (Seq[String], Seq[String]) => Seq[String]): Long = {
+    val next = latestVersion(base).getOrElse(0L) + 1L
+    val dataDir = s"d$next"
+    df.write.parquet(s"$base/$dataDir") // step 1: invisible data files
+    val fresh = Files.list(Paths.get(base, dataDir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted
+      .map(n => s"$dataDir/$n")
+    val prev = latestVersion(base) match {
+      case Some(v) => readManifest(base, v)
+      case None => Seq.empty
+    }
+    publish(base, next, (s"#op=$op" +: files(prev, fresh))
+      .mkString("", "\n", "\n"))
+    next
+  }
+
+  /** Step 3 in isolation (package-visible so the spec can pin the
+    * single-winner property without a timing-dependent race): atomic
+    * create-exclusive publish of version `v`'s manifest.
+    */
+  private[operators] def publish(base: String, v: Long, body: String): Unit = {
+    Files.createDirectories(logDir(base))
+    val tmp = logDir(base).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try Files.createLink(markerPath(base, v), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: version $v was committed concurrently in $base")
+    } finally Files.deleteIfExists(tmp)
+  }
+}

@@ -195,6 +195,64 @@ object SinkQueries {
                part_span_nat, supp_span_nat
         FROM zs FULL JOIN ns USING (bin) ORDER BY bin
       """
-      })
+      }),
+
+    // ---------------------------------------------------------------
+    // q138: dataset versioning + time travel — the purchase stream's
+    // per-user current-state table maintained as a VersionedTable
+    // (operators/VersionedTable: commit-log manifests over immutable
+    // parquet, the Delta/Iceberg commit-protocol idea): three arrival
+    // batches (event_id mod 3 — deliberately NOT time-ordered, the
+    // merge's argmax associativity makes arrival order irrelevant) are
+    // MERGE-committed in sequence, then versions 1..3 are read back by
+    // TIME TRAVEL and aggregated — the audit a training-data owner
+    // runs to pin exactly which state snapshot a model consumed. The
+    // oracle reconstructs each version from the change log (batch b
+    // visible at version v iff b < v), so a commit that leaked rows
+    // across versions or a reader that resolved the wrong manifest
+    // hash-fails. Scale: each merge is one key-grouped reduce over
+    // state ∪ delta (state is dimension-sized — one row per user);
+    // time travel reads only the manifest's file list, no log replay.
+    Q("q138_time_travel",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q138")
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            graft.functions.ColumnOps.e2(col("value")).as("value_e2"))
+        (0 to 2).foreach { b =>
+          graft.operators.VersionedTable.commitMerge(
+            s, base, p.filter(pmod(col("event_id"), lit(3)) === b),
+            keyCol = "user_id", ordCols = Seq("ts", "event_id"))
+        }
+        (1 to 3).map { v =>
+          graft.operators.VersionedTable.readVersion(s, base, v)
+            .agg(count(lit(1)).as("n_users"),
+              sum(col("value_e2")).as("state_value_e2"),
+              max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("max_ts"))
+            .select(lit(v).as("version"), col("n_users"),
+              col("state_value_e2"), col("max_ts"))
+        }.reduce(_.unionAll(_)).orderBy(col("version"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_e2
+          FROM events WHERE event_type = 'purchase'
+        ), v(version) AS (VALUES (1), (2), (3)),
+        r AS (
+          SELECT v.version, p.user_id, p.ts, p.value_e2,
+                 ROW_NUMBER() OVER (PARTITION BY v.version, p.user_id
+                   ORDER BY p.ts DESC, p.event_id DESC) AS rn
+          FROM v JOIN p ON p.event_id % 3 < v.version
+        )
+        SELECT version, COUNT(*) AS n_users,
+               CAST(SUM(value_e2) AS BIGINT) AS state_value_e2,
+               MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS max_ts
+        FROM r WHERE rn = 1 GROUP BY version ORDER BY version
+      """),
+      // bench=false: dominated by writing the versioned fixture (three
+      // parquet state rewrites), not by query execution
+      bench = false)
   )
 }

@@ -28,11 +28,10 @@ object UpsertPipeline {
                       schema: org.apache.spark.sql.types.StructType,
                       keyCol: String, ordCols: Seq[String]): (DataFrame, Long) = {
     val valCols = schema.fieldNames.filterNot(_ == keyCol)
-    def argmax(df: DataFrame): DataFrame = df
-      .groupBy(col(keyCol))
-      .agg(max(struct((ordCols ++ valCols.filterNot(ordCols.contains))
-        .map(col): _*)).as("__m"))
-      .select(col(keyCol) +: valCols.map(c => col(s"__m.$c").as(c)): _*)
+    // the per-key latest-row reduce shared with the versioned-table
+    // MERGE closure (q138) — one definition of "latest wins"
+    def argmax(df: DataFrame): DataFrame =
+      graft.operators.VersionedTable.argmaxLatest(df, keyCol, ordCols)
     // The streaming checkpoint at $base/ckpt persists batch offsets, so
     // a rerun against the same base skips already-committed batches —
     // the current-state pointer must be recovered from disk (highest

@@ -290,6 +290,69 @@ object JoinQueries {
         FROM s a JOIN s b ON a.k < b.k
         WHERE levenshtein(a.nm, b.nm) <= 1
         ORDER BY ka, kb
+      """)),
+
+    // ---------------------------------------------------------------
+    // q139: approximate string join at edit distance ≤ 2 — q137's
+    // FastSS blocking generalized to k=2: the deletion neighborhood
+    // grows from len+1 variants to 1 + len + C(len,2) (172 for the
+    // 18-char names here; O(len²/2) generally — this is the practical
+    // ceiling: k=3 cubes the fan-out and q40's gram machinery takes
+    // over). Two strings within 2 edits provably share a ≤2-deletion
+    // variant, so candidates still come from one EQUI-join on the
+    // variant key; candidate volume is governed by blocking
+    // selectivity — the variant join over-generates (sharing a variant
+    // is necessary, not sufficient), the exact codegen'd levenshtein
+    // prunes after a per-pair DISTINCT collapses multi-variant
+    // collisions (an ed≤2 pair can share ~2·len variants — dedupe
+    // BEFORE the O(len²) distance, not after). Two volume levers vs
+    // the naive shape: variants travel as xxhash64 LONGS (a collision
+    // only ADDS a candidate, which levenshtein then rejects — never
+    // drops a true pair), and the candidate distinct carries only the
+    // (ka, kb) key pair; names re-attach afterwards from the broadcast
+    // dimension. All-pairs levenshtein lives only in the oracle.
+    Q("q139_fuzzy_join_k2",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("k"), lower(col("s_name")).as("nm"))
+        val vars = sup.select(col("k"),
+          explode(expr(
+            """array_distinct(concat(
+                 array(nm),
+                 CASE WHEN length(nm) >= 1 THEN
+                   transform(sequence(0, length(nm) - 1),
+                     i -> concat(substring(nm, 1, i), substring(nm, i + 2)))
+                 ELSE array() END,
+                 CASE WHEN length(nm) >= 2 THEN
+                   flatten(transform(sequence(0, length(nm) - 2), i ->
+                     transform(sequence(i + 1, length(nm) - 1), j ->
+                       concat(substring(nm, 1, i),
+                              substring(nm, i + 2, j - i - 1),
+                              substring(nm, j + 2)))))
+                 ELSE array() END))"""
+          )).as("v"))
+          .select(col("k"), xxhash64(col("v")).as("vh"))
+        val cand = vars.as("a")
+          .join(vars.as("b"), col("a.vh") === col("b.vh") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("ka"), col("b.k").as("kb"))
+          .distinct()
+        cand
+          .join(broadcast(sup.select(col("k").as("ka"), col("nm").as("na"))), "ka")
+          .join(broadcast(sup.select(col("k").as("kb"), col("nm").as("nb"))), "kb")
+          .filter(levenshtein(col("na"), col("nb")) <= 2)
+          .select(col("ka"), col("kb"),
+            levenshtein(col("na"), col("nb")).cast("int").as("dist"))
+          .orderBy(col("ka"), col("kb"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT s_suppkey AS k, LOWER(s_name) AS nm FROM supplier
+        )
+        SELECT a.k AS ka, b.k AS kb,
+               CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        FROM s a JOIN s b ON a.k < b.k
+        WHERE levenshtein(a.nm, b.nm) <= 2
+        ORDER BY ka, kb
       """))
   )
 

@@ -23,6 +23,19 @@ object Bench {
     */
   val TailWindow = 1995
 
+  /** Median of a non-empty sample (avg of middle two for even n) —
+    * the per-query statistic the measurement protocol compares: this
+    * host's run-to-run spread is ~2× (BASELINE.md), so single runs
+    * can't distinguish host noise from a real regression; medians of
+    * N≥3 can (regression rule: per-query median > 1.5× baseline
+    * median).
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   /** The two driver-facing JSON lines, as pure formatting (unit-tested
     * by BenchLineSpec so registry growth can't re-break the harness
     * parse): `_1` the full-precision full-name detail line
@@ -81,31 +94,57 @@ object Bench {
     // optional comma-separated name filter for isolating queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1): run each query N times
+    // CONSECUTIVELY and report the per-query MEDIAN in both JSON lines;
+    // the detail file additionally carries the per-run arrays. For
+    // memoized queries (q40's pair memo, q123's edge table) runs 2..N
+    // are warm — the median is then the warm cost and run 1 in the
+    // array keeps the cold number; medians are the regression-rule
+    // statistic, the protocol BASELINE.md records.
+    val runsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     var failed = List.empty[String]
-    val results = SparkEntry.registry.filter(_.bench)
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+    val runResults: Seq[(String, Seq[Double], Boolean)] =
+      SparkEntry.registry.filter(_.bench)
+        .filter(q => only.forall(_.contains(q.name))).map { q =>
+      var ok = true
+      val times = (1 to runsN).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-          failed ::= q.name
-          false
+          if (ok) failed ::= q.name
+          ok = false
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
-      if (ok) System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
-      (q.name, dt, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+        dt
+      }
+      if (ok) System.err.println(f"[bench] ${q.name}%-28s ${median(times)}%8.2f s" +
+        (if (runsN > 1) times.map(t => f"$t%.2f").mkString("  [", " ", "]") else ""))
+      (q.name, times, ok)
     }
+    val results = runResults.map { case (n, ts, ok) => (n, median(ts), ok) }
     // Per-query 100ms/10ms precision: far below this host's run-to-run
     // variance (±30%+); "unit" dropped and sf shortened to its basename
     // (seconds are the shape declared in BASELINE.md; the driver
     // records the full sf itself). See `lines` for the tail-window
     // degradation contract.
-    val (detail, out) = lines(results, failed.reverse,
+    val (detail0, out) = lines(results, failed.reverse,
       new java.io.File(sfDir).getName)
+    // per-run arrays ride only in the detail file (the stdout line's
+    // tail-window budget is spent on the median map)
+    val detail =
+      if (runsN <= 1) detail0
+      else {
+        def fmt2(v: Double) =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val runsJson = runResults.map { case (n, ts, _) =>
+          "\"" + n + "\":" + ts.map(fmt2).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        detail0.dropRight(1) + s""","runs_n":$runsN,"runs":$runsJson}"""
+      }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))

@@ -55,6 +55,12 @@ class BenchLineSpec extends SparkSuite {
     assert(row.getAs[Seq[String]]("failed") === Seq("q_boom"))
   }
 
+  test("median: middle of odd samples, mean of middle two for even") {
+    assert(Bench.median(Seq(3.0)) === 3.0)
+    assert(Bench.median(Seq(9.0, 1.0, 2.0)) === 2.0) // robust to one spike
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+  }
+
   test("the CURRENT registry's bench set keeps a per-query map even at worst-case widths") {
     // the real guard: if this fails, the next driver round would drop
     // the per-query map — shrink the format or trim names BEFORE that.

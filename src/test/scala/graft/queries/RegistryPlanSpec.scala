@@ -23,17 +23,14 @@ class RegistryPlanSpec extends SparkSuite {
       q.name -> q.run(spark, dir).queryExecution.executedPlan
     }
 
-  // expression subqueries (scalar/IN) host their own physical plans
-  // that neither `collect` nor `toString` descends into — sweep them
-  // explicitly so an offender inside a subquery can't slip past
-  private def withSubqueryPlans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] =
-    p +: p.collect { case n => n }.flatMap(_.subqueries).flatMap(withSubqueryPlans)
+  // invariant definitions live in graft.plans.PlanChecks (main code)
+  // so the scale harness re-checks literally the same predicates on
+  // amplified plans (ScaleBench)
 
   test("no benched query plans a CartesianProduct") {
     val offenders = plans.collect {
       case (name, plan)
-          if withSubqueryPlans(plan).exists(_.toString.contains("CartesianProduct")) =>
+          if graft.plans.PlanChecks.hasCartesianProduct(plan) =>
         name
     }
     assert(offenders.isEmpty,
@@ -49,24 +46,9 @@ class RegistryPlanSpec extends SparkSuite {
   // column is a scale-killer and fails here before it reaches the
   // driver.
   test("no benched query plans a partitionless window over data") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
-    def partitionlessWindows(p: SparkPlan): Seq[(SparkPlan, Seq[String])] =
-      p.collect {
-        case w: WindowExecBase if w.partitionSpec.isEmpty =>
-          Seq(w -> w.child.output.map(_.name))
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-          Seq(w -> w.child.output.map(_.name))
-        case a: AdaptiveSparkPlanExec => partitionlessWindows(a.initialPlan)
-        case m: InMemoryTableScanExec =>
-          partitionlessWindows(m.relation.cachedPlan)
-      }.flatten
     val offenders = plans.flatMap { case (name, plan) =>
-      withSubqueryPlans(plan).flatMap(partitionlessWindows)
-        .filterNot { case (_, cols) => cols.forall(_.startsWith("__")) }
-        .map { case (_, cols) => s"$name over (${cols.mkString(",")})" }
+      graft.plans.PlanChecks.partitionlessDataWindows(plan)
+        .map(cols => s"$name over (${cols.mkString(",")})")
     }
     assert(offenders.isEmpty,
       s"partitionless window over data in: ${offenders.mkString("; ")}")

@@ -443,8 +443,18 @@ object DedupQueries {
     // ---------------------------------------------------------------
     // q43: embedding-cosine near-dup — all-vector LSH self-join (sign
     // buckets, 2 tables × 4 planes), exact cosine on candidates, global
-    // top-20 most-similar pairs. Rows-only: LSH recall < 1 by design;
-    // the spec checks candidate pairs against brute force.
+    // top-20 most-similar pairs. The spec additionally checks candidate
+    // pairs against brute force.
+    //
+    // Oracle (r9, GENERATED like q133's): the seeded hyperplanes are
+    // embedded as double literals (Double.toString round-trips exactly)
+    // and every float reduction is written as a LEFT-ASSOCIATIVE sum —
+    // the same sequential IEEE accumulation order the native
+    // expressions use (DotProduct/L2Norm loop left-to-right) — so sign
+    // bits, cosines and floor(cos·100) are bit-identical across
+    // engines. The engine's first-collision dedup admits a pair iff
+    // ANY table's buckets match and scores it once; the oracle's pair
+    // set is therefore the plain OR of per-table bucket equality.
     Q("q43_embedding_neardup",
       (s, d) => {
         val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
@@ -483,7 +493,33 @@ object DedupQueries {
             col("rank"))
           .orderBy(col("rank"))
       },
-      None),
+      Some {
+        val tables = VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = 64)
+        val buckets = OracleSql.lshBucketSql(tables)
+        val norm = (1 to 64).map(i => s"emb[$i]*emb[$i]").mkString(" + ")
+        val dotXY = (1 to 64).map(i => s"x.emb[$i]*y.emb[$i]").mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), s AS (
+          SELECT vec_id, sqrt($norm) AS nrm, emb,
+               $buckets
+          FROM e
+        ), c AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 ($dotXY) / (x.nrm * y.nrm) AS cos
+          FROM s x JOIN s y
+            ON x.vec_id < y.vec_id AND (x.b0 = y.b0 OR x.b1 = y.b1)
+        ), r AS (
+          SELECT vec_a, vec_b, cos,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, vec_a, vec_b) AS rn
+          FROM c
+        )
+        SELECT vec_a, vec_b, CAST(floor(cos * 100) AS BIGINT) AS score_e2,
+               CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= 20 ORDER BY rank
+      """
+      }),
 
     // ---------------------------------------------------------------
     // q78: containment search (asymmetric near-dup): find (a, b) with

@@ -36,4 +36,22 @@ private[queries] object OracleSql {
       |                            + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4.0, 1.0)
       |                            + greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4.0))
       |                           / 3.0) * 10000) AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.VectorLsh.buckets]] over a column
+    * `emb` (DOUBLE[]): one `... AS b{t}` select item per hash table,
+    * the seeded hyperplanes embedded as double literals
+    * (Double.toString round-trips exactly) and every dot written as a
+    * LEFT-ASSOCIATIVE sum — the sequential IEEE accumulation order the
+    * native DotProduct uses — so sign bits match bit-for-bit. Shared
+    * by the q43 and q37 generated oracles: the plane set has ONE
+    * definition on each engine side.
+    */
+  def lshBucketSql(tables: Seq[Seq[Array[Double]]]): String =
+    tables.zipWithIndex.map { case (planes, t) =>
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = p.zipWithIndex
+          .map { case (w, j) => s"emb[${j + 1}]*($w)" }.mkString(" + ")
+        s"(CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS b$t"
+    }.mkString(",\n               ")
 }

@@ -175,11 +175,48 @@ object VectorQueries {
     // q37: LSH-bucketed approximate nearest neighbor — the 100 TB path.
     // Rows index into L tables' sign-buckets (explode), queries join on
     // (table, bucket): candidate generation is an equi-join shuffle
-    // keyed by bucket, never a cross product. Rows-only check (the
-    // recall-vs-exact contract is asserted by VectorQueriesSpec).
+    // keyed by bucket, never a cross product. The recall-vs-exact
+    // contract is additionally asserted by VectorQueriesSpec.
+    //
+    // Oracle (r9, GENERATED like q43's): seeded hyperplanes embedded
+    // as double literals via OracleSql.lshBucketSql (sign bits
+    // bit-identical — same left-associative IEEE sums), candidate set
+    // = any-table bucket match (the engine's dropDuplicates admits a
+    // colliding pair once, so the oracle's OR over tables is the same
+    // set), scoring/ranking the q36 brute-force twin restricted to
+    // candidates.
     Q("q37_ann_lsh",
       (s, d) => annLsh(s, d),
-      None),
+      Some {
+        val buckets = OracleSql.lshBucketSql(
+          VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = Dim))
+        s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), s AS (
+          SELECT vec_id, emb,
+               $buckets
+          FROM e
+        ), q AS (
+          SELECT vec_id AS query_id, emb AS qemb, b0 AS qb0, b1 AS qb1
+          FROM s WHERE vec_id < $NumQueries
+        ), scored AS (
+          SELECT q.query_id, s.vec_id,
+                 list_cosine_similarity(s.emb, q.qemb) AS cos
+          FROM s, q
+          WHERE s.vec_id <> q.query_id AND (s.b0 = q.qb0 OR s.b1 = q.qb1)
+        ), ranked AS (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2
+        FROM ranked WHERE rank <= $K
+        ORDER BY query_id, rank
+      """
+      }),
 
     // ---------------------------------------------------------------
     // q51: IVF-bucketed approximate nearest neighbor — the centroid

@@ -107,6 +107,36 @@ object VersionedTable {
     commit(s, base, merged, "merge") { (_, fresh) => fresh }
   }
 
+  /** Change data feed between two committed versions: one row per key
+    * whose state differs, tagged insert/update/delete with old and new
+    * value columns side by side (the Delta-CDF idea reconstructed from
+    * snapshots). Scale: both sides are dimension-sized state tables
+    * (one row per key), the diff is ONE key-keyed full-outer join; no
+    * log replay, no history scan. A key present in both versions with
+    * identical value columns emits nothing.
+    */
+  def changesBetween(s: SparkSession, base: String, fromV: Long, toV: Long,
+                     keyCol: String): DataFrame = {
+    val before = readVersion(s, base, fromV)
+    val after = readVersion(s, base, toV)
+    val valCols = before.columns.filterNot(_ == keyCol).toSeq
+    val b = before.select(col(keyCol) +:
+      valCols.map(c => col(c).as(s"${c}_old")) :+
+      lit(true).as("__in_old"): _*)
+    val a = after.select(col(keyCol) +:
+      valCols.map(c => col(c).as(s"${c}_new")) :+
+      lit(true).as("__in_new"): _*)
+    val changed = valCols.map(c =>
+      !(col(s"${c}_old") <=> col(s"${c}_new"))).reduce(_ || _)
+    b.join(a, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
   /** Latest row per key by `ordCols` (the q21/q129 max-of-struct
     * argmax; `ordCols` must totally order rows within a key).
     */

@@ -253,6 +253,78 @@ object SinkQueries {
       """),
       // bench=false: dominated by writing the versioned fixture (three
       // parquet state rewrites), not by query execution
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q140: version change feed — CDC BETWEEN committed versions (the
+    // Delta "change data feed" read, reconstructed from snapshots):
+    // the q138 versioned table is rebuilt (three merge commits of the
+    // purchase stream, batched by event_id mod 3), then
+    // VersionedTable.changesBetween(2, 3) emits one row per user whose
+    // state changed in commit 3 — inserts (first appearance in batch
+    // 2) and updates (a later latest-row), old and new values side by
+    // side; unchanged keys emit nothing, deletes cannot occur under
+    // merge-only commits. Scale: the diff is ONE key-keyed full-outer
+    // join of two dimension-sized state snapshots — no log replay,
+    // cost independent of stream history. The oracle reconstructs both
+    // versions from the change log (q138's rule) and diffs them with
+    // IS DISTINCT FROM, so a wrong-version read, a leaked row, or a
+    // missed update hash-fails.
+    Q("q140_version_changes",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q140")
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            graft.functions.ColumnOps.e2(col("value")).as("value_e2"))
+        (0 to 2).foreach { b =>
+          graft.operators.VersionedTable.commitMerge(
+            s, base, p.filter(pmod(col("event_id"), lit(3)) === b),
+            keyCol = "user_id", ordCols = Seq("ts", "event_id"))
+        }
+        graft.operators.VersionedTable
+          .changesBetween(s, base, 2L, 3L, keyCol = "user_id")
+          .select(col("user_id"), col("change_type"),
+            date_format(col("ts_old"), "yyyy-MM-dd HH:mm:ss").as("ts_old"),
+            col("value_e2_old"),
+            date_format(col("ts_new"), "yyyy-MM-dd HH:mm:ss").as("ts_new"),
+            col("value_e2_new"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_e2
+          FROM events WHERE event_type = 'purchase'
+        ), v(version) AS (VALUES (2), (3)),
+        r AS (
+          SELECT v.version, p.user_id, p.ts, p.event_id, p.value_e2,
+                 ROW_NUMBER() OVER (PARTITION BY v.version, p.user_id
+                   ORDER BY p.ts DESC, p.event_id DESC) AS rn
+          FROM v JOIN p ON p.event_id % 3 < v.version
+        ), o AS (SELECT * FROM r WHERE rn = 1 AND version = 2),
+        n AS (SELECT * FROM r WHERE rn = 1 AND version = 3)
+        SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'insert'
+                    WHEN n.user_id IS NULL THEN 'delete'
+                    WHEN (o.ts IS DISTINCT FROM n.ts)
+                      OR (o.event_id IS DISTINCT FROM n.event_id)
+                      OR (o.value_e2 IS DISTINCT FROM n.value_e2)
+                    THEN 'update' END AS change_type,
+               strftime(o.ts, '%Y-%m-%d %H:%M:%S') AS ts_old,
+               o.value_e2 AS value_e2_old,
+               strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS ts_new,
+               n.value_e2 AS value_e2_new
+        FROM o FULL JOIN n ON o.user_id = n.user_id
+        WHERE CASE WHEN o.user_id IS NULL THEN 'insert'
+                   WHEN n.user_id IS NULL THEN 'delete'
+                   WHEN (o.ts IS DISTINCT FROM n.ts)
+                     OR (o.event_id IS DISTINCT FROM n.event_id)
+                     OR (o.value_e2 IS DISTINCT FROM n.value_e2)
+                   THEN 'update' END IS NOT NULL
+        ORDER BY user_id
+      """),
+      // bench=false: fixture-write-dominated like q138
       bench = false)
   )
 }

@@ -78,6 +78,27 @@ class VersionedTableSpec extends SparkSuite {
     assert(names.forall(!_.startsWith(".tmp")))
   }
 
+  test("changesBetween: inserts/updates tagged, unchanged keys silent, deletes via reversal") {
+    val base = TempDirs.scoped("vt_cdc")
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((1L, 10L, 100L), (2L, 10L, 200L))), "k", Seq("ord"))
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((1L, 20L, 111L), (3L, 5L, 300L))), "k", Seq("ord"))
+    // late-arriving older row: displaces nothing -> empty change feed
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((1L, 15L, 999L))), "k", Seq("ord"))
+    val c12 = VersionedTable.changesBetween(spark, base, 1L, 2L, "k")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type"))
+      .toMap
+    assert(c12 === Map(1L -> "update", 3L -> "insert")) // k=2 unchanged, silent
+    assert(VersionedTable.changesBetween(spark, base, 2L, 3L, "k").count() === 0L)
+    // a dropped key reads as delete when diffing backwards
+    val back = VersionedTable.changesBetween(spark, base, 2L, 1L, "k")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type"))
+      .toMap
+    assert(back(3L) === "delete")
+  }
+
   test("empty table read fails with a clear error") {
     val base = TempDirs.scoped("vt_empty")
     intercept[IllegalArgumentException] {

@@ -210,7 +210,8 @@ object ScaleBench {
         s""""fallback_tasks_base":$fallbackBase,"fallback_tasks_amp":$fallbackAmp,""" +
         s""""nonlinear":${arr(nonlinear)},"plan_violations":${arr(violations)},""" +
         s""""queries":$queriesJson}"""
-    try Files.write(Paths.get("BENCH_scale.json"), (line + "\n").getBytes("UTF-8"))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")
+    try Files.write(Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[scale] BENCH_scale.json write failed: $e")
     }

@@ -37,4 +37,43 @@ object Sessions {
       ObjectHashFallbackThreshold.toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Deployment profile: the engine config a MULTI-EXECUTOR cluster
+    * needs, applied to a session whose master/resources come from the
+    * environment (spark-submit). Differences from [[local]], each a
+    * documented single-node-vs-cluster divergence:
+    *  - `spark.graft.reliableCheckpoints=true` BY DEFAULT — the
+    *    persisted-frame recompute hazard GlobalRank /
+    *    ConnectedComponents / Salt document (executor loss drops
+    *    MEMORY_AND_DISK blocks; a recompute re-runs
+    *    monotonically_increasing_id and can silently shift ranks) is
+    *    real on a cluster, so [[graft.operators.Reliable.barrier]]
+    *    must write through reliable `checkpoint()` there, not opt into
+    *    it. `checkpointDir` must point at REPLICATED storage
+    *    (HDFS/object store) — required here, not silently degraded;
+    *  - checkpoint GC on (`cleanCheckpoints=true`) so long sessions
+    *    don't accumulate barrier files;
+    *  - shuffle partitions are left to the deployment (cluster sizing,
+    *    AQE coalescing), not pinned to a local CPU count.
+    * UTC, nanosAsLong, the ObjectHashAggregate threshold and the graft
+    * extensions are the same engine invariants as [[local]].
+    */
+  def deployment(checkpointDir: String): SparkSession = {
+    require(checkpointDir.nonEmpty,
+      "deployment profile requires a replicated-storage checkpoint dir")
+    val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        ObjectHashFallbackThreshold.toString)
+      .config(graft.operators.Reliable.Flag, "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .getOrCreate()
+    // runtime sets too: getOrCreate may have returned a pre-existing
+    // session, whose builder configs would be silently ignored
+    s.conf.set(graft.operators.Reliable.Flag, "true")
+    s.sparkContext.setCheckpointDir(checkpointDir)
+    s
+  }
 }

@@ -39,6 +39,18 @@ class ReliableSpec extends SparkSuite {
     }
   }
 
+  test("deployment profile defaults reliable checkpoints ON") {
+    val dir = Files.createTempDirectory("graft-deploy-ckpt").toString
+    try {
+      val s = graft.Sessions.deployment(dir)
+      assert(Reliable.enabled(s),
+        "deployment sessions must default the reliable-checkpoint barrier on")
+      val df = Reliable.barrier(s.range(10).toDF())(_.localCheckpoint())
+      assert(checkpointFiles(df), "expected a reliable-checkpointed RDD")
+      intercept[IllegalArgumentException](graft.Sessions.deployment(""))
+    } finally spark.conf.set(Reliable.Flag, "false") // shared-JVM session
+  }
+
   test("GlobalRank and ConnectedComponents stay correct under the flag") {
     withFlag {
       val ranked = GlobalRank.withGlobalRank(

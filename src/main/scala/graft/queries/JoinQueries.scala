@@ -353,6 +353,42 @@ object JoinQueries {
         FROM s a JOIN s b ON a.k < b.k
         WHERE levenshtein(a.nm, b.nm) <= 2
         ORDER BY ka, kb
+      """)),
+
+    // ---------------------------------------------------------------
+    // q141: PageRank on the co-purchase graph (r9) — iterative link
+    // analysis in EXACT integer arithmetic (operators/PageRank: ranks
+    // in e6 units, r' = 150000 + 85·Σ(r div deg) div 100 — every
+    // division an integer floor, every sum order-independent, so the
+    // DuckDB twin is bit-identical; floating PageRank could never be
+    // hash-compared across engines). Six sweeps; each is one
+    // vertex-keyed equi-join + one integer-sum aggregate over the
+    // persisted doubled edge list — shuffle ∝ |E| per sweep, state ∝
+    // |V|, lineage truncated per round. The oracle unrolls the same
+    // six sweeps as generated aggregate CTEs (SQL recursion cannot
+    // aggregate in the recursive term). Top-20 via native ORDER
+    // BY/LIMIT (TakeOrderedAndProject), tiebroken by vertex id.
+    Q("q141_pagerank",
+      (s, d) => {
+        val ranks = graft.operators.PageRank.run(
+          copurchaseEdges(s, d).select(col("pi"), col("pj")), iters = 6)
+        ranks.select(col("v").as("part"), col("r").as("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("part"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH oi AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), e AS (
+          SELECT a.pk AS pi, b.pk AS pj
+          FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), d AS (
+          SELECT pi AS src, pj AS dst FROM e
+          UNION ALL SELECT pj, pi FROM e
+        ), ${graft.operators.PageRank.oracleCtes(6)}
+        SELECT v AS part, r AS rank_e6
+        FROM r6 ORDER BY rank_e6 DESC, part LIMIT 20
       """))
   )
 

@@ -63,7 +63,7 @@ object ScaleBench {
     "q72_incremental_dedup", "q98_dup_cluster_sizes", "q99_source_dup_rates",
     "q100_ngram_novelty", "q114_sentence_dedup", "q122_dup_degree_hist",
     // graph + fuzzy join tier
-    "q125_triangle_count", "q139_fuzzy_join_k2")
+    "q125_triangle_count", "q139_fuzzy_join_k2", "q141_pagerank")
 
   private def rot(a: String, k: Int): String = {
     val s = k % a.length

@@ -325,6 +325,87 @@ object SinkQueries {
         ORDER BY user_id
       """),
       // bench=false: fixture-write-dominated like q138
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q142: incremental view maintenance — the reason a 100 TB
+    // pipeline wants q140's change feed at all: a grouped aggregate
+    // over the state table is advanced from version 2 to version 3
+    // using ONLY the CDC deltas (new-minus-old contributions per
+    // changed key), never rescanning version 3. Output carries the v2
+    // base aggregate and the incrementally-maintained v3 aggregate
+    // side by side; the oracle recomputes BOTH directly from the
+    // change log, so an incremental result that diverges from a full
+    // recompute — the IVM correctness property — hash-fails. Scale:
+    // maintenance cost ∝ |changes| (one group-keyed agg over the
+    // change feed + one broadcast-sized join of per-group aggregates),
+    // while the recompute it replaces is ∝ |state|.
+    Q("q142_incremental_view",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q142")
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            graft.functions.ColumnOps.e2(col("value")).as("value_e2"))
+        (0 to 2).foreach { b =>
+          graft.operators.VersionedTable.commitMerge(
+            s, base, p.filter(pmod(col("event_id"), lit(3)) === b),
+            keyCol = "user_id", ordCols = Seq("ts", "event_id"))
+        }
+        val grp = pmod(col("user_id"), lit(10)).as("grp")
+        val v2agg = graft.operators.VersionedTable.readVersion(s, base, 2L)
+          .groupBy(grp)
+          .agg(count(lit(1)).as("n_v2"), sum(col("value_e2")).as("sum_v2"))
+        val delta = graft.operators.VersionedTable
+          .changesBetween(s, base, 2L, 3L, keyCol = "user_id")
+          .groupBy(pmod(col("user_id"), lit(10)).as("grp"))
+          .agg(
+            sum(when(col("change_type") === "insert", 1L)
+              .when(col("change_type") === "delete", -1L)
+              .otherwise(0L)).as("dn"),
+            sum(coalesce(col("value_e2_new"), lit(0L))
+              - coalesce(col("value_e2_old"), lit(0L))).as("dsum"))
+        // full outer: a group whose FIRST member arrives in commit 3
+        // exists only in the delta; merge-only commits guarantee v3's
+        // group set = v2's ∪ delta's, so this union is exactly v3
+        v2agg.join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+            coalesce(col("sum_v2"), lit(0L)).as("sum_v2"),
+            (coalesce(col("n_v2"), lit(0L))
+              + coalesce(col("dn"), lit(0L))).as("n_v3"),
+            (coalesce(col("sum_v2"), lit(0L))
+              + coalesce(col("dsum"), lit(0L))).as("sum_v3"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_e2
+          FROM events WHERE event_type = 'purchase'
+        ), v(version) AS (VALUES (2), (3)),
+        r AS (
+          SELECT v.version, p.user_id, p.value_e2,
+                 ROW_NUMBER() OVER (PARTITION BY v.version, p.user_id
+                   ORDER BY p.ts DESC, p.event_id DESC) AS rn
+          FROM v JOIN p ON p.event_id % 3 < v.version
+        ), st AS (SELECT version, user_id, value_e2 FROM r WHERE rn = 1),
+        a2 AS (
+          SELECT user_id % 10 AS grp, COUNT(*) AS n_v2,
+                 CAST(SUM(value_e2) AS BIGINT) AS sum_v2
+          FROM st WHERE version = 2 GROUP BY 1
+        ), a3 AS (
+          SELECT user_id % 10 AS grp, COUNT(*) AS n_v3,
+                 CAST(SUM(value_e2) AS BIGINT) AS sum_v3
+          FROM st WHERE version = 3 GROUP BY 1
+        )
+        SELECT grp, COALESCE(n_v2, 0) AS n_v2,
+               CAST(COALESCE(sum_v2, 0) AS BIGINT) AS sum_v2,
+               n_v3, sum_v3
+        FROM a3 LEFT JOIN a2 USING (grp)
+        ORDER BY grp
+      """),
+      // bench=false: fixture-write-dominated like q138/q140
       bench = false)
   )
 }

@@ -122,8 +122,14 @@ object VectorQueries {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), emb64(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+    // deterministic pseudo-random sample as centroids — r9: ordered by
+    // the engine's mod-prime Knuth hash (the q126 convention) instead
+    // of xxhash64, SAME sample semantics (any fixed well-spread pick
+    // is a valid IVF coarse quantizer) but portable SQL arithmetic, so
+    // q51 gains a DuckDB oracle
     val centroids = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(expr("((vec_id % 1000003) * 2654435761) % 1000003"),
+        col("vec_id"))
       .limit(C)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
@@ -231,9 +237,55 @@ object VectorQueries {
     // k-means; any fixed set gives correct approximate semantics, so
     // the engine takes a deterministic hash-ordered sample — a top-C
     // TakeOrdered, no global sort.
+    // Oracle (r9): fully expressible once centroid choice is the
+    // mod-prime hash — centroid pick, nearest-centroid assignment
+    // (keep=1), 4-probe query routing, candidate dedup, and the q36
+    // scoring twin restricted to candidates, all with the engine's
+    // exact tie-breaks (cos DESC, cid / vec_id).
     Q("q51_ann_ivf",
       (s, d) => annIvf(s, d),
-      None),
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, emb AS cemb
+          FROM e
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT 64
+        ), asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC,
+                              c.cid) AS rn
+            FROM e, c) WHERE rn <= 1
+        ), probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.emb, c.cemb) DESC,
+                              c.cid) AS rn
+            FROM e q, c WHERE q.vec_id < $NumQueries) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id
+          FROM asg a JOIN probes p USING (cid)
+          WHERE a.vec_id <> p.query_id
+        ), scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 list_cosine_similarity(ev.emb, eq.emb) AS cos
+          FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+                    JOIN e eq ON eq.vec_id = cand.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2
+        FROM ranked WHERE rank <= $K
+        ORDER BY query_id, rank
+      """)),
 
     // ---------------------------------------------------------------
     // q97: ANN recall as DATA (r7 judge #6) — the recall-vs-exact
@@ -275,7 +327,95 @@ object VectorQueries {
           .withColumn("recall_e4", expr("(hits * 10000) div possible"))
           .orderBy(col("method"), col("k"))
       },
-      None),
+      // Oracle (r9): now that q36/q37/q51 are each oracle-expressible
+      // (list_cosine_similarity twin + generated hyperplane literals +
+      // mod-prime centroid pick), the recall REPORT composes them in
+      // one generated SQL: per method, a (query, neighbor) equi-join
+      // of the ANN top-10 against the exact top-10, kmin =
+      // GREATEST(ann rank, exact rank), hits@k = count(kmin <= k) with
+      // zero-filled k levels. Recall itself becomes hash-checked data.
+      Some {
+        val buckets = OracleSql.lshBucketSql(
+          VectorLsh.hyperplanes(numTables = 2, numPlanes = 4, dim = Dim))
+        s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), rx AS (
+          SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, e2.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(e2.emb, q.emb) DESC,
+                              e2.vec_id) AS rank
+            FROM e e2, e q
+            WHERE q.vec_id < $NumQueries AND e2.vec_id <> q.vec_id)
+          WHERE rank <= $K
+        ), sb AS (
+          SELECT vec_id, emb,
+               $buckets
+          FROM e
+        ), rl AS (
+          SELECT query_id, vec_id, rank FROM (
+            SELECT q.query_id, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(s.emb, q.qemb) DESC,
+                              s.vec_id) AS rank
+            FROM sb s JOIN (
+              SELECT vec_id AS query_id, emb AS qemb, b0 AS qb0, b1 AS qb1
+              FROM sb WHERE vec_id < $NumQueries) q
+              ON s.vec_id <> q.query_id
+             AND (s.b0 = q.qb0 OR s.b1 = q.qb1))
+          WHERE rank <= $K
+        ), c AS (
+          SELECT vec_id AS cid, emb AS cemb
+          FROM e
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT 64
+        ), asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e2.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                     ORDER BY list_cosine_similarity(e2.emb, c.cemb) DESC,
+                              c.cid) AS rn
+            FROM e e2, c) WHERE rn <= 1
+        ), probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.emb, c.cemb) DESC,
+                              c.cid) AS rn
+            FROM e q, c WHERE q.vec_id < $NumQueries) WHERE rn <= 4
+        ), ri AS (
+          SELECT query_id, vec_id, rank FROM (
+            SELECT cand.query_id, cand.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                     ORDER BY list_cosine_similarity(ev.emb, eq.emb) DESC,
+                              cand.vec_id) AS rank
+            FROM (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM asg a JOIN probes p USING (cid)
+                  WHERE a.vec_id <> p.query_id) cand
+            JOIN e ev ON ev.vec_id = cand.vec_id
+            JOIN e eq ON eq.vec_id = cand.query_id)
+          WHERE rank <= $K
+        ), ks(k) AS (VALUES (1), (5), (10)),
+        ml AS (
+          SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
+          FROM rl a JOIN rx x USING (query_id, vec_id)
+        ), mi AS (
+          SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
+          FROM ri a JOIN rx x USING (query_id, vec_id)
+        ), rec AS (
+          SELECT 'lsh' AS method, ks.k, COUNT(ml.kmin) AS hits
+          FROM ks LEFT JOIN ml ON ml.kmin <= ks.k GROUP BY ks.k
+          UNION ALL
+          SELECT 'ivf', ks.k, COUNT(mi.kmin)
+          FROM ks LEFT JOIN mi ON mi.kmin <= ks.k GROUP BY ks.k
+        )
+        SELECT method, k, CAST(hits AS BIGINT) AS hits,
+               CAST(k * $NumQueries AS BIGINT) AS possible,
+               CAST(hits * 10000 // (k * $NumQueries) AS BIGINT) AS recall_e4
+        FROM rec ORDER BY method, k
+      """
+      }),
 
     // ---------------------------------------------------------------
     // q58: int8 scalar quantization — the storage-compression path for

@@ -65,16 +65,34 @@ object ScaleBench {
     // graph + fuzzy join tier
     "q125_triangle_count", "q139_fuzzy_join_k2", "q141_pagerank")
 
-  private def rot(a: String, k: Int): String = {
-    val s = k % a.length
-    a.drop(s) + a.take(s)
+  /** Per-replica AFFINE substitution alphabet: position j maps to
+    * alphabet[(a·j + b) mod n] with a drawn from the units mod n and
+    * b = rep mod n. Distinct (a, b) pairs are distinct bijections, so
+    * letter ciphers stay pairwise-distinct for rep < 12·26 = 312 —
+    * a plain rotation wraps at n (rep 26 ≡ rep 0 on a digit-free
+    * corpus), silently turning replicas into byte-identical copies and
+    * re-introducing exactly the R²-pair blow-up the model excludes
+    * (caught by review after the first R=30 run; re-measured since).
+    */
+  private def affine(alphabet: String, units: Seq[Int], rep: Int): String = {
+    val n = alphabet.length
+    val a = units((rep / n) % units.length)
+    val b = rep % n
+    (0 until n).map(j => alphabet((a * j + b) % n)).mkString
   }
+
+  private val LetterUnits = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private val DigitUnits = Seq(1, 3, 7, 9)
 
   /** Write the R×-amplified dataset into `outDir` with the testdata
     * layout (one `<table>.parquet` per table). Deterministic: no
     * randomness, ids remapped `id*r + rep`.
     */
   def amplify(s: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
+    // letter ciphers are pairwise-distinct up to 312 replicas; a
+    // digit-only document could collide across replicas ≥ 40 (digit
+    // affine space) — the corpora here are letter-bearing
+    require(r >= 1 && r <= 312, s"amplification must be in [1, 312], got $r")
     Files.createDirectories(Paths.get(outDir))
     val reps = explode(sequence(lit(0L), lit(r - 1L))).as("__rep")
 
@@ -92,7 +110,8 @@ object ScaleBench {
     def cipher(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       coalesce((0 until r).map { i =>
         when(col("__rep") === i, translate(c, alphabet,
-          rot(lower, i) + rot(upper, i) + rot(digits, i)))
+          affine(lower, LetterUnits, i) + affine(upper, LetterUnits, i) +
+            affine(digits, DigitUnits, i)))
       }: _*) // rep < r, so exactly one branch is non-null
     Tables.documents(s, baseDir)
       .select(col("*"), reps)

@@ -71,8 +71,16 @@ object Sessions {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     // runtime sets too: getOrCreate may have returned a pre-existing
-    // session, whose builder configs would be silently ignored
+    // session, whose builder configs are silently ignored — re-apply
+    // every runtime-settable engine invariant, not just the flag
+    // (a pre-existing non-UTC session would otherwise shift event
+    // timestamps, and the default ObjectHashAggregate threshold would
+    // re-open the r6 sort-fallback blow-up)
     s.conf.set(graft.operators.Reliable.Flag, "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      ObjectHashFallbackThreshold.toString)
     s.sparkContext.setCheckpointDir(checkpointDir)
     s
   }

@@ -58,10 +58,18 @@ object Tables {
         // Enforce the documented UTC convention instead of trusting it.
         val tz = s.conf.get("spark.sql.session.timeZone",
           java.util.TimeZone.getDefault.getID)
-        require(tz == "UTC",
+        // accept any FIXED zero-offset zone (UTC, Etc/UTC, GMT, +00:00 —
+        // all behaviorally identical for this cast), reject everything
+        // else including zones that are only sometimes at offset 0
+        val zeroOffset =
+          try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+            .normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(zeroOffset,
           s"events.ts is TIMESTAMP_NTZ and the NTZ->LTZ cast is wall-clock-" +
-            s"preserving: session timeZone must be UTC, got '$tz' " +
-            "(set spark.sql.session.timeZone=UTC, as Sessions.local does)")
+            s"preserving: session timeZone must be a fixed zero-offset zone " +
+            s"(UTC), got '$tz' (set spark.sql.session.timeZone=UTC, as " +
+            "Sessions.local does)")
         df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }

@@ -55,12 +55,15 @@ object VersionedTable {
   def latestVersion(base: String): Option[Long] = {
     val log = logDir(base)
     if (!Files.isDirectory(log)) return None
-    val vs = Files.list(log).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".commit") &&
-        n.stripSuffix(".commit").forall(_.isDigit))
-      .map(_.stripSuffix(".commit").toLong)
-      .toSeq
+    val stream = Files.list(log)
+    val vs =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".commit") &&
+          n.stripSuffix(".commit").forall(_.isDigit))
+        .map(_.stripSuffix(".commit").toLong)
+        .toSeq
+      finally stream.close() // Files.list holds a directory fd until closed
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -154,12 +157,20 @@ object VersionedTable {
       files: (Seq[String], Seq[String]) => Seq[String]): Long = {
     val next = latestVersion(base).getOrElse(0L) + 1L
     val dataDir = s"d$next"
-    df.write.parquet(s"$base/$dataDir") // step 1: invisible data files
-    val fresh = Files.list(Paths.get(base, dataDir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .toSeq.sorted
-      .map(n => s"$dataDir/$n")
+    // step 1: invisible data files. Overwrite mode on purpose: a d{next}
+    // dir can only pre-exist as the ORPHAN of a commit that crashed
+    // before publishing (provably unreferenced by any manifest), and
+    // ErrorIfExists would wedge the table forever on that orphan —
+    // overwrite makes the retry self-healing.
+    df.write.mode("overwrite").parquet(s"$base/$dataDir")
+    val dirStream = Files.list(Paths.get(base, dataDir))
+    val fresh =
+      try dirStream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted
+        .map(n => s"$dataDir/$n")
+      finally dirStream.close()
     val prev = latestVersion(base) match {
       case Some(v) => readManifest(base, v)
       case None => Seq.empty

@@ -33,17 +33,21 @@ object UpsertPipeline {
     def argmax(df: DataFrame): DataFrame =
       graft.operators.VersionedTable.argmaxLatest(df, keyCol, ordCols)
     // The streaming checkpoint at $base/ckpt persists batch offsets, so
-    // a rerun against the same base skips already-committed batches —
-    // the current-state pointer must be recovered from disk (highest
-    // committed state_* dir), not assumed empty, or the drain would
-    // silently return stale/empty state after a restart.
-    val committed = Option(new java.io.File(base).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("state_") &&
-        f.getName.stripPrefix("state_").forall(_.isDigit))
-    val latest = new java.util.concurrent.atomic.AtomicReference[String](
-      if (committed.isEmpty) null
-      else committed.maxBy(_.getName.stripPrefix("state_").toLong).getAbsolutePath)
+    // a rerun against the same base skips already-committed batches and
+    // REPLAYS the batch whose offsets never committed. State resolution
+    // must therefore be per-batch, from disk: batch N merges against
+    // the highest state committed by a batch STRICTLY BELOW N — never a
+    // single recovered pointer, which for a replayed batch N would be
+    // state_N itself and make the overwrite write race its own lazy
+    // read (ckpt lives inside base, so batch ids and state dirs are
+    // always consistent with each other).
+    def stateDirs(): Seq[(Long, java.io.File)] =
+      Option(new java.io.File(base).listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("state_") &&
+          f.getName.stripPrefix("state_").forall(_.isDigit))
+        .map(f => f.getName.stripPrefix("state_").toLong -> f)
+        .sortBy(_._1)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = s.readStream
       .schema(schema)
@@ -54,24 +58,26 @@ object UpsertPipeline {
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = argmax(batch)
-        val merged = Option(latest.get) match {
-          case Some(prev) => argmax(delta.unionByName(s.read.parquet(prev)))
+        // prev < batchId by construction, so the overwrite below never
+        // targets the dir being read; a partial state_batchId left by a
+        // crashed attempt of THIS batch is safely replaced
+        val merged = stateDirs().filter(_._1 < batchId).lastOption match {
+          case Some((_, prev)) =>
+            argmax(delta.unionByName(s.read.parquet(prev.getAbsolutePath)))
           case None => delta
         }
-        val next = s"$base/state_$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        latest.set(next)
+        merged.write.mode("overwrite").parquet(s"$base/state_$batchId")
         batches.incrementAndGet()
         ()
       }
       .start()
     q.awaitTermination()
-    // zero micro-batches (a drain with no pending files) is a
+    // zero micro-batches EVER (a drain against an empty input) is a
     // legitimate outcome: return an empty state frame in the output
     // shape (key first, then value columns) instead of dereferencing
-    // a never-set state pointer
-    val state = Option(latest.get) match {
-      case Some(p) => s.read.parquet(p)
+    // a never-written state dir
+    val state = stateDirs().lastOption match {
+      case Some((_, dir)) => s.read.parquet(dir.getAbsolutePath)
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(

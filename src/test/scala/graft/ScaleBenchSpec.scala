@@ -57,6 +57,19 @@ class ScaleBenchSpec extends SparkSuite {
       <= 1e-6 * math.abs(R * normSum(baseDir)))
   }
 
+  test("cipher stays injective past the rotation wrap (R=28)") {
+    // a plain rotation has rep 26 == rep 0 on a digit-free corpus; the
+    // affine cipher must keep all 28 replicas textually disjoint
+    val out = TempDirs.scoped("graft-scale-spec28")
+    ScaleBench.amplify(spark, baseDir, out, 28)
+    val b = Tables.documents(spark, baseDir)
+      .select(col("text")).distinct().count()
+    assert(Tables.documents(spark, out)
+      .select(col("text")).distinct().count() === 28 * b)
+    intercept[IllegalArgumentException](
+      ScaleBench.amplify(spark, out, out, 313))
+  }
+
   test("scale-set queries keep plan invariants on amplified data") {
     val qs = SparkEntry.registry.filter(q => ScaleBench.ScaleSet.contains(q.name))
     assert(qs.map(_.name).toSet === ScaleBench.ScaleSet.toSet,

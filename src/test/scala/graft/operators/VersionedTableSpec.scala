@@ -56,6 +56,12 @@ class VersionedTableSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       VersionedTable.readVersion(spark, base, 2)
     }
+    // the retry after the crash must self-heal over the orphan d2 dir
+    // (ErrorIfExists would wedge the table on it forever)
+    VersionedTable.commitAppend(spark, base, kv(Seq((2L, 2L, 2L))))
+    assert(VersionedTable.latestVersion(base) === Some(2L))
+    assert(VersionedTable.readVersion(spark, base, 2)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
   test("publishing an already-committed version fails loudly") {

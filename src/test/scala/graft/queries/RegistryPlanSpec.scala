@@ -65,7 +65,15 @@ class RegistryPlanSpec extends SparkSuite {
       ("q126_weighted_sample", "documents", Set("doc_id", "n_chars", "source")),
       ("q123_copurchase_similarity", "lineitem", Set("l_orderkey", "l_partkey")),
       ("q133_zorder_layout", "lineitem",
-        Set("l_orderkey", "l_partkey", "l_suppkey"))))
+        Set("l_orderkey", "l_partkey", "l_suppkey")),
+      // r9 shapes: the posting-list rewrite must not drag extra
+      // document columns through its one corpus scan, and the fuzzy
+      // join touches exactly the key + name dimension columns.
+      // (q141 has no pin: it reads only the session-memoized
+      // co-purchase edge parquet — its lineitem pruning is the q123
+      // pin, which builds that memo.)
+      ("q106_source_overlap", "documents", Set("text", "source")),
+      ("q139_fuzzy_join_k2", "supplier", Set("s_suppkey", "s_name"))))
     test(s"$name reads only ${expected.mkString("+")} from $table") {
       spark.catalog.clearCache()
       // file scans hide under AQE wrappers and — for queries that

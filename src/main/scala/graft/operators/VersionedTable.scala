@@ -110,6 +110,62 @@ object VersionedTable {
     commit(s, base, merged, "merge") { (_, fresh) => fresh }
   }
 
+  /** Retention vacuum: delete every data file not referenced by any
+    * manifest of version ≥ `retainFrom`, plus the manifests below it —
+    * time travel to versions < `retainFrom` fails cleanly afterwards
+    * (their markers are gone, not dangling), reads at ≥ `retainFrom`
+    * are untouched. Also sweeps crash orphans (data dirs no manifest
+    * ever referenced). Returns the deleted paths (relative), for the
+    * audit log a production vacuum writes. Append-only histories
+    * delete nothing (later manifests carry every earlier file — the
+    * O(delta) manifest design means retention costs nothing until
+    * copy-on-write MERGE commits strand old state dirs).
+    */
+  def vacuum(base: String, retainFrom: Long): Seq[String] = {
+    val latest = latestVersion(base).getOrElse(return Seq.empty)
+    require(retainFrom <= latest,
+      s"retainFrom $retainFrom is beyond latest committed version $latest")
+    val referenced = (retainFrom to latest)
+      .filter(v => Files.exists(markerPath(base, v)))
+      .flatMap(v => readManifest(base, v)).toSet
+    val dataDirs = {
+      val stream = Files.list(Paths.get(base))
+      try stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("d"))
+        .toSeq
+      finally stream.close()
+    }
+    val deletedFiles = dataDirs.flatMap { dir =>
+      val stream = Files.list(dir)
+      val files =
+        try stream.iterator().asScala.filter(f => !Files.isDirectory(f)).toSeq
+        finally stream.close()
+      val rels = files.map(f => s"${dir.getFileName}/${f.getFileName}")
+      if (!rels.exists(referenced.contains)) {
+        // dir holds NO live data (crash orphan or stranded merge state):
+        // remove it whole, bookkeeping files (_SUCCESS, .crc) included
+        files.foreach(f => Files.deleteIfExists(f))
+        try Files.deleteIfExists(dir) catch { case _: Exception => }
+        rels
+      } else {
+        // live dir: delete only unreferenced DATA files — writer
+        // bookkeeping stays with the files it describes
+        val victims = files.zip(rels).filter { case (f, rel) =>
+          rel.endsWith(".parquet") &&
+            !f.getFileName.toString.startsWith(".") &&
+            !referenced.contains(rel)
+        }
+        victims.foreach { case (f, _) => Files.deleteIfExists(f) }
+        victims.map(_._2)
+      }
+    }
+    val deletedMarkers = (1L until retainFrom)
+      .filter(v => Files.deleteIfExists(markerPath(base, v)))
+      .map(v => s"_log/${markerPath(base, v).getFileName}")
+    deletedFiles ++ deletedMarkers
+  }
+
   /** Change data feed between two committed versions: one row per key
     * whose state differs, tagged insert/update/delete with old and new
     * value columns side by side (the Delta-CDF idea reconstructed from

@@ -105,6 +105,39 @@ class VersionedTableSpec extends SparkSuite {
     assert(back(3L) === "delete")
   }
 
+  test("vacuum drops stranded merge states and orphans, keeps retained versions") {
+    val base = TempDirs.scoped("vt_vacuum")
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((1L, 10L, 100L), (2L, 10L, 200L))), "k", Seq("ord"))
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((3L, 5L, 300L))), "k", Seq("ord"))
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((1L, 20L, 111L))), "k", Seq("ord"))
+    // crash debris: a data dir no manifest references
+    kv(Seq((9L, 9L, 9L))).write.parquet(s"$base/d99")
+    val deleted = VersionedTable.vacuum(base, retainFrom = 3L)
+    // copy-on-write merge strands v1/v2 state dirs + the orphan
+    assert(deleted.exists(_.startsWith("d1/")))
+    assert(deleted.exists(_.startsWith("d2/")))
+    assert(deleted.exists(_.startsWith("d99/")))
+    assert(VersionedTable.latestVersion(base) === Some(3L))
+    assert(VersionedTable.readVersion(spark, base, 3).count() === 3L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, base, 2) // cleanly gone, not dangling
+    }
+    assert(!Files.exists(Paths.get(base, "d99")))
+  }
+
+  test("vacuum on an append-only history deletes no data files") {
+    val base = TempDirs.scoped("vt_vacuum_append")
+    VersionedTable.commitAppend(spark, base, kv(Seq((1L, 1L, 1L))))
+    VersionedTable.commitAppend(spark, base, kv(Seq((2L, 2L, 2L))))
+    val deleted = VersionedTable.vacuum(base, retainFrom = 2L)
+    // v2's manifest carries v1's files forward -> only marker 1 goes
+    assert(deleted.forall(_.startsWith("_log/")))
+    assert(VersionedTable.readVersion(spark, base, 2).count() === 2L)
+  }
+
   test("empty table read fails with a clear error") {
     val base = TempDirs.scoped("vt_empty")
     intercept[IllegalArgumentException] {

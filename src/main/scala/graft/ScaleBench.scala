@@ -50,7 +50,15 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   /** The queries worth scale-checking: the registry's 10 slowest
-    * (r8 driver bench) + the full dedup family + the graph/fuzzy tier.
+    * (r8 driver bench) + the full dedup family + the graph/fuzzy tier,
+    * plus (r9 broadening) representatives of every other family whose
+    * input tables amplify — relational scan/agg + dim join, the vector
+    * tier (brute-force, IVF, SemDeDup's capped per-cluster sweep), the
+    * event-analytics tier (funnel/cohort/rolling/session/percentile/
+    * cumulative shapes — user-keyed shuffles and GlobalRank passes),
+    * and the text-prep tier (tf-idf, Misra-Gries, GlobalRank shuffle).
+    * Queries over non-amplified inputs (orders/customer dims only,
+    * streaming fixtures, receipts) are out of scope by construction.
     */
   val ScaleSet: Seq[String] = Seq(
     // 10 slowest, r8 driver bench (q133 excluded by design, see above)
@@ -63,7 +71,16 @@ object ScaleBench {
     "q72_incremental_dedup", "q98_dup_cluster_sizes", "q99_source_dup_rates",
     "q100_ngram_novelty", "q114_sentence_dedup", "q122_dup_degree_hist",
     // graph + fuzzy join tier
-    "q125_triangle_count", "q139_fuzzy_join_k2", "q141_pagerank")
+    "q125_triangle_count", "q139_fuzzy_join_k2", "q141_pagerank",
+    // relational core over the amplified fact table (r9 broadening)
+    "q1_pricing_summary", "q4_brand_revenue",
+    // vector tier: exact scan, inverted-list ANN, capped cluster sweep
+    "q36_knn_bruteforce", "q51_ann_ivf", "q80_semantic_dedup",
+    // event-analytics tier: the user-keyed shuffle + GlobalRank shapes
+    "q103_funnel", "q104_retention_cohorts", "q112_rolling_actives",
+    "q117_session_paths", "q121_value_percentiles", "q132_cumulative_uniques",
+    // text-prep tier
+    "q55_tfidf", "q88_heavy_hitters", "q83_train_shuffle")
 
   /** Per-replica AFFINE substitution alphabet: position j maps to
     * alphabet[(a·j + b) mod n] with a drawn from the units mod n and

@@ -520,6 +520,11 @@ object EventWindowQueries {
     // for). Per-session ordering is (ts, event_id) inside a
     // session_window aggregate — one user-keyed shuffle; the path
     // count is a tiny second agg; top-10 is native ORDER BY LIMIT.
+    // Scale note: the collect_list partial phase hashes one key per
+    // session CANDIDATE (∝ rows per input split), so a dense split
+    // (>2^21 events) sort-falls-back — the correct merge algorithm
+    // for sessions, allowlisted as structural in ScaleBench
+    // .SortFallbackOk rather than "fixed" with an extra pre-shuffle.
     Q("q117_session_paths",
       (s, d) => {
         val paths = Tables.events(s, d)

@@ -685,6 +685,49 @@ object VectorQueries {
                label AS majority_label, CAST(n AS BIGINT) AS n_majority,
                CAST((n * 10000) // tot AS BIGINT) AS purity_e4
         FROM m WHERE rn = 1 ORDER BY cluster_id
+      """)),
+
+    // ---------------------------------------------------------------
+    // q143: trained clustering — 3 Lloyd sweeps of integer-exact
+    // k-means (k=8, e6-quantized components, mod-prime init), reported
+    // as per-cluster size + integer inertia under the trained
+    // centroids. Closes the gap between the PICKED centroids the rest
+    // of the vector tier uses (q51 IVF coarse quantizer, q80 SemDeDup,
+    // q107 purity) and centroids actually fitted to the corpus; the
+    // iteration/oracle discipline is q141's (fixed sweeps, generated
+    // CTE chain, every op integer or exact-double). See
+    // operators/KMeans.scala for the floor-division trap the contract
+    // dodges.
+    Q("q143_kmeans",
+      (s, d) => {
+        import graft.operators.KMeans
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr(KMeans.quantizeExpr("embedding")).as("q"))
+        val c0 = vecs
+          .orderBy(expr("((vec_id % 1000003) * 2654435761) % 1000003"),
+            col("vec_id"))
+          .limit(8)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        KMeans.run(vecs, c0, iters = 3)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+          .orderBy(col("cid"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+          FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cid, q AS cq FROM e
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT 8
+        ), ${graft.operators.KMeans.oracleCtes(iters = 3, dim = Dim)}
+        SELECT cid, COUNT(*) AS n_members,
+               CAST(SUM(dist) AS BIGINT) AS inertia
+        FROM af GROUP BY cid ORDER BY cid
       """))
   )
 }

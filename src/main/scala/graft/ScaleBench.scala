@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *    base — naive exact replication would grow every dup cluster R×
   *    and blow candidate pairs up R² by construction, charging the
   *    data's fault to the algorithm;
-  *  - embeddings are circularly shifted by rep positions — an
-  *    orthogonal permutation, so intra-replica geometry (dot products,
-  *    norms, neighbors) is EXACTLY preserved while cross-replica
-  *    vectors decorrelate;
+  *  - embeddings are circularly shifted by rep mod dim positions and
+  *    globally negated on alternating dim-blocks — orthogonal maps,
+  *    so intra-replica geometry (dot products, norms, neighbors) is
+  *    EXACTLY preserved while cross-replica vectors decorrelate
+  *    (pairwise-distinct for R ≤ 2·dim = 128);
   *  - lineitem's order/part/supp keys are remapped, so the co-purchase
   *    graph becomes R disjoint copies (same degree distribution per
   *    replica — denser graphs again charge data density to the
@@ -74,8 +75,10 @@ object ScaleBench {
     "q125_triangle_count", "q139_fuzzy_join_k2", "q141_pagerank",
     // relational core over the amplified fact table (r9 broadening)
     "q1_pricing_summary", "q4_brand_revenue",
-    // vector tier: exact scan, inverted-list ANN, capped cluster sweep
+    // vector tier: exact scan, inverted-list ANN, capped cluster
+    // sweep, iterative Lloyd training
     "q36_knn_bruteforce", "q51_ann_ivf", "q80_semantic_dedup",
+    "q143_kmeans",
     // event-analytics tier: the user-keyed shuffle + GlobalRank shapes
     "q103_funnel", "q104_retention_cohorts", "q112_rolling_actives",
     "q117_session_paths", "q121_value_percentiles", "q132_cumulative_uniques",
@@ -123,10 +126,11 @@ object ScaleBench {
     * randomness, ids remapped `id*r + rep`.
     */
   def amplify(s: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
-    // letter ciphers are pairwise-distinct up to 312 replicas; a
-    // digit-only document could collide across replicas ≥ 40 (digit
-    // affine space) — the corpora here are letter-bearing
-    require(r >= 1 && r <= 312, s"amplification must be in [1, 312], got $r")
+    // binding constraint is the embedding transform: dim circular
+    // shifts × 2 global signs = 2·dim (=128) pairwise-distinct
+    // orthogonal maps (letter ciphers would allow 312; digit-only
+    // documents could collide from 40 — the corpora are letter-bearing)
+    require(r >= 1 && r <= 128, s"amplification must be in [1, 128], got $r")
     Files.createDirectories(Paths.get(outDir))
     val reps = explode(sequence(lit(0L), lit(r - 1L))).as("__rep")
 
@@ -154,12 +158,24 @@ object ScaleBench {
         col("n_chars"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
+    // circular shift by rep mod dim, negated globally every dim-block:
+    // both maps are orthogonal (norms, dots, neighbors exactly
+    // preserved within a replica) and the composition is pairwise-
+    // distinct for rep < 2·dim — a raw shift slices negative lengths
+    // at rep ≥ dim (caught by the first R=100 run) and a mod-only
+    // shift would make replicas dim apart byte-identical, the same
+    // model violation the affine cipher exists to prevent
     Tables.embeddings(s, baseDir)
       .select(col("*"), reps)
       .select((col("vec_id") * r + col("__rep")).as("vec_id"),
-        expr("""concat(slice(embedding, cast(__rep as int) + 1,
-                             size(embedding) - cast(__rep as int)),
-                       slice(embedding, 1, cast(__rep as int)))""")
+        expr("""transform(
+                  concat(slice(embedding,
+                               cast(__rep % size(embedding) as int) + 1,
+                               size(embedding)
+                                 - cast(__rep % size(embedding) as int)),
+                         slice(embedding, 1,
+                               cast(__rep % size(embedding) as int))),
+                  x -> if((__rep div size(embedding)) % 2 = 1, -x, x))""")
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")

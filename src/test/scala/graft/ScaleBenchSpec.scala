@@ -67,7 +67,28 @@ class ScaleBenchSpec extends SparkSuite {
     assert(Tables.documents(spark, out)
       .select(col("text")).distinct().count() === 28 * b)
     intercept[IllegalArgumentException](
-      ScaleBench.amplify(spark, out, out, 313))
+      ScaleBench.amplify(spark, out, out, 129))
+  }
+
+  test("embedding transform stays injective past the shift wrap (R=66)") {
+    // a raw circular shift slices a negative length at rep >= dim
+    // (=64) and a mod-only shift makes replicas dim apart identical;
+    // the sign-flip composition must keep all 66 replicas distinct
+    val out = TempDirs.scoped("graft-scale-spec66")
+    ScaleBench.amplify(spark, baseDir, out, 66)
+    val b = Tables.embeddings(spark, baseDir)
+      .select(col("embedding")).distinct().count()
+    assert(Tables.embeddings(spark, out)
+      .select(col("embedding")).distinct().count() === 66 * b)
+    // the rep-65 replica is still norm-preserving (orthogonal map)
+    def normSum(dir: String, pred: org.apache.spark.sql.Column): Double =
+      Tables.embeddings(spark, dir).filter(pred)
+        .agg(sum(expr(
+          "aggregate(embedding, cast(0.0 as double), (s, x) -> s + x * x)")))
+        .head().getDouble(0)
+    val base = normSum(baseDir, lit(true))
+    val rep65 = normSum(out, col("vec_id") % 66 === 65)
+    assert(math.abs(rep65 - base) <= 1e-6 * math.abs(base))
   }
 
   test("scale-set queries keep plan invariants on amplified data") {

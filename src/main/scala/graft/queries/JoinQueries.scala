@@ -356,6 +356,91 @@ object JoinQueries {
       """)),
 
     // ---------------------------------------------------------------
+    // q144: end-to-end ENTITY RESOLUTION (r9) — the record-linkage
+    // pipeline q137 is the matching core of, run to completion:
+    // (1) candidate pairs via FastSS k=1 deletion-neighborhood
+    // blocking + exact levenshtein verify (q137's shape verbatim);
+    // (2) match pairs closed into entities via iterative min-label
+    // propagation (the q57 transitive-closure discipline — A~B, B~C
+    // ⟹ one entity even when A~C exceeds the edit threshold);
+    // (3) one resolved row per record: entity id (= min key in the
+    // entity), the canonical record's name, entity size, canonical
+    // flag. Scale: blocking equi-join ∝ corpus·(len+1); the component
+    // frame holds MATCHED records only (≪ corpus, the q57/q66
+    // argument), so the resolve joins broadcast; singletons never
+    // enter the iteration. Oracle: all-pairs edges + recursive-CTE
+    // closure, then the same canonical/size joins.
+    Q("q144_entity_resolution",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("k"), lower(col("s_name")).as("nm"))
+        val vars = sup.select(col("k"), col("nm"),
+          explode(expr(
+            """array_union(array(nm),
+                 transform(sequence(0, length(nm) - 1),
+                   i -> concat(substring(nm, 1, i), substring(nm, i + 2))))"""
+          )).as("v"))
+        val pairs = vars.as("a")
+          .join(vars.as("b"), col("a.v") === col("b.v") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("ka"), col("b.k").as("kb"),
+            col("a.nm").as("na"), col("b.nm").as("nb"))
+          .distinct()
+          .filter(levenshtein(col("na"), col("nb")) <= 1)
+        val comp = graft.operators.ConnectedComponents.labelPropagation(
+          pairs.select(col("ka").as("src"), col("kb").as("dst")))
+        val resolved = sup
+          .join(comp.select(col("id").as("k"), col("component")), Seq("k"), "left")
+          .select(col("k"), coalesce(col("component"), col("k")).as("entity_id"),
+            col("nm"))
+        val canon = resolved.filter(col("k") === col("entity_id"))
+          .select(col("entity_id"), col("nm").as("canonical_nm"))
+        val sizes = resolved.groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_records"))
+        resolved
+          .join(broadcast(canon), "entity_id")
+          .join(broadcast(sizes), "entity_id")
+          .select(col("k"), col("entity_id"), col("canonical_nm"),
+            col("n_records"),
+            (col("k") === col("entity_id")).cast("int").as("is_canonical"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH RECURSIVE s AS (
+          SELECT s_suppkey AS k, LOWER(s_name) AS nm FROM supplier
+        ), pairs AS (
+          SELECT a.k AS ka, b.k AS kb
+          FROM s a JOIN s b ON a.k < b.k
+          WHERE levenshtein(a.nm, b.nm) <= 1
+        ), e AS (
+          SELECT ka AS a, kb AS b FROM pairs
+          UNION SELECT kb, ka FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ), comp AS (
+          SELECT a AS k, LEAST(a, MIN(b)) AS entity_id
+          FROM reach GROUP BY a
+        ), resolved AS (
+          SELECT s.k, COALESCE(c.entity_id, s.k) AS entity_id, s.nm
+          FROM s LEFT JOIN comp c ON s.k = c.k
+        ), canon AS (
+          SELECT entity_id, nm AS canonical_nm
+          FROM resolved WHERE k = entity_id
+        ), sz AS (
+          SELECT entity_id, COUNT(*) AS n_records
+          FROM resolved GROUP BY entity_id
+        )
+        SELECT r.k, r.entity_id, canon.canonical_nm,
+               CAST(sz.n_records AS BIGINT) AS n_records,
+               CAST(r.k = r.entity_id AS INT) AS is_canonical
+        FROM resolved r
+        JOIN canon ON r.entity_id = canon.entity_id
+        JOIN sz ON r.entity_id = sz.entity_id
+        ORDER BY r.k
+      """)),
+
+    // ---------------------------------------------------------------
     // q141: PageRank on the co-purchase graph (r9) — iterative link
     // analysis in EXACT integer arithmetic (operators/PageRank: ranks
     // in e6 units, r' = 150000 + 85·Σ(r div deg) div 100 — every

@@ -25,7 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def all = VectorExpressions.functions ++ SetExpressions.functions ++
-    SignatureAggregates.functions ++ graft.expressions.MisraGriesAgg.functions
+    SignatureAggregates.functions ++ graft.expressions.MisraGriesAgg.functions ++
+    graft.expressions.KmvAgg.functions
 
   /** Idempotent per-session registration for sessions not built with
     * the extensions config (e.g. a shared test session). Registers the

@@ -73,6 +73,10 @@ object ScaleBench {
     "q100_ngram_novelty", "q114_sentence_dedup", "q122_dup_degree_hist",
     // graph + fuzzy join tier
     "q125_triangle_count", "q139_fuzzy_join_k2", "q141_pagerank",
+    "q147_bfs_reach",
+    // sketch + retrieval additions (r9 late): O(k) aggregate state and
+    // the filter-before-shuffle posting scan — both should be ~flat
+    "q146_kmv_distinct", "q145_bm25",
     // relational core over the amplified fact table (r9 broadening)
     "q1_pricing_summary", "q4_brand_revenue",
     // vector tier: exact scan, inverted-list ANN, capped cluster

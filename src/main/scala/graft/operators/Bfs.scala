@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source BFS hop distance over an undirected edge set — the
+  * graph-TRAVERSAL primitive next to the fixpoint family
+  * ([[ConnectedComponents]] = label fixpoint, [[PageRank]] = value
+  * fixpoint): how far is every vertex from the nearest seed, in hops.
+  * The workhorse behind reachability audits ("which items are within
+  * 2 recommendation hops of a flagged product"), influence radius,
+  * and landmark-distance features.
+  *
+  * Semantics are min-plus label propagation: hop₀ = 0 on seeds; each
+  * sweep hopᵢ(v) = min(hopᵢ₋₁(v), 1 + min over neighbors u of
+  * hopᵢ₋₁(u)). After L sweeps the frame holds EXACTLY the vertices at
+  * distance ≤ L, each with its true distance (min over paths — pure
+  * integer MIN aggregation, order-independent, so a SQL twin is
+  * bit-identical; no floating anything).
+  *
+  * Scale shape (the PageRank discipline): the doubled edge list is
+  * persisted once; each sweep is one vertex-keyed equi-join of the
+  * reached frame onto edge sources + one dst-keyed MIN aggregate —
+  * shuffle ∝ |E| per sweep worst-case, state ∝ reached vertices,
+  * lineage truncated per round ([[Reliable.barrier]] upgrades to
+  * reliable checkpoints under the deployment profile). A
+  * production variant joins only the NEW frontier (rows whose hop
+  * equals the sweep number) against the topology — same results,
+  * sweep cost ∝ frontier·avg-degree instead of |reached|·avg-degree;
+  * the full-frame join is kept here because it is the shape the
+  * generated SQL twin can mirror term for term.
+  */
+object Bfs {
+
+  /** (v, hop) for vertices within `iters` hops of `seeds`. `edges` is
+    * one row per undirected edge (pi, pj), no self-loops; `seeds` is
+    * a one-column frame (v) — rows not present in the graph are kept
+    * at hop 0 (a seed is at distance 0 from itself regardless of
+    * degree).
+    */
+  def run(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = edges
+      .select(col("pi").as("src"), col("pj").as("dst"))
+      .unionAll(edges.select(col("pj").as("src"), col("pi").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hop = seeds.select(col("v"), lit(0L).as("hop"))
+    (1 to iters).foreach { _ =>
+      val next = dir
+        .join(hop.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("hop") + lit(1L)).as("hop"))
+        .unionAll(hop)
+        .groupBy(col("v")).agg(min(col("hop")).as("hop"))
+      hop = Reliable.barrier(next)(_.localCheckpoint())
+    }
+    dir.unpersist()
+    hop
+  }
+
+  /** Oracle twin: the same sweeps as generated MIN-aggregate CTEs over
+    * a directed-edge CTE `d(src, dst)` and a seed CTE `h0(v, hop)` —
+    * the [[PageRank.oracleCtes]] unrolling pattern (SQL recursion
+    * cannot aggregate in the recursive term).
+    */
+  def oracleCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""h$i AS (
+         |          SELECT v, CAST(MIN(hop) AS BIGINT) AS hop FROM (
+         |            SELECT d.dst AS v, p.hop + 1 AS hop
+         |            FROM d JOIN h${i - 1} p ON p.v = d.src
+         |            UNION ALL SELECT v, hop FROM h${i - 1}
+         |          ) GROUP BY v
+         |        )""".stripMargin
+    }.mkString(", ")
+}

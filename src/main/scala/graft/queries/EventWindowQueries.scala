@@ -984,6 +984,72 @@ object EventWindowQueries {
                CAST(list_reduce(list_transform(ns, x -> CAST(x * 1000 AS BIGINT)),
                                 (s, x) -> (s + x) // 2) AS BIGINT) AS sm_e3
         FROM l ORDER BY event_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q146: sketched distinct counting — per-segment cardinality via
+    // the K-Minimum-Values sketch (graft.expressions.KmvAgg), audited
+    // against the exact count, error emitted as data (the q97
+    // recall-as-data discipline). This is the scale-safe form of
+    // "distinct users per segment": exact COUNT(DISTINCT) carries
+    // reducer state ∝ cardinality — the measured quantity itself —
+    // while the sketch is O(k) mergeable state per partial at any
+    // parallelism. Spark's own approx_count_distinct (HLL++) has
+    // engine-defined estimates the driver could only rows-check; KMV
+    // over the deterministic 56-bit md5 hash is a pure set function
+    // of the input, so the ESTIMATE is bit-reproducible and the
+    // DuckDB twin (k-th smallest distinct hash via a ranking window)
+    // hash-compares it. Estimator: n̂ = (k−1)·2^56 div h_k when the
+    // sketch is full, exact size otherwise; err_e4 reports
+    // |n̂−n|·10⁴ div n per segment. The exact column doubles as the
+    // audit: at web scale you drop it and keep the sketch.
+    Q("q146_kmv_distinct",
+      (s, d) => {
+        val k = 64
+        val h = conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 14), 16, 10).cast("bigint")
+        Tables.events(s, d)
+          .select(col("event_type"), h.as("h"))
+          .groupBy(col("event_type"))
+          .agg(graft.expressions.KmvAgg.kmv(col("h"), k).as("sk"),
+            countDistinct(col("h")).as("exact_distinct"))
+          .withColumn("est_distinct",
+            when(size(col("sk")) < k, size(col("sk")).cast("bigint"))
+              .otherwise(
+                expr(s"${(k - 1L) * 72057594037927936L}L div element_at(sk, $k)")))
+          .select(col("event_type"), col("exact_distinct"),
+            col("est_distinct"),
+            expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct")
+              .as("err_e4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 14)
+                   AS BIGINT) AS h
+          FROM events
+        ), ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM h
+        ), sk AS (
+          SELECT event_type, CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+                 MAX(CASE WHEN rn = 64 THEN h END) AS h64,
+                 COUNT(*) AS n_in
+          FROM ranked WHERE rn <= 64 GROUP BY event_type
+        ), est AS (
+          SELECT event_type, exact_distinct,
+                 CAST(CASE WHEN n_in < 64 THEN n_in
+                      ELSE (63 * 72057594037927936) // h64 END AS BIGINT)
+                   AS est_distinct
+          FROM sk
+        )
+        SELECT event_type, exact_distinct, est_distinct,
+               CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct
+                 AS BIGINT) AS err_e4
+        FROM est ORDER BY event_type
       """))
   )
 }

@@ -474,6 +474,47 @@ object JoinQueries {
         ), ${graft.operators.PageRank.oracleCtes(6)}
         SELECT v AS part, r AS rank_e6
         FROM r6 ORDER BY rank_e6 DESC, part LIMIT 20
+      """)),
+
+    // ---------------------------------------------------------------
+    // q147: multi-source BFS hop distance (r9) — graph TRAVERSAL next
+    // to the fixpoint tier (q57 label fixpoint, q141 value fixpoint):
+    // distance in hops from a deterministic seed set (part % 25 = 0)
+    // to every vertex of the co-purchase graph, 4 sweeps of min-plus
+    // propagation (operators/Bfs — pure integer MIN aggregation, so
+    // the generated-CTE twin is bit-identical), rolled up as a
+    // reachability histogram (hop → vertex count + id checksum) — the
+    // "how much of the catalog sits within k recommendation hops of
+    // the flagged set" audit. Each sweep is one vertex-keyed equi-join
+    // + one MIN aggregate over the persisted doubled edge list: |E|
+    // shuffle per sweep, state ∝ reached vertices, fixed sweep count.
+    Q("q147_bfs_reach",
+      (s, d) => {
+        val edges = copurchaseEdges(s, d).select(col("pi"), col("pj"))
+        val seeds = edges.select(col("pi").as("v"))
+          .unionAll(edges.select(col("pj").as("v")))
+          .distinct().filter(col("v") % 25 === 0)
+        graft.operators.Bfs.run(edges, seeds, iters = 4)
+          .groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("sum_v"))
+          .orderBy(col("hop"))
+      },
+      Some(s"""
+        WITH oi AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), e AS (
+          SELECT a.pk AS pi, b.pk AS pj
+          FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), d AS (
+          SELECT pi AS src, pj AS dst FROM e
+          UNION ALL SELECT pj, pi FROM e
+        ), h0 AS (
+          SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS hop FROM d
+          WHERE src % 25 = 0
+        ), ${graft.operators.Bfs.oracleCtes(4)}
+        SELECT hop, COUNT(*) AS n_vertices, CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM h4 GROUP BY hop ORDER BY hop
       """))
   )
 

@@ -775,6 +775,97 @@ object TextQueries {
               FROM documents)
         WHERE rank <= 5
         ORDER BY source, rank
+      """)),
+
+    // ---------------------------------------------------------------
+    // q145: BM25 ranked retrieval (r9) — the search side of the corpus
+    // tooling: given a fixed query-term set, rank documents by
+    // Okapi BM25 (k1=1.2, b=0.75) and return the top 10. q55's TF-IDF
+    // profiles every document; this is the other direction — a
+    // QUERY against the corpus (eval-set retrieval, curation
+    // spot-checks, "which training docs match this probe" audits).
+    //
+    // Scale shape: the corpus is scanned ONCE; dl (doc length) is a
+    // map-side array size, the query terms filter the exploded tokens
+    // BEFORE any shuffle (posting-list selectivity — only rows for the
+    // ≤ |Q| query terms survive), tf is (doc,term)-keyed, df/N/T are
+    // term-keyed and scalar aggregates whose frames broadcast, and the
+    // top-10 runs through TopK.global's TakeOrderedAndProject shape
+    // (per-task heaps, no global sort). Nothing anywhere is keyed by
+    // less than doc or term, so the plan survives any corpus size.
+    //
+    // Determinism: the saturating tf side is EXACT integer fixed-point
+    // — denom_e3 = 1000·tf + 300 + (dl·900·N) div T is the e3-scaled
+    // BM25 denominator tf + k1·(1−b+b·dl/avgdl), and the tf part
+    // (tf·2200000) div denom_e3 is e3-scaled tf·(k1+1)/denom (all
+    // terms nonnegative, so Spark `div` ≡ DuckDB `//`). The idf is
+    // the one deliberate double: ln(odds+1) on identical IEEE inputs
+    // floored at e6 — the q55 precedent (both engines evaluate the
+    // same expression tree; floor of identical doubles is identical).
+    Q("q145_bm25",
+      (s, d) => {
+        val terms = Seq("vector", "stream", "hash")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        val corpus = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ts")).cast("bigint")).as("t_tokens"))
+        val tf = docs
+          .select(col("doc_id"), size(col("ts")).cast("bigint").as("dl"),
+            explode(col("ts")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf_e6", expr(
+            "cast(floor(ln((2.0D * n_docs - 2*df + 1) / (2*df + 1) + 1.0D)" +
+              " * 1000000) as bigint)"))
+          .withColumn("denom_e3",
+            expr("1000*tf + 300 + (dl * 900 * n_docs) div t_tokens"))
+          .withColumn("contrib_e6",
+            expr("(idf_e6 * ((tf * 2200000) div denom_e3)) div 1000"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("contrib_e6")).as("score_e6"))
+        graft.operators.TopK.global(scored,
+            Seq(col("score_e6").desc, col("doc_id")), 10)
+          .select(col("rank"), col("doc_id"), col("n_matched"),
+            col("score_e6"))
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, $DTokens AS ts FROM documents
+        ), corpus AS (
+          SELECT COUNT(*) AS n_docs, CAST(SUM(len(ts)) AS BIGINT) AS t_tokens
+          FROM docs
+        ), toks AS (
+          SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS tok
+          FROM docs
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl
+          FROM toks WHERE tok IN ('vector', 'stream', 'hash')
+          GROUP BY doc_id, tok
+        ), dfreq AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(ln((2.0 * n_docs - 2*df + 1) / (2*df + 1) + 1.0)
+                   * 1000000) AS BIGINT) AS idf_e6,
+                 1000*tf.tf + 300 + (tf.dl * 900 * n_docs) // t_tokens
+                   AS denom_e3,
+                 tf.tf AS tf
+          FROM tf JOIN dfreq USING (tok), corpus
+        ), agg AS (
+          SELECT doc_id, COUNT(*) AS n_matched,
+                 CAST(SUM((idf_e6 * ((tf * 2200000) // denom_e3)) // 1000)
+                   AS BIGINT) AS score_e6
+          FROM scored GROUP BY doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT)
+                 AS rank,
+               doc_id, n_matched, score_e6
+        FROM agg ORDER BY score_e6 DESC, doc_id LIMIT 10
       """))
   )
 }

@@ -87,7 +87,10 @@ object ScaleBench {
     "q103_funnel", "q104_retention_cohorts", "q112_rolling_actives",
     "q117_session_paths", "q121_value_percentiles", "q132_cumulative_uniques",
     // text-prep tier
-    "q55_tfidf", "q88_heavy_hitters", "q83_train_shuffle")
+    "q55_tfidf", "q88_heavy_hitters", "q83_train_shuffle",
+    // tokenizer training: sweeps are vocab-bounded — the cipher grows
+    // the vocabulary ~R×, so this measures exactly that claim
+    "q148_bpe_train")
 
   /** Queries whose amplified runs may legitimately report sort-based
     * aggregate fallback: q117's `collect_list` inside a

@@ -509,6 +509,46 @@ object LlmPrepQueries {
         WHERE ((doc_id % 1000003) * 2654435761) % 1000003 * wmax
               < n_chars * 1000003
         GROUP BY source ORDER BY source
+      """)),
+
+    // ---------------------------------------------------------------
+    // q148: BPE tokenizer TRAINING (r9) — learn the first 5 merge
+    // rules from the corpus (operators/BpeTrain): one corpus scan for
+    // the word-frequency table, then every sweep is vocabulary-bounded
+    // (the Sennrich/HF trainer design — the property that makes BPE
+    // training feasible at 100 TB). Weighted pair counts are integer
+    // sums, the winner is lexicographically tie-broken, and merge
+    // application is the fold≡window construction proven in the
+    // operator's scaladoc (self-pairs excluded from selection — the
+    // documented contract). Output: the ordered merge table, i.e. the
+    // tokenizer artifact itself, hash-compared against a DuckDB twin
+    // that unrolls the same 5 sweeps as generated lag-window CTEs.
+    Q("q148_bpe_train",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        graft.operators.BpeTrain.run(words, merges = 5)
+          .orderBy(col("sweep"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest($DTokens) AS tok FROM documents
+        ), wf AS (
+          SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM toks GROUP BY tok
+        ), w0 AS (
+          SELECT word, freq,
+                 list_transform(range(1, length(word) + 1),
+                   j -> substring(word, j, 1)) AS syms
+          FROM wf
+        ), ${graft.operators.BpeTrain.oracleCtes(5)}
+        SELECT * FROM (
+          ${(1 to 5).map(i =>
+            s"SELECT $i AS sweep, a AS lsym, b AS rsym, n FROM m$i")
+            .mkString("\n          UNION ALL ")}
+        ) ORDER BY sweep
       """))
   )
 }

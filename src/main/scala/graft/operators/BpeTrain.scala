@@ -50,7 +50,14 @@ object BpeTrain {
     * (sweep, lsym, rsym, n) — the ordered merge table (sweep 1-based,
     * n = weighted occurrence count that won the sweep).
     */
-  def run(words: DataFrame, merges: Int): DataFrame = {
+  def run(words: DataFrame, merges: Int): DataFrame =
+    trainState(words, merges)._1
+
+  /** Full train state: (merge table, final segmentation frame
+    * (word, freq, syms)) — the encode side (q149 fertility) reads the
+    * trained segmentations; [[run]] keeps the table-only surface.
+    */
+  def trainState(words: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     var w = words.select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), j -> substring(word, j, 1))")
@@ -84,7 +91,7 @@ object BpeTrain {
         .select(col("word"), col("freq"), col("syms"))
       w = Reliable.barrier(merged)(_.localCheckpoint())
     }
-    table
+    (table, w)
   }
 
   /** Oracle twin: the same sweeps as generated CTEs over a

@@ -533,22 +533,63 @@ object LlmPrepQueries {
           .orderBy(col("sweep"))
       },
       Some(s"""
-        WITH toks AS (
-          SELECT unnest($DTokens) AS tok FROM documents
-        ), wf AS (
-          SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
-          FROM toks GROUP BY tok
-        ), w0 AS (
-          SELECT word, freq,
-                 list_transform(range(1, length(word) + 1),
-                   j -> substring(word, j, 1)) AS syms
-          FROM wf
-        ), ${graft.operators.BpeTrain.oracleCtes(5)}
+        WITH $BpeBaseSql, ${graft.operators.BpeTrain.oracleCtes(5)}
         SELECT * FROM (
           ${(1 to 5).map(i =>
             s"SELECT $i AS sweep, a AS lsym, b AS rsym, n FROM m$i")
             .mkString("\n          UNION ALL ")}
         ) ORDER BY sweep
+      """)),
+
+    // ---------------------------------------------------------------
+    // q149: BPE fertility — the APPLY side closing q148's train loop:
+    // encode the corpus with the learned merge table and report the
+    // tokenizer-evaluation numbers a vocab decision is made on —
+    // total chars vs total post-merge tokens (weighted by word freq)
+    // and chars-per-token (the compression/fertility metric). Encoding
+    // happens on the same vocabulary-bounded segmentation frame the
+    // trainer already holds (corpus-weighted by freq), so the apply
+    // pass adds NO corpus scan — the q148 scale argument verbatim.
+    Q("q149_bpe_fertility",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val (_, segs) = graft.operators.BpeTrain.trainState(words, merges = 5)
+        segs.agg(
+            count(lit(1)).as("n_words"),
+            sum(expr("freq * length(word)")).as("total_chars"),
+            sum(expr("freq * size(syms)")).as("total_tokens"))
+          .select(col("n_words"), col("total_chars"), col("total_tokens"),
+            expr("total_chars * 10000 div total_tokens")
+              .as("chars_per_token_e4"))
+      },
+      Some(s"""
+        WITH $BpeBaseSql, ${graft.operators.BpeTrain.oracleCtes(5)}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars,
+               CAST(SUM(freq * len(syms)) AS BIGINT) AS total_tokens,
+               CAST(SUM(freq * length(word)) * 10000
+                    // SUM(freq * len(syms)) AS BIGINT)
+                 AS chars_per_token_e4
+        FROM w5
       """))
   )
+
+  /** Shared oracle front of the BPE pair (q148 train / q149 apply):
+    * word frequencies + initial character segmentations.
+    */
+  private def BpeBaseSql: String =
+    s"""toks AS (
+       |          SELECT unnest($DTokens) AS tok FROM documents
+       |        ), wf AS (
+       |          SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |          FROM toks GROUP BY tok
+       |        ), w0 AS (
+       |          SELECT word, freq,
+       |                 list_transform(range(1, length(word) + 1),
+       |                   j -> substring(word, j, 1)) AS syms
+       |          FROM wf
+       |        )""".stripMargin
 }

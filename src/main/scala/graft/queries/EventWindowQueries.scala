@@ -1050,6 +1050,126 @@ object EventWindowQueries {
                CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct
                  AS BIGINT) AS err_e4
         FROM est ORDER BY event_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q150: fixed-size quantile sketch — per-type p50/p99 from a
+    // 64-bucket equi-width histogram, audited against the exact
+    // percentiles (the q146/q97 error-as-data discipline, aimed at
+    // quantiles). q121's exact machinery compresses to the VALUE
+    // domain first — bounded for cent-valued metrics, but state ∝
+    // distinct values in general; the histogram sketch is O(64) per
+    // group REGARDLESS of the value domain, trivially mergeable
+    // (counts sum), the classic warehouse answer when the metric is
+    // high-cardinality continuous. All arithmetic is integer on the
+    // e2-quantized values: bucket = ((v−mn)·64) div (mx−mn+1), the
+    // estimate interpolates inside the covering bucket — deterministic
+    // on both engines, so unlike approx_percentile (engine-defined)
+    // the ESTIMATE itself hash-compares. Per-type bounds broadcast;
+    // the histogram and exact sides reuse one scan's compressed frame.
+    Q("q150_quantile_sketch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), e2(col("value")).as("v"))
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val byType = Window.partitionBy(col("event_type"))
+        def t(p: Int) = s"(n * $p + 99) DIV 100"
+        // the CASE fires ONLY for the covering bucket (cum ≥ t > cum−cnt)
+        // — one row per percentile; past the covering bucket the
+        // interpolation offset t − cum_before would go negative and a
+        // bare MIN would pick a sparse late bucket's garbage value
+        def estExpr(p: Int) = expr(
+          s"""MIN(CASE WHEN cum >= ${t(p)} AND cum - cnt < ${t(p)} THEN
+                mn + (b * (mx - mn + 1)) DIV 64
+                   + ((${t(p)} - (cum - cnt)) * ((mx - mn + 1) DIV 64)) DIV cnt
+              END)""")
+        val est = ev.join(broadcast(bounds), "event_type")
+          .withColumn("b", expr("((v - mn) * 64) div (mx - mn + 1)"))
+          .groupBy(col("event_type"), col("b"))
+          .agg(count(lit(1)).as("cnt"), max(col("mn")).as("mn"),
+            max(col("mx")).as("mx"))
+          .withColumn("n", sum(col("cnt")).over(byType))
+          .withColumn("cum", sum(col("cnt")).over(
+            byType.orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), estExpr(50).as("p50_est_e2"),
+            estExpr(99).as("p99_est_e2"))
+        val h = ev.groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val exact = h
+          .withColumn("n", sum(col("cnt")).over(byType))
+          .withColumn("cum", sum(col("cnt")).over(
+            byType.orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("event_type"))
+          .agg(expr(s"MIN(CASE WHEN cum >= ${t(50)} THEN v END)")
+              .as("p50_exact_e2"),
+            expr(s"MIN(CASE WHEN cum >= ${t(99)} THEN v END)")
+              .as("p99_exact_e2"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n"),
+            col("p50_exact_e2"), col("p50_est_e2"),
+            abs(col("p50_est_e2") - col("p50_exact_e2")).as("p50_err_e2"),
+            col("p99_exact_e2"), col("p99_est_e2"),
+            abs(col("p99_est_e2") - col("p99_exact_e2")).as("p99_err_e2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events
+        ), bounds AS (
+          SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+          FROM ev GROUP BY event_type
+        ), hist AS (
+          SELECT ev.event_type, ((v - mn) * 64) // (mx - mn + 1) AS b,
+                 COUNT(*) AS cnt, MAX(mn) AS mn, MAX(mx) AS mx
+          FROM ev JOIN bounds USING (event_type)
+          GROUP BY 1, 2
+        ), hc AS (
+          SELECT *, SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM hist
+        ), est AS (
+          SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+                               AND cum - cnt < (n * 50 + 99) // 100 THEN
+                   mn + (b * (mx - mn + 1)) // 64
+                      + (((n * 50 + 99) // 100 - (cum - cnt))
+                         * ((mx - mn + 1) // 64)) // cnt END) AS BIGINT)
+                   AS p50_est_e2,
+                 CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                               AND cum - cnt < (n * 99 + 99) // 100 THEN
+                   mn + (b * (mx - mn + 1)) // 64
+                      + (((n * 99 + 99) // 100 - (cum - cnt))
+                         * ((mx - mn + 1) // 64)) // cnt END) AS BIGINT)
+                   AS p99_est_e2
+          FROM hc GROUP BY 1
+        ), vc AS (
+          SELECT event_type, v, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
+        ), vcc AS (
+          SELECT *, SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM vc
+        ), exact AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END)
+                   AS p50_exact_e2,
+                 MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END)
+                   AS p99_exact_e2
+          FROM vcc GROUP BY 1
+        )
+        SELECT event_type, n, p50_exact_e2, p50_est_e2,
+               abs(p50_est_e2 - p50_exact_e2) AS p50_err_e2,
+               p99_exact_e2, p99_est_e2,
+               abs(p99_est_e2 - p99_exact_e2) AS p99_err_e2
+        FROM est JOIN exact USING (event_type)
+        ORDER BY event_type
       """))
   )
 }

@@ -40,7 +40,9 @@ class ObjectHashFallbackSpec extends SparkSuite {
     "misra_gries" -> perDocRows
       .withColumn("tok", (col("gram") % 97).cast("string"))
       .groupBy(col("doc_id"))
-      .agg(MisraGriesAgg.misraGries(col("tok"), 32).as("mg")))
+      .agg(MisraGriesAgg.misraGries(col("tok"), 32).as("mg")),
+    "kmv_sketch" -> perDocRows.groupBy(col("doc_id"))
+      .agg(KmvAgg.kmv(col("gram"), 32).as("sk")))
 
   private def perDocSignatures: DataFrame = perKeyAggs.head._2
 
@@ -68,7 +70,7 @@ class ObjectHashFallbackSpec extends SparkSuite {
     }
   }
 
-  test("pinned threshold: NO per-key custom aggregate sort-falls-back (minhash/simhash/misra-gries)") {
+  test("pinned threshold: NO per-key custom aggregate sort-falls-back (minhash/simhash/misra-gries/kmv)") {
     withConf("spark.sql.adaptive.enabled", "false") {
       assert(spark.conf.get(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")

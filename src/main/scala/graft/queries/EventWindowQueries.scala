@@ -1170,6 +1170,82 @@ object EventWindowQueries {
                abs(p99_est_e2 - p99_exact_e2) AS p99_err_e2
         FROM est JOIN exact USING (event_type)
         ORDER BY event_type
+      """)),
+
+    // ---------------------------------------------------------------
+    // q151: sketch-merge rollup — the ALGEBRA that makes sketches
+    // reusable data artifacts, demonstrated on q146's KMV: per-segment
+    // sketches are built ONCE (one corpus pass), then the distinct
+    // count of ANY union of segments is answered from the stored
+    // sketches alone — here the all-types union, merged by re-sketching
+    // the exploded per-segment sketch values (KMV is closed under
+    // union: the k smallest of a union of per-set k-smallest IS the
+    // union's sketch — a set identity, so the rollup is EXACTLY the
+    // sketch a full rescan would build, and the twin can hash-compare
+    // it). Rollup cost ∝ #segments·k — independent of corpus size;
+    // the exact union distinct is the audit column that drops at
+    // scale. This is the warehouse pattern behind sketch columns in
+    // summary tables (Druid/BigQuery sketch merges).
+    Q("q151_kmv_rollup",
+      (s, d) => {
+        val k = 64
+        val h = conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 14), 16, 10).cast("bigint")
+        val perSeg = Tables.events(s, d)
+          .select(col("event_type"), h.as("h"))
+          .groupBy(col("event_type"))
+          .agg(graft.expressions.KmvAgg.kmv(col("h"), k).as("sk"))
+        val merged = perSeg
+          .select(explode(col("sk")).as("h"))
+          .agg(graft.expressions.KmvAgg.kmv(col("h"), k).as("sk"),
+            count(lit(1)).as("n_sketch_rows"))
+        val nseg = perSeg.agg(count(lit(1)).as("n_segments"))
+        val exact = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("exact_union"))
+        merged.crossJoin(broadcast(nseg)).crossJoin(broadcast(exact))
+          .withColumn("est_union",
+            when(size(col("sk")) < k, size(col("sk")).cast("bigint"))
+              .otherwise(expr(
+                s"${(k - 1L) * 72057594037927936L}L div element_at(sk, $k)")))
+          .select(col("n_segments"), col("n_sketch_rows"), col("est_union"),
+            col("exact_union"),
+            expr("abs(est_union - exact_union) * 10000 div exact_union")
+              .as("err_e4"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 14)
+                   AS BIGINT) AS h
+          FROM events
+        ), ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h
+        ), nseg AS (
+          SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_segments,
+                 CAST(COUNT(*) AS BIGINT) AS n_sketch_rows
+          FROM ranked WHERE rn <= 64
+        ), mr AS (
+          SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+          FROM (SELECT DISTINCT h FROM ranked WHERE rn <= 64)
+        ), msk AS (
+          SELECT MAX(CASE WHEN rn = 64 THEN h END) AS h64, COUNT(*) AS n_in
+          FROM mr WHERE rn <= 64
+        ), exact AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+          FROM events
+        ), est AS (
+          SELECT CAST(CASE WHEN n_in < 64 THEN n_in
+                      ELSE (63 * 72057594037927936) // h64 END AS BIGINT)
+            AS est_union
+          FROM msk
+        )
+        SELECT n_segments, n_sketch_rows, est_union, exact_union,
+               CAST(abs(est_union - exact_union) * 10000 // exact_union
+                 AS BIGINT) AS err_e4
+        FROM nseg, est, exact
       """))
   )
 }

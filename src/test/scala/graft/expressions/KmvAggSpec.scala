@@ -52,6 +52,18 @@ class KmvAggSpec extends SparkSuite {
     }
   }
 
+  test("union closure: merging per-group sketches == sketching the union (q151)") {
+    val df = (1L to 4000L)
+      .map(i => (i % 7, i * 6364136223846793005L % 100003L))
+      .toDF("g", "h")
+    val perGroup = df.groupBy("g").agg(KmvAgg.kmv(col("h"), 32).as("sk"))
+    val rollup = perGroup.select(explode(col("sk")).as("h"))
+      .agg(KmvAgg.kmv(col("h"), 32).as("sk")).head().getSeq[Long](0)
+    val direct = df.agg(KmvAgg.kmv(col("h"), 32).as("sk"))
+      .head().getSeq[Long](0)
+    assert(rollup == direct, "rollup must equal the full-data sketch")
+  }
+
   test("q146: estimate vs exact audit holds on events at sf0.001") {
     val rows = graft.SparkEntry.queries("q146_kmv_distinct")(
       spark, "/root/testdata/sf0.001").collect()

@@ -310,17 +310,22 @@ object VectorQueries {
         val exact = bruteforce(s, d)
           .select(col("query_id"), col("neighbor_id"), col("rank").as("erank"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def recallOf(method: String, ann: DataFrame): DataFrame =
-          ann.select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+        def recallOf(method: String, ann: DataFrame): DataFrame = {
+          val hits = ann
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
             .join(broadcast(exact), Seq("query_id", "neighbor_id"))
             .select(greatest(col("arank"), col("erank")).as("kmin"))
             .select(explode(filter(array(ks.map(lit(_)): _*),
               kc => col("kmin") <= kc)).as("k"))
             .groupBy(col("k")).agg(count(lit(1)).as("hits"))
-            // zero-hit k levels must still report a row
-            .join(broadcast(ksDf), Seq("k"), "right")
+          // zero-hit k levels must still report a row — LEFT join from
+          // the k axis (broadcasting the non-preserved side is
+          // supported; the right-outer form drops the hint with a
+          // HintErrorLogger warning)
+          ksDf.join(broadcast(hits), Seq("k"), "left")
             .select(lit(method).as("method"), col("k"),
               coalesce(col("hits"), lit(0L)).as("hits"))
+        }
         recallOf("lsh", annLsh(s, d))
           .unionByName(recallOf("ivf", annIvf(s, d)))
           .withColumn("possible", (col("k") * NumQueries).cast("long"))

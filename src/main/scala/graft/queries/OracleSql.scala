@@ -54,4 +54,39 @@ private[queries] object OracleSql {
         s"(CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString(" + ") + s" AS b$t"
     }.mkString(",\n               ")
+
+  /** DuckDB twin of TextQueries.bm25Scored (the q145 scoring core,
+    * shared with q152's fusion oracle): CTE chain ending in
+    * `agg(doc_id, n_matched, score_e6)`. ONE definition so the fused
+    * text ranking can never drift from the standalone one.
+    */
+  def bm25AggSql(terms: Seq[String]): String =
+    s"""bdocs AS (
+       |          SELECT doc_id, $DTokens AS ts FROM documents
+       |        ), bcorpus AS (
+       |          SELECT COUNT(*) AS n_docs, CAST(SUM(len(ts)) AS BIGINT) AS t_tokens
+       |          FROM bdocs
+       |        ), btoks AS (
+       |          SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS tok
+       |          FROM bdocs
+       |        ), btf AS (
+       |          SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl
+       |          FROM btoks WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |          GROUP BY doc_id, tok
+       |        ), bdfreq AS (
+       |          SELECT tok, COUNT(*) AS df FROM btf GROUP BY tok
+       |        ), bscored AS (
+       |          SELECT btf.doc_id,
+       |                 CAST(floor(ln((2.0 * n_docs - 2*df + 1) / (2*df + 1) + 1.0)
+       |                   * 1000000) AS BIGINT) AS idf_e6,
+       |                 1000*btf.tf + 300 + (btf.dl * 900 * n_docs) // t_tokens
+       |                   AS denom_e3,
+       |                 btf.tf AS tf
+       |          FROM btf JOIN bdfreq USING (tok), bcorpus
+       |        ), agg AS (
+       |          SELECT doc_id, COUNT(*) AS n_matched,
+       |                 CAST(SUM((idf_e6 * ((tf * 2200000) // denom_e3)) // 1000)
+       |                   AS BIGINT) AS score_e6
+       |          FROM bscored GROUP BY doc_id
+       |        )""".stripMargin
 }

@@ -22,6 +22,42 @@ object TextQueries {
   private val DTokens = OracleSql.DTokens
   private def sqlList(xs: Seq[String]): String = OracleSql.sqlList(xs)
 
+  /** The q145 query-term set — also the text leg of the hybrid fusion
+    * (q152); one definition so the two rankings stay the same query.
+    */
+  private[queries] val Bm25Terms = Seq("vector", "stream", "hash")
+
+  /** q145's scoring core — e6 BM25 (k1=1.2, b=0.75) per matching doc
+    * for [[Bm25Terms]]: (doc_id, n_matched, score_e6). Shared with
+    * q152's hybrid fusion; arithmetic documented at the q145 entry.
+    */
+  private[queries] def bm25Scored(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ts")).cast("bigint")).as("t_tokens"))
+    val tf = docs
+      .select(col("doc_id"), size(col("ts")).cast("bigint").as("dl"),
+        explode(col("ts")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_e6", expr(
+        "cast(floor(ln((2.0D * n_docs - 2*df + 1) / (2*df + 1) + 1.0D)" +
+          " * 1000000) as bigint)"))
+      .withColumn("denom_e3",
+        expr("1000*tf + 300 + (dl * 900 * n_docs) div t_tokens"))
+      .withColumn("contrib_e6",
+        expr("(idf_e6 * ((tf * 2200000) div denom_e3)) div 1000"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("contrib_e6")).as("score_e6"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -804,64 +840,13 @@ object TextQueries {
     // same expression tree; floor of identical doubles is identical).
     Q("q145_bm25",
       (s, d) => {
-        val terms = Seq("vector", "stream", "hash")
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-        val corpus = docs.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("ts")).cast("bigint")).as("t_tokens"))
-        val tf = docs
-          .select(col("doc_id"), size(col("ts")).cast("bigint").as("dl"),
-            explode(col("ts")).as("tok"))
-          .filter(col("tok").isin(terms: _*))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val scored = tf.join(broadcast(dfreq), "tok")
-          .crossJoin(broadcast(corpus))
-          .withColumn("idf_e6", expr(
-            "cast(floor(ln((2.0D * n_docs - 2*df + 1) / (2*df + 1) + 1.0D)" +
-              " * 1000000) as bigint)"))
-          .withColumn("denom_e3",
-            expr("1000*tf + 300 + (dl * 900 * n_docs) div t_tokens"))
-          .withColumn("contrib_e6",
-            expr("(idf_e6 * ((tf * 2200000) div denom_e3)) div 1000"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_matched"),
-            sum(col("contrib_e6")).as("score_e6"))
-        graft.operators.TopK.global(scored,
+        graft.operators.TopK.global(bm25Scored(s, d),
             Seq(col("score_e6").desc, col("doc_id")), 10)
           .select(col("rank"), col("doc_id"), col("n_matched"),
             col("score_e6"))
       },
       Some(s"""
-        WITH docs AS (
-          SELECT doc_id, $DTokens AS ts FROM documents
-        ), corpus AS (
-          SELECT COUNT(*) AS n_docs, CAST(SUM(len(ts)) AS BIGINT) AS t_tokens
-          FROM docs
-        ), toks AS (
-          SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS tok
-          FROM docs
-        ), tf AS (
-          SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl
-          FROM toks WHERE tok IN ('vector', 'stream', 'hash')
-          GROUP BY doc_id, tok
-        ), dfreq AS (
-          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
-        ), scored AS (
-          SELECT tf.doc_id,
-                 CAST(floor(ln((2.0 * n_docs - 2*df + 1) / (2*df + 1) + 1.0)
-                   * 1000000) AS BIGINT) AS idf_e6,
-                 1000*tf.tf + 300 + (tf.dl * 900 * n_docs) // t_tokens
-                   AS denom_e3,
-                 tf.tf AS tf
-          FROM tf JOIN dfreq USING (tok), corpus
-        ), agg AS (
-          SELECT doc_id, COUNT(*) AS n_matched,
-                 CAST(SUM((idf_e6 * ((tf * 2200000) // denom_e3)) // 1000)
-                   AS BIGINT) AS score_e6
-          FROM scored GROUP BY doc_id
-        )
+        WITH ${OracleSql.bm25AggSql(Bm25Terms)}
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT)
                  AS rank,
                doc_id, n_matched, score_e6

@@ -733,6 +733,71 @@ object VectorQueries {
         SELECT cid, COUNT(*) AS n_members,
                CAST(SUM(dist) AS BIGINT) AS inertia
         FROM af GROUP BY cid ORDER BY cid
+      """)),
+
+    // ---------------------------------------------------------------
+    // q152: hybrid retrieval with reciprocal-rank fusion — the modern
+    // RAG pattern: the lexical ranking (q145's BM25 core, shared code
+    // AND shared oracle fragment so the fused text leg can never
+    // drift from the standalone query) fused with the semantic
+    // ranking (q36's exact-cosine leg for query vector 0 — doc_id and
+    // vec_id are the 1:1 corpus identity) by RRF:
+    // score = Σ_legs 1e6 div (60 + rank), the Cormack/Clarke k=60
+    // constant in exact integer arithmetic. Each leg is top-10; the
+    // fusion is a full-outer join of two 10-row frames + one TopK —
+    // corpus cost is exactly the two legs', both already scale-shaped
+    // (posting-filter scan; broadcast query × scan). Docs found by
+    // both legs rise (the complementarity that makes hybrid beat
+    // either leg); single-leg docs carry one reciprocal term.
+    Q("q152_hybrid_rrf",
+      (s, d) => {
+        val t = graft.operators.TopK.global(
+            TextQueries.bm25Scored(s, d),
+            Seq(col("score_e6").desc, col("doc_id")), 10, "trank")
+          .select(col("doc_id"), col("trank"))
+        val v = bruteforce(s, d).filter(col("query_id") === 0)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("vrank"))
+        val fused = t.join(v, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_e6",
+            coalesce(expr("1000000 div (60 + trank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + vrank)"), lit(0L)))
+        graft.operators.TopK.global(fused,
+            Seq(col("rrf_e6").desc, col("doc_id")), 10)
+          .select(col("rank"), col("doc_id"), col("trank"), col("vrank"),
+            col("rrf_e6"))
+      },
+      Some(s"""
+        WITH ${OracleSql.bm25AggSql(TextQueries.Bm25Terms)}, t AS (
+          SELECT doc_id, CAST(trank AS INT) AS trank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS trank
+            FROM agg
+          ) WHERE trank <= 10
+        ), vq AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qemb
+          FROM embeddings WHERE vec_id = 0
+        ), vscored AS (
+          SELECT e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), vq.qemb)
+                   AS cos
+          FROM embeddings e, vq WHERE e.vec_id <> 0
+        ), v AS (
+          SELECT vec_id AS doc_id, CAST(vrank AS INT) AS vrank FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS vrank
+            FROM vscored
+          ) WHERE vrank <= 10
+        ), fused AS (
+          SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.trank, v.vrank,
+                 CAST(COALESCE(1000000 // (60 + t.trank), 0)
+                    + COALESCE(1000000 // (60 + v.vrank), 0) AS BIGINT)
+                   AS rrf_e6
+          FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS INT)
+                 AS rank,
+               doc_id, trank, vrank, rrf_e6
+        FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 10
       """))
   )
 }

@@ -117,7 +117,9 @@ object KmvAgg {
 
   private def litInt(e: Expression): Int = e match {
     case IntegerLiteral(v) => v
-    case Literal(v: Long, LongType) => v.toInt
+    // only in-range bigint literals convert — a silent .toInt would
+    // truncate e.g. 4294967298 to k=2
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
     case other => throw new IllegalArgumentException(
       s"kmv_sketch k must be an integer literal, got $other")
   }

@@ -1200,8 +1200,11 @@ object EventWindowQueries {
           .agg(graft.expressions.KmvAgg.kmv(col("h"), k).as("sk"),
             count(lit(1)).as("n_sketch_rows"))
         val nseg = perSeg.agg(count(lit(1)).as("n_segments"))
+        // audit basis = distinct HASH (not distinct user_id), matching
+        // q146: the sketch lives in hash domain, so a 56-bit collision
+        // must shrink the exact base identically in both audits
         val exact = Tables.events(s, d)
-          .select(col("user_id")).distinct()
+          .select(h.as("h")).distinct()
           .agg(count(lit(1)).as("exact_union"))
         merged.crossJoin(broadcast(nseg)).crossJoin(broadcast(exact))
           .withColumn("est_union",
@@ -1234,7 +1237,9 @@ object EventWindowQueries {
           SELECT MAX(CASE WHEN rn = 64 THEN h END) AS h64, COUNT(*) AS n_in
           FROM mr WHERE rn <= 64
         ), exact AS (
-          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+          SELECT CAST(COUNT(DISTINCT CAST('0x' ||
+                   substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 14)
+                   AS BIGINT)) AS BIGINT) AS exact_union
           FROM events
         ), est AS (
           SELECT CAST(CASE WHEN n_in < 64 THEN n_in

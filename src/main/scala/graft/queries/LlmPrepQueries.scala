@@ -519,17 +519,18 @@ object LlmPrepQueries {
     // training feasible at 100 TB). Weighted pair counts are integer
     // sums, the winner is lexicographically tie-broken, and merge
     // application is the fold≡window construction proven in the
-    // operator's scaladoc (self-pairs excluded from selection — the
-    // documented contract). Output: the ordered merge table, i.e. the
-    // tokenizer artifact itself, hash-compared against a DuckDB twin
-    // that unrolls the same 5 sweeps as generated lag-window CTEs.
+    // operator's scaladoc — as of r10 INCLUDING self-pairs
+    // (identical-symbol runs merge greedily at even run offsets; the
+    // twin mirrors this with the per-run parity CTE). The natural
+    // corpus never elects a self-pair within 5 sweeps, so two
+    // synthetic run words dominate sweeps 1-3 by construction
+    // ([[bpeWords]]) to keep the parity path under the oracle gate.
+    // Output: the ordered merge table, i.e. the tokenizer artifact
+    // itself, hash-compared against a DuckDB twin that unrolls the
+    // same 5 sweeps as generated CTEs.
     Q("q148_bpe_train",
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(graft.text.TextAnalysis.tokens(col("text")))
-            .as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        graft.operators.BpeTrain.run(words, merges = 5)
+        graft.operators.BpeTrain.run(bpeWords(s, d), merges = 5)
           .orderBy(col("sweep"))
       },
       Some(s"""
@@ -552,11 +553,8 @@ object LlmPrepQueries {
     // pass adds NO corpus scan — the q148 scale argument verbatim.
     Q("q149_bpe_fertility",
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(graft.text.TextAnalysis.tokens(col("text")))
-            .as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        val (_, segs) = graft.operators.BpeTrain.trainState(words, merges = 5)
+        val (_, segs) =
+          graft.operators.BpeTrain.trainState(bpeWords(s, d), merges = 5)
         segs.agg(
             count(lit(1)).as("n_words"),
             sum(expr("freq * length(word)")).as("total_chars"),
@@ -577,15 +575,50 @@ object LlmPrepQueries {
       """))
   )
 
+  /** Self-pair coverage words for the BPE pair (q148/q149): the
+    * natural corpus never elects an identical-symbol pair within 5
+    * sweeps, so these two run words — one even run (composite
+    * self-pair (zz,zz) reachable), one odd run (trailing-singleton
+    * parity) — carry a frequency that dominates every corpus pair
+    * count at any graded SF (corpus adjacent-pair totals are bounded
+    * by total chars ≪ 10⁹), pinning sweeps 1-3 to (z,z) → (zz,z) (the
+    * lexicographic tie-break) → (zz,zz) on BOTH engines and leaving
+    * sweeps 4-5 organic.
+    */
+  // def, not val: referenced from `all`'s eager oracle strings, which
+  // initialize before any val declared below `all` in this object
+  private def RunWords = Seq(("zzzz", 1000000000L), ("zzz", 1000000000L))
+
+  /** Shared Spark-side word-frequency front of the BPE pair: corpus
+    * token counts ∪ [[RunWords]] (re-summed — the vocab-sized second
+    * aggregate is noise next to the corpus scan).
+    */
+  private def bpeWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    corpus.unionByName(RunWords.toDF("word", "freq"))
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+  }
+
   /** Shared oracle front of the BPE pair (q148 train / q149 apply):
-    * word frequencies + initial character segmentations.
+    * word frequencies (∪ the same run words) + initial character
+    * segmentations.
     */
   private def BpeBaseSql: String =
     s"""toks AS (
        |          SELECT unnest($DTokens) AS tok FROM documents
-       |        ), wf AS (
+       |        ), wf0 AS (
        |          SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |          FROM toks GROUP BY tok
+       |          UNION ALL SELECT * FROM (VALUES
+       |            ${RunWords.map { case (w, f) =>
+                      s"('$w', CAST($f AS BIGINT))" }.mkString(", ")})
+       |            v(word, freq)
+       |        ), wf AS (
+       |          SELECT word, CAST(SUM(freq) AS BIGINT) AS freq
+       |          FROM wf0 GROUP BY word
        |        ), w0 AS (
        |          SELECT word, freq,
        |                 list_transform(range(1, length(word) + 1),

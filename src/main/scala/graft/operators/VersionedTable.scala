@@ -3,45 +3,92 @@ package graft.operators
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Minimal snapshot-versioned parquet table: a commit-log directory of
-  * manifest files gives plain parquet the three properties a 100 TB
+  * manifest files gives plain parquet the four properties a 100 TB
   * pipeline reaches for a table format for — ATOMIC commit visibility,
-  * TIME TRAVEL (`readVersion`), and a MERGE INTO closure
-  * (`commitMerge`, the q129 SCD1 argmax discipline) — from public
-  * first principles (the Delta/Iceberg commit-protocol idea: data
-  * files are immutable and invisible until a manifest names them).
+  * TIME TRAVEL (`readVersion`), a MERGE INTO closure (`commitMerge`,
+  * the q129 SCD1 argmax discipline), and — r10 — MANIFEST-LEVEL DATA
+  * SKIPPING (`readVersionPruned`: per-file min/max zone maps written
+  * at commit, consumed at read). All from public first principles
+  * (the Delta/Iceberg commit-protocol idea: data files are immutable
+  * and invisible until a manifest names them; the manifest carries the
+  * statistics that let a reader never open non-overlapping files).
   *
   * Layout under `base/`:
-  *   d{version}/part-*.parquet     immutable data files of one commit
-  *   _log/{version%020d}.commit    manifest: relative paths composing
-  *                                 that VERSION's full snapshot view
+  *   d{version}-{nonce}/part-*.parquet   immutable data files of ONE
+  *                                       commit ATTEMPT (the nonce
+  *                                       keeps concurrent attempts'
+  *                                       files private — two writers
+  *                                       racing to the same version
+  *                                       can never list or clobber
+  *                                       each other's data)
+  *   _log/{version%020d}.commit          manifest: one line per data
+  *                                       file composing that VERSION's
+  *                                       full snapshot view, plus
+  *                                       optional per-file column stats
   *
-  * Commit protocol (crash-safe, single-winner):
-  *   1. write the new data files under d{n} — unreferenced until step 3,
-  *      so a crash here leaves only invisible orphans (spec-pinned);
-  *   2. write the manifest to a hidden temp file in _log/;
-  *   3. publish via hard-link create-EXCLUSIVE (link(2) fails with
-  *      EEXIST if version n was already committed) — an atomic
-  *      rename() would silently REPLACE an existing marker on POSIX,
-  *      turning a lost race into silent data loss; the link makes the
-  *      second writer of version n fail loudly (optimistic
-  *      concurrency, spec-pinned).
+  * Manifest line format (tab-separated):
+  *   relative/path.parquet[<TAB>col=lo..hi]...
+  * Stats are per-file min/max of the INTEGRAL columns declared at
+  * commit time (`statsCols`) — the zone maps a reader prunes on. A
+  * column absent from a file's line (e.g. all-null in that file, or
+  * the file predates stats) is simply not prunable on — skipping
+  * degrades to reading, never to wrong answers. Files carried forward
+  * by an append manifest keep their original stats lines VERBATIM, so
+  * stat maintenance stays O(delta) like the manifest itself.
+  *
+  * Commit protocol (crash-safe, optimistic concurrency):
+  *   1. pin the latest committed version v (the snapshot this commit
+  *      is computed AGAINST — publishing is only attempted at v+1, so
+  *      a commit that raced past us cannot be silently overwritten or
+  *      silently missing from a merge);
+  *   2. write the new data files under an attempt-private
+  *      d{v+1}-{nonce} dir — unreferenced until step 4, so a crash
+  *      here leaves only invisible orphans (spec-pinned; vacuum sweeps
+  *      them);
+  *   3. if stats columns are declared, scan the freshly written delta
+  *      once for per-file min/max (O(delta); on a cluster the same
+  *      numbers come out of the parquet footers already in hand);
+  *   4. publish the manifest via hard-link create-EXCLUSIVE (link(2)
+  *      fails with EEXIST if version v+1 was already committed) — an
+  *      atomic rename() would silently REPLACE an existing marker on
+  *      POSIX, turning a lost race into silent data loss; the link
+  *      makes the loser fail loudly with a conflict.
+  * On conflict, `commitAppend`/`commitMerge` REBASE AND RETRY (bounded
+  * attempts): both closures are associative — append sets commute and
+  * the merge argmax is order-insensitive — so recomputing against the
+  * new latest is semantically free; the loser's abandoned attempt dir
+  * is an invisible orphan for vacuum. Readers of version n see exactly
+  * the manifest's file list regardless of concurrent writers.
   *
   * An APPEND commit writes only its delta files (manifest = previous
-  * manifest + new files — O(delta) I/O); a MERGE commit is
+  * manifest + new lines — O(delta) I/O); a MERGE commit is
   * copy-on-write of the keyed current-state table (dimension-sized by
   * construction — one row per key — so the rewrite is bounded by the
-  * key domain, never by history). Readers of version n see exactly the
-  * manifest's file list regardless of concurrent writers.
+  * key domain, never by history).
   *
-  * Local-FS `java.nio` is the sandbox I/O seam; on a cluster the same
-  * three steps run through the Hadoop FileSystem API (object stores
-  * need the same create-exclusive publish, e.g. an S3 conditional PUT).
+  * Scale shape of skipping: the manifest is driver-plane metadata
+  * (one line per file — MBs at 100k files), so pruning happens BEFORE
+  * Spark lists or opens anything; a selective key predicate over a
+  * clustered layout (see q153's z-order fixture) turns a 100 TB scan
+  * into however many files actually overlap. Local-FS `java.nio` is
+  * the sandbox I/O seam; on a cluster the same steps run through the
+  * Hadoop FileSystem API (object stores need the same create-exclusive
+  * publish, e.g. an S3 conditional PUT).
   */
 object VersionedTable {
+
+  /** Per-file min/max of one stats column (inclusive). */
+  final case class ColStats(lo: Long, hi: Long)
+
+  /** One manifest line: a data file path (relative to the table base)
+    * plus its zone-map stats.
+    */
+  final case class ManifestEntry(path: String, stats: Map[String, ColStats])
 
   private def logDir(base: String): Path = Paths.get(base, "_log")
 
@@ -75,10 +122,59 @@ object VersionedTable {
       .filterNot(l => l.startsWith("#") || l.isEmpty)
   }
 
+  private def parseEntry(line: String): ManifestEntry = {
+    val toks = line.split('\t')
+    val stats = toks.iterator.drop(1).map { t =>
+      val Array(c, range) = t.split("=", 2)
+      val Array(lo, hi) = range.split("\\.\\.", 2)
+      c -> ColStats(lo.toLong, hi.toLong)
+    }.toMap
+    ManifestEntry(toks.head, stats)
+  }
+
+  private def formatEntry(e: ManifestEntry): String =
+    (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"$c=${st.lo}..${st.hi}" }).mkString("\t")
+
+  /** The manifest of committed version `v`, parsed — the metadata
+    * surface specs and audits (q153) count files and read zone maps
+    * through.
+    */
+  def entries(base: String, v: Long): Seq[ManifestEntry] =
+    readManifest(base, v).map(parseEntry)
+
+  /** Zone-map pruning: keep the entries that can possibly hold a row
+    * satisfying EVERY conjunct `col BETWEEN lo AND hi`. An entry
+    * without stats for a referenced column is never skipped — pruning
+    * degrades to reading, not to wrong answers.
+    */
+  def prune(es: Seq[ManifestEntry],
+            ranges: Seq[(String, Long, Long)]): Seq[ManifestEntry] =
+    es.filter(e => ranges.forall { case (c, lo, hi) =>
+      e.stats.get(c).forall(st => st.hi >= lo && st.lo <= hi)
+    })
+
   /** The table as of committed version `v` (1-based) — time travel. */
   def readVersion(s: SparkSession, base: String, v: Long): DataFrame = {
-    val files = readManifest(base, v).map(f => s"$base/$f")
+    val files = entries(base, v).map(e => s"$base/${e.path}")
     s.read.parquet(files: _*)
+  }
+
+  /** Time travel THROUGH the zone maps: read version `v` opening only
+    * the files whose stats overlap every `col BETWEEN lo AND hi`
+    * conjunct. File-level skipping only — the caller still applies the
+    * row-level filter; the contract is that the pruned read contains
+    * every satisfying row of the full read (spec-pinned, and q153
+    * hash-compares a pruned aggregate against a full-scan oracle).
+    */
+  def readVersionPruned(s: SparkSession, base: String, v: Long,
+                        ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val all = entries(base, v)
+    val kept = prune(all, ranges)
+    if (kept.isEmpty)
+      // schema-preserving empty frame: every file was skipped
+      s.read.parquet(s"$base/${all.head.path}").limit(0)
+    else s.read.parquet(kept.map(e => s"$base/${e.path}"): _*)
   }
 
   def readLatest(s: SparkSession, base: String): DataFrame = {
@@ -87,39 +183,89 @@ object VersionedTable {
     readVersion(s, base, v)
   }
 
-  /** Append `df` as version latest+1: writes ONLY the delta's files;
-    * the manifest carries forward the previous version's file list.
+  /** Append `df` as a new version: writes ONLY the delta's files; the
+    * manifest carries the previous version's lines forward verbatim
+    * (stats included). On a lost publish race, rebases onto the
+    * winner's manifest and retries — append sets commute, so the
+    * rebase is a manifest recomputation, not a data decision.
     */
-  def commitAppend(s: SparkSession, base: String, df: DataFrame): Long =
-    commit(s, base, df, "append") { (prev, fresh) => prev ++ fresh }
+  def commitAppend(s: SparkSession, base: String, df: DataFrame,
+                   statsCols: Seq[String] = Nil,
+                   maxAttempts: Int = 5): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      val prev = prevV.map(readManifest(base, _)).getOrElse(Seq.empty)
+      commitAt(s, base, df, "append", statsCols, prevV)(fresh => prev ++ fresh)
+    }
 
   /** MERGE INTO closure: the new version's state is the per-key argmax
     * (latest by `ordCols`) of previous state ∪ `delta` — associative,
-    * so commit order across deltas cannot change the final state. The
-    * first merge commit on an empty table is the delta's own argmax.
-    * Copy-on-write: the manifest references only the freshly written
-    * state files.
+    * so commit order across deltas cannot change the final state, and
+    * a lost publish race is resolved by re-reading the winner's state
+    * and re-merging the same delta (bounded retries). The first merge
+    * commit on an empty table is the delta's own argmax. Copy-on-write:
+    * the manifest references only the freshly written state files.
+    * The snapshot version the merge was computed against is pinned —
+    * publish is attempted at exactly that version + 1, so a commit
+    * landing mid-computation forces a rebase instead of being silently
+    * dropped from the merged state.
     */
   def commitMerge(s: SparkSession, base: String, delta: DataFrame,
-                  keyCol: String, ordCols: Seq[String]): Long = {
-    val merged = latestVersion(base) match {
-      case Some(v) =>
-        argmaxLatest(readVersion(s, base, v).unionByName(delta), keyCol, ordCols)
-      case None => argmaxLatest(delta, keyCol, ordCols)
+                  keyCol: String, ordCols: Seq[String],
+                  statsCols: Seq[String] = Nil,
+                  maxAttempts: Int = 5): Long =
+    commitMergeHooked(s, base, delta, keyCol, ordCols, statsCols,
+      maxAttempts)(_ => ())
+
+  /** [[commitMerge]] with a pre-publish hook per attempt — the seam
+    * the concurrency spec injects a racing committer through (a
+    * deterministic interleaving beats a timing-dependent thread race).
+    */
+  private[operators] def commitMergeHooked(
+      s: SparkSession, base: String, delta: DataFrame,
+      keyCol: String, ordCols: Seq[String], statsCols: Seq[String],
+      maxAttempts: Int)(beforePublish: Int => Unit): Long = {
+    var attempt = 0
+    retrying(maxAttempts) {
+      attempt += 1
+      val prevV = latestVersion(base)
+      val merged = prevV match {
+        case Some(v) =>
+          argmaxLatest(readVersion(s, base, v).unionByName(delta),
+            keyCol, ordCols)
+        case None => argmaxLatest(delta, keyCol, ordCols)
+      }
+      val a = attempt
+      commitAt(s, base, merged, "merge", statsCols, prevV,
+        () => beforePublish(a))(fresh => fresh)
     }
-    commit(s, base, merged, "merge") { (_, fresh) => fresh }
+  }
+
+  private def retrying(maxAttempts: Int)(attempt: => Long): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var left = maxAttempts
+    while (true) {
+      try return attempt
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left == 0) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Retention vacuum: delete every data file not referenced by any
     * manifest of version ≥ `retainFrom`, plus the manifests below it —
     * time travel to versions < `retainFrom` fails cleanly afterwards
     * (their markers are gone, not dangling), reads at ≥ `retainFrom`
-    * are untouched. Also sweeps crash orphans (data dirs no manifest
-    * ever referenced). Returns the deleted paths (relative), for the
-    * audit log a production vacuum writes. Append-only histories
-    * delete nothing (later manifests carry every earlier file — the
-    * O(delta) manifest design means retention costs nothing until
-    * copy-on-write MERGE commits strand old state dirs).
+    * are untouched. Also sweeps crash orphans and abandoned commit
+    * attempts (data dirs no manifest ever referenced). Returns the
+    * deleted paths (relative), for the audit log a production vacuum
+    * writes. Append-only histories delete nothing (later manifests
+    * carry every earlier file — the O(delta) manifest design means
+    * retention costs nothing until copy-on-write MERGE commits strand
+    * old state dirs).
     */
   def vacuum(base: String, retainFrom: Long): Seq[String] = {
     val latest = latestVersion(base).getOrElse(return Seq.empty)
@@ -127,7 +273,7 @@ object VersionedTable {
       s"retainFrom $retainFrom is beyond latest committed version $latest")
     val referenced = (retainFrom to latest)
       .filter(v => Files.exists(markerPath(base, v)))
-      .flatMap(v => readManifest(base, v)).toSet
+      .flatMap(v => entries(base, v).map(_.path)).toSet
     val dataDirs = {
       val stream = Files.list(Paths.get(base))
       try stream.iterator().asScala
@@ -143,8 +289,9 @@ object VersionedTable {
         finally stream.close()
       val rels = files.map(f => s"${dir.getFileName}/${f.getFileName}")
       if (!rels.exists(referenced.contains)) {
-        // dir holds NO live data (crash orphan or stranded merge state):
-        // remove it whole, bookkeeping files (_SUCCESS, .crc) included
+        // dir holds NO live data (crash orphan, abandoned attempt, or
+        // stranded merge state): remove it whole, bookkeeping files
+        // (_SUCCESS, .crc) included
         files.foreach(f => Files.deleteIfExists(f))
         try Files.deleteIfExists(dir) catch { case _: Exception => }
         rels
@@ -208,35 +355,76 @@ object VersionedTable {
       .select(col(keyCol) +: valCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 
-  private def commit(s: SparkSession, base: String, df: DataFrame,
-                     op: String)(
-      files: (Seq[String], Seq[String]) => Seq[String]): Long = {
-    val next = latestVersion(base).getOrElse(0L) + 1L
-    val dataDir = s"d$next"
-    // step 1: invisible data files. Overwrite mode on purpose: a d{next}
-    // dir can only pre-exist as the ORPHAN of a commit that crashed
-    // before publishing (provably unreferenced by any manifest), and
-    // ErrorIfExists would wedge the table forever on that orphan —
-    // overwrite makes the retry self-healing.
-    df.write.mode("overwrite").parquet(s"$base/$dataDir")
+  /** One commit ATTEMPT at pinned snapshot `prevV`: write data files
+    * to an attempt-private dir, collect stats, publish at prevV+1 (a
+    * ConcurrentModificationException here means the snapshot went
+    * stale — the caller rebases).
+    */
+  private def commitAt(s: SparkSession, base: String, df: DataFrame,
+                       op: String, statsCols: Seq[String],
+                       prevV: Option[Long],
+                       beforePublish: () => Unit = () => ())(
+      manifest: Seq[String] => Seq[String]): Long = {
+    statsCols.foreach { c =>
+      require(!c.contains('=') && !c.contains('\t'),
+        s"stats column name '$c' would corrupt the manifest line format")
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"stats column '$c' must be integral for zone maps, got $dt")
+    }
+    val next = prevV.getOrElse(0L) + 1L
+    // attempt-private dir: concurrent committers (and retries) can
+    // never list or overwrite each other's unpublished files
+    val dataDir = f"d$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$base/$dataDir")
     val dirStream = Files.list(Paths.get(base, dataDir))
-    val fresh =
+    val freshNames =
       try dirStream.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .toSeq.sorted
-        .map(n => s"$dataDir/$n")
       finally dirStream.close()
-    val prev = latestVersion(base) match {
-      case Some(v) => readManifest(base, v)
-      case None => Seq.empty
+    val stats = collectStats(s, s"$base/$dataDir", statsCols)
+    val freshLines = freshNames.map { n =>
+      formatEntry(ManifestEntry(s"$dataDir/$n", stats.getOrElse(n, Map.empty)))
     }
-    publish(base, next, (s"#op=$op" +: files(prev, fresh))
+    beforePublish()
+    publish(base, next, (s"#op=$op" +: manifest(freshLines))
       .mkString("", "\n", "\n"))
     next
   }
 
-  /** Step 3 in isolation (package-visible so the spec can pin the
+  /** Per-file min/max of the declared integral columns over a freshly
+    * written delta dir: one O(delta) grouped scan keyed by the hidden
+    * `_metadata.file_name`, collected to the driver — metadata-plane
+    * by construction (one row per file, like the manifest itself). On
+    * a cluster the same numbers come from the parquet footers the
+    * writer already produced; the read-back keeps the sandbox seam
+    * engine-only.
+    */
+  private def collectStats(s: SparkSession, dir: String,
+      statsCols: Seq[String]): Map[String, Map[String, ColStats]] = {
+    if (statsCols.isEmpty) return Map.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__lo_$c"),
+      max(col(c).cast("long")).as(s"__hi_$c")))
+    s.read.parquet(dir)
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r: Row =>
+        val per = statsCols.flatMap { c =>
+          val lo = r.getAs[Any](s"__lo_$c")
+          val hi = r.getAs[Any](s"__hi_$c")
+          // all-null column in this file → no stats → never pruned on
+          if (lo == null || hi == null) None
+          else Some(c -> ColStats(lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+        }.toMap
+        r.getAs[String]("__f") -> per
+      }.toMap
+  }
+
+  /** Publish in isolation (package-visible so the spec can pin the
     * single-winner property without a timing-dependent race): atomic
     * create-exclusive publish of version `v`'s manifest.
     */

@@ -406,6 +406,150 @@ object SinkQueries {
         ORDER BY grp
       """),
       // bench=false: fixture-write-dominated like q138/q140
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q153: manifest data skipping — q133's z-order AUDIT made
+    // actionable (r10): the same lineitem slice is written through
+    // VersionedTable twice, once clustered by the (l_partkey,
+    // l_suppkey) Morton z-value and once in natural l_orderkey insert
+    // order — 16 one-bin commits each, with per-file min/max zone maps
+    // for both keys written into the manifests at commit
+    // (VersionedTable statsCols). A selective l_partkey slice (1/32 of
+    // the key domain) is then answered via readVersionPruned, which
+    // consults ONLY the manifest stats to decide which files to open.
+    // Output per layout: files_total, files_kept (the skipping power —
+    // z-order keeps a fraction, insert order keeps ~everything because
+    // every natural bucket spans the whole partkey domain), and the
+    // n_rows/qty_e2 aggregate computed FROM THE PRUNED READ. The
+    // oracle recomputes the aggregate from the FULL table and the kept
+    // counts from per-bin min/max — so a pruned read that loses one
+    // satisfying row, or a zone map that mis-states a bound,
+    // hash-fails. Scale: this is the entire point of a manifest at
+    // 100 TB — pruning is a driver-plane pass over file metadata, the
+    // cluster never lists (let alone opens) the skipped files; the
+    // fixture's driver-side bounds row and ≤16-element bin list are
+    // metadata-plane by construction. The 16-bit interleave degrades
+    // gracefully if a key outgrows 2^16 (identical z on both engines →
+    // identical bins → still green, just weaker skipping; q133 pins
+    // the domain with assert_true).
+    Q("q153_manifest_skipping",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        def zvalue(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (0 until 16).map { i =>
+            shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+              shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          }.reduce(_ + _)
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey")))
+          .persist()
+        // 1-row bounds lookup: the catalog read that parameterizes the
+        // layout and the predicate (metadata-plane, like the manifest)
+        val b = t.agg(min(col("z")), max(col("z")),
+          min(col("l_orderkey")), max(col("l_orderkey")),
+          min(col("l_partkey")), max(col("l_partkey"))).head()
+        val (zlo, zhi) = (b.getLong(0), b.getLong(1))
+        val (olo, ohi) = (b.getLong(2), b.getLong(3))
+        val (plo, phi) = (b.getLong(4), b.getLong(5))
+        // the selective slice: partkey ∈ [lo, hi], 1/32 of the domain
+        // (all operands non-negative → Spark div ≡ DuckDB //)
+        val lo = plo + ((phi - plo + 1) * 10) / 32
+        val hi = plo + ((phi - plo + 1) * 11) / 32
+        def build(binExpr: String,
+                  tag: String): org.apache.spark.sql.DataFrame = {
+          val base = graft.TempDirs.scoped(s"graft_q153_$tag")
+          val binned = t.withColumn("bin", expr(binExpr))
+          // ≤16 bins present in the data (both engines enumerate the
+          // same set — empty bins write no file on either side)
+          val bins = binned.select(col("bin")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          bins.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("l_partkey"),
+                  col("l_suppkey"), col("qty_e2"))
+                .coalesce(1),
+              statsCols = Seq("l_partkey", "l_suppkey"))
+          }
+          val v = VersionedTable.latestVersion(base).get
+          val es = VersionedTable.entries(base, v)
+          val kept = VersionedTable.prune(es, Seq(("l_partkey", lo, hi)))
+          VersionedTable.readVersionPruned(s, base, v,
+              Seq(("l_partkey", lo, hi)))
+            .filter(col("l_partkey").between(lo, hi))
+            .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+            .select(lit(tag).as("layout"),
+              lit(es.size.toLong).as("files_total"),
+              lit(kept.size.toLong).as("files_kept"),
+              col("n_rows"), col("qty_e2"))
+        }
+        val out = build(
+            s"(z - ${zlo}L) * 16 div ${zhi - zlo + 1}L", "zorder")
+          .unionAll(build(
+            s"(l_orderkey - ${olo}L) * 16 div ${ohi - olo + 1}L", "insert"))
+          .orderBy(col("layout"))
+        t.unpersist()
+        out
+      },
+      Some {
+        val zExpr = (0 until 16).map { i =>
+          s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
+            s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT l_orderkey, l_partkey, l_suppkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 $zExpr AS z
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(z) AS zlo, MAX(z) AS zhi,
+                 MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi,
+                 MIN(l_partkey) AS plo, MAX(l_partkey) AS phi
+          FROM t
+        ), pr AS (
+          SELECT plo + ((phi - plo + 1) * 10) // 32 AS lo,
+                 plo + ((phi - plo + 1) * 11) // 32 AS hi
+          FROM b
+        ), x AS (
+          SELECT t.*, (z - zlo) * 16 // (zhi - zlo + 1) AS zbin,
+                 (l_orderkey - olo) * 16 // (ohi - olo + 1) AS obin
+          FROM t, b
+        ), sel AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+          FROM x, pr WHERE l_partkey BETWEEN lo AND hi
+        ), zs AS (
+          SELECT zbin, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+          FROM x GROUP BY 1
+        ), os AS (
+          SELECT obin, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+          FROM x GROUP BY 1
+        ), zk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(COUNT(*) FILTER (WHERE mx >= lo AND mn <= hi)
+                   AS BIGINT) AS files_kept
+          FROM zs, pr
+        ), ok AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(COUNT(*) FILTER (WHERE mx >= lo AND mn <= hi)
+                   AS BIGINT) AS files_kept
+          FROM os, pr
+        )
+        SELECT 'insert' AS layout, ok.files_total, ok.files_kept,
+               n_rows, qty_e2 FROM ok, sel
+        UNION ALL
+        SELECT 'zorder' AS layout, zk.files_total, zk.files_kept,
+               n_rows, qty_e2 FROM zk, sel
+        ORDER BY layout
+      """
+      },
+      // bench=false: fixture-write-dominated (32 one-file commits)
       bench = false)
   )
 }

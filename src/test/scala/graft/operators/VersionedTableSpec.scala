@@ -115,10 +115,11 @@ class VersionedTableSpec extends SparkSuite {
       kv(Seq((1L, 20L, 111L))), "k", Seq("ord"))
     // crash debris: a data dir no manifest references
     kv(Seq((9L, 9L, 9L))).write.parquet(s"$base/d99")
+    val stranded = (1L to 2L).flatMap(v =>
+      VersionedTable.entries(base, v).map(_.path))
     val deleted = VersionedTable.vacuum(base, retainFrom = 3L)
     // copy-on-write merge strands v1/v2 state dirs + the orphan
-    assert(deleted.exists(_.startsWith("d1/")))
-    assert(deleted.exists(_.startsWith("d2/")))
+    assert(stranded.nonEmpty && stranded.forall(deleted.contains))
     assert(deleted.exists(_.startsWith("d99/")))
     assert(VersionedTable.latestVersion(base) === Some(3L))
     assert(VersionedTable.readVersion(spark, base, 3).count() === 3L)
@@ -136,6 +137,96 @@ class VersionedTableSpec extends SparkSuite {
     // v2's manifest carries v1's files forward -> only marker 1 goes
     assert(deleted.forall(_.startsWith("_log/")))
     assert(VersionedTable.readVersion(spark, base, 2).count() === 2L)
+  }
+
+  test("zone maps: stats written at commit, carried forward verbatim on append") {
+    val base = TempDirs.scoped("vt_stats")
+    VersionedTable.commitAppend(spark, base,
+      kv(Seq((1L, 1L, 10L), (5L, 1L, 50L))).coalesce(1), statsCols = Seq("k"))
+    VersionedTable.commitAppend(spark, base,
+      kv(Seq((100L, 2L, 1L))).coalesce(1), statsCols = Seq("k"))
+    val e1 = VersionedTable.entries(base, 1L)
+    assert(e1.size === 1 &&
+      e1.head.stats("k") === VersionedTable.ColStats(1L, 5L))
+    val e2 = VersionedTable.entries(base, 2L)
+    assert(e2.size === 2)
+    // v1's line is carried forward with its stats intact (O(delta))
+    assert(e2.find(_.path == e1.head.path).get.stats ===
+      e1.head.stats)
+    assert(e2.find(_.path != e1.head.path).get.stats("k") ===
+      VersionedTable.ColStats(100L, 100L))
+  }
+
+  test("pruned read: equality with the full read, strictly fewer files opened") {
+    val base = TempDirs.scoped("vt_prune")
+    // three one-file commits with disjoint key ranges
+    Seq(Seq((1L, 1L, 1L), (9L, 1L, 2L)), Seq((10L, 1L, 3L), (19L, 1L, 4L)),
+        Seq((20L, 1L, 5L), (29L, 1L, 6L)))
+      .foreach(rows => VersionedTable.commitAppend(
+        spark, base, kv(rows).coalesce(1), statsCols = Seq("k")))
+    val v = VersionedTable.latestVersion(base).get
+    val ranges = Seq(("k", 10L, 19L))
+    val kept = VersionedTable.prune(VersionedTable.entries(base, v), ranges)
+    assert(kept.size === 1 && VersionedTable.entries(base, v).size === 3)
+    // the file-level skip loses no satisfying row vs the full read
+    val full = VersionedTable.readVersion(spark, base, v)
+      .filter(col("k").between(10L, 19L)).collect().map(_.getLong(0)).sorted
+    val pruned = VersionedTable.readVersionPruned(spark, base, v, ranges)
+      .filter(col("k").between(10L, 19L)).collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === full.toSeq && full.toSeq === Seq(10L, 19L))
+    // every file skipped → schema-preserving empty frame
+    val none = VersionedTable.readVersionPruned(
+      spark, base, v, Seq(("k", 1000L, 2000L)))
+    assert(none.count() === 0L && none.columns.toSeq === Seq("k", "ord", "v"))
+    // a file without stats for the column is never skipped
+    val noStats = VersionedTable.prune(
+      Seq(VersionedTable.ManifestEntry("dX/f.parquet", Map.empty)), ranges)
+    assert(noStats.size === 1)
+  }
+
+  test("stats columns must be integral and manifest-safe") {
+    val base = TempDirs.scoped("vt_statcols")
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(spark, base,
+        Seq(("a", 1L)).toDF("name", "k"), statsCols = Seq("name"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(spark, base,
+        Seq((1L, 1L)).toDF("a=b", "k"), statsCols = Seq("a=b"))
+    }
+  }
+
+  test("lost race rebases and retries: both committers succeed, state = serial") {
+    val base = TempDirs.scoped("vt_race")
+    // writer B lands BETWEEN writer A's merge computation and A's
+    // publish (the hook runs pre-publish on attempt 1 only): A must
+    // fail its first publish, rebase onto B's state, and win at v2
+    // WITHOUT dropping B's rows — the lost-update window is closed by
+    // pinning the snapshot version, not just by the retry
+    var bVersion = -1L
+    val aVersion = VersionedTable.commitMergeHooked(spark, base,
+      kv(Seq((1L, 10L, 100L), (2L, 10L, 200L))), "k", Seq("ord"),
+      Nil, 5) { attempt =>
+      if (attempt == 1)
+        bVersion = VersionedTable.commitMerge(spark, base,
+          kv(Seq((2L, 20L, 222L), (3L, 10L, 300L))), "k", Seq("ord"))
+    }
+    assert(bVersion === 1L && aVersion === 2L)
+    val state = VersionedTable.readLatest(spark, base)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // == argmax of the union == either serial order (associativity)
+    assert(state === Map(1L -> (10L, 100L), 2L -> (20L, 222L),
+      3L -> (10L, 300L)))
+    // bounded attempts: a permanently contended table fails loudly
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitMergeHooked(spark, base,
+        kv(Seq((9L, 1L, 9L))), "k", Seq("ord"), Nil, 2) { _ =>
+        VersionedTable.commitMerge(spark, base,
+          kv(Seq((8L, 1L, 8L))), "k", Seq("ord"))
+      }
+    }
   }
 
   test("empty table read fails with a clear error") {

@@ -42,6 +42,12 @@ object KMeans {
   def quantizeExpr(embCol: String): String =
     s"transform(cast($embCol as array<double>), x -> cast(floor(x * 1000000) as bigint))"
 
+  /** Integer squared-L2 distance between two array<bigint> columns —
+    * public: q154's IVF-PQ lookup tables score with the same exact
+    * arithmetic the trainer assigns with.
+    */
+  def sqDistExpr(a: String, b: String): String = distExpr(a, b)
+
   /** Integer squared-L2 distance between two array<bigint> columns. */
   private def distExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
@@ -53,8 +59,10 @@ object KMeans {
     vecs.crossJoin(broadcast(centroids))
       .withColumn("dist", expr(distExpr("q", "cq")))
       .groupBy(col("vec_id"))
+      // min, not first: q is functionally dependent on vec_id, so both
+      // agree — min keeps the determinism self-evident under refactors
       .agg(min(struct(col("dist"), col("cid"))).as("m"),
-        first(col("q")).as("q"))
+        min(col("q")).as("q"))
       .select(col("vec_id"), col("q"),
         col("m.cid").as("cid"), col("m.dist").as("dist"))
 
@@ -73,6 +81,24 @@ object KMeans {
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, comp))), p -> p.comp)")
         .as("cq"))
+
+  /** The trained centroid frame (cid, cq) after `iters` assign+update
+    * sweeps — the CODEBOOK surface (q154 IVF-PQ trains one per
+    * subspace), where [[run]] keeps the assignment surface. Same sweep
+    * arithmetic, same per-sweep lineage barrier.
+    */
+  def trainCentroids(vecs: DataFrame, centroids0: DataFrame,
+                     iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    var cent = centroids0
+    (1 to iters).foreach { _ =>
+      val next = update(assign(v, cent))
+      cent = Reliable.barrier(next)(_.localCheckpoint())
+    }
+    v.unpersist()
+    cent
+  }
 
   /** `iters` assign+update sweeps from `centroids0`, then one final
     * assignment against the trained centroids. Input vecs must carry
@@ -96,9 +122,13 @@ object KMeans {
     * (fixed iteration count unrolled, the q141 generated-oracle
     * pattern). Expects a `c0(cid, cq)` CTE in scope; leaves the final
     * assignment as `af`. Integer ops + the shared floor(double) mean,
-    * so the chain is value-identical to [[run]].
+    * so the chain is value-identical to [[run]]. A non-empty `prefix`
+    * namespaces every CTE (base tables `{prefix}e` / `{prefix}c0`,
+    * chain `{prefix}a0..{prefix}af`) so several chains — q154's one
+    * codebook per PQ subspace — compose in one WITH clause.
     */
-  def oracleCtes(iters: Int, dim: Int): String = {
+  def oracleCtes(iters: Int, dim: Int, prefix: String = ""): String = {
+    val p = prefix
     def asg(name: String, cent: String): String =
       s"""$name AS (
          |          SELECT vec_id, q, cid, dist FROM (
@@ -111,26 +141,27 @@ object KMeans {
          |                     ORDER BY list_sum(list_transform(range(1, ${dim + 1}),
          |                       j -> (e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j]))),
          |                       c.cid) AS rn
-         |            FROM e CROSS JOIN $cent c
+         |            FROM ${p}e e CROSS JOIN $cent c
          |          ) WHERE rn = 1
          |        )""".stripMargin
     val sweeps = (1 to iters).map { i =>
       val u =
-        s"""u$i AS (
+        s"""${p}u$i AS (
            |          SELECT cid, pos,
            |                 CAST(floor(CAST(SUM(q[pos]) AS DOUBLE) / COUNT(*))
            |                      AS BIGINT) AS comp
-           |          FROM a${i - 1}
+           |          FROM ${p}a${i - 1}
            |          CROSS JOIN (SELECT UNNEST(range(1, ${dim + 1})) AS pos)
            |          GROUP BY cid, pos
            |        )""".stripMargin
       val c =
-        s"""c$i AS (
+        s"""${p}c$i AS (
            |          SELECT cid, list(comp ORDER BY pos) AS cq
-           |          FROM u$i GROUP BY cid
+           |          FROM ${p}u$i GROUP BY cid
            |        )""".stripMargin
-      Seq(asg(s"a${i - 1}", if (i == 1) "c0" else s"c${i - 1}"), u, c)
+      Seq(asg(s"${p}a${i - 1}", if (i == 1) s"${p}c0" else s"${p}c${i - 1}"),
+        u, c)
     }
-    (sweeps.flatten :+ asg("af", s"c$iters")).mkString(", ")
+    (sweeps.flatten :+ asg(s"${p}af", s"${p}c$iters")).mkString(", ")
   }
 }

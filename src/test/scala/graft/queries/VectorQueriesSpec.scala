@@ -74,16 +74,37 @@ class VectorQueriesSpec extends SparkSuite {
     val rows = run("q97_ann_recall").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
-    assert(rows.length === 6) // 2 methods x k in {1, 5, 10}
+    assert(rows.length === 9) // 3 methods x k in {1, 5, 10}
     rows.foreach { case (m, k, hits, possible, e4) =>
       assert(possible === 3L * k, s"$m@$k possible")
       assert(hits >= 0 && hits <= possible, s"$m@$k hits=$hits")
       assert(e4 === hits * 10000 / possible, s"$m@$k recall_e4")
     }
     // the same 0.2 floor the direct recall specs pin, now on the
-    // registered report itself
+    // registered report itself; pq carries a lower deterministic floor
+    // (12-bit codes on a ~200-vector corpus — quantization dominates;
+    // measured 1666 at sf0.001, 3666 at sf0.01)
     rows.filter(_._2 == 10).foreach { case (m, _, _, _, e4) =>
-      assert(e4 >= 2000, s"$m recall@10 degraded: $e4")
+      val floor = if (m == "pq") 1000 else 2000
+      assert(e4 >= floor, s"$m recall@10 degraded: $e4")
+    }
+  }
+
+  test("q154 IVF-PQ: ranked by ADC distance, candidates are real corpus rows") {
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val rows = run("q154_ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length), s"q$q ranks")
+      // ADC distances non-negative and non-decreasing in rank
+      assert(byRank.map(_._4).toSeq === byRank.map(_._4).sorted.toSeq,
+        s"q$q adist")
+      assert(byRank.forall(_._4 >= 0L))
+      assert(byRank.forall(t => t._3 != q && t._3 >= 0 && t._3 < n))
+      // no duplicate neighbors within a query
+      assert(byRank.map(_._3).distinct.length === byRank.length)
     }
   }
 

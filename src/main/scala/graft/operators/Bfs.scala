@@ -24,12 +24,23 @@ import org.apache.spark.storage.StorageLevel
   * reached frame onto edge sources + one dst-keyed MIN aggregate —
   * shuffle ∝ |E| per sweep worst-case, state ∝ reached vertices,
   * lineage truncated per round ([[Reliable.barrier]] upgrades to
-  * reliable checkpoints under the deployment profile). A
-  * production variant joins only the NEW frontier (rows whose hop
-  * equals the sweep number) against the topology — same results,
-  * sweep cost ∝ frontier·avg-degree instead of |reached|·avg-degree;
-  * the full-frame join is kept here because it is the shape the
-  * generated SQL twin can mirror term for term.
+  * reliable checkpoints under the deployment profile).
+  *
+  * Two implementations, one semantics (equivalence spec-pinned in
+  * BfsSpec, and q147's generated SQL twin — which mirrors the
+  * FULL-FRAME recurrence term for term — hash-gates whichever runs):
+  *  - [[run]]: full-frame min-plus — every sweep joins the whole
+  *    reached frame onto the topology; the reference shape.
+  *  - [[runFrontier]] (r10, the production shape): only the NEW
+  *    frontier — vertices first reached in the previous sweep — joins
+  *    the topology; already-reached destinations drop via an
+  *    anti-join. A vertex's first reaching IS its min distance
+  *    (min-plus on unit weights), so results are identical while the
+  *    edge fan-out per sweep shrinks from |reached|·avg-degree to
+  *    |frontier|·avg-degree — the difference between re-expanding the
+  *    whole BFS tree every sweep and expanding its new leaves, which
+  *    at 100 TB-scale graphs is the difference between O(diam·|E|)
+  *    and O(|E|) total edge traffic.
   */
 object Bfs {
 
@@ -53,6 +64,38 @@ object Bfs {
         .unionAll(hop)
         .groupBy(col("v")).agg(min(col("hop")).as("hop"))
       hop = Reliable.barrier(next)(_.localCheckpoint())
+    }
+    dir.unpersist()
+    hop
+  }
+
+  /** Frontier-delta BFS: identical results to [[run]] (spec-pinned),
+    * sweep edge fan-out ∝ |frontier|·avg-degree. Per sweep: expand the
+    * previous sweep's newly-reached vertices through the topology,
+    * drop already-reached destinations (anti-join against the reached
+    * frame — hash lookup ∝ reached, but NOT multiplied by degree), tag
+    * survivors with the sweep number (a vertex's first reaching is its
+    * min distance on unit weights). Each frontier is checkpointed; the
+    * reached frame is a union of checkpointed frontiers, so no sweep
+    * rematerializes the full reached set.
+    */
+  def runFrontier(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = edges
+      .select(col("pi").as("src"), col("pj").as("dst"))
+      .unionAll(edges.select(col("pj").as("src"), col("pi").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hop = seeds.select(col("v"), lit(0L).as("hop"))
+    var frontier = hop.select(col("v"))
+    (1 to iters).foreach { i =>
+      val fresh = dir
+        .join(frontier.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(hop, Seq("v"), "left_anti")
+        .select(col("v"), lit(i.toLong).as("hop"))
+      val nf = Reliable.barrier(fresh)(_.localCheckpoint())
+      hop = hop.unionAll(nf)
+      frontier = nf.select(col("v"))
     }
     dir.unpersist()
     hop

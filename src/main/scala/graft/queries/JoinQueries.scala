@@ -485,16 +485,19 @@ object JoinQueries {
     // the generated-CTE twin is bit-identical), rolled up as a
     // reachability histogram (hop → vertex count + id checksum) — the
     // "how much of the catalog sits within k recommendation hops of
-    // the flagged set" audit. Each sweep is one vertex-keyed equi-join
-    // + one MIN aggregate over the persisted doubled edge list: |E|
-    // shuffle per sweep, state ∝ reached vertices, fixed sweep count.
+    // the flagged set" audit. r10: runs the FRONTIER-DELTA variant
+    // (operators/Bfs.runFrontier — per-sweep edge fan-out ∝ frontier,
+    // not reached; results spec-pinned identical to the full-frame
+    // form, so the generated twin below, which mirrors the full-frame
+    // recurrence, still hash-gates it), state ∝ reached vertices,
+    // fixed sweep count.
     Q("q147_bfs_reach",
       (s, d) => {
         val edges = copurchaseEdges(s, d).select(col("pi"), col("pj"))
         val seeds = edges.select(col("pi").as("v"))
           .unionAll(edges.select(col("pj").as("v")))
           .distinct().filter(col("v") % 25 === 0)
-        graft.operators.Bfs.run(edges, seeds, iters = 4)
+        graft.operators.Bfs.runFrontier(edges, seeds, iters = 4)
           .groupBy(col("hop"))
           .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("sum_v"))
           .orderBy(col("hop"))

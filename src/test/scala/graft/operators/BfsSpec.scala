@@ -11,12 +11,21 @@ class BfsSpec extends SparkSuite {
 
   import spark.implicits._
 
-  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] =
-    Bfs.run(
-      edges.toDF("pi", "pj").repartition(3),
-      seeds.toDF("v"),
-      iters
-    ).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  private def hopsVia(
+      f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          Int) => org.apache.spark.sql.DataFrame)(
+      edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    f(edges.toDF("pi", "pj").repartition(3), seeds.toDF("v"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] = {
+    val full = hopsVia(Bfs.run)(edges, seeds, iters)
+    // frontier-delta must be indistinguishable from the full-frame
+    // form on every fixture and horizon this suite exercises
+    assert(hopsVia(Bfs.runFrontier)(edges, seeds, iters) == full,
+      "runFrontier diverged from run")
+    full
+  }
 
   test("path graph distances, horizon, and unreachable component") {
     // 1-2-3-4-5 path, {8,9} island
@@ -42,5 +51,20 @@ class BfsSpec extends SparkSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     val h = hops(edges, Seq(1L), iters = 4)
     assert(h == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("frontier-delta equals full-frame on a dense pseudo-random graph") {
+    // deterministic mod-arithmetic graph: diamonds, cycles, multiple
+    // shortest paths, and sweeps past the diameter (stable frontier
+    // exhaustion) — the shapes where a frontier bookkeeping bug
+    // (re-expanding reached vertices, or dropping a first reach that
+    // arrives from two frontier vertices at once) would surface
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 60), (i, (i * 11 + 5) % 60)))
+      .filter { case (a, b) => a != b }.distinct
+    val full = hopsVia(Bfs.run)(edges, Seq(0L, 30L), iters = 6)
+    val delta = hopsVia(Bfs.runFrontier)(edges, Seq(0L, 30L), iters = 6)
+    assert(delta == full)
+    assert(full.nonEmpty && full.values.max <= 6)
   }
 }

@@ -305,3 +305,21 @@ object ScaleBench {
     if (!ok) sys.exit(1)
   }
 }
+
+/** Materialize a [[ScaleBench.amplify]]'d corpus to disk as standalone
+  * testdata: `runMain graft.Amplify <baseDir> <outDir> <R>`. Unlike
+  * the in-session bench amplification, the written corpus is also
+  * visible to DuckDB — the surface the r10 sf1-amplified ORACLE sweep
+  * reads, so hash-correctness itself gets checked at 10× the graded
+  * SF (CORRECTNESS_sf1amp.json), not just runtime ratios.
+  */
+object Amplify {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: Amplify <baseDir> <outDir> <R>")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleBench.amplify(spark, args(0), args(1), args(2).toInt)
+    println(s"amplified ${args(2)}x: ${args(0)} -> ${args(1)}")
+    spark.stop()
+  }
+}

@@ -91,31 +91,45 @@ def rows_of(table):
                   for i in range(table.num_rows)]
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    report = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             failed.append(name)
+            record(name, err="no_spark_output")
             continue
         got = pq.read_table(files[0])
         exp = con.execute(oracle[name]).arrow()
         gcols, grows = rows_of(got)
         ecols, erows = rows_of(exp)
+        nsg, nse = len(grows), len(erows)
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             failed.append(name)
+            record(name, rows_match=nsg == nse, schema_match=False,
+                   hash_match=False, spark_rows=nsg, oracle_rows=nse)
             continue
         tbad = type_mismatches(got, exp)
         if tbad:
             print(f"FAIL {name}: type mismatch — {'; '.join(tbad)}")
             failed.append(name)
+            record(name, rows_match=nsg == nse, schema_match=False,
+                   hash_match=False, spark_rows=nsg, oracle_rows=nse)
             continue
         if grows != erows:
             print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows")
@@ -126,8 +140,12 @@ def main(out_dir, sf_dir):
             else:
                 print(f"  row-count-only diff (prefix equal)")
             failed.append(name)
+            record(name, rows_match=nsg == nse, schema_match=True,
+                   hash_match=False, spark_rows=nsg, oracle_rows=nse)
             continue
         print(f"OK   {name} ({len(grows)} rows)")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=nsg, oracle_rows=nse)
     # queries without an oracle: report rows-only status
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
@@ -136,6 +154,10 @@ def main(out_dir, sf_dir):
         files = glob.glob(f"{d}*.parquet")
         n = pq.read_table(files[0]).num_rows if files else -1
         print(f"ROWS {name}: {n}")
+        record(name, spark_rows=n, err="no_oracle")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")
         sys.exit(1)
@@ -143,4 +165,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # optional 3rd arg: write a CORRECTNESS_r{N}-style JSON report
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)

@@ -364,15 +364,22 @@ object TextQueries {
     // aggregates are exact but carry reducer state ∝ |vocabulary|; at
     // web scale the vocabulary is corpus-sized, so pass 1 runs the
     // Misra-Gries sketch (O(capacity) state per partial, mergeable —
-    // graft.expressions.MisraGriesAgg) to get ≤ 64 candidates that
-    // PROVABLY include every token with frequency > N/65, and pass 2
-    // exact-counts ONLY the candidates via a broadcast semi-join
-    // (reducer state ∝ 64, never ∝ vocabulary). The top-20 cutoff
-    // sits far above the N/65 guarantee line on this corpus, so the
-    // two-pass result equals the oracle's full exact top-20 —
+    // graft.expressions.MisraGriesAgg) to get ≤ capacity candidates
+    // that PROVABLY include every token with frequency > N/(cap+1),
+    // and pass 2 exact-counts ONLY the candidates via a broadcast
+    // semi-join (reducer state ∝ capacity, never ∝ vocabulary). The
+    // top-20 cutoff must sit above the guarantee line for the
+    // two-pass result to equal the oracle's full exact top-20 —
     // MisraGriesSpec asserts the margin at BOTH the oracle scale
     // (sf0.01) and the bench scale (sf0.1), so corpus growth can't
-    // silently void the equals-exact argument.
+    // silently void the equals-exact argument. Capacity 1024 (r10;
+    // was 64): the sf1-amplified oracle sweep showed capacity must
+    // track vocabulary growth — the parallel-universes cipher splits
+    // every word into R equal-frequency variants (~10× vocabulary,
+    // ties by construction), pushing the top-20 line below N/65;
+    // 1024 restores a ≥3× margin at every validated scale while the
+    // state stays parameter-bounded (1024 counters ≪ any vocabulary
+    // the sketch exists for).
     Q("q88_heavy_hitters",
       (s, d) => {
         // persisted: both passes consume the exploded tokens, and the
@@ -381,7 +388,7 @@ object TextQueries {
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = toks
-          .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 64).as("mg"))
+          .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 1024).as("mg"))
           .select(explode(map_keys(col("mg"))).as("tok"))
         toks.join(broadcast(cands), "tok")
           .groupBy(col("tok"))
@@ -462,8 +469,10 @@ object TextQueries {
         val toks = Tables.documents(s, d)
           .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // capacity 512 (r10; was 32): the q88 sf1amp lesson applied
+        // per-language — amplified vocabularies need sketch headroom
         val cands = toks.groupBy(col("lang"))
-          .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 32).as("mg"))
+          .agg(graft.expressions.MisraGriesAgg.misraGries(col("tok"), 512).as("mg"))
           .select(col("lang"), explode(map_keys(col("mg"))).as("tok"))
         val counts = toks.join(broadcast(cands), Seq("lang", "tok"))
           .groupBy(col("lang"), col("tok"))

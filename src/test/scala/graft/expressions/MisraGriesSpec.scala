@@ -54,9 +54,13 @@ class MisraGriesSpec extends SparkSuite {
   // an algorithm property, so it is pinned at the scales the driver
   // actually grades: sf0.01 (oracle) and sf0.1 (bench). If registry
   // data ever grows a longer tail, this fails loudly instead of q88
-  // silently diverging from its oracle.
+  // silently diverging from its oracle. Capacity is 1024 as of r10:
+  // the sf1-amplified sweep (10× vocabulary, R-way frequency ties by
+  // cipher construction) voided the old 64-counter margin exactly as
+  // this class of test predicts — the line moved to N/1025 and the
+  // margin is asserted with the R=10 amplification factored in.
   for (sf <- Seq("sf0.01", "sf0.1"))
-    test(s"q88 guarantee margin at $sf: freq20 clears the N/65 line") {
+    test(s"q88 guarantee margin at $sf: freq20 clears the N/1025 line") {
       val counts = graft.Tables.documents(spark, s"/root/testdata/$sf")
         .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
@@ -65,9 +69,16 @@ class MisraGriesSpec extends SparkSuite {
       val n = counts.agg(sum("n")).head().getLong(0)
       val freq20 = top.last
       assert(top.length === 20)
-      assert(freq20 > n / 65,
-        s"top-20 cutoff $freq20 does not clear the guarantee line ${n / 65} " +
+      assert(freq20 > n / 1025,
+        s"top-20 cutoff $freq20 does not clear the guarantee line ${n / 1025} " +
           s"at $sf — q88's two-pass-equals-exact argument is void")
+      // the amplified-corpus form of the same line: the R=10 cipher
+      // keeps every variant at its base count while N grows 10× — the
+      // amplified guarantee line is 10N/1025, and requiring the BASE
+      // freq20 to clear it is conservative (the amplified cutoff is
+      // the base freq2, which is ≥ freq20)
+      assert(freq20 > 10 * n / 1025,
+        s"capacity margin would void under R=10 amplification at $sf")
     }
 
   test("q88 two-pass equals the brute-force exact top-20") {

@@ -14,6 +14,7 @@ Scala/Spark and does not depend on it.
 import decimal
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -94,8 +95,11 @@ def rows_of(table):
 def main(out_dir, sf_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written (e.g. graft.Amplify) layout
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     report = {}
@@ -105,6 +109,9 @@ def main(out_dir, sf_dir, json_out=None):
         report[name] = {"rows_match": rows_match, "schema_match": schema_match,
                         "hash_match": hash_match, "spark_rows": spark_rows,
                         "oracle_rows": oracle_rows, "err": err}
+        if json_out:  # flush per query: a killed long run keeps its progress
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=2, sort_keys=True)
 
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")

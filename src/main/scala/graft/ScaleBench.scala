@@ -80,9 +80,11 @@ object ScaleBench {
     // relational core over the amplified fact table (r9 broadening)
     "q1_pricing_summary", "q4_brand_revenue",
     // vector tier: exact scan, inverted-list ANN, capped cluster
-    // sweep, iterative Lloyd training
+    // sweep, iterative Lloyd training, product quantization (r10 —
+    // codebook training is parameter-bounded, encoding O(N·M·k),
+    // ADC joins move code ids not vectors: should be ~R×)
     "q36_knn_bruteforce", "q51_ann_ivf", "q80_semantic_dedup",
-    "q143_kmeans",
+    "q143_kmeans", "q154_ann_ivfpq",
     // event-analytics tier: the user-keyed shuffle + GlobalRank shapes
     "q103_funnel", "q104_retention_cohorts", "q112_rolling_actives",
     "q117_session_paths", "q121_value_percentiles", "q132_cumulative_uniques",

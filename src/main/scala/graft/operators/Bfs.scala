@@ -104,11 +104,15 @@ object Bfs {
   /** Oracle twin: the same sweeps as generated MIN-aggregate CTEs over
     * a directed-edge CTE `d(src, dst)` and a seed CTE `h0(v, hop)` —
     * the [[PageRank.oracleCtes]] unrolling pattern (SQL recursion
-    * cannot aggregate in the recursive term).
+    * cannot aggregate in the recursive term). MATERIALIZED (r10):
+    * each h CTE is referenced twice by its successor, and DuckDB's
+    * inliner can otherwise re-expand the whole chain per reference —
+    * measured 9× at sf0.1 and the difference between done and
+    * disk-full at the 10×-amplified corpus.
     */
   def oracleCtes(iters: Int): String =
     (1 to iters).map { i =>
-      s"""h$i AS (
+      s"""h$i AS MATERIALIZED (
          |          SELECT v, CAST(MIN(hop) AS BIGINT) AS hop FROM (
          |            SELECT d.dst AS v, p.hop + 1 AS hop
          |            FROM d JOIN h${i - 1} p ON p.v = d.src

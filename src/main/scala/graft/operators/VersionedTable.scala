@@ -255,6 +255,62 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** 16-bit Morton interleave of two integral columns — the z-value
+    * [[optimize]] clusters on (and q133/q153 audit): a codegen'd sum
+    * of shift/mask terms, no UDF. Degrades gracefully past 2^16 per
+    * key (identical on any engine computing the same expression).
+    */
+  def zValue(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Bin-packing COMPACTION: rewrite the latest snapshot into
+    * `numFiles` balanced files as a new commit — the maintenance job
+    * that pays down the small-file debt O(delta) appends accumulate
+    * (at 100 TB, thousands of per-batch appends otherwise turn every
+    * read into a file-open storm). Copy-on-write: readers of older
+    * versions are untouched; [[vacuum]] reclaims the stranded small
+    * files once retention passes. Stats are recomputed for the new
+    * files at commit.
+    */
+  def compact(s: SparkSession, base: String, numFiles: Int,
+              statsCols: Seq[String] = Nil): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to compact in $base")
+      val snap = readVersion(s, base, prevV.get).repartition(numFiles)
+      commitAt(s, base, snap, "compact", statsCols, prevV)(fresh => fresh)
+    }
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the latest snapshot range-clustered
+    * on the Morton z-value of two key columns (sorted within files),
+    * as a new commit with fresh zone maps — the layout that makes
+    * [[readVersionPruned]]'s skipping bite on multi-key predicates
+    * (q153 measures the effect: a z-clustered layout answers a
+    * selective key slice from a fraction of the files an insert-order
+    * layout must open). Same copy-on-write/vacuum story as
+    * [[compact]]; the rewritten columns' stats are always collected.
+    */
+  def optimize(s: SparkSession, base: String, zCols: (String, String),
+               numFiles: Int, statsCols: Seq[String] = Nil): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to optimize in $base")
+      val z = zValue(col(zCols._1).cast("long"), col(zCols._2).cast("long"))
+      val snap = readVersion(s, base, prevV.get)
+        .repartitionByRange(numFiles, z)
+        .sortWithinPartitions(z)
+      val stats = (statsCols ++ Seq(zCols._1, zCols._2)).distinct
+      commitAt(s, base, snap, "optimize", stats, prevV)(fresh => fresh)
+    }
+  }
+
   /** Retention vacuum: delete every data file not referenced by any
     * manifest of version ≥ `retainFrom`, plus the manifests below it —
     * time travel to versions < `retainFrom` fails cleanly afterwards

@@ -503,13 +503,13 @@ object JoinQueries {
           .orderBy(col("hop"))
       },
       Some(s"""
-        WITH oi AS (
+        WITH oi AS MATERIALIZED (
           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        ), e AS (
+        ), e AS MATERIALIZED (
           SELECT a.pk AS pi, b.pk AS pj
           FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
           GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), d AS (
+        ), d AS MATERIALIZED (
           SELECT pi AS src, pj AS dst FROM e
           UNION ALL SELECT pj, pi FROM e
         ), h0 AS (

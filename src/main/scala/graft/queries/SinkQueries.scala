@@ -117,12 +117,7 @@ object SinkQueries {
     // and two 16-group span aggregates.
     Q("q133_zorder_layout",
       (s, d) => {
-        def zvalue(a: org.apache.spark.sql.Column,
-                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          (0 until 16).map { i =>
-            shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
-              shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-          }.reduce(_ + _)
+        val zvalue = graft.operators.VersionedTable.zValue _
         // persisted: t feeds the bounds aggregate AND the binned frame,
         // x feeds both span aggregates — without the persists the scan
         // and the 32-term z expression would re-run per consumer
@@ -436,12 +431,7 @@ object SinkQueries {
     Q("q153_manifest_skipping",
       (s, d) => {
         import graft.operators.VersionedTable
-        def zvalue(a: org.apache.spark.sql.Column,
-                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          (0 until 16).map { i =>
-            shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
-              shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-          }.reduce(_ + _)
+        val zvalue = VersionedTable.zValue _
         val t = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))

@@ -229,6 +229,57 @@ class VersionedTableSpec extends SparkSuite {
     }
   }
 
+  test("compact: small-file debt repaid, data identical, history intact") {
+    val base = TempDirs.scoped("vt_compact")
+    // eight 1-file appends = the small-file debt a batch pipeline accrues
+    (1L to 8L).foreach(i => VersionedTable.commitAppend(
+      spark, base, kv(Seq((i, 1L, i * 10))).coalesce(1), statsCols = Seq("k")))
+    val before = VersionedTable.readLatest(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(VersionedTable.entries(base, 8L).size === 8)
+    val v = VersionedTable.compact(spark, base, numFiles = 2,
+      statsCols = Seq("k"))
+    assert(v === 9L && VersionedTable.entries(base, v).size === 2)
+    val after = VersionedTable.readLatest(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+    // time travel to the pre-compaction snapshot still works...
+    assert(VersionedTable.readVersion(spark, base, 8L).count() === 8L)
+    // ...until retention passes, when vacuum reclaims the small files
+    val deleted = VersionedTable.vacuum(base, retainFrom = 9L)
+    assert(deleted.count(_.endsWith(".parquet")) >= 8)
+    assert(VersionedTable.readLatest(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq === before)
+  }
+
+  test("optimize: z-order rewrite makes pruning bite where insert order cannot") {
+    val base = TempDirs.scoped("vt_optimize")
+    // interleaved appends: every file spans the whole key domain, so
+    // zone maps prune nothing on the raw layout
+    (0L until 4L).foreach { i =>
+      VersionedTable.commitAppend(spark, base,
+        kv((0L until 64L).map(k => (k * 4 + i, 1L, k))).coalesce(1),
+        statsCols = Seq("k"))
+    }
+    val vRaw = VersionedTable.latestVersion(base).get
+    val ranges = Seq(("k", 0L, 31L))
+    val rawKept = VersionedTable.prune(
+      VersionedTable.entries(base, vRaw), ranges).size
+    assert(rawKept === 4, "insert-order layout must be unprunable here")
+    val v = VersionedTable.optimize(spark, base, ("k", "v"), numFiles = 4)
+    val es = VersionedTable.entries(base, v)
+    assert(es.size === 4)
+    val kept = VersionedTable.prune(es, ranges)
+    assert(kept.size < rawKept,
+      s"z-order must open fewer files: ${kept.size} vs $rawKept")
+    // the pruned read still returns every satisfying row
+    val full = VersionedTable.readVersion(spark, base, v)
+      .filter(col("k").between(0L, 31L)).collect().map(_.getLong(0)).sorted
+    val pruned = VersionedTable.readVersionPruned(spark, base, v, ranges)
+      .filter(col("k").between(0L, 31L)).collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === full.toSeq && full.length === 32)
+  }
+
   test("empty table read fails with a clear error") {
     val base = TempDirs.scoped("vt_empty")
     intercept[IllegalArgumentException] {

@@ -540,6 +540,80 @@ object SinkQueries {
       """
       },
       // bench=false: fixture-write-dominated (32 one-file commits)
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q155: compaction lifecycle — the maintenance loop a 100 TB table
+    // actually lives by: 16 one-file batch appends (the small-file
+    // debt; q153's deterministic insert-order bins) → commitAppend
+    // with zone maps → VersionedTable.compact(4) (bin-packing rewrite
+    // as a new commit) → vacuum past the pre-compaction snapshot.
+    // Output hash-checks the INVARIANTS of that loop: files_before
+    // (bins present in the data), files_after (the declared packing),
+    // files_vacuumed (exactly the stranded small files — one per
+    // pre-compact commit), and n_rows/qty_e2 read from the COMPACTED
+    // table — the oracle recomputes them from raw lineitem, so a
+    // compaction that drops/duplicates one row, or a vacuum that eats
+    // a live file, hash-fails. Scale: compaction is one snapshot
+    // rewrite (bounded by table size, amortized across the appends it
+    // repays); vacuum is driver-plane manifest arithmetic + deletes.
+    Q("q155_compaction_lifecycle",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q155")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 16 div ${ohi - olo + 1}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("l_partkey"), col("qty_e2"))
+              .coalesce(1),
+            statsCols = Seq("l_partkey"))
+        }
+        val preV = VersionedTable.latestVersion(base).get
+        val filesBefore = VersionedTable.entries(base, preV).size.toLong
+        val postV = VersionedTable.compact(s, base, numFiles = 4,
+          statsCols = Seq("l_partkey"))
+        val filesAfter = VersionedTable.entries(base, postV).size.toLong
+        val vacuumed = VersionedTable.vacuum(base, retainFrom = postV)
+          .count(_.endsWith(".parquet")).toLong
+        val out = VersionedTable.readLatest(s, base)
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+          .select(lit(filesBefore).as("files_before"),
+            lit(filesAfter).as("files_after"),
+            lit(vacuumed).as("files_vacuumed"),
+            col("n_rows"), col("qty_e2"))
+        t.unpersist()
+        out
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi FROM t
+        ), bins AS (
+          SELECT DISTINCT (l_orderkey - olo) * 16 // (ohi - olo + 1) AS bin
+          FROM t, b
+        )
+        SELECT CAST((SELECT COUNT(*) FROM bins) AS BIGINT) AS files_before,
+               CAST(4 AS BIGINT) AS files_after,
+               CAST((SELECT COUNT(*) FROM bins) AS BIGINT) AS files_vacuumed,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+        FROM t
+      """),
+      // bench=false: fixture-write-dominated like q153
       bench = false)
   )
 }

@@ -170,6 +170,7 @@ object VersionedTable {
   def readVersionPruned(s: SparkSession, base: String, v: Long,
                         ranges: Seq[(String, Long, Long)]): DataFrame = {
     val all = entries(base, v)
+    require(all.nonEmpty, s"version $v of $base has an empty manifest")
     val kept = prune(all, ranges)
     if (kept.isEmpty)
       // schema-preserving empty frame: every file was skipped

@@ -85,4 +85,54 @@ object UpsertPipeline {
     }
     (state, batches.get)
   }
+
+  /** [[runAvailableNow]] with a REAL table format underneath (r10):
+    * every micro-batch is reduced to its per-key argmax delta and
+    * MERGE-committed into a [[graft.operators.VersionedTable]] — the
+    * Delta-streaming-sink pattern, giving the stream's state table
+    * atomic commit visibility, per-micro-batch TIME TRAVEL
+    * (`readVersion(v)` = state after the v-th committed batch), a CDC
+    * feed (`changesBetween`), retention `vacuum`, and the
+    * optimistic-concurrency retry shared with every other writer.
+    * Exactly-once note: a batch REPLAYED after a crash between commit
+    * and checkpoint advances the table by one redundant version whose
+    * STATE is identical (the merge is idempotent on already-merged
+    * rows — argmax of state ∪ already-included delta is the state);
+    * production engines dedupe the version too by recording
+    * (appId, batchId) in the commit, which the manifest's #op header
+    * carries the seam for. Returns (final state, batches, versions).
+    */
+  def runAvailableNowVersioned(s: SparkSession, inDir: String, base: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               keyCol: String, ordCols: Seq[String])
+      : (DataFrame, Long, Long) = {
+    import graft.operators.VersionedTable
+    val valCols = schema.fieldNames.filterNot(_ == keyCol)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      // ckpt lives beside the table's _log/d* dirs; VersionedTable
+      // lists only d*-prefixed data dirs, so they cannot collide
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VersionedTable.commitMerge(s, base,
+          VersionedTable.argmaxLatest(batch, keyCol, ordCols),
+          keyCol, ordCols)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    VersionedTable.latestVersion(base) match {
+      case Some(v) => (VersionedTable.readVersion(s, base, v), batches.get, v)
+      case None => (s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          schema(keyCol) +: valCols.map(schema(_)))), 0L, 0L)
+    }
+  }
 }

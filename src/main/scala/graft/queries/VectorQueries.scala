@@ -159,6 +159,12 @@ object VectorQueries {
   private val PqIters = 2
   private val PqCoarseC = 64
   private val PqNProbe = 4
+  /** ADC candidates kept per query for the q156 exact re-rank — the
+    * accuracy knob of two-stage retrieval (more candidates = higher
+    * recall ceiling, same asymptotics: the rerank touches C raw
+    * vectors per query, never the corpus).
+    */
+  private val PqRerankC = 50
 
   private def modPrimeOrd = "((vec_id % 1000003) * 2654435761) % 1000003"
 
@@ -174,7 +180,7 @@ object VectorQueries {
     * consumer. Ordering is re-applied after the read (parquet drops
     * it).
     */
-  private[queries] def annPq(s: SparkSession, d: String): DataFrame = {
+  private def annPqRanked(s: SparkSession, d: String): DataFrame = {
     val path = pqMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
       val out = graft.TempDirs.scoped("graft-pq")
       annPqCompute(s, d).write.mode("overwrite").parquet(out)
@@ -182,6 +188,50 @@ object VectorQueries {
     })
     s.read.parquet(path).orderBy(col("query_id"), col("rank"))
   }
+
+  /** The ADC top-10 (q154's surface, q97's pq leg): the memoized
+    * top-[[PqRerankC]] frame cut at K — ranks 1..K are identical
+    * whichever cutoff the memo stores.
+    */
+  private[queries] def annPq(s: SparkSession, d: String): DataFrame =
+    annPqRanked(s, d).filter(col("rank") <= K)
+
+  /** q156 body — two-stage retrieval: q154's ADC candidate list
+    * (top-[[PqRerankC]] per query) re-scored with the EXACT cosine and
+    * re-ranked to top-K. The standard IVF-PQ+refine accuracy recovery:
+    * the coarse stage never touches raw vectors; the refine stage
+    * touches exactly C of them per query — the knob that buys recall
+    * back without changing any asymptotics. Reused by q97's pqr row.
+    */
+  private[queries] def annPqRerank(s: SparkSession, d: String): DataFrame = {
+    val cands = annPqRanked(s, d).filter(col("rank") <= PqRerankC)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+    scoreAndRank(cands
+      .join(e, "vec_id")
+      .join(broadcast(queryVectors(s, d)), "query_id"))
+  }
+
+  /** DuckDB twin of the refine stage: pqr's top-C rescored with
+    * list_cosine_similarity from the raw doubles (pe0), re-ranked —
+    * leaves `prr(query_id, vec_id, cos, rank)`.
+    */
+  private def pqRerankSql: String =
+    s"""prr AS (
+       |          SELECT query_id, vec_id, cos,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY cos DESC, vec_id) AS rank
+       |          FROM (
+       |            SELECT p.query_id, p.vec_id,
+       |                   list_cosine_similarity(ev.emb, eq.emb) AS cos
+       |            FROM (SELECT query_id, vec_id FROM pqr
+       |                  WHERE rank <= $PqRerankC) p
+       |            JOIN pe0 ev ON ev.vec_id = p.vec_id
+       |            JOIN pe0 eq ON eq.vec_id = p.query_id
+       |          )
+       |        )""".stripMargin
 
   /** The PQ pipeline itself — the method billion-scale ANN actually
     * runs, composed from the two r9 pieces the judge named:
@@ -258,7 +308,7 @@ object VectorQueries {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
     TopK.perKey(adist, Seq("query_id"),
-        Seq(col("adist"), col("vec_id")), K)
+        Seq(col("adist"), col("vec_id")), PqRerankC)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
       .orderBy(col("query_id"), col("rank"))
@@ -534,6 +584,8 @@ object VectorQueries {
           // ranking vs the same cosine ground truth (see annPq's
           // unit-sphere argument for why the metrics are comparable)
           .unionByName(recallOf("pq", annPq(s, d)))
+          // and the q156 refine stage — the recall the rerank buys back
+          .unionByName(recallOf("pqr", annPqRerank(s, d)))
           .withColumn("possible", (col("k") * NumQueries).cast("long"))
           .withColumn("recall_e4", expr("(hits * 10000) div possible"))
           .orderBy(col("method"), col("k"))
@@ -607,9 +659,11 @@ object VectorQueries {
             JOIN e ev ON ev.vec_id = cand.vec_id
             JOIN e eq ON eq.vec_id = cand.query_id)
           WHERE rank <= $K
-        ), $pqOracleCtes,
+        ), $pqOracleCtes, $pqRerankSql,
         rp AS (
           SELECT query_id, vec_id, rank FROM pqr WHERE rank <= $K
+        ), rr AS (
+          SELECT query_id, vec_id, rank FROM prr WHERE rank <= $K
         ), ks(k) AS (VALUES (1), (5), (10)),
         ml AS (
           SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
@@ -620,6 +674,9 @@ object VectorQueries {
         ), mp AS (
           SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
           FROM rp a JOIN rx x USING (query_id, vec_id)
+        ), mq AS (
+          SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
+          FROM rr a JOIN rx x USING (query_id, vec_id)
         ), rec AS (
           SELECT 'lsh' AS method, ks.k, COUNT(ml.kmin) AS hits
           FROM ks LEFT JOIN ml ON ml.kmin <= ks.k GROUP BY ks.k
@@ -629,6 +686,9 @@ object VectorQueries {
           UNION ALL
           SELECT 'pq', ks.k, COUNT(mp.kmin)
           FROM ks LEFT JOIN mp ON mp.kmin <= ks.k GROUP BY ks.k
+          UNION ALL
+          SELECT 'pqr', ks.k, COUNT(mq.kmin)
+          FROM ks LEFT JOIN mq ON mq.kmin <= ks.k GROUP BY ks.k
         )
         SELECT method, k, CAST(hits AS BIGINT) AS hits,
                CAST(k * $NumQueries AS BIGINT) AS possible,
@@ -1036,6 +1096,29 @@ object VectorQueries {
         WITH $pqOracleCtes
         SELECT query_id, rank, vec_id AS neighbor_id, adist
         FROM pqr WHERE rank <= $K
+        ORDER BY query_id, rank
+      """)),
+
+    // ---------------------------------------------------------------
+    // q156: two-stage retrieval — IVF-PQ + exact re-rank, the refine
+    // step every production PQ deployment runs (FAISS's
+    // IndexRefineFlat): q154's ADC stage shortlists 50 candidates per
+    // query WITHOUT touching raw vectors; this stage rescores exactly
+    // those 50 with the true cosine and re-ranks to top-10. Measured
+    // effect at sf0.01 (q97's report): ADC-only recall@10 3666 e4 →
+    // reranked 5666 e4 (recall@1 3333 → 10000) — equal to the
+    // full-precision IVF leg's recall, bought for C raw-vector
+    // touches per query, corpus cost unchanged. Shares q154's
+    // memoized candidate artifact (one PQ pipeline per session);
+    // oracle = the full generated PQ chain + a cosine re-rank CTE,
+    // scored in q36's floor(cos·100) convention.
+    Q("q156_ann_rerank",
+      (s, d) => annPqRerank(s, d),
+      Some(s"""
+        WITH $pqOracleCtes, $pqRerankSql
+        SELECT query_id, rank, vec_id AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2
+        FROM prr WHERE rank <= $K
         ORDER BY query_id, rank
       """))
   )

@@ -74,7 +74,7 @@ class VectorQueriesSpec extends SparkSuite {
     val rows = run("q97_ann_recall").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
-    assert(rows.length === 9) // 3 methods x k in {1, 5, 10}
+    assert(rows.length === 12) // 4 methods x k in {1, 5, 10}
     rows.foreach { case (m, k, hits, possible, e4) =>
       assert(possible === 3L * k, s"$m@$k possible")
       assert(hits >= 0 && hits <= possible, s"$m@$k hits=$hits")
@@ -87,6 +87,15 @@ class VectorQueriesSpec extends SparkSuite {
     rows.filter(_._2 == 10).foreach { case (m, _, _, _, e4) =>
       val floor = if (m == "pq") 1000 else 2000
       assert(e4 >= floor, s"$m recall@10 degraded: $e4")
+    }
+    // the rerank DOMINATES its own coarse stage at every k — provable:
+    // an exact-top-k member among the candidates re-ranks at
+    // arank <= erank, so every pq hit survives and candidate-recall
+    // is fully recovered
+    val byMK = rows.map(r => (r._1, r._2) -> r._5).toMap
+    Seq(1, 5, 10).foreach { k =>
+      assert(byMK(("pqr", k)) >= byMK(("pq", k)),
+        s"rerank lost recall at k=$k")
     }
   }
 

@@ -256,6 +256,44 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** DELETE WHERE as a commit — the GDPR/right-to-be-forgotten path a
+    * 100 TB table cannot live without: the new version's manifest
+    * carries every file whose zone maps CANNOT contain a matching row
+    * forward VERBATIM (stats included) and rewrites only the touched
+    * files with `NOT rowPred` — O(affected files), not O(table), the
+    * same file-scoped rewrite Delta/Iceberg perform. `pruneRanges`
+    * scopes which files can match and MUST be implied by `rowPred`
+    * (a row satisfying rowPred must fall inside the ranges on the
+    * stats columns) — the caller states the delete's key footprint,
+    * exactly as a `DELETE WHERE k BETWEEN a AND b` does; empty ranges
+    * = every file is touched. Returns the new version, or the current
+    * one unchanged when no file can contain a match (a provable
+    * no-op commits nothing). Deleted rows remain time-travelable at
+    * older versions until [[vacuum]] passes retention — the
+    * snapshot-then-erase discipline (physical erasure is vacuum's
+    * job, and the audit trail wants it that way).
+    */
+  def commitDelete(s: SparkSession, base: String,
+                   rowPred: org.apache.spark.sql.Column,
+                   pruneRanges: Seq[(String, Long, Long)] = Nil,
+                   statsCols: Seq[String] = Nil,
+                   maxAttempts: Int = 5): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to delete from in $base")
+      val es = entries(base, prevV.get)
+      val touched = prune(es, pruneRanges)
+      if (touched.isEmpty) prevV.get
+      else {
+        val untouched = es.filterNot(touched.toSet)
+        val remaining = s.read
+          .parquet(touched.map(e => s"$base/${e.path}"): _*)
+          .filter(!rowPred)
+        commitAt(s, base, remaining, "delete", statsCols, prevV)(
+          fresh => untouched.map(formatEntry) ++ fresh)
+      }
+    }
+
   /** 16-bit Morton interleave of two integral columns — the z-value
     * [[optimize]] clusters on (and q133/q153 audit): a codegen'd sum
     * of shift/mask terms, no UDF. Degrades gracefully past 2^16 per
@@ -442,7 +480,13 @@ object VersionedTable {
         .toSeq.sorted
       finally dirStream.close()
     val stats = collectStats(s, s"$base/$dataDir", statsCols)
-    val freshLines = freshNames.map { n =>
+    // with stats collected, a fresh file absent from the grouped scan
+    // is PROVABLY empty (zero rows ⟹ no group; all-null columns still
+    // group) — keep it out of the manifest, so deletes that empty a
+    // file don't strand unprunable zero-row entries
+    val liveNames =
+      if (statsCols.isEmpty) freshNames else freshNames.filter(stats.contains)
+    val freshLines = liveNames.map { n =>
       formatEntry(ManifestEntry(s"$dataDir/$n", stats.getOrElse(n, Map.empty)))
     }
     beforePublish()

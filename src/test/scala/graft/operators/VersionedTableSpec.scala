@@ -280,6 +280,42 @@ class VersionedTableSpec extends SparkSuite {
     assert(pruned.toSeq === full.toSeq && full.length === 32)
   }
 
+  test("commitDelete rewrites only zone-map-touched files; history + vacuum honest") {
+    val base = TempDirs.scoped("vt_delete")
+    // four one-file commits with disjoint key decades
+    Seq(0L, 10L, 20L, 30L).foreach(lo => VersionedTable.commitAppend(
+      spark, base, kv((lo until lo + 10L).map(k => (k, 1L, k * 2))).coalesce(1),
+      statsCols = Seq("k")))
+    val es4 = VersionedTable.entries(base, 4L)
+    // delete one decade: only its file may be rewritten
+    val v = VersionedTable.commitDelete(spark, base,
+      col("k").between(10L, 19L), pruneRanges = Seq(("k", 10L, 19L)),
+      statsCols = Seq("k"))
+    assert(v === 5L)
+    val es5 = VersionedTable.entries(base, 5L)
+    // the three untouched files are carried forward VERBATIM (stats too)
+    val untouched = es4.filterNot(_.stats("k") ==
+      VersionedTable.ColStats(10L, 19L))
+    assert(untouched.size === 3 && untouched.forall(es5.contains))
+    assert(!es5.exists(_.stats.get("k").contains(
+      VersionedTable.ColStats(10L, 19L))))
+    // data: the decade is gone, everything else intact
+    assert(VersionedTable.readLatest(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      ((0L until 10L) ++ (20L until 40L)))
+    // snapshot-then-erase: the old version still shows the rows...
+    assert(VersionedTable.readVersion(spark, base, 4L).count() === 40L)
+    // ...until vacuum passes retention
+    VersionedTable.vacuum(base, retainFrom = 5L)
+    intercept[Exception] { VersionedTable.readVersion(spark, base, 4L).count() }
+    assert(VersionedTable.readLatest(spark, base).count() === 30L)
+    // provable no-op: a delete whose footprint no zone map overlaps
+    // commits NOTHING (no new version, no rewrite)
+    val v2 = VersionedTable.commitDelete(spark, base,
+      col("k").between(500L, 600L), pruneRanges = Seq(("k", 500L, 600L)))
+    assert(v2 === 5L && VersionedTable.latestVersion(base) === Some(5L))
+  }
+
   test("empty table read fails with a clear error") {
     val base = TempDirs.scoped("vt_empty")
     intercept[IllegalArgumentException] {

@@ -143,6 +143,22 @@ object VersionedTable {
   def entries(base: String, v: Long): Seq[ManifestEntry] =
     readManifest(base, v).map(parseEntry)
 
+  /** DESCRIBE HISTORY: one (version, op, n_files) row per committed
+    * version, oldest first — read entirely from the commit log's
+    * `#op=` headers and line counts (driver-plane; vacuumed-away
+    * versions are simply absent). The audit surface a table owner
+    * reads before time-traveling or assigning blame.
+    */
+  def history(base: String): Seq[(Long, String, Int)] = {
+    val latest = latestVersion(base).getOrElse(return Seq.empty)
+    (1L to latest).filter(v => Files.exists(markerPath(base, v))).map { v =>
+      val raw = Files.readAllLines(markerPath(base, v)).asScala.toSeq
+      val op = raw.find(_.startsWith("#op="))
+        .map(_.stripPrefix("#op=")).getOrElse("unknown")
+      (v, op, raw.count(l => !l.startsWith("#") && l.nonEmpty))
+    }
+  }
+
   /** Zone-map pruning: keep the entries that can possibly hold a row
     * satisfying EVERY conjunct `col BETWEEN lo AND hi`. An entry
     * without stats for a referenced column is never skipped — pruning

@@ -316,6 +316,23 @@ class VersionedTableSpec extends SparkSuite {
     assert(v2 === 5L && VersionedTable.latestVersion(base) === Some(5L))
   }
 
+  test("history: one (version, op, n_files) row per surviving commit") {
+    val base = TempDirs.scoped("vt_history")
+    assert(VersionedTable.history(base) === Seq.empty)
+    VersionedTable.commitAppend(spark, base,
+      kv(Seq((1L, 1L, 1L))).coalesce(1), statsCols = Seq("k"))
+    VersionedTable.commitAppend(spark, base, kv(Seq((2L, 1L, 2L))).coalesce(1))
+    VersionedTable.commitMerge(spark, base,
+      kv(Seq((1L, 2L, 9L))), "k", Seq("ord"))
+    val h = VersionedTable.history(base)
+    assert(h.map(t => (t._1, t._2)) ===
+      Seq((1L, "append"), (2L, "append"), (3L, "merge")))
+    assert(h(0)._3 === 1 && h(1)._3 === 2) // append carries v1's file
+    // vacuum drops the early manifests; history shows what survives
+    VersionedTable.vacuum(base, retainFrom = 3L)
+    assert(VersionedTable.history(base).map(_._1) === Seq(3L))
+  }
+
   test("empty table read fails with a clear error") {
     val base = TempDirs.scoped("vt_empty")
     intercept[IllegalArgumentException] {

@@ -205,6 +205,22 @@ object ConnectedComponents {
     if (!converged && iter >= maxIter)
       throw new IllegalStateException(
         s"alternating-star did not converge in $maxIter rounds")
+    // Star-forest validation: the signature check declares convergence
+    // from a (count, xor-hash) fingerprint, so an (astronomically
+    // unlikely) collision could terminate on a non-fixed-point edge
+    // set. The fixed point is EXACTLY a star forest — every member
+    // appears as `v` once, and no root (`u`) is itself a member — so
+    // two tiny aggregates on the final (contracted, smallest-of-run)
+    // edge set convert that silent-wrong mode into a loud failure.
+    if (!e.isEmpty) {
+      val card = e.agg(count(lit(1)), countDistinct(col("v"))).head()
+      val rootIsMember =
+        !e.select(col("u")).intersect(e.select(col("v"))).isEmpty
+      if (card.getLong(0) != card.getLong(1) || rootIsMember)
+        throw new IllegalStateException(
+          "alternating-star signature collision: converged edge set is " +
+            "not a star forest — labels would be wrong; rerun")
+    }
     // fixed point = star forest rooted at component minima: members
     // carry (v → u); roots and isolated vertices label themselves
     val labels = vertices

@@ -1,22 +1,26 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types._
 
 /** Minimal snapshot-versioned parquet table: a commit-log directory of
-  * manifest files gives plain parquet the four properties a 100 TB
-  * pipeline reaches for a table format for — ATOMIC commit visibility,
-  * TIME TRAVEL (`readVersion`), a MERGE INTO closure (`commitMerge`,
-  * the q129 SCD1 argmax discipline), and — r10 — MANIFEST-LEVEL DATA
-  * SKIPPING (`readVersionPruned`: per-file min/max zone maps written
-  * at commit, consumed at read). All from public first principles
-  * (the Delta/Iceberg commit-protocol idea: data files are immutable
-  * and invisible until a manifest names them; the manifest carries the
-  * statistics that let a reader never open non-overlapping files).
+  * DELTA manifests (plus periodic checkpoints) gives plain parquet the
+  * properties a 100 TB pipeline reaches for a table format for —
+  * ATOMIC commit visibility, TIME TRAVEL (`readVersion`), a MERGE INTO
+  * closure (`commitMerge`, the q129 SCD1 argmax discipline),
+  * MANIFEST-LEVEL DATA SKIPPING (`readVersionPruned`: per-file min/max
+  * zone maps written at commit, consumed at read), a LOG-DERIVED
+  * CHANGE FEED (`changesPerCommit` — O(changed files), the Delta-CDF
+  * read shape), and SCHEMA EVOLUTION (a declared-schema header per
+  * commit; old files reconcile by null-filling absent columns). All
+  * from public first principles (the Delta/Iceberg commit-protocol
+  * idea: data files are immutable and invisible until a manifest names
+  * them; the log carries the statistics that let a reader never open
+  * non-overlapping files).
   *
   * Layout under `base/`:
   *   d{version}-{nonce}/part-*.parquet   immutable data files of ONE
@@ -26,20 +30,36 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *                                       racing to the same version
   *                                       can never list or clobber
   *                                       each other's data)
-  *   _log/{version%020d}.commit          manifest: one line per data
-  *                                       file composing that VERSION's
-  *                                       full snapshot view, plus
-  *                                       optional per-file column stats
+  *   _log/{version%020d}.commit          DELTA manifest: `#op=` and
+  *                                       `#schema=` headers, then one
+  *                                       `+path[<TAB>stats]...` line
+  *                                       per file the commit ADDS and
+  *                                       one `-path` line per file it
+  *                                       REMOVES — commit I/O is
+  *                                       O(delta), never O(live files)
+  *   _log/{version%020d}.checkpoint      full snapshot file list
+  *                                       (schema header + unprefixed
+  *                                       entry lines), written every
+  *                                       [[CheckpointEvery]] commits
+  *                                       and by [[vacuum]]; a read of
+  *                                       version v replays the latest
+  *                                       checkpoint ≤ v plus the
+  *                                       commit suffix — O(files +
+  *                                       suffix), exactly Delta's
+  *                                       checkpointed log replay
   *
-  * Manifest line format (tab-separated):
-  *   relative/path.parquet[<TAB>col=lo..hi]...
-  * Stats are per-file min/max of the INTEGRAL columns declared at
-  * commit time (`statsCols`) — the zone maps a reader prunes on. A
-  * column absent from a file's line (e.g. all-null in that file, or
+  * Stats token format (tab-separated after the path):
+  *   col=lo..hi          integral/date/timestamp column (dates as
+  *                       epoch days, timestamps as epoch micros)
+  *   col=S:hexlo..hexhi  string column, min/max UTF-8 hex-encoded
+  *                       (escape-proof against tabs/dots/equals) and
+  *                       compared bytewise — the same binary order
+  *                       Spark's min/max on StringType uses
+  * A column absent from a file's line (e.g. all-null in that file, or
   * the file predates stats) is simply not prunable on — skipping
-  * degrades to reading, never to wrong answers. Files carried forward
-  * by an append manifest keep their original stats lines VERBATIM, so
-  * stat maintenance stays O(delta) like the manifest itself.
+  * degrades to reading, never to wrong answers. Files carried across
+  * commits keep their original stats: a delta manifest never restates
+  * them, so stat maintenance is O(delta) like the manifest write.
   *
   * Commit protocol (crash-safe, optimistic concurrency):
   *   1. pin the latest committed version v (the snapshot this commit
@@ -49,51 +69,91 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *   2. write the new data files under an attempt-private
   *      d{v+1}-{nonce} dir — unreferenced until step 4, so a crash
   *      here leaves only invisible orphans (spec-pinned; vacuum sweeps
-  *      them);
+  *      them once they age past its attempt-retention window);
   *   3. if stats columns are declared, scan the freshly written delta
   *      once for per-file min/max (O(delta); on a cluster the same
   *      numbers come out of the parquet footers already in hand);
-  *   4. publish the manifest via hard-link create-EXCLUSIVE (link(2)
-  *      fails with EEXIST if version v+1 was already committed) — an
-  *      atomic rename() would silently REPLACE an existing marker on
-  *      POSIX, turning a lost race into silent data loss; the link
-  *      makes the loser fail loudly with a conflict.
+  *   4. publish the delta manifest via hard-link create-EXCLUSIVE
+  *      (link(2) fails with EEXIST if version v+1 was already
+  *      committed) — an atomic rename() would silently REPLACE an
+  *      existing marker on POSIX, turning a lost race into silent data
+  *      loss; the link makes the loser fail loudly with a conflict.
+  *      Every [[CheckpointEvery]] versions the winner also writes a
+  *      checkpoint (best-effort — replay works without it, and its
+  *      content is a deterministic function of the log, so a duplicate
+  *      write is idempotent).
   * On conflict, `commitAppend`/`commitMerge` REBASE AND RETRY (bounded
   * attempts): both closures are associative — append sets commute and
   * the merge argmax is order-insensitive — so recomputing against the
   * new latest is semantically free; the loser's abandoned attempt dir
   * is an invisible orphan for vacuum. Readers of version n see exactly
-  * the manifest's file list regardless of concurrent writers.
+  * the replayed file list regardless of concurrent writers.
   *
-  * An APPEND commit writes only its delta files (manifest = previous
-  * manifest + new lines — O(delta) I/O); a MERGE commit is
-  * copy-on-write of the keyed current-state table (dimension-sized by
-  * construction — one row per key — so the rewrite is bounded by the
-  * key domain, never by history).
+  * Schema discipline: every commit records the table's DECLARED schema
+  * (`#schema=` header, Spark StructType JSON) = the previous declared
+  * schema plus any columns the committed frame adds (type changes are
+  * rejected loudly). Reads apply the declared schema of the version
+  * being read, so files written before an ADD COLUMN null-fill it, and
+  * time travel to a pre-evolution version sees the ORIGINAL schema —
+  * and a version whose manifest is empty (e.g. a DELETE that removed
+  * every row) still reads as a zero-row frame with the right schema
+  * instead of failing parquet schema inference.
   *
-  * Scale shape of skipping: the manifest is driver-plane metadata
-  * (one line per file — MBs at 100k files), so pruning happens BEFORE
-  * Spark lists or opens anything; a selective key predicate over a
-  * clustered layout (see q153's z-order fixture) turns a 100 TB scan
-  * into however many files actually overlap. Local-FS `java.nio` is
-  * the sandbox I/O seam; on a cluster the same steps run through the
-  * Hadoop FileSystem API (object stores need the same create-exclusive
-  * publish, e.g. an S3 conditional PUT).
+  * Scale shape of skipping: the log is driver-plane metadata (one line
+  * per CHANGED file per commit; checkpoints amortize replay), so
+  * pruning happens BEFORE Spark lists or opens anything; a selective
+  * key predicate over a clustered layout (see q153's z-order fixture)
+  * turns a 100 TB scan into however many files actually overlap.
+  * Local-FS `java.nio` is the sandbox I/O seam; on a cluster the same
+  * steps run through the Hadoop FileSystem API (object stores need the
+  * same create-exclusive publish, e.g. an S3 conditional PUT).
   */
 object VersionedTable {
 
+  /** Full-snapshot checkpoint cadence: commit I/O stays O(delta) and a
+    * read of version v replays at most this many delta manifests past
+    * the nearest checkpoint.
+    */
+  val CheckpointEvery: Long = 10L
+
   /** Per-file min/max of one stats column (inclusive). */
-  final case class ColStats(lo: Long, hi: Long)
+  sealed trait Stat
+  /** Integral-kind stats: long range (dates as epoch days, timestamps
+    * as epoch micros).
+    */
+  final case class ColStats(lo: Long, hi: Long) extends Stat
+  /** String-kind stats: min/max compared bytewise over UTF-8 (the
+    * binary order Spark's min/max on StringType produces).
+    */
+  final case class StrStats(lo: String, hi: String) extends Stat
+
+  /** One zone-map pruning conjunct. */
+  sealed trait PruneRange { def col: String }
+  final case class LongRange(col: String, lo: Long, hi: Long)
+    extends PruneRange
+  final case class StrRange(col: String, lo: String, hi: String)
+    extends PruneRange
+  object PruneRange {
+    /** A date slice as a prune conjunct (dates are stored as epoch
+      * days in the zone maps).
+      */
+    def date(col: String, lo: java.time.LocalDate,
+             hi: java.time.LocalDate): PruneRange =
+      LongRange(col, lo.toEpochDay, hi.toEpochDay)
+  }
 
   /** One manifest line: a data file path (relative to the table base)
     * plus its zone-map stats.
     */
-  final case class ManifestEntry(path: String, stats: Map[String, ColStats])
+  final case class ManifestEntry(path: String, stats: Map[String, Stat])
 
   private def logDir(base: String): Path = Paths.get(base, "_log")
 
   private def markerPath(base: String, v: Long): Path =
     logDir(base).resolve(f"$v%020d.commit")
+
+  private def checkpointPath(base: String, v: Long): Path =
+    logDir(base).resolve(f"$v%020d.checkpoint")
 
   /** Highest committed version, or None for an empty/uninitialized table.
     * Orphan data dirs (a crash between data write and publish) are
@@ -114,84 +174,253 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def readManifest(base: String, v: Long): Seq[String] = {
-    val m = markerPath(base, v)
-    require(Files.exists(m),
-      s"version $v does not exist in $base (latest: ${latestVersion(base)})")
-    Files.readAllLines(m).asScala.toSeq
-      .filterNot(l => l.startsWith("#") || l.isEmpty)
+  private def latestCheckpointAtOrBefore(base: String,
+                                         v: Long): Option[Long] = {
+    val log = logDir(base)
+    if (!Files.isDirectory(log)) return None
+    val stream = Files.list(log)
+    val vs =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".checkpoint") &&
+          n.stripSuffix(".checkpoint").forall(_.isDigit))
+        .map(_.stripSuffix(".checkpoint").toLong)
+        .filter(_ <= v)
+        .toSeq
+      finally stream.close()
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private val StrTag = "S:"
+
+  private def hexEnc(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+
+  private def hexDec(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
+  /** Bytewise UTF-8 comparison — matches Spark's UTF8String binary
+    * order, which is what min/max on a StringType column produce.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def parseEntry(line: String): ManifestEntry = {
     val toks = line.split('\t')
-    val stats = toks.iterator.drop(1).map { t =>
+    val stats: Map[String, Stat] = toks.iterator.drop(1).map { t =>
       val Array(c, range) = t.split("=", 2)
-      val Array(lo, hi) = range.split("\\.\\.", 2)
-      c -> ColStats(lo.toLong, hi.toLong)
+      if (range.startsWith(StrTag)) {
+        val Array(lo, hi) = range.stripPrefix(StrTag).split("\\.\\.", 2)
+        c -> StrStats(hexDec(lo), hexDec(hi))
+      } else {
+        val Array(lo, hi) = range.split("\\.\\.", 2)
+        c -> ColStats(lo.toLong, hi.toLong)
+      }
     }.toMap
     ManifestEntry(toks.head, stats)
   }
 
   private def formatEntry(e: ManifestEntry): String =
-    (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
-      s"$c=${st.lo}..${st.hi}" }).mkString("\t")
+    (e.path +: e.stats.toSeq.sortBy(_._1).map {
+      case (c, ColStats(lo, hi)) => s"$c=$lo..$hi"
+      case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
+    }).mkString("\t")
 
-  /** The manifest of committed version `v`, parsed — the metadata
-    * surface specs and audits (q153) count files and read zone maps
-    * through.
+  private def schemaHeader(st: StructType): String = s"#schema=${st.json}"
+
+  private def parseSchemaHeader(l: String): StructType =
+    DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType]
+
+  private def forceNullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  /** Replay the log to version `v`: latest checkpoint ≤ v, then the
+    * delta-manifest suffix — returns the full snapshot file list (in
+    * first-committed order) and the declared schema as of `v`.
+    * Unprefixed body lines are accepted as adds (pre-delta-log
+    * manifests and checkpoints share that form).
     */
-  def entries(base: String, v: Long): Seq[ManifestEntry] =
-    readManifest(base, v).map(parseEntry)
+  private def replay(base: String,
+                     v: Long): (Seq[ManifestEntry], Option[StructType]) = {
+    require(Files.exists(markerPath(base, v)),
+      s"version $v does not exist in $base (latest: ${latestVersion(base)})")
+    val acc = new java.util.LinkedHashMap[String, ManifestEntry]()
+    var schema: Option[StructType] = None
+    def apply(lines: Seq[String], isDelta: Boolean): Unit = lines.foreach {
+      case l if l.startsWith("#schema=") => schema = Some(parseSchemaHeader(l))
+      case l if l.startsWith("#") || l.isEmpty => ()
+      case l if isDelta && l.startsWith("+") =>
+        val e = parseEntry(l.substring(1)); acc.put(e.path, e)
+      case l if isDelta && l.startsWith("-") => acc.remove(l.substring(1))
+      case l => val e = parseEntry(l); acc.put(e.path, e)
+    }
+    val cp = latestCheckpointAtOrBefore(base, v)
+    cp.foreach { c =>
+      apply(Files.readAllLines(checkpointPath(base, c)).asScala.toSeq,
+        isDelta = false)
+    }
+    ((cp.getOrElse(0L) + 1L) to v).foreach { u =>
+      val m = markerPath(base, u)
+      require(Files.exists(m),
+        s"commit log gap: version $u missing while replaying to $v in $base" +
+          " (vacuumed without a checkpoint?)")
+      apply(Files.readAllLines(m).asScala.toSeq, isDelta = true)
+    }
+    (acc.values().asScala.toSeq, schema)
+  }
+
+  /** The full snapshot file list of committed version `v` — the
+    * metadata surface specs and audits (q153) count files and read
+    * zone maps through. O(files + commits-since-checkpoint).
+    */
+  def entries(base: String, v: Long): Seq[ManifestEntry] = replay(base, v)._1
+
+  /** The declared schema as of committed version `v` (None only for
+    * manifests published before schema headers existed).
+    */
+  def declaredSchema(base: String, v: Long): Option[StructType] =
+    replay(base, v)._2
+
+  /** The raw delta of commit `v`: (op, added entries, removed paths). */
+  private def commitDelta(base: String,
+      v: Long): (String, Seq[ManifestEntry], Seq[String]) = {
+    val m = markerPath(base, v)
+    require(Files.exists(m),
+      s"version $v does not exist in $base (latest: ${latestVersion(base)})")
+    var op = "unknown"
+    val adds = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    val rems = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.readAllLines(m).asScala.foreach {
+      case l if l.startsWith("#op=") => op = l.stripPrefix("#op=")
+      case l if l.startsWith("#") || l.isEmpty => ()
+      case l if l.startsWith("+") => adds += parseEntry(l.substring(1))
+      case l if l.startsWith("-") => rems += l.substring(1)
+      case l => adds += parseEntry(l) // pre-delta-log manifests
+    }
+    (op, adds.toSeq, rems.toSeq)
+  }
+
+  /** Write the full-snapshot checkpoint for version `v`. Content is a
+    * pure function of the log, so concurrent/duplicate writes are
+    * idempotent — published with an atomic same-dir move.
+    */
+  private def writeCheckpoint(base: String, v: Long): Unit = {
+    val (es, schema) = replay(base, v)
+    val body = (schema.map(schemaHeader).toSeq ++ es.map(formatEntry))
+      .mkString("", "\n", "\n")
+    val tmp = logDir(base).resolve(s".cktmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, checkpointPath(base, v),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** DESCRIBE HISTORY: one (version, op, n_files) row per committed
-    * version, oldest first — read entirely from the commit log's
-    * `#op=` headers and line counts (driver-plane; vacuumed-away
+    * version, oldest first — op from the commit's `#op=` header,
+    * n_files the SNAPSHOT size at that version (replayed; vacuumed-away
     * versions are simply absent). The audit surface a table owner
     * reads before time-traveling or assigning blame.
     */
   def history(base: String): Seq[(Long, String, Int)] = {
     val latest = latestVersion(base).getOrElse(return Seq.empty)
-    (1L to latest).filter(v => Files.exists(markerPath(base, v))).map { v =>
-      val raw = Files.readAllLines(markerPath(base, v)).asScala.toSeq
-      val op = raw.find(_.startsWith("#op="))
-        .map(_.stripPrefix("#op=")).getOrElse("unknown")
-      (v, op, raw.count(l => !l.startsWith("#") && l.nonEmpty))
+    (1L to latest).filter(v => Files.exists(markerPath(base, v))).flatMap {
+      v =>
+        val raw = Files.readAllLines(markerPath(base, v)).asScala.toSeq
+        val op = raw.find(_.startsWith("#op="))
+          .map(_.stripPrefix("#op=")).getOrElse("unknown")
+        // replay only reaches versions with an unbroken suffix from a
+        // checkpoint; a marker that survives vacuum always has one
+        scala.util.Try(entries(base, v).size).toOption.map(n => (v, op, n))
     }
   }
 
-  /** Zone-map pruning: keep the entries that can possibly hold a row
-    * satisfying EVERY conjunct `col BETWEEN lo AND hi`. An entry
-    * without stats for a referenced column is never skipped — pruning
-    * degrades to reading, not to wrong answers.
+  /** Zone-map pruning on integral ranges — see [[pruneTyped]] for the
+    * general (string/date-capable) form.
     */
   def prune(es: Seq[ManifestEntry],
             ranges: Seq[(String, Long, Long)]): Seq[ManifestEntry] =
-    es.filter(e => ranges.forall { case (c, lo, hi) =>
-      e.stats.get(c).forall(st => st.hi >= lo && st.lo <= hi)
+    pruneTyped(es, ranges.map { case (c, lo, hi) => LongRange(c, lo, hi) })
+
+  /** Zone-map pruning: keep the entries that can possibly hold a row
+    * satisfying EVERY conjunct (`col BETWEEN lo AND hi`, long or
+    * string flavored). An entry without stats for a referenced column
+    * — or whose stat kind doesn't match the range kind — is never
+    * skipped: pruning degrades to reading, not to wrong answers.
+    */
+  def pruneTyped(es: Seq[ManifestEntry],
+                 ranges: Seq[PruneRange]): Seq[ManifestEntry] =
+    es.filter(e => ranges.forall { r =>
+      (e.stats.get(r.col), r) match {
+        case (Some(ColStats(slo, shi)), LongRange(_, lo, hi)) =>
+          shi >= lo && slo <= hi
+        case (Some(StrStats(slo, shi)), StrRange(_, lo, hi)) =>
+          utf8Cmp(shi, lo) >= 0 && utf8Cmp(slo, hi) <= 0
+        case _ => true
+      }
     })
 
-  /** The table as of committed version `v` (1-based) — time travel. */
+  private def readFiles(s: SparkSession, base: String, paths: Seq[String],
+                        schemaOpt: Option[StructType]): DataFrame = {
+    val full = paths.map(p => s"$base/$p")
+    schemaOpt match {
+      // declared schema: old files null-fill evolved-in columns, and
+      // nullability is relaxed (parquet writers vary on it)
+      case Some(st) => s.read.schema(forceNullable(st)).parquet(full: _*)
+      case None => s.read.parquet(full: _*)
+    }
+  }
+
+  private def emptyFrame(s: SparkSession, base: String, v: Long,
+                         schemaOpt: Option[StructType]): DataFrame = {
+    val st = schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"version $v of $base is empty and predates schema headers — " +
+        "no schema to produce an empty frame with"))
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], forceNullable(st))
+  }
+
+  /** The table as of committed version `v` (1-based) — time travel.
+    * Reads through the declared schema of `v`: files written before an
+    * ADD COLUMN null-fill it, and an empty manifest (a DELETE that
+    * removed every row) reads as a zero-row frame, not an inference
+    * error.
+    */
   def readVersion(s: SparkSession, base: String, v: Long): DataFrame = {
-    val files = entries(base, v).map(e => s"$base/${e.path}")
-    s.read.parquet(files: _*)
+    val (es, schema) = replay(base, v)
+    if (es.isEmpty) emptyFrame(s, base, v, schema)
+    else readFiles(s, base, es.map(_.path), schema)
   }
 
   /** Time travel THROUGH the zone maps: read version `v` opening only
-    * the files whose stats overlap every `col BETWEEN lo AND hi`
-    * conjunct. File-level skipping only — the caller still applies the
-    * row-level filter; the contract is that the pruned read contains
-    * every satisfying row of the full read (spec-pinned, and q153
-    * hash-compares a pruned aggregate against a full-scan oracle).
+    * the files whose stats overlap every range conjunct. File-level
+    * skipping only — the caller still applies the row-level filter;
+    * the contract is that the pruned read contains every satisfying
+    * row of the full read (spec-pinned, and q153 hash-compares a
+    * pruned aggregate against a full-scan oracle).
     */
   def readVersionPruned(s: SparkSession, base: String, v: Long,
-                        ranges: Seq[(String, Long, Long)]): DataFrame = {
-    val all = entries(base, v)
-    require(all.nonEmpty, s"version $v of $base has an empty manifest")
-    val kept = prune(all, ranges)
-    if (kept.isEmpty)
-      // schema-preserving empty frame: every file was skipped
-      s.read.parquet(s"$base/${all.head.path}").limit(0)
-    else s.read.parquet(kept.map(e => s"$base/${e.path}"): _*)
+                        ranges: Seq[(String, Long, Long)]): DataFrame =
+    readVersionPrunedTyped(s, base, v,
+      ranges.map { case (c, lo, hi) => LongRange(c, lo, hi) })
+
+  /** [[readVersionPruned]] with string/date-capable ranges. */
+  def readVersionPrunedTyped(s: SparkSession, base: String, v: Long,
+                             ranges: Seq[PruneRange]): DataFrame = {
+    val (all, schema) = replay(base, v)
+    val kept = pruneTyped(all, ranges)
+    if (kept.isEmpty) {
+      if (all.isEmpty) emptyFrame(s, base, v, schema)
+      else if (schema.isDefined) emptyFrame(s, base, v, schema)
+      // schema-preserving empty frame for pre-header manifests
+      else readFiles(s, base, Seq(all.head.path), None).limit(0)
+    } else readFiles(s, base, kept.map(_.path), schema)
   }
 
   def readLatest(s: SparkSession, base: String): DataFrame = {
@@ -200,19 +429,20 @@ object VersionedTable {
     readVersion(s, base, v)
   }
 
-  /** Append `df` as a new version: writes ONLY the delta's files; the
-    * manifest carries the previous version's lines forward verbatim
-    * (stats included). On a lost publish race, rebases onto the
-    * winner's manifest and retries — append sets commute, so the
-    * rebase is a manifest recomputation, not a data decision.
+  /** Append `df` as a new version: writes ONLY the delta's files and a
+    * delta manifest of `+` lines — O(delta) I/O even on a 100k-file
+    * table (carried files are implicit in the log; checkpoints keep
+    * replay bounded). On a lost publish race, rebases onto the
+    * winner's log and retries — append sets commute, so the rebase is
+    * a version-number recomputation, not a data decision.
     */
   def commitAppend(s: SparkSession, base: String, df: DataFrame,
                    statsCols: Seq[String] = Nil,
                    maxAttempts: Int = 5): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
-      val prev = prevV.map(readManifest(base, _)).getOrElse(Seq.empty)
-      commitAt(s, base, df, "append", statsCols, prevV)(fresh => prev ++ fresh)
+      commitAt(s, base, df, "append", statsCols, prevV)(
+        fresh => (fresh, Seq.empty))
     }
 
   /** MERGE INTO closure: the new version's state is the per-key argmax
@@ -221,7 +451,10 @@ object VersionedTable {
     * a lost publish race is resolved by re-reading the winner's state
     * and re-merging the same delta (bounded retries). The first merge
     * commit on an empty table is the delta's own argmax. Copy-on-write:
-    * the manifest references only the freshly written state files.
+    * the new manifest removes every previous file and adds the freshly
+    * written state files. A delta carrying NEW columns evolves the
+    * schema (previous state null-fills them); the declared-schema
+    * header makes time travel see each version's own shape.
     * The snapshot version the merge was computed against is pinned —
     * publish is attempted at exactly that version + 1, so a commit
     * landing mid-computation forces a rebase instead of being silently
@@ -248,13 +481,15 @@ object VersionedTable {
       val prevV = latestVersion(base)
       val merged = prevV match {
         case Some(v) =>
-          argmaxLatest(readVersion(s, base, v).unionByName(delta),
-            keyCol, ordCols)
+          argmaxLatest(readVersion(s, base, v)
+            .unionByName(delta, allowMissingColumns = true), keyCol, ordCols)
         case None => argmaxLatest(delta, keyCol, ordCols)
       }
+      val prevPaths = prevV.map(entries(base, _).map(_.path))
+        .getOrElse(Seq.empty)
       val a = attempt
       commitAt(s, base, merged, "merge", statsCols, prevV,
-        () => beforePublish(a))(fresh => fresh)
+        () => beforePublish(a))(fresh => (fresh, prevPaths))
     }
   }
 
@@ -273,40 +508,54 @@ object VersionedTable {
   }
 
   /** DELETE WHERE as a commit — the GDPR/right-to-be-forgotten path a
-    * 100 TB table cannot live without: the new version's manifest
-    * carries every file whose zone maps CANNOT contain a matching row
-    * forward VERBATIM (stats included) and rewrites only the touched
-    * files with `NOT rowPred` — O(affected files), not O(table), the
-    * same file-scoped rewrite Delta/Iceberg perform. `pruneRanges`
+    * 100 TB table cannot live without: every file whose zone maps
+    * CANNOT contain a matching row is carried forward implicitly
+    * (delta manifests never restate it) and only the touched files are
+    * rewritten with `NOT rowPred` — O(affected files), not O(table),
+    * the same file-scoped rewrite Delta/Iceberg perform. `pruneRanges`
     * scopes which files can match and MUST be implied by `rowPred`
     * (a row satisfying rowPred must fall inside the ranges on the
     * stats columns) — the caller states the delete's key footprint,
     * exactly as a `DELETE WHERE k BETWEEN a AND b` does; empty ranges
-    * = every file is touched. Returns the new version, or the current
-    * one unchanged when no file can contain a match (a provable
-    * no-op commits nothing). Deleted rows remain time-travelable at
-    * older versions until [[vacuum]] passes retention — the
-    * snapshot-then-erase discipline (physical erasure is vacuum's
-    * job, and the audit trail wants it that way).
+    * = every file is touched. That implication is the caller's
+    * contract; `verifyFootprint = true` makes the engine CHECK it
+    * (one counting scan of the pruned-out files — O(untouched), so
+    * it's opt-in: the audit mode for when the predicate's footprint
+    * is hand-derived rather than mechanical). Returns the new version,
+    * or the current one unchanged when no file can contain a match (a
+    * provable no-op commits nothing). A delete that removes EVERY row
+    * publishes an empty manifest that still reads cleanly (zero-row
+    * frame under the declared schema). Deleted rows remain
+    * time-travelable at older versions until [[vacuum]] passes
+    * retention — the snapshot-then-erase discipline (physical erasure
+    * is vacuum's job, and the audit trail wants it that way).
     */
   def commitDelete(s: SparkSession, base: String,
-                   rowPred: org.apache.spark.sql.Column,
+                   rowPred: Column,
                    pruneRanges: Seq[(String, Long, Long)] = Nil,
                    statsCols: Seq[String] = Nil,
-                   maxAttempts: Int = 5): Long =
+                   maxAttempts: Int = 5,
+                   verifyFootprint: Boolean = false): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to delete from in $base")
-      val es = entries(base, prevV.get)
+      val (es, schema) = replay(base, prevV.get)
       val touched = prune(es, pruneRanges)
       if (touched.isEmpty) prevV.get
       else {
         val untouched = es.filterNot(touched.toSet)
-        val remaining = s.read
-          .parquet(touched.map(e => s"$base/${e.path}"): _*)
+        if (verifyFootprint && untouched.nonEmpty) {
+          val leaked = readFiles(s, base, untouched.map(_.path), schema)
+            .filter(rowPred).count()
+          require(leaked == 0L,
+            s"commitDelete footprint violation: $leaked row(s) matching " +
+              s"rowPred live in the ${untouched.size} file(s) pruneRanges " +
+              "excluded — the delete would be silently incomplete")
+        }
+        val remaining = readFiles(s, base, touched.map(_.path), schema)
           .filter(!rowPred)
         commitAt(s, base, remaining, "delete", statsCols, prevV)(
-          fresh => untouched.map(formatEntry) ++ fresh)
+          fresh => (fresh, touched.map(_.path)))
       }
     }
 
@@ -315,8 +564,7 @@ object VersionedTable {
     * of shift/mask terms, no UDF. Degrades gracefully past 2^16 per
     * key (identical on any engine computing the same expression).
     */
-  def zValue(a: org.apache.spark.sql.Column,
-             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def zValue(a: Column, b: Column): Column =
     (0 until 16).map { i =>
       shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
@@ -338,7 +586,9 @@ object VersionedTable {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to compact in $base")
       val snap = readVersion(s, base, prevV.get).repartition(numFiles)
-      commitAt(s, base, snap, "compact", statsCols, prevV)(fresh => fresh)
+      val prevPaths = entries(base, prevV.get).map(_.path)
+      commitAt(s, base, snap, "compact", statsCols, prevV)(
+        fresh => (fresh, prevPaths))
     }
   }
 
@@ -362,26 +612,37 @@ object VersionedTable {
         .repartitionByRange(numFiles, z)
         .sortWithinPartitions(z)
       val stats = (statsCols ++ Seq(zCols._1, zCols._2)).distinct
-      commitAt(s, base, snap, "optimize", stats, prevV)(fresh => fresh)
+      val prevPaths = entries(base, prevV.get).map(_.path)
+      commitAt(s, base, snap, "optimize", stats, prevV)(
+        fresh => (fresh, prevPaths))
     }
   }
 
   /** Retention vacuum: delete every data file not referenced by any
-    * manifest of version ≥ `retainFrom`, plus the manifests below it —
-    * time travel to versions < `retainFrom` fails cleanly afterwards
-    * (their markers are gone, not dangling), reads at ≥ `retainFrom`
-    * are untouched. Also sweeps crash orphans and abandoned commit
-    * attempts (data dirs no manifest ever referenced). Returns the
-    * deleted paths (relative), for the audit log a production vacuum
-    * writes. Append-only histories delete nothing (later manifests
-    * carry every earlier file — the O(delta) manifest design means
-    * retention costs nothing until copy-on-write MERGE commits strand
-    * old state dirs).
+    * version ≥ `retainFrom`, plus the log entries below it — time
+    * travel to versions < `retainFrom` fails cleanly afterwards (their
+    * markers are gone, not dangling), reads at ≥ `retainFrom` are
+    * untouched (a checkpoint is written AT `retainFrom` first, so the
+    * truncated log still replays). Also sweeps crash orphans and
+    * abandoned commit attempts — BUT an unreferenced dir whose version
+    * is AHEAD of the latest commit is indistinguishable from a racing
+    * writer's in-flight attempt, so those are only swept once older
+    * than `attemptRetentionMs` (mtime-based — the same age gate
+    * Delta/Iceberg retention uses; a dir at a version ≤ latest can
+    * never be published again, its race is already lost, and is swept
+    * immediately). Returns the deleted paths (relative), for the audit
+    * log a production vacuum writes. Append-only histories delete no
+    * data (every later version references every earlier file).
     */
-  def vacuum(base: String, retainFrom: Long): Seq[String] = {
+  def vacuum(base: String, retainFrom: Long,
+             attemptRetentionMs: Long = 3600000L): Seq[String] = {
     val latest = latestVersion(base).getOrElse(return Seq.empty)
     require(retainFrom <= latest,
       s"retainFrom $retainFrom is beyond latest committed version $latest")
+    // the truncated log must still replay at retainFrom: checkpoint it
+    // before any marker below goes away
+    if (!Files.exists(checkpointPath(base, retainFrom)))
+      writeCheckpoint(base, retainFrom)
     val referenced = (retainFrom to latest)
       .filter(v => Files.exists(markerPath(base, v)))
       .flatMap(v => entries(base, v).map(_.path)).toSet
@@ -393,6 +654,11 @@ object VersionedTable {
         .toSeq
       finally stream.close()
     }
+    def dirVersion(name: String): Option[Long] = {
+      val core = name.stripPrefix("d").takeWhile(_ != '-')
+      if (core.nonEmpty && core.forall(_.isDigit)) Some(core.toLong) else None
+    }
+    val now = System.currentTimeMillis()
     val deletedFiles = dataDirs.flatMap { dir =>
       val stream = Files.list(dir)
       val files =
@@ -400,12 +666,21 @@ object VersionedTable {
         finally stream.close()
       val rels = files.map(f => s"${dir.getFileName}/${f.getFileName}")
       if (!rels.exists(referenced.contains)) {
-        // dir holds NO live data (crash orphan, abandoned attempt, or
-        // stranded merge state): remove it whole, bookkeeping files
-        // (_SUCCESS, .crc) included
-        files.foreach(f => Files.deleteIfExists(f))
-        try Files.deleteIfExists(dir) catch { case _: Exception => }
-        rels
+        // dir holds NO live data. If its target version is ahead of
+        // the latest commit (or unparseable), it may be an IN-FLIGHT
+        // attempt about to publish — deleting it would let the racing
+        // writer commit a manifest referencing vanished files (silent
+        // data loss). Age-gate those; sweep everything else (crash
+        // orphans, lost-race attempts, stranded merge states) now.
+        val aheadOfLog = dirVersion(dir.getFileName.toString)
+          .forall(_ > latest)
+        val ageMs = now - Files.getLastModifiedTime(dir).toMillis
+        if (aheadOfLog && ageMs < attemptRetentionMs) Seq.empty
+        else {
+          files.foreach(f => Files.deleteIfExists(f))
+          try Files.deleteIfExists(dir) catch { case _: Exception => }
+          rels
+        }
       } else {
         // live dir: delete only unreferenced DATA files — writer
         // bookkeeping stays with the files it describes
@@ -418,9 +693,12 @@ object VersionedTable {
         victims.map(_._2)
       }
     }
-    val deletedMarkers = (1L until retainFrom)
-      .filter(v => Files.deleteIfExists(markerPath(base, v)))
-      .map(v => s"_log/${markerPath(base, v).getFileName}")
+    val deletedMarkers = (1L until retainFrom).flatMap { v =>
+      val m = Files.deleteIfExists(markerPath(base, v))
+      val c = Files.deleteIfExists(checkpointPath(base, v))
+      (if (m) Seq(s"_log/${markerPath(base, v).getFileName}") else Nil) ++
+        (if (c) Seq(s"_log/${checkpointPath(base, v).getFileName}") else Nil)
+    }
     deletedFiles ++ deletedMarkers
   }
 
@@ -430,19 +708,68 @@ object VersionedTable {
     * snapshots). Scale: both sides are dimension-sized state tables
     * (one row per key), the diff is ONE key-keyed full-outer join; no
     * log replay, no history scan. A key present in both versions with
-    * identical value columns emits nothing.
+    * identical value columns emits nothing. See [[changesPerCommit]]
+    * for the LOG-DERIVED feed that reads only each commit's changed
+    * files — O(delta) where this is O(dimension).
     */
   def changesBetween(s: SparkSession, base: String, fromV: Long, toV: Long,
-                     keyCol: String): DataFrame = {
-    val before = readVersion(s, base, fromV)
-    val after = readVersion(s, base, toV)
-    val valCols = before.columns.filterNot(_ == keyCol).toSeq
-    val b = before.select(col(keyCol) +:
-      valCols.map(c => col(c).as(s"${c}_old")) :+
-      lit(true).as("__in_old"): _*)
-    val a = after.select(col(keyCol) +:
-      valCols.map(c => col(c).as(s"${c}_new")) :+
-      lit(true).as("__in_new"): _*)
+                     keyCol: String): DataFrame =
+    diffFrames(readVersion(s, base, fromV), readVersion(s, base, toV), keyCol)
+
+  /** LOG-DERIVED change feed — the Delta-CDF read shape: for each
+    * commit in (fromV, toV], the changes are reconstructed from
+    * exactly the files that commit TOUCHED (an append's added files
+    * ARE its inserts — zero joins; a delete/merge diffs its removed
+    * files against its added files on `keyCol`). Cost ∝ changed
+    * files per commit, never ∝ table — on a 100 TB dimension a
+    * single-key upsert feeds downstream consumers by reading two
+    * files, where [[changesBetween]] would join two full snapshots.
+    * Emits one row per (version, changed key): `version`, the key,
+    * `*_old`/`*_new` value columns, `change_type` — per-commit
+    * granularity, so a key changed twice in the range appears twice
+    * (the streaming-consumer contract; endpoint-only diff is
+    * [[changesBetween]]'s job). Requires the touched files to still
+    * exist (i.e. vacuum retention covers the range — the same
+    * precondition Delta's CDF-by-file read has).
+    */
+  def changesPerCommit(s: SparkSession, base: String, fromV: Long, toV: Long,
+                       keyCol: String): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val frames = ((fromV + 1) to toV).map { v =>
+      val (_, adds, removes) = commitDelta(base, v)
+      val schemaOpt = replay(base, v)._2
+      def readSet(paths: Seq[String]): DataFrame =
+        if (paths.isEmpty) emptyFrame(s, base, v, schemaOpt)
+        else readFiles(s, base, paths, schemaOpt)
+      val after = readSet(adds.map(_.path))
+      val tagged =
+        if (removes.isEmpty) {
+          // pure append: the added files' rows ARE the inserts
+          val valCols = after.columns.filterNot(_ == keyCol).toSeq
+          after.select((col(keyCol) +:
+            (valCols.map(c => lit(null).cast(after.schema(c).dataType)
+              .as(s"${c}_old")) ++
+              valCols.map(c => col(c).as(s"${c}_new"))) :+
+            lit("insert").as("change_type")): _*)
+        } else diffFrames(readSet(removes), after, keyCol)
+      tagged.select(lit(v).as("version") +: tagged.columns.map(col): _*)
+    }
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** The keyed snapshot diff both change feeds share. */
+  private def diffFrames(before: DataFrame, after: DataFrame,
+                         keyCol: String): DataFrame = {
+    val valCols = (before.columns ++ after.columns)
+      .distinct.filterNot(_ == keyCol).toSeq
+    def side(df: DataFrame, suffix: String, flag: String): DataFrame =
+      df.select(col(keyCol) +:
+        valCols.map(c =>
+          (if (df.columns.contains(c)) col(c)
+           else lit(null)).as(s"$c$suffix")) :+
+        lit(true).as(flag): _*)
+    val b = side(before, "_old", "__in_old")
+    val a = side(after, "_new", "__in_new")
     val changed = valCols.map(c =>
       !(col(s"${c}_old") <=> col(s"${c}_new"))).reduce(_ || _)
     b.join(a, Seq(keyCol), "full_outer")
@@ -466,23 +793,51 @@ object VersionedTable {
       .select(col(keyCol) +: valCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Schema evolution closure: the previous declared schema plus any
+    * columns `next` adds, in order — type changes fail loudly (a
+    * 100 TB table silently reinterpreting a column is how corruption
+    * ships; widen via a new column instead).
+    */
+  private def mergeSchema(prev: Option[StructType],
+                          next: StructType): StructType = prev match {
+    case None => next
+    case Some(p) =>
+      val prevNames = p.fieldNames.toSet
+      p.fields.foreach { f =>
+        next.fields.find(_.name == f.name).foreach { g =>
+          require(g.dataType == f.dataType,
+            s"schema evolution cannot change column '${f.name}' from " +
+              s"${f.dataType} to ${g.dataType}")
+        }
+      }
+      StructType(p.fields ++ next.fields.filterNot(f =>
+        prevNames.contains(f.name)))
+  }
+
   /** One commit ATTEMPT at pinned snapshot `prevV`: write data files
-    * to an attempt-private dir, collect stats, publish at prevV+1 (a
-    * ConcurrentModificationException here means the snapshot went
-    * stale — the caller rebases).
+    * to an attempt-private dir, collect stats, publish the DELTA
+    * manifest at prevV+1 (a ConcurrentModificationException here means
+    * the snapshot went stale — the caller rebases). `mkDelta` maps the
+    * freshly written entry lines to (added lines, removed paths).
     */
   private def commitAt(s: SparkSession, base: String, df: DataFrame,
                        op: String, statsCols: Seq[String],
                        prevV: Option[Long],
                        beforePublish: () => Unit = () => ())(
-      manifest: Seq[String] => Seq[String]): Long = {
+      mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
     statsCols.foreach { c =>
       require(!c.contains('=') && !c.contains('\t'),
         s"stats column name '$c' would corrupt the manifest line format")
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"stats column '$c' must be integral for zone maps, got $dt")
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | StringType => true
+        case _ => false
+      }
+      require(ok, s"stats column '$c' must be integral, date, timestamp " +
+        s"or string for zone maps, got ${df.schema(c).dataType}")
     }
+    val declared = mergeSchema(prevV.flatMap(declaredSchema(base, _)),
+      df.schema)
     val next = prevV.getOrElse(0L) + 1L
     // attempt-private dir: concurrent committers (and retries) can
     // never list or overwrite each other's unpublished files
@@ -495,7 +850,11 @@ object VersionedTable {
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .toSeq.sorted
       finally dirStream.close()
-    val stats = collectStats(s, s"$base/$dataDir", statsCols)
+    // a rewrite that empties the table writes NO part files — nothing
+    // to scan (and parquet schema inference over zero files would err)
+    val stats =
+      if (freshNames.isEmpty) Map.empty[String, Map[String, Stat]]
+      else collectStats(s, s"$base/$dataDir", statsCols)
     // with stats collected, a fresh file absent from the grouped scan
     // is PROVABLY empty (zero rows ⟹ no group; all-null columns still
     // group) — keep it out of the manifest, so deletes that empty a
@@ -505,28 +864,44 @@ object VersionedTable {
     val freshLines = liveNames.map { n =>
       formatEntry(ManifestEntry(s"$dataDir/$n", stats.getOrElse(n, Map.empty)))
     }
+    val (addLines, removePaths) = mkDelta(freshLines)
     beforePublish()
-    publish(base, next, (s"#op=$op" +: manifest(freshLines))
-      .mkString("", "\n", "\n"))
+    val body = (Seq(s"#op=$op", schemaHeader(declared)) ++
+      addLines.map("+" + _) ++ removePaths.map("-" + _))
+      .mkString("", "\n", "\n")
+    publish(base, next, body)
+    if (next % CheckpointEvery == 0)
+      // best-effort: replay works without it, content is deterministic
+      try writeCheckpoint(base, next) catch { case _: Exception => () }
     next
   }
 
-  /** Per-file min/max of the declared integral columns over a freshly
+  /** Per-file min/max of the declared stats columns over a freshly
     * written delta dir: one O(delta) grouped scan keyed by the hidden
     * `_metadata.file_name`, collected to the driver — metadata-plane
     * by construction (one row per file, like the manifest itself). On
     * a cluster the same numbers come from the parquet footers the
     * writer already produced; the read-back keeps the sandbox seam
-    * engine-only.
+    * engine-only. Dates flatten to epoch days, timestamps to epoch
+    * micros (both ColStats); strings stay strings (StrStats, bytewise
+    * order).
     */
   private def collectStats(s: SparkSession, dir: String,
-      statsCols: Seq[String]): Map[String, Map[String, ColStats]] = {
+      statsCols: Seq[String]): Map[String, Map[String, Stat]] = {
     if (statsCols.isEmpty) return Map.empty
+    val df = s.read.parquet(dir)
+    def proj(c: String): Column = df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("long")
+      case TimestampType => unix_micros(col(c))
+      case StringType => col(c)
+      case _ => col(c).cast("long")
+    }
+    val isStr = statsCols.map(c =>
+      c -> (df.schema(c).dataType == StringType)).toMap
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__lo_$c"),
-      max(col(c).cast("long")).as(s"__hi_$c")))
-    s.read.parquet(dir)
-      .groupBy(col("_metadata.file_name").as("__f"))
+      min(proj(c)).as(s"__lo_$c"),
+      max(proj(c)).as(s"__hi_$c")))
+    df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r: Row =>
@@ -535,9 +910,13 @@ object VersionedTable {
           val hi = r.getAs[Any](s"__hi_$c")
           // all-null column in this file → no stats → never pruned on
           if (lo == null || hi == null) None
-          else Some(c -> ColStats(lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+          else if (isStr(c))
+            Some(c -> StrStats(lo.asInstanceOf[String],
+              hi.asInstanceOf[String]))
+          else Some(c -> ColStats(lo.asInstanceOf[Long],
+            hi.asInstanceOf[Long]))
         }.toMap
-        r.getAs[String]("__f") -> per
+        r.getAs[String]("__f") -> (per: Map[String, Stat])
       }.toMap
   }
 

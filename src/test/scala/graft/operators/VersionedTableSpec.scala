@@ -113,13 +113,21 @@ class VersionedTableSpec extends SparkSuite {
       kv(Seq((3L, 5L, 300L))), "k", Seq("ord"))
     VersionedTable.commitMerge(spark, base,
       kv(Seq((1L, 20L, 111L))), "k", Seq("ord"))
-    // crash debris: a data dir no manifest references
+    // crash debris: a data dir no manifest references, AHEAD of the
+    // log (d99 > latest 3) — indistinguishable from a racing writer's
+    // in-flight attempt, so the default age gate must spare it
     kv(Seq((9L, 9L, 9L))).write.parquet(s"$base/d99")
     val stranded = (1L to 2L).flatMap(v =>
       VersionedTable.entries(base, v).map(_.path))
-    val deleted = VersionedTable.vacuum(base, retainFrom = 3L)
-    // copy-on-write merge strands v1/v2 state dirs + the orphan
-    assert(stranded.nonEmpty && stranded.forall(deleted.contains))
+    val gated = VersionedTable.vacuum(base, retainFrom = 3L)
+    // stranded merge states are at versions ≤ latest (their race is
+    // decided) — swept immediately; the fresh ahead-of-log dir is not
+    assert(stranded.nonEmpty && stranded.forall(gated.contains))
+    assert(!gated.exists(_.startsWith("d99/")))
+    assert(Files.exists(Paths.get(base, "d99")))
+    // past the retention window the same dir is a provable orphan
+    val deleted = VersionedTable.vacuum(base, retainFrom = 3L,
+      attemptRetentionMs = 0L)
     assert(deleted.exists(_.startsWith("d99/")))
     assert(VersionedTable.latestVersion(base) === Some(3L))
     assert(VersionedTable.readVersion(spark, base, 3).count() === 3L)
@@ -184,18 +192,207 @@ class VersionedTableSpec extends SparkSuite {
     assert(noStats.size === 1)
   }
 
-  test("stats columns must be integral and manifest-safe") {
+  test("stats columns must be zone-map-typed and manifest-safe") {
     val base = TempDirs.scoped("vt_statcols")
     val s = spark
     import s.implicits._
+    // floats have no safe zone-map order (NaN) — rejected loudly
     intercept[IllegalArgumentException] {
       VersionedTable.commitAppend(spark, base,
-        Seq(("a", 1L)).toDF("name", "k"), statsCols = Seq("name"))
+        Seq((1.5, 1L)).toDF("score", "k"), statsCols = Seq("score"))
     }
     intercept[IllegalArgumentException] {
       VersionedTable.commitAppend(spark, base,
         Seq((1L, 1L)).toDF("a=b", "k"), statsCols = Seq("a=b"))
     }
+  }
+
+  test("string and date zone maps: typed stats, hex-safe encoding, pruning bites") {
+    val base = TempDirs.scoped("vt_strstats")
+    val s = spark
+    import s.implicits._
+    def batch(rows: Seq[(String, Int, Long)]) = {
+      val df = rows.toDF("name", "days", "v")
+        .withColumn("day", org.apache.spark.sql.functions.date_add(
+          org.apache.spark.sql.functions.lit("2024-01-01").cast("date"),
+          col("days"))).drop("days").coalesce(1)
+      VersionedTable.commitAppend(spark, base, df,
+        statsCols = Seq("name", "day"))
+    }
+    // three one-file commits with disjoint name/date ranges; a tab- and
+    // dot-bearing name exercises the hex escape
+    batch(Seq(("alpha", 0, 1L), ("beta..\tx", 5, 2L)))
+    batch(Seq(("mike", 10, 3L), ("november", 15, 4L)))
+    batch(Seq(("xray", 20, 5L), ("zulu", 25, 6L)))
+    val v = VersionedTable.latestVersion(base).get
+    val es = VersionedTable.entries(base, v)
+    assert(es.size === 3)
+    assert(es.head.stats("name") ===
+      VersionedTable.StrStats("alpha", "beta..\tx"))
+    // dates flatten to epoch days
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(es.head.stats("day") === VersionedTable.ColStats(d0, d0 + 5))
+    // string pruning: the m..p slice keeps only the middle file
+    val keptS = VersionedTable.pruneTyped(es,
+      Seq(VersionedTable.StrRange("name", "m", "p")))
+    assert(keptS.size === 1 && keptS.head.path == es(1).path)
+    // date pruning via the typed helper
+    val keptD = VersionedTable.pruneTyped(es,
+      Seq(VersionedTable.PruneRange.date("day",
+        java.time.LocalDate.parse("2024-01-20"),
+        java.time.LocalDate.parse("2024-01-31"))))
+    assert(keptD.size === 1 && keptD.head.path == es(2).path)
+    // the pruned read loses nothing vs the full read
+    val full = VersionedTable.readVersion(spark, base, v)
+      .filter(col("name") >= "m" && col("name") <= "p")
+      .collect().map(_.getAs[Long]("v")).sorted
+    val pruned = VersionedTable.readVersionPrunedTyped(spark, base, v,
+        Seq(VersionedTable.StrRange("name", "m", "p")))
+      .filter(col("name") >= "m" && col("name") <= "p")
+      .collect().map(_.getAs[Long]("v")).sorted
+    assert(pruned.toSeq === full.toSeq && full.toSeq === Seq(3L, 4L))
+  }
+
+  test("schema evolution: ADD COLUMN via append; time travel keeps each shape") {
+    val base = TempDirs.scoped("vt_evolve")
+    val s = spark
+    import s.implicits._
+    VersionedTable.commitAppend(spark, base, Seq((1L, 10L)).toDF("k", "v"))
+    // v2 adds a column: older files must null-fill it on read
+    VersionedTable.commitAppend(spark, base,
+      Seq((2L, 20L, "en")).toDF("k", "v", "lang"))
+    val v2 = VersionedTable.readVersion(spark, base, 2L)
+    assert(v2.columns.toSeq === Seq("k", "v", "lang"))
+    val byK = v2.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap
+    assert(byK === Map(1L -> None, 2L -> Some("en")))
+    // time travel to v1 sees the ORIGINAL two-column shape
+    assert(VersionedTable.readVersion(spark, base, 1L).columns.toSeq ===
+      Seq("k", "v"))
+    // a type change is refused loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(spark, base,
+        Seq((3L, "oops")).toDF("k", "v"))
+    }
+    // merge-side evolution: a delta with a new column upserts cleanly
+    VersionedTable.commitMerge(spark, base,
+      Seq((1L, 2L, 11L, "fr", 1L)).toDF("k", "ord", "v", "lang", "w"),
+      "k", Seq("ord"))
+    val latest = VersionedTable.readLatest(spark, base)
+    assert(latest.columns.contains("w"))
+  }
+
+  test("a delete that empties the table still reads (zero rows, right schema)") {
+    val base = TempDirs.scoped("vt_wipe")
+    val s = spark
+    import s.implicits._
+    VersionedTable.commitAppend(spark, base,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    val v = VersionedTable.commitDelete(spark, base, col("k") >= 0L,
+      pruneRanges = Seq(("k", 0L, 100L)), statsCols = Seq("k"))
+    assert(VersionedTable.entries(base, v).isEmpty)
+    val wiped = VersionedTable.readVersion(spark, base, v)
+    assert(wiped.count() === 0L && wiped.columns.toSeq === Seq("k", "v"))
+    assert(VersionedTable.readVersionPruned(spark, base, v,
+      Seq(("k", 0L, 5L))).count() === 0L)
+    // and the table remains appendable after the wipe
+    VersionedTable.commitAppend(spark, base, Seq((3L, 30L)).toDF("k", "v"))
+    assert(VersionedTable.readLatest(spark, base).count() === 1L)
+  }
+
+  test("commitDelete verifyFootprint catches a too-narrow pruneRanges contract") {
+    val base = TempDirs.scoped("vt_footprint")
+    val s = spark
+    import s.implicits._
+    Seq(0L, 10L).foreach(lo => VersionedTable.commitAppend(spark, base,
+      (lo until lo + 10L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k")))
+    // rowPred matches both decades but the declared footprint only
+    // covers the first — the audit mode must refuse the silent partial
+    // delete
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelete(spark, base, col("k") % 2L === 0L,
+        pruneRanges = Seq(("k", 0L, 9L)), verifyFootprint = true)
+    }
+    // an honest footprint passes with the verification on
+    val v = VersionedTable.commitDelete(spark, base,
+      col("k").between(0L, 9L), pruneRanges = Seq(("k", 0L, 9L)),
+      verifyFootprint = true)
+    assert(VersionedTable.readVersion(spark, base, v)
+      .collect().map(_.getLong(0)).sorted.toSeq === (10L until 20L))
+  }
+
+  test("delta log: commit bytes ∝ delta; checkpoint replay is exact") {
+    val base = TempDirs.scoped("vt_deltalog")
+    val s = spark
+    import s.implicits._
+    // 23 one-file appends: crosses two checkpoint boundaries (10, 20)
+    (1L to 23L).foreach(i => VersionedTable.commitAppend(spark, base,
+      Seq((i, i)).toDF("k", "v").coalesce(1), statsCols = Seq("k")))
+    // the LAST commit's manifest is O(delta): headers + ONE +line,
+    // though the table holds 23 live files
+    val lastBody = new String(Files.readAllBytes(
+      Paths.get(base, "_log", f"${23L}%020d.commit")), "UTF-8")
+    val bodyLines = lastBody.split("\n").filterNot(_.startsWith("#"))
+    assert(bodyLines.length === 1 && bodyLines.head.startsWith("+"))
+    // checkpoints exist at the cadence and replay to the same snapshot
+    assert(Files.exists(Paths.get(base, "_log", f"${10L}%020d.checkpoint")))
+    assert(Files.exists(Paths.get(base, "_log", f"${20L}%020d.checkpoint")))
+    assert(VersionedTable.entries(base, 23L).size === 23)
+    // reads on both sides of a checkpoint boundary agree with the data
+    assert(VersionedTable.readVersion(spark, base, 9L)
+      .collect().map(_.getLong(0)).sorted.toSeq === (1L to 9L))
+    assert(VersionedTable.readVersion(spark, base, 10L)
+      .collect().map(_.getLong(0)).sorted.toSeq === (1L to 10L))
+    assert(VersionedTable.readVersion(spark, base, 11L)
+      .collect().map(_.getLong(0)).sorted.toSeq === (1L to 11L))
+    // vacuum to a non-checkpoint version writes one, then truncates:
+    // replay at and past retainFrom still works
+    VersionedTable.vacuum(base, retainFrom = 15L)
+    assert(Files.exists(Paths.get(base, "_log", f"${15L}%020d.checkpoint")))
+    assert(VersionedTable.readVersion(spark, base, 15L).count() === 15L)
+    assert(VersionedTable.readVersion(spark, base, 23L).count() === 23L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, base, 9L)
+    }
+  }
+
+  test("changesPerCommit: log-derived feed matches snapshot diffs, reads only touched files") {
+    val base = TempDirs.scoped("vt_cdf")
+    val s = spark
+    import s.implicits._
+    // four disjoint one-file decades, then a delete touching ONE file
+    Seq(0L, 10L, 20L, 30L).foreach(lo => VersionedTable.commitAppend(
+      spark, base, (lo until lo + 10L).map(k => (k, k * 2)).toDF("k", "v")
+        .coalesce(1), statsCols = Seq("k")))
+    VersionedTable.commitDelete(spark, base, col("k").between(12L, 14L),
+      pruneRanges = Seq(("k", 12L, 14L)), statsCols = Seq("k"))
+    // the delete commit's delta names exactly one removed + one added
+    // file — the ONLY files the log-derived feed reads (vs the
+    // 4-file-vs-4-file join a snapshot diff pays)
+    val es4 = VersionedTable.entries(base, 4L).map(_.path).toSet
+    val es5 = VersionedTable.entries(base, 5L).map(_.path).toSet
+    assert((es4 -- es5).size === 1 && (es5 -- es4).size === 1)
+    // per-commit rows: appends are pure inserts, the delete emits
+    // exactly its three keys
+    val feed = VersionedTable.changesPerCommit(spark, base, 0L, 5L, "k")
+      .collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("k"),
+        r.getAs[String]("change_type")))
+    assert(feed.count(_._3 == "insert") === 40)
+    assert(feed.filter(_._1 == 5L).map(t => (t._2, t._3)).sorted.toSeq ===
+      Seq((12L, "delete"), (13L, "delete"), (14L, "delete")))
+    // cross-check the delete commit against the snapshot-diff feed
+    val snap = VersionedTable.changesBetween(spark, base, 4L, 5L, "k")
+      .collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[String]("change_type"))).sorted.toSeq
+    assert(feed.filter(_._1 == 5L).map(t => (t._2, t._3)).sorted.toSeq
+      === snap)
+    // value columns ride along: old value present on deletes
+    val olds = VersionedTable.changesPerCommit(spark, base, 4L, 5L, "k")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v_old")).toMap
+    assert(olds === Map(12L -> 24L, 13L -> 26L, 14L -> 28L))
   }
 
   test("lost race rebases and retries: both committers succeed, state = serial") {

@@ -614,6 +614,135 @@ object SinkQueries {
         FROM t
       """),
       // bench=false: fixture-write-dominated like q153
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q157: q153's data skipping through the DATASOURCE V2 SURFACE —
+    // the difference that matters: here NOTHING calls the pruning API.
+    // The same two layouts (z-ordered vs insert-ordered, 16 one-bin
+    // commits with zone maps) are read via
+    // spark.read.format("graft").load(base) with an ORDINARY
+    // .filter(l_partkey BETWEEN lo AND hi); Catalyst pushes the
+    // conjuncts into the scan builder, GraftFileIndex.listFiles
+    // translates them to prune ranges at PLAN time, and the parquet
+    // scan only ever sees the kept files. files_kept/files_total are
+    // read from GraftScanMetrics — the count of files the PLANNED scan
+    // actually listed, not a side computation — and the n_rows/qty_e2
+    // aggregate comes from the DSv2 read itself. The oracle recomputes
+    // everything from raw lineitem + per-bin min/max arithmetic
+    // (identical to q153's twin), so a pushdown that loses a row, or a
+    // translation that keeps the wrong file set, hash-fails. Scale:
+    // this is the seam that makes the format infrastructure — every
+    // engine query gets manifest skipping for free; the prune stays
+    // driver-plane (GraftDataSource.scala scaladoc).
+    Q("q157_dsv2_skipping",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val zvalue = VersionedTable.zValue _
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey")))
+          .persist()
+        val b = t.agg(min(col("z")), max(col("z")),
+          min(col("l_orderkey")), max(col("l_orderkey")),
+          min(col("l_partkey")), max(col("l_partkey"))).head()
+        val (zlo, zhi) = (b.getLong(0), b.getLong(1))
+        val (olo, ohi) = (b.getLong(2), b.getLong(3))
+        val (plo, phi) = (b.getLong(4), b.getLong(5))
+        val lo = plo + ((phi - plo + 1) * 10) / 32
+        val hi = plo + ((phi - plo + 1) * 11) / 32
+        def build(binExpr: String,
+                  tag: String): org.apache.spark.sql.DataFrame = {
+          val base = graft.TempDirs.scoped(s"graft_q157_$tag")
+          val binned = t.withColumn("bin", expr(binExpr))
+          val bins = binned.select(col("bin")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          bins.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("l_partkey"),
+                  col("l_suppkey"), col("qty_e2"))
+                .coalesce(1),
+              statsCols = Seq("l_partkey", "l_suppkey"))
+          }
+          // the engine-facing read: format + ordinary filter, no
+          // pruning API in sight
+          val agg = s.read.format("graft").load(base)
+            .filter(col("l_partkey").between(lo, hi))
+            .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+            .head()
+          val (kept, total) = graft.sources.GraftScanMetrics.lastPrune(base)
+            .getOrElse(throw new IllegalStateException(
+              s"no graft scan planned over $base"))
+          import s.implicits._
+          Seq((tag, total.toLong, kept.toLong, agg.getLong(0),
+            agg.getLong(1)))
+            .toDF("layout", "files_total", "files_kept", "n_rows", "qty_e2")
+        }
+        val out = build(
+            s"(z - ${zlo}L) * 16 div ${zhi - zlo + 1}L", "zorder")
+          .unionAll(build(
+            s"(l_orderkey - ${olo}L) * 16 div ${ohi - olo + 1}L", "insert"))
+          .orderBy(col("layout"))
+        t.unpersist()
+        out
+      },
+      Some {
+        val zExpr = (0 until 16).map { i =>
+          s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
+            s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT l_orderkey, l_partkey, l_suppkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 $zExpr AS z
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(z) AS zlo, MAX(z) AS zhi,
+                 MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi,
+                 MIN(l_partkey) AS plo, MAX(l_partkey) AS phi
+          FROM t
+        ), pr AS (
+          SELECT plo + ((phi - plo + 1) * 10) // 32 AS lo,
+                 plo + ((phi - plo + 1) * 11) // 32 AS hi
+          FROM b
+        ), x AS (
+          SELECT t.*, (z - zlo) * 16 // (zhi - zlo + 1) AS zbin,
+                 (l_orderkey - olo) * 16 // (ohi - olo + 1) AS obin
+          FROM t, b
+        ), sel AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+          FROM x, pr WHERE l_partkey BETWEEN lo AND hi
+        ), zs AS (
+          SELECT zbin, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+          FROM x GROUP BY 1
+        ), os AS (
+          SELECT obin, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+          FROM x GROUP BY 1
+        ), zk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(COUNT(*) FILTER (WHERE mx >= lo AND mn <= hi)
+                   AS BIGINT) AS files_kept
+          FROM zs, pr
+        ), ok AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(COUNT(*) FILTER (WHERE mx >= lo AND mn <= hi)
+                   AS BIGINT) AS files_kept
+          FROM os, pr
+        )
+        SELECT 'insert' AS layout, ok.files_total, ok.files_kept,
+               n_rows, qty_e2 FROM ok, sel
+        UNION ALL
+        SELECT 'zorder' AS layout, zk.files_total, zk.files_kept,
+               n_rows, qty_e2 FROM zk, sel
+        ORDER BY layout
+      """
+      },
+      // bench=false: fixture-write-dominated like q153
       bench = false)
   )
 }

@@ -13,4 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Catalyst-expression → source-Filter translation for the graft
+    * DSv2 file index (`DataSourceStrategy.translateFilter` is
+    * protected[sql]; every lakehouse connector needs exactly this
+    * call to turn the pushed data filters into prunable ranges).
+    */
+  def translateFilter(e: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

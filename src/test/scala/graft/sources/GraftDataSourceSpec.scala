@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.{SparkSuite, TempDirs}
+import graft.operators.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** The DSv2 surface: `spark.read.format("graft")` must behave like a
+  * first-class table — ordinary filters reach the manifest zone maps
+  * (fewer files planned), time travel is a read option, SQL sees the
+  * table, schema evolution null-fills — with Spark's parquet scan
+  * doing the actual reading (PushedFilters visible in the plan).
+  */
+class GraftDataSourceSpec extends SparkSuite {
+
+  private def mkTable(tag: String): String = {
+    val base = TempDirs.scoped(s"graft_dsv2_$tag")
+    val s = spark
+    import s.implicits._
+    // four one-file commits with disjoint key decades
+    Seq(0L, 10L, 20L, 30L).foreach(lo => VersionedTable.commitAppend(
+      spark, base,
+      (lo until lo + 10L).map(k => (k, k * 2, s"name$k")).toDF("k", "v", "nm")
+        .coalesce(1),
+      statsCols = Seq("k", "nm")))
+    base
+  }
+
+  test("format('graft'): full read, time travel via versionAsOf") {
+    val base = mkTable("tt")
+    val df = spark.read.format("graft").load(base)
+    assert(df.count() === 40L)
+    assert(df.columns.toSeq === Seq("k", "v", "nm"))
+    val v2 = spark.read.format("graft").option("versionAsOf", "2").load(base)
+    assert(v2.count() === 20L)
+    assert(v2.agg(max(col("k"))).head().getLong(0) === 19L)
+  }
+
+  test("pushed filter prunes files at plan time; rows match unpruned read") {
+    val base = mkTable("prune")
+    val df = spark.read.format("graft").load(base)
+      .filter(col("k").between(10L, 19L))
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (10L to 19L))
+    // the planned scan consulted the zone maps: 1 of 4 files kept
+    assert(GraftScanMetrics.lastPrune(base) === Some((1, 4)))
+    // and the executed plan carries the predicate into the parquet
+    // scan (row-group pushdown is delegated machinery, not reinvented)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") || df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")).contains("PushedFilters"))
+  }
+
+  test("string-key filter prunes through StrStats zone maps") {
+    val base = TempDirs.scoped("graft_dsv2_str")
+    val s = spark
+    import s.implicits._
+    Seq(("alpha", "delta"), ("mike", "november"), ("xray", "zulu"))
+      .foreach { case (a, b) =>
+        VersionedTable.commitAppend(spark, base,
+          Seq((a, 1L), (b, 2L)).toDF("nm", "v").coalesce(1),
+          statsCols = Seq("nm"))
+      }
+    val one = spark.read.format("graft").load(base)
+      .filter(col("nm") === "november")
+    assert(one.collect().map(_.getLong(1)).toSeq === Seq(2L))
+    assert(GraftScanMetrics.lastPrune(base) === Some((1, 3)))
+  }
+
+  test("SQL round-trip: CREATE TABLE USING graft, filtered SELECT prunes") {
+    val base = mkTable("sql")
+    spark.sql("DROP TABLE IF EXISTS graft_sql_rt")
+    spark.sql(
+      s"CREATE TABLE graft_sql_rt USING graft OPTIONS (path '$base')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_rt WHERE k >= 30")
+        .head().getLong(0)
+      assert(n === 10L)
+      assert(GraftScanMetrics.lastPrune(base) === Some((1, 4)))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_rt")
+  }
+
+  test("schema evolution reads through the format: old files null-fill") {
+    val base = TempDirs.scoped("graft_dsv2_evolve")
+    val s = spark
+    import s.implicits._
+    VersionedTable.commitAppend(spark, base, Seq((1L, 10L)).toDF("k", "v"))
+    VersionedTable.commitAppend(spark, base,
+      Seq((2L, 20L, "en")).toDF("k", "v", "lang"))
+    val df = spark.read.format("graft").load(base)
+    assert(df.columns.toSeq === Seq("k", "v", "lang"))
+    val byK = df.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap
+    assert(byK === Map(1L -> None, 2L -> Some("en")))
+    // time travel sees the pre-evolution shape
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(base)
+      .columns.toSeq === Seq("k", "v"))
+  }
+
+  test("a filter no zone map overlaps plans zero files, returns zero rows") {
+    val base = mkTable("zero")
+    val df = spark.read.format("graft").load(base).filter(col("k") > 1000L)
+    assert(df.count() === 0L)
+    assert(GraftScanMetrics.lastPrune(base) === Some((0, 4)))
+  }
+}

@@ -743,6 +743,222 @@ object SinkQueries {
       """
       },
       // bench=false: fixture-write-dominated like q153
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q158: LOG-DERIVED change feed — q140's CDC rebuilt from COMMIT
+    // DELTAS instead of snapshot joins (VersionedTable.changesPerCommit
+    // — the Delta-CDF read shape): the same three merge commits, but
+    // the feed now spans the WHOLE history (versions 1..3), and each
+    // commit's changes are reconstructed from exactly the files that
+    // commit added/removed. Commit 1 (first merge on an empty table)
+    // removes nothing, so its added files ARE the inserts — zero
+    // joins; commits 2-3 diff removed-vs-added files (for copy-on-
+    // write merges that equals the snapshot diff — the O(delta) win
+    // shows on append/delete commits, spec-pinned in
+    // VersionedTableSpec's touched-files test). The oracle
+    // reconstructs every version's state from the raw change rule and
+    // diffs CONSECUTIVE states — i.e. the snapshot-diff construction —
+    // so the two CDC constructions cross-check: a feed row the
+    // snapshot diff wouldn't emit (or vice versa) hash-fails. Scale:
+    // per-commit granularity is the streaming-consumer contract, and
+    // reading only touched files makes the feed ∝ changes on a 100 TB
+    // append-mostly table.
+    Q("q158_log_cdc",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q158")
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            graft.functions.ColumnOps.e2(col("value")).as("value_e2"))
+        (0 to 2).foreach { b =>
+          graft.operators.VersionedTable.commitMerge(
+            s, base, p.filter(pmod(col("event_id"), lit(3)) === b),
+            keyCol = "user_id", ordCols = Seq("ts", "event_id"))
+        }
+        graft.operators.VersionedTable
+          .changesPerCommit(s, base, 0L, 3L, keyCol = "user_id")
+          .select(col("version"), col("user_id"), col("change_type"),
+            date_format(col("ts_old"), "yyyy-MM-dd HH:mm:ss").as("ts_old"),
+            col("value_e2_old"),
+            date_format(col("ts_new"), "yyyy-MM-dd HH:mm:ss").as("ts_new"),
+            col("value_e2_new"))
+          .orderBy(col("version"), col("user_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_e2
+          FROM events WHERE event_type = 'purchase'
+        ), vv(version) AS (VALUES (0), (1), (2), (3)),
+        r AS (
+          SELECT vv.version, p.user_id, p.ts, p.event_id, p.value_e2,
+                 ROW_NUMBER() OVER (PARTITION BY vv.version, p.user_id
+                   ORDER BY p.ts DESC, p.event_id DESC) AS rn
+          FROM vv JOIN p ON p.event_id % 3 < vv.version
+        ), st AS (
+          SELECT version, user_id, ts, event_id, value_e2
+          FROM r WHERE rn = 1
+        ), o AS (
+          SELECT version + 1 AS version, user_id, ts, event_id, value_e2
+          FROM st WHERE version <= 2
+        ), n AS (
+          SELECT * FROM st WHERE version BETWEEN 1 AND 3
+        )
+        SELECT CAST(COALESCE(n.version, o.version) AS BIGINT) AS version,
+               COALESCE(n.user_id, o.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'insert'
+                    WHEN n.user_id IS NULL THEN 'delete'
+                    WHEN (o.ts IS DISTINCT FROM n.ts)
+                      OR (o.event_id IS DISTINCT FROM n.event_id)
+                      OR (o.value_e2 IS DISTINCT FROM n.value_e2)
+                    THEN 'update' END AS change_type,
+               strftime(o.ts, '%Y-%m-%d %H:%M:%S') AS ts_old,
+               o.value_e2 AS value_e2_old,
+               strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS ts_new,
+               n.value_e2 AS value_e2_new
+        FROM o FULL JOIN n
+          ON o.version = n.version AND o.user_id = n.user_id
+        WHERE CASE WHEN o.user_id IS NULL THEN 'insert'
+                   WHEN n.user_id IS NULL THEN 'delete'
+                   WHEN (o.ts IS DISTINCT FROM n.ts)
+                     OR (o.event_id IS DISTINCT FROM n.event_id)
+                     OR (o.value_e2 IS DISTINCT FROM n.value_e2)
+                   THEN 'update' END IS NOT NULL
+        ORDER BY version, user_id
+      """),
+      // bench=false: fixture-write-dominated like q140
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q159: STRING and DATE zone maps under the oracle gate — the
+    // pruning keys real time-partitioned 100 TB tables actually filter
+    // on (r10's maps were integral-only). Two layouts of the orders
+    // table, both read through the DSv2 surface with ordinary filters:
+    //  - 'string_eq': one commit per o_orderpriority value (StrStats
+    //    zone maps, hex-encoded, bytewise order); an equality filter
+    //    on the middle priority must keep exactly ONE file;
+    //  - 'date_range': commits binned into eighths of the
+    //    CAST(o_orderdate AS DATE) span (ColStats as epoch days); a
+    //    one-eighth BETWEEN slice keeps only the overlapping bins.
+    // files_total/files_kept come from GraftScanMetrics (what the
+    // planned scan LISTED), n_rows/price_e2 from the DSv2 read. The
+    // oracle recomputes the kept counts from per-bin min/max (DuckDB's
+    // binary string collation = the maps' bytewise order; date
+    // arithmetic in days) and the aggregates from raw orders — a
+    // mis-encoded string bound, a wrong epoch-day flattening, or a
+    // filter translation that keeps the wrong file set hash-fails.
+    Q("q159_string_date_skipping",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val t = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("o_date"),
+            graft.functions.ColumnOps.e2(col("o_totalprice")).as("price_e2"))
+          .persist()
+        // deterministic parameters read from the data (both engines
+        // enumerate identically): middle priority, date-span eighth
+        val prio = t.select(col("o_orderpriority")).distinct()
+          .collect().map(_.getString(0)).sorted.apply(2)
+        val db = t.agg(min(col("o_date")), max(col("o_date"))).head()
+        val (dlo, dhi) = (db.getDate(0).toLocalDate.toEpochDay,
+          db.getDate(1).toLocalDate.toEpochDay)
+        val span = dhi - dlo + 1
+        val (slo, shi) = (dlo + (span * 2) / 8, dlo + (span * 3) / 8 - 1)
+        def dateOf(day: Long) =
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day))
+        def layout(binCol: org.apache.spark.sql.Column, statsCol: String,
+                   pred: org.apache.spark.sql.DataFrame =>
+                     org.apache.spark.sql.DataFrame,
+                   tag: String): org.apache.spark.sql.DataFrame = {
+          val base = graft.TempDirs.scoped(s"graft_q159_$tag")
+          val binned = t.withColumn("bin", binCol)
+          val bins = binned.select(col("bin")).distinct()
+            .collect().map(_.get(0)).sortBy(_.toString)
+          bins.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === lit(bn))
+                .select(col("o_orderkey"), col("o_orderpriority"),
+                  col("o_date"), col("price_e2"))
+                .coalesce(1),
+              statsCols = Seq(statsCol))
+          }
+          val agg = pred(s.read.format("graft").load(base))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("price_e2")).as("price_e2")).head()
+          val (kept, total) = graft.sources.GraftScanMetrics.lastPrune(base)
+            .getOrElse(throw new IllegalStateException(
+              s"no graft scan planned over $base"))
+          import s.implicits._
+          Seq((tag, total.toLong, kept.toLong, agg.getLong(0),
+            agg.getLong(1)))
+            .toDF("pred", "files_total", "files_kept", "n_rows", "price_e2")
+        }
+        val out = layout(col("o_orderpriority"), "o_orderpriority",
+            _.filter(col("o_orderpriority") === prio), "string_eq")
+          .unionAll(layout(
+            expr(s"(datediff(o_date, date'${java.time.LocalDate
+              .ofEpochDay(dlo)}') * 8) div ${span}L"), "o_date",
+            _.filter(col("o_date").between(dateOf(slo), dateOf(shi))),
+            "date_range"))
+          .orderBy(col("pred"))
+        t.unpersist()
+        out
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(o_orderdate AS DATE) AS o_date,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_e2
+          FROM orders
+        ), b AS (
+          SELECT MIN(o_date) AS dlo, MAX(o_date) AS dhi FROM t
+        ), pv AS (
+          SELECT o_orderpriority AS p FROM (
+            SELECT DISTINCT o_orderpriority FROM t)
+          ORDER BY 1 LIMIT 1 OFFSET 2
+        ), ps AS (
+          SELECT o_orderpriority AS bin,
+                 MIN(o_orderpriority) AS mn, MAX(o_orderpriority) AS mx
+          FROM t GROUP BY 1
+        ), pk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(COUNT(*) FILTER (WHERE mx >= p AND mn <= p)
+                   AS BIGINT) AS files_kept
+          FROM ps, pv
+        ), psel AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(price_e2) AS BIGINT) AS price_e2
+          FROM t, pv WHERE o_orderpriority = p
+        ), dr AS (
+          SELECT dlo + CAST(((dhi - dlo + 1) * 2) // 8 AS INTEGER) AS lo,
+                 dlo + CAST(((dhi - dlo + 1) * 3) // 8 - 1 AS INTEGER) AS hi
+          FROM b
+        ), x AS (
+          SELECT t.*, (o_date - dlo) * 8 // (dhi - dlo + 1) AS dbin
+          FROM t, b
+        ), ds AS (
+          SELECT dbin, MIN(o_date) AS mn, MAX(o_date) AS mx
+          FROM x GROUP BY 1
+        ), dk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(COUNT(*) FILTER (WHERE mx >= lo AND mn <= hi)
+                   AS BIGINT) AS files_kept
+          FROM ds, dr
+        ), dsel AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(price_e2) AS BIGINT) AS price_e2
+          FROM x, dr WHERE o_date BETWEEN lo AND hi
+        )
+        SELECT 'date_range' AS pred, dk.files_total, dk.files_kept,
+               dsel.n_rows, dsel.price_e2 FROM dk, dsel
+        UNION ALL
+        SELECT 'string_eq' AS pred, pk.files_total, pk.files_kept,
+               psel.n_rows, psel.price_e2 FROM pk, psel
+        ORDER BY pred
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

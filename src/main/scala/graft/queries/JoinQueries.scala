@@ -518,6 +518,54 @@ object JoinQueries {
         ), ${graft.operators.Bfs.oracleCtes(4)}
         SELECT hop, COUNT(*) AS n_vertices, CAST(SUM(v) AS BIGINT) AS sum_v
         FROM h4 GROUP BY hop ORDER BY hop
+      """)),
+
+    // ---------------------------------------------------------------
+    // q160: HIGH-DIAMETER connected components via alternating
+    // large-star/small-star contraction (Kiveris et al.) — the r10
+    // operator now under the oracle gate on the graph class it exists
+    // for. Fixture: per-source document CHAINS (consecutive doc_ids
+    // linked) — diameter = chain length (hundreds at sf0.01,
+    // thousands at sf0.1), the regime where q57's HashMin closure
+    // would need diameter rounds. alternatingStarWithRounds must
+    // converge within maxIter=25 ≪ diameter, so the entry PROVES the
+    // O(log n) path ran: swap HashMin in and the query throws before
+    // producing rows. Labels coalesce to self for single-doc sources
+    // (q66's discipline). The oracle is closed-form — a chain's
+    // component is its source's min doc_id — so no recursive CTE, and
+    // the gate checks the contraction's RESULT exactly. Scale: each
+    // round is two grouped aggregates + two equi-joins on the current
+    // edge set; O(log n) rounds total vs O(diameter) — the difference
+    // between 15 and 3000 shuffles on a 3000-long chain.
+    Q("q160_chain_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val edges = docs.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id").as("src"), col("nxt").as("dst"))
+        val (labels, rounds) = graft.operators.ConnectedComponents
+          .alternatingStarWithRounds(edges, maxIter = 25)
+        // engine-side evidence beyond the maxIter gate: a chain of
+        // length L must contract in O(log L) alternating rounds, with
+        // a wide safety constant (HashMin would need L rounds)
+        val longest = docs.groupBy(col("source")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        require(rounds <= 2 * (64 - java.lang.Long
+          .numberOfLeadingZeros(longest max 2L)) + 6,
+          s"star contraction took $rounds rounds on a $longest-chain — " +
+            "not the O(log n) path")
+        docs
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY source) AS component
+        FROM documents ORDER BY doc_id
       """))
   )
 

@@ -266,14 +266,17 @@ object VectorQueries {
         expr("transform(emb, x -> cast(floor(x / nrm * 1000000) as bigint))")
           .as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // coarse quantizer: q51's mod-prime sample + nearest-list routing,
-    // in the same integer space as the PQ scoring
+    // coarse quantizer: mod-prime sample REFINED BY LLOYD SWEEPS (r11
+    // — FAISS trains the coarse stage too; residual encoding only pays
+    // off when the coarse centroid actually sits near its cell, which
+    // a raw sample of near-uniform vectors does not)
     val cc0 = pe.orderBy(expr(modPrimeOrd), col("vec_id")).limit(PqCoarseC)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
-    val asg = KMeans.assign(pe, cc0)
+    val cc = KMeans.trainCentroids(pe, cc0, PqIters)
+    val asg = KMeans.assign(pe, cc)
       .select(col("vec_id"), col("cid").as("ccid"))
     val probes = pe.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cc0))
+      .crossJoin(broadcast(cc))
       .withColumn("cdist", expr(KMeans.sqDistExpr("q", "cq")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("cdist"), col("cid"))))
@@ -283,28 +286,53 @@ object VectorQueries {
     val cands = asg.join(probes, "ccid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    // per-subspace: train codebook, encode corpus, build query LUTs
+    // RESIDUAL encoding (r11 — the FAISS IVF-PQ formulation): codebooks
+    // quantize q − coarseCentroid(assigned list), not q itself. The
+    // residual distribution is tighter than the raw one (the coarse
+    // term already explains most of the vector), so the same M·k code
+    // budget buys materially higher ADC recall — q97 measures the gain
+    // and pins the raised floor. Exactness survives: residuals are
+    // bigint subtractions in the same e6 space.
+    val ccList = cc.select(col("cid").as("ccid"), col("cq"))
+    val pr = pe.join(asg, "vec_id").join(broadcast(ccList), "ccid")
+      .select(col("vec_id"),
+        expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query residuals PER PROBED LIST: ADC approximates
+    // ‖q − (c + code)‖² = ‖(q − c) − code‖², so each (query, probe)
+    // pair carries its own LUT — still broadcast-tiny
+    // (queries · nprobe · M · k integer cells)
+    val qres = probes
+      .join(pe.select(col("vec_id").as("query_id"), col("q")), "query_id")
+      .join(broadcast(ccList), "ccid")
+      .select(col("query_id"), col("ccid"),
+        expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
+    // per-subspace: train codebook on residuals, encode corpus, build
+    // per-(query, probed-list) LUTs
     val parts = (0 until PqM).map { m =>
-      val sub = pe.select(col("vec_id"),
-        expr(s"slice(q, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
+      val sub = pr.select(col("vec_id"),
+        expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
       val c0 = sub.orderBy(expr(modPrimeOrd), col("vec_id")).limit(PqCodes)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val cb = KMeans.trainCentroids(sub, c0, PqIters)
       val enc = KMeans.assign(sub, cb)
         .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
-      val lut = sub.filter(col("vec_id") < NumQueries)
+      val lut = qres.select(col("query_id"), col("ccid"),
+          expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
         .crossJoin(broadcast(cb))
-        .select(col("vec_id").as("query_id"), lit(m).as("m"),
+        .select(col("query_id"), col("ccid"), lit(m).as("m"),
           col("cid").as("code"),
           expr(KMeans.sqDistExpr("q", "cq")).as("d"))
       (enc, lut)
     }
     val enc = parts.map(_._1).reduce(_.unionAll(_))
     val lut = parts.map(_._2).reduce(_.unionAll(_))
-    // ADC: approx dist = Σ_m LUT[query, m, code_m(vec)] — M broadcast
-    // lookup adds per candidate, no raw vectors in the scoring path
-    val adist = cands.join(enc, "vec_id")
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
+    // ADC: approx dist = Σ_m LUT[query, list(vec), m, code_m(vec)] — M
+    // broadcast lookup adds per candidate, no raw vectors in the
+    // scoring path; the candidate's coarse list picks its LUT slice
+    val adist = cands.join(asg, "vec_id")
+      .join(enc, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "ccid", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
     TopK.perKey(adist, Seq("query_id"),
@@ -331,19 +359,23 @@ object VectorQueries {
       val p = s"s${m}_"
       s"""${p}e AS (
          |          SELECT vec_id,
-         |                 list_slice(q, ${m * PqSubDim + 1},
+         |                 list_slice(r, ${m * PqSubDim + 1},
          |                            ${(m + 1) * PqSubDim}) AS q
-         |          FROM pe
+         |          FROM presid
          |        ), ${p}c0 AS (
          |          SELECT vec_id AS cid, q AS cq FROM ${p}e
          |          ORDER BY $modPrimeOrd, vec_id LIMIT $PqCodes
          |        ), ${KMeans.oracleCtes(PqIters, PqSubDim, p)}""".stripMargin
     }.mkString(", ")
     val lutLegs = (0 until PqM).map { m =>
-      s"""SELECT $m AS m, e.vec_id AS query_id, c.cid AS code,
-         |                 CAST(${sqDistSql(PqSubDim)} AS BIGINT) AS d
-         |          FROM s${m}_e e CROSS JOIN s${m}_c$PqIters c
-         |          WHERE e.vec_id < $NumQueries""".stripMargin
+      s"""SELECT $m AS m, p.query_id, p.ccid, c.cid AS code,
+         |                 CAST(${sqDistSql(PqSubDim, "p.q")} AS BIGINT) AS d
+         |          FROM (
+         |            SELECT qq.query_id, qq.ccid,
+         |                   list_slice(qq.r, ${m * PqSubDim + 1},
+         |                              ${(m + 1) * PqSubDim}) AS q
+         |            FROM pqres qq) p
+         |          CROSS JOIN s${m}_c$PqIters c""".stripMargin
     }.mkString("\n          UNION ALL ")
     val encLegs = (0 until PqM).map { m =>
       s"SELECT $m AS m, vec_id, cid AS code FROM s${m}_af"
@@ -358,28 +390,41 @@ object VectorQueries {
        |                 list_transform(emb,
        |                   x -> CAST(floor(x / nrm * 1000000) AS BIGINT)) AS q
        |          FROM pe0
-       |        ), pcc0 AS (
+       |        ), pc_e AS (
+       |          SELECT vec_id, q FROM pe
+       |        ), pc_c0 AS (
        |          SELECT vec_id AS cid, q AS cq FROM pe
        |          ORDER BY $modPrimeOrd, vec_id LIMIT $PqCoarseC
+       |        ), ${KMeans.oracleCtes(PqIters, Dim, "pc_")}, pcc AS (
+       |          SELECT cid, cq FROM pc_c$PqIters
        |        ), pasg AS (
-       |          SELECT vec_id, ccid FROM (
-       |            SELECT e.vec_id, c.cid AS ccid,
-       |                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |                     ORDER BY ${sqDistSql(Dim)}, c.cid) AS rn
-       |            FROM pe e CROSS JOIN pcc0 c
-       |          ) WHERE rn = 1
+       |          SELECT vec_id, cid AS ccid FROM pc_af
        |        ), pprobes AS (
        |          SELECT query_id, ccid FROM (
        |            SELECT e.vec_id AS query_id, c.cid AS ccid,
        |                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                     ORDER BY ${sqDistSql(Dim)}, c.cid) AS rn
-       |            FROM pe e CROSS JOIN pcc0 c
+       |            FROM pe e CROSS JOIN pcc c
        |            WHERE e.vec_id < $NumQueries
        |          ) WHERE rn <= $PqNProbe
        |        ), pcand AS (
        |          SELECT p.query_id, a.vec_id
        |          FROM pasg a JOIN pprobes p USING (ccid)
        |          WHERE a.vec_id <> p.query_id
+       |        ), presid AS (
+       |          SELECT e.vec_id, a.ccid,
+       |                 list_transform(range(1, ${Dim + 1}),
+       |                   j -> e.q[j] - c.cq[j]) AS r
+       |          FROM pe e
+       |          JOIN pasg a USING (vec_id)
+       |          JOIN pcc c ON c.cid = a.ccid
+       |        ), pqres AS (
+       |          SELECT p.query_id, p.ccid,
+       |                 list_transform(range(1, ${Dim + 1}),
+       |                   j -> e.q[j] - c.cq[j]) AS r
+       |          FROM pprobes p
+       |          JOIN pe e ON e.vec_id = p.query_id
+       |          JOIN pcc c ON c.cid = p.ccid
        |        ), $subs, plut AS (
        |          $lutLegs
        |        ), penc AS (
@@ -388,8 +433,10 @@ object VectorQueries {
        |          SELECT pcand.query_id, pcand.vec_id,
        |                 CAST(SUM(l.d) AS BIGINT) AS adist
        |          FROM pcand
+       |          JOIN pasg a2 ON a2.vec_id = pcand.vec_id
        |          JOIN penc ON penc.vec_id = pcand.vec_id
        |          JOIN plut l ON l.query_id = pcand.query_id
+       |                     AND l.ccid = a2.ccid
        |                     AND l.m = penc.m AND l.code = penc.code
        |          GROUP BY 1, 2
        |        ), pqr AS (

@@ -81,11 +81,14 @@ class VectorQueriesSpec extends SparkSuite {
       assert(e4 === hits * 10000 / possible, s"$m@$k recall_e4")
     }
     // the same 0.2 floor the direct recall specs pin, now on the
-    // registered report itself; pq carries a lower deterministic floor
-    // (12-bit codes on a ~200-vector corpus — quantization dominates;
-    // measured 1666 at sf0.001, 3666 at sf0.01)
+    // registered report itself. pq's floor was RAISED by the r11
+    // residual encoding (FAISS formulation: Lloyd-trained coarse
+    // quantizer + codebooks over q − coarseCentroid): measured 3333 at
+    // sf0.001 and 4000 at sf0.01, vs 1666/3666 for the r10
+    // raw-vector codebooks at the same M·k code budget — the floor
+    // pins the gain so a regression to raw encoding fails here
     rows.filter(_._2 == 10).foreach { case (m, _, _, _, e4) =>
-      val floor = if (m == "pq") 1000 else 2000
+      val floor = if (m == "pq") 3000 else 2000
       assert(e4 >= floor, s"$m recall@10 degraded: $e4")
     }
     // the rerank DOMINATES its own coarse stage at every k — provable:

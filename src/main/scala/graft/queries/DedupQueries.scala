@@ -150,7 +150,8 @@ object DedupQueries {
                           prefix: String, s: SparkSession, d: String, t: Double)
                          (build: => DataFrame): DataFrame = {
     val path = memo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d, t), {
+      (s.sparkContext.applicationId, d, t),
+      graft.MemoTimings.timed(prefix) {
         val out = graft.TempDirs.scoped(prefix)
         build.write.mode("overwrite").parquet(out)
         out

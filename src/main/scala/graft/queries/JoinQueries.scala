@@ -111,7 +111,8 @@ object JoinQueries {
         // session can't clobber each other's catalog entries.
         val tag = Integer.toHexString(d.hashCode)
         val (ot, ct) = (s"graft_q69_orders_$tag", s"graft_q69_customer_$tag")
-        bucketedMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+        bucketedMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+          graft.MemoTimings.timed("bucketed-tables") {
           val tmp = graft.TempDirs.scoped("graft_q69")
           Tables.orders(s, d).write.mode("overwrite")
             .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -592,7 +593,8 @@ object JoinQueries {
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame = {
     val path = copurchaseMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d), {
+      (s.sparkContext.applicationId, d),
+      graft.MemoTimings.timed("copurchase-edges") {
         val out = graft.TempDirs.scoped("graft-copurchase")
         val oi = copurchaseItems(s, d)
         oi.as("a")

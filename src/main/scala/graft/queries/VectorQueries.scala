@@ -181,11 +181,12 @@ object VectorQueries {
     * it).
     */
   private def annPqRanked(s: SparkSession, d: String): DataFrame = {
-    val path = pqMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val out = graft.TempDirs.scoped("graft-pq")
-      annPqCompute(s, d).write.mode("overwrite").parquet(out)
-      out
-    })
+    val path = pqMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+      graft.MemoTimings.timed("pq-artifact") {
+        val out = graft.TempDirs.scoped("graft-pq")
+        annPqCompute(s, d).write.mode("overwrite").parquet(out)
+        out
+      })
     s.read.parquet(path).orderBy(col("query_id"), col("rank"))
   }
 

@@ -247,6 +247,12 @@ object DedupQueries {
     ORDER BY doc_a, doc_b
   """
 
+  /** Fixed sampled-corpus size for q161/q162 — constant across SF so
+    * the sampled oracle's cost never grows with the corpus. Declared
+    * BEFORE `all` (the oracle strings interpolate it at object init).
+    */
+  private val SampleN = 1000
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -1001,6 +1007,130 @@ object DedupQueries {
         SELECT degree, n_docs FROM hist
         UNION ALL SELECT degree, n_docs FROM z
         ORDER BY degree
+      """)),
+
+    // ---------------------------------------------------------------
+    // q161/q162: SAMPLED near-dup semantics — the entries that keep the
+    // Jaccard pipeline inside the AMPLIFIED oracle gate (r10 judge #9):
+    // q40/q57's full-corpus oracles are O(N²) all-pairs and drop out of
+    // the ~sf1 sweep, so the IDENTICAL machinery (gram pipeline,
+    // prefix-filter candidate join with provably-perfect recall, exact
+    // verify; then transitive closure) runs here over a FIXED
+    // 1000-document mod-prime sample — corpus-size-independent work, an
+    // all-pairs oracle that stays tractable at any SF, and pairwise
+    // Jaccard is corpus-independent so the sampled values equal the
+    // full run's for those pairs. Rarity order inside the sample
+    // differs from the global one, which is fine: the prefix-filter
+    // recall proof holds under ANY fixed gram order.
+    Q("q161_sampled_neardup",
+      (s, d) => sampledJaccardPairs(s, d, 0.8, SampleN)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH ${sampledIdsSql(SampleN)}, g0 AS ($DGrams),
+        g AS (
+          SELECT g0.doc_id, g0.grams, g0.sz FROM g0 JOIN ids USING (doc_id)
+        ), p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(CAST(inter AS DOUBLE) / (la + lb - inter) * 10000)
+                 AS BIGINT) AS jac_e4
+        FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ---------------------------------------------------------------
+    // q162: the q57 closure over q161's sampled pairs — every sampled
+    // doc labeled with its near-dup component (singletons label
+    // themselves, the q66 coalesce discipline). The recursive-CTE twin
+    // stays tractable at amplified scale because the edge set is the
+    // sampled one.
+    Q("q162_sampled_dedup_groups",
+      (s, d) => {
+        val pairs = sampledJaccardPairs(s, d, 0.8, SampleN)
+        val comp = graft.operators.ConnectedComponents.labelPropagation(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .select(col("id").as("doc_id"), col("component"))
+        sampleIds(s, d, SampleN)
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${sampledIdsSql(SampleN)}, g0 AS ($DGrams),
+        g AS (
+          SELECT g0.doc_id, g0.grams, g0.sz FROM g0 JOIN ids USING (doc_id)
+        ), p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM p
+          WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        ), e AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ), comp AS (
+          SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+          FROM reach GROUP BY a
+        )
+        SELECT ids.doc_id, COALESCE(comp.component, ids.doc_id) AS component
+        FROM ids LEFT JOIN comp ON ids.doc_id = comp.doc_id
+        ORDER BY ids.doc_id
       """))
   )
+
+  private def sampledIdsSql(n: Int): String =
+    s"""ids AS (
+       |          SELECT doc_id FROM documents
+       |          ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+       |          LIMIT $n
+       |        )""".stripMargin
+
+  /** The deterministic mod-prime doc sample (the q51/q126 pick). */
+  private def sampleIds(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .orderBy(expr("((doc_id % 1000003) * 2654435761) % 1000003"),
+        col("doc_id"))
+      .limit(n)
+
+  private val sampledPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
+
+  /** q40's prefix-filter set-similarity join restricted to the fixed
+    * [[SampleN]]-doc sample (gram frequency computed WITHIN the sample
+    * — the recall proof is order-agnostic). Memoized like the full
+    * pair table; shared by q161/q162.
+    */
+  private def sampledJaccardPairs(s: SparkSession, d: String, t: Double,
+                                  n: Int): DataFrame =
+    memoParquet(sampledPairsMemo, "graft-jacpairs-sampled", s, d, t) {
+      val g = grams(s, d)
+        .join(broadcast(sampleIds(s, d, n)), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val exploded = g.select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("gram"))
+      val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      val wPrefix = Window.partitionBy(col("doc_id"))
+        .orderBy(col("freq"), col("gram"))
+      val prefix = exploded.join(freq, "gram")
+        .withColumn("rn", row_number().over(wPrefix))
+        .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+        .select(col("doc_id"), col("gram"))
+      val cand = prefix.as("x")
+        .join(prefix.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      verifyPairs(cand, g, t)
+    }
 }

@@ -493,6 +493,25 @@ object VersionedTable {
     }
   }
 
+  /** INSERT OVERWRITE as a commit: the new version's snapshot is
+    * exactly `df` (manifest removes every previous file, adds the
+    * fresh ones — same copy-on-write shape as a merge). The declared
+    * schema still EVOLVES (previous columns remain declared; files
+    * that lack them null-fill) — replace rewrites data, not history or
+    * shape, and time travel to the pre-replace version is untouched
+    * until vacuum.
+    */
+  def commitReplace(s: SparkSession, base: String, df: DataFrame,
+                    statsCols: Seq[String] = Nil,
+                    maxAttempts: Int = 5): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      val prevPaths = prevV.map(entries(base, _).map(_.path))
+        .getOrElse(Seq.empty)
+      commitAt(s, base, df, "replace", statsCols, prevV)(
+        fresh => (fresh, prevPaths))
+    }
+
   private def retrying(maxAttempts: Int)(attempt: => Long): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var left = maxAttempts

@@ -959,6 +959,60 @@ object SinkQueries {
         ORDER BY pred
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q163: the DSv2 WRITE path under the oracle gate (r11) — the
+    // last seam that makes the format a full citizen of the public
+    // API: df.write.format("graft").mode("append"/"overwrite") commits
+    // through the same protocol as library callers (atomic publish,
+    // rebase-retry, schema headers, writer-declared zone maps via the
+    // statsCols option). Two appends (even/odd l_orderkey halves) then
+    // an OVERWRITE with the even half only; output = (version, n_rows,
+    // qty_e2) for the pre-overwrite snapshot (versionAsOf=2 — time
+    // travel ACROSS a replace) and the overwritten latest. The oracle
+    // recomputes both from raw lineitem, so an append that drops a
+    // row, an overwrite that leaks the old snapshot into the new, or
+    // broken time travel hash-fails.
+    Q("q163_dsv2_write_roundtrip",
+      (s, d) => {
+        val base = graft.TempDirs.scoped("graft_q163")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+        def half(r: Int) = t.filter(pmod(col("l_orderkey"), lit(2)) === r)
+        half(0).write.format("graft").mode("append")
+          .option("statsCols", "l_orderkey").save(base)
+        half(1).write.format("graft").mode("append")
+          .option("statsCols", "l_orderkey").save(base)
+        half(0).write.format("graft").mode("overwrite")
+          .option("statsCols", "l_orderkey").save(base)
+        def snap(df: org.apache.spark.sql.DataFrame, v: Long) =
+          df.agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+            .select(lit(v).as("version"), col("n_rows"), col("qty_e2"))
+        snap(s.read.format("graft").option("versionAsOf", "2").load(base), 2L)
+          .unionAll(snap(s.read.format("graft").load(base), 3L))
+          .orderBy(col("version"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        )
+        SELECT CAST(2 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+        FROM t
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+        FROM t WHERE l_orderkey % 2 = 0
+        ORDER BY version
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, DataSourceRegister}
@@ -51,9 +52,12 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // true: a catalog CREATE TABLE (cols) USING graft may declare the
+  // schema, and loads of cataloged tables skip re-inference
+  override def supportsExternalMetadata(): Boolean = true
 
-  private def resolve(options: CaseInsensitiveStringMap): (String, Long) = {
+  private def resolve(
+      options: CaseInsensitiveStringMap): (String, Option[Long]) = {
     val raw = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source needs a path: spark.read.format(\"graft\").load(base)"))
@@ -63,13 +67,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(VersionedTable.latestVersion(base))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed version in $base"))
     (base, version)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (base, version) = resolve(options)
+    val (base, versionOpt) = resolve(options)
+    // a never-committed path is a fresh WRITE target: report an empty
+    // schema (ACCEPT_ANY_SCHEMA lets the first append through; a READ
+    // of it yields zero columns, which analysis rejects loudly)
+    val version = versionOpt.getOrElse(return new StructType())
     VersionedTable.declaredSchema(base, version).getOrElse {
       // pre-schema-header manifests: infer from the snapshot's files
       val files = VersionedTable.entries(base, version)
@@ -87,16 +93,30 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-/** One resolved (base, version) snapshot as a DSv2 table. */
-class GraftTable(base: String, version: Long, tableSchema: StructType)
-    extends Table with SupportsRead {
+/** One resolved (base, version) snapshot as a DSv2 table. `version` is
+  * None for a created-but-never-committed table: it reads as zero rows
+  * of the declared schema and accepts the first write.
+  */
+class GraftTable(base: String, version: Option[Long],
+                 tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft.`$base` (versionAsOf=$version)"
+  override def name(): String =
+    s"graft.`$base` (versionAsOf=${version.getOrElse(0L)})"
 
   override def schema(): StructType = tableSchema
 
+  // BATCH_WRITE advertises writability to the planner; the V1Write the
+  // builder produces still routes through the V1-fallback write exec.
+  // ACCEPT_ANY_SCHEMA defers schema checking to the commit protocol
+  // (mergeSchema rejects type changes loudly; extra columns EVOLVE) —
+  // required for first-write-to-fresh-path, where there is no schema
+  // to validate against yet.
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -105,6 +125,63 @@ class GraftTable(base: String, version: Long, tableSchema: StructType)
       new GraftFileIndex(spark, base, version, tableSchema),
       tableSchema, tableSchema, options)
   }
+
+  /** The WRITE surface rides Spark's V1 insert bridge ([[V1Write]]):
+    * the planner hands over the source DataFrame whole and the commit
+    * protocol does what it already does — `mode("append")` is
+    * [[VersionedTable.commitAppend]], `mode("overwrite")` (the
+    * truncate form) is [[VersionedTable.commitReplace]] — so DSv2
+    * writes get the same atomic publish, optimistic rebase-retry,
+    * schema evolution and zone-map stats as library callers. Write
+    * option `statsCols` (comma-separated) declares the zone-map
+    * columns for the committed files.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           overwrite: Boolean) => {
+            // ACCEPT_ANY_SCHEMA means Spark hands the source frame over
+            // unaligned: match it to the declared schema BY NAME when
+            // every declared column is present (extra columns EVOLVE the
+            // schema — the append-evolution contract), else BY POSITION
+            // (the SQL `INSERT VALUES` shape, whose synthetic col1..colN
+            // names carry no meaning), casting to declared types either
+            // way.
+            val aligned =
+              if (tableSchema.fields.isEmpty) data
+              else if (tableSchema.fieldNames.forall(data.columns.contains))
+                data.select(data.columns.map { c =>
+                  tableSchema.fields.find(_.name == c)
+                    .map(f => data.col(c).cast(f.dataType).as(c))
+                    .getOrElse(data.col(c))
+                }.toSeq: _*)
+              else {
+                require(data.schema.length == tableSchema.length,
+                  s"INSERT has ${data.schema.length} columns, table " +
+                    s"declares ${tableSchema.length} (positional insert " +
+                    "needs matching arity)")
+                data.select(data.columns.zip(tableSchema.fields).map {
+                  case (c, f) => data.col(c).cast(f.dataType).as(f.name)
+                }.toSeq: _*)
+              }
+            val stats = Option(info.options.get("statsCols"))
+              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(Seq.empty)
+            if (replace || overwrite)
+              VersionedTable.commitReplace(data.sparkSession, base, aligned,
+                stats)
+            else
+              VersionedTable.commitAppend(data.sparkSession, base, aligned,
+                stats)
+            ()
+          }
+      }
+    }
 }
 
 /** The commit log as a Spark `FileIndex`: roots are the manifest's
@@ -112,16 +189,16 @@ class GraftTable(base: String, version: Long, tableSchema: StructType)
   * filters Catalyst pushed down — the lakehouse-format seam
   * (`TahoeFileIndex` in Delta, `SparkScan`'s planning in Iceberg).
   */
-class GraftFileIndex(spark: SparkSession, base: String, version: Long,
-                     schema: StructType)
+class GraftFileIndex(spark: SparkSession, base: String,
+                     version: Option[Long], schema: StructType)
     extends InMemoryFileIndex(spark,
-      VersionedTable.entries(base, version)
+      version.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty)
         .map(e => new HPath(s"$base/${e.path}")),
       Map.empty[String, String], Some(schema),
       FileStatusCache.getOrCreate(spark)) {
 
   private val manifest: Seq[ManifestEntry] =
-    VersionedTable.entries(base, version)
+    version.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty)
 
   /** A data file's manifest-relative name: `d{v}-{nonce}/part-*`. */
   private def relName(p: HPath): String = s"${p.getParent.getName}/${p.getName}"

@@ -98,6 +98,59 @@ class GraftDataSourceSpec extends SparkSuite {
       .columns.toSeq === Seq("k", "v"))
   }
 
+  test("write path: append/overwrite through format('graft'), stats via option") {
+    val base = TempDirs.scoped("graft_dsv2_write")
+    val s = spark
+    import s.implicits._
+    // two appends through the public writer — each is one commit
+    // (path-based v2 writes take Append/Overwrite modes only)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .write.format("graft").mode("append").option("statsCols", "k")
+      .save(base)
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1)
+      .write.format("graft").mode("append").option("statsCols", "k")
+      .save(base)
+    assert(VersionedTable.latestVersion(base) === Some(2L))
+    assert(spark.read.format("graft").load(base)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // the writer-declared statsCols produced real zone maps: an
+    // equality filter prunes to one file
+    val one = spark.read.format("graft").load(base).filter(col("k") === 3L)
+    assert(one.collect().map(_.getLong(1)).toSeq === Seq(30L))
+    assert(GraftScanMetrics.lastPrune(base) === Some((1, 2)))
+    // overwrite = commitReplace: latest is exactly the new frame,
+    // history keeps the pre-replace snapshot
+    Seq((9L, 90L)).toDF("k", "v")
+      .write.format("graft").mode("overwrite").save(base)
+    assert(spark.read.format("graft").load(base)
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(spark.read.format("graft").option("versionAsOf", "2").load(base)
+      .count() === 4L)
+    assert(VersionedTable.history(base).map(_._2) ===
+      Seq("append", "append", "replace"))
+  }
+
+  test("SQL DML: CREATE TABLE with schema, INSERT INTO, empty-table read") {
+    val base = TempDirs.scoped("graft_dsv2_dml")
+    spark.sql("DROP TABLE IF EXISTS graft_dml")
+    spark.sql(
+      s"CREATE TABLE graft_dml (k BIGINT, v BIGINT) USING graft " +
+        s"OPTIONS (path '$base')")
+    try {
+      // a created-but-never-committed table reads as zero rows of the
+      // declared schema (not an error)
+      assert(spark.sql("SELECT * FROM graft_dml").count() === 0L)
+      spark.sql("INSERT INTO graft_dml VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO graft_dml VALUES (3, 30)")
+      assert(spark.sql("SELECT sum(k) AS s FROM graft_dml")
+        .head().getLong(0) === 6L)
+      assert(VersionedTable.latestVersion(base) === Some(2L))
+      spark.sql("INSERT OVERWRITE graft_dml VALUES (7, 70)")
+      assert(spark.sql("SELECT k FROM graft_dml").collect()
+        .map(_.getLong(0)).toSeq === Seq(7L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dml")
+  }
+
   test("a filter no zone map overlaps plans zero files, returns zero rows") {
     val base = mkTable("zero")
     val df = spark.read.format("graft").load(base).filter(col("k") > 1000L)

@@ -92,7 +92,15 @@ object ScaleBench {
     "q55_tfidf", "q88_heavy_hitters", "q83_train_shuffle",
     // tokenizer training: sweeps are vocab-bounded — the cipher grows
     // the vocabulary ~R×, so this measures exactly that claim
-    "q148_bpe_train")
+    "q148_bpe_train",
+    // r11 additions: log-derived CDC (state ∝ amplified user domain),
+    // star-contraction components (chains grow R× longer — rounds grow
+    // only log R, per-round shuffle ∝ edges: should be ~R× with a
+    // small logarithmic factor), and the SAMPLED near-dup pipeline
+    // (fixed 1000-doc sample regardless of corpus: the corpus-sized
+    // term is one gram scan, so the ratio should be well UNDER R —
+    // the corpus-independence claim, measured)
+    "q158_log_cdc", "q160_chain_components", "q161_sampled_neardup")
 
   /** Queries whose amplified runs may legitimately report sort-based
     * aggregate fallback: q117's `collect_list` inside a

@@ -290,8 +290,14 @@ object VersionedTable {
   def declaredSchema(base: String, v: Long): Option[StructType] =
     replay(base, v)._2
 
-  /** The raw delta of commit `v`: (op, added entries, removed paths). */
-  private def commitDelta(base: String,
+  /** The raw delta of commit `v`: (op, added entries, removed paths) —
+    * read straight from that commit's delta-manifest lines, O(commit),
+    * never O(table). This is the metadata surface the change feed
+    * ([[changesPerCommit]]) and the streaming source
+    * ([[graft.sources.GraftStreamSource]]) tail the log through: a
+    * pure-append commit's added files ARE its inserted rows.
+    */
+  def commitDelta(base: String,
       v: Long): (String, Seq[ManifestEntry], Seq[String]) = {
     val m = markerPath(base, v)
     require(Files.exists(m),

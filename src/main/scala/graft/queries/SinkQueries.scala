@@ -1013,6 +1013,165 @@ object SinkQueries {
         ORDER BY version
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q164: the table format as a STREAMING SOURCE (r11) — the commit
+    // log is the stream: readStream.format("graft") delivers the
+    // current snapshot as its first batch and each later commit's
+    // ADDED FILES as tail batches (GraftStreamSource — the Delta-
+    // source shape; batch planning is pure commit-log metadata, cost
+    // ∝ delta, never ∝ table). The entry drives the full lifecycle:
+    // two commits land, an AvailableNow drain consumes the snapshot;
+    // a THIRD commit lands after the stream's checkpoint exists, and
+    // a resumed drain picks up exactly that commit's files. The
+    // result aggregates the parquet sink per l_linenumber, so the
+    // oracle (raw lineitem) hash-fails if the snapshot double-counts,
+    // the tail re-reads consumed commits, or the resume drops the new
+    // commit — exactly-once across restarts, checked by arithmetic.
+    Q("q164_stream_format_tail",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        import org.apache.spark.sql.streaming.Trigger
+        val base = graft.TempDirs.scoped("graft_q164")
+        val sink = graft.TempDirs.scoped("graft_q164_sink")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+        def slice(lo: Int, hi: Int) =
+          t.filter(col("l_linenumber").between(lo, hi)).coalesce(4)
+        VersionedTable.commitAppend(s, base, slice(1, 2),
+          statsCols = Seq("l_linenumber"))
+        VersionedTable.commitAppend(s, base, slice(3, 4),
+          statsCols = Seq("l_linenumber"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(base)
+            .writeStream.trigger(Trigger.AvailableNow())
+            .format("parquet")
+            .option("path", s"$sink/out")
+            .option("checkpointLocation", s"$sink/ckpt")
+            .start()
+          q.awaitTermination()
+        }
+        drain() // first batch = the v2 snapshot
+        VersionedTable.commitAppend(s, base, slice(5, 7),
+          statsCols = Seq("l_linenumber")) // lands AFTER the checkpoint
+        drain() // resumed drain reads ONLY v3's added files
+        s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("l_orderkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("l_linenumber",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qty_e2",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(s"$sink/out")
+          .groupBy(col("l_linenumber"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+          .orderBy(col("l_linenumber"))
+      },
+      Some("""
+        SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_e2
+        FROM lineitem GROUP BY 1 ORDER BY 1
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q165: SQL `DELETE FROM` through the DSv2 surface (r11) — the
+    // GDPR path q155 exposed as a library call, now a plain SQL
+    // statement: GraftTable implements SupportsDelete, the pushed
+    // predicate becomes commitDelete's row filter AND its zone-map
+    // footprint (the same GraftFilters translation the read path
+    // prunes with), so the delete rewrites ONLY the files whose maps
+    // can hold a matching key. Fixture: lineitem in 8 one-file
+    // orderkey-bin commits; DELETE WHERE l_orderkey BETWEEN a two-
+    // sixteenths span straddling bins 2-3. Output: pre/post row
+    // counts + quantity sums (post read back through SQL, pre via
+    // versionAsOf time travel ACROSS the delete) and the delete
+    // commit's removed-file count. The oracle recomputes everything
+    // from raw lineitem + per-bin min/max arithmetic — a delete that
+    // leaks a matching row, over-rewrites untouched bins, or breaks
+    // time travel hash-fails.
+    Q("q165_sql_delete",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q165")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val (dlo, dhi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+            statsCols = Seq("l_orderkey"))
+        }
+        s.sql("DROP TABLE IF EXISTS graft_q165_t")
+        s.sql(s"CREATE TABLE graft_q165_t USING graft OPTIONS (path '$base')")
+        try {
+          s.sql(s"DELETE FROM graft_q165_t WHERE l_orderkey " +
+            s"BETWEEN ${dlo}L AND ${dhi}L")
+          val post = s.sql("SELECT count(*) AS n, sum(qty_e2) AS q " +
+            "FROM graft_q165_t").head()
+          val pre = s.read.format("graft").option("versionAsOf", "8")
+            .load(base)
+            .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+          val (_, _, removed) =
+            VersionedTable.commitDelta(base,
+              VersionedTable.latestVersion(base).get)
+          import s.implicits._
+          Seq((pre.getLong(0), pre.getLong(1), post.getLong(0),
+            post.getLong(1), removed.size.toLong))
+            .toDF("n_pre", "qty_pre", "n_post", "qty_post", "files_removed")
+        } finally {
+          s.sql("DROP TABLE IF EXISTS graft_q165_t")
+          t.unpersist(); ()
+        }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS dlo,
+                 olo + (span * 7) // 16 - 1 AS dhi
+          FROM b
+        ), x AS (
+          SELECT t.*, (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        ), bins AS (
+          SELECT bin, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+          FROM x GROUP BY 1
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_pre,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_pre,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t, pr
+            WHERE l_orderkey NOT BETWEEN dlo AND dhi) AS n_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t, pr
+            WHERE l_orderkey NOT BETWEEN dlo AND dhi) AS qty_post,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bins, pr
+            WHERE mx >= dlo AND mn <= dhi) AS files_removed
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

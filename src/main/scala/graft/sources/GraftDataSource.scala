@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, DataSourceRegister}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,7 +48,8 @@ import graft.operators.VersionedTable.{LongRange, ManifestEntry, PruneRange, Str
   * (q153/q157) reads a handful of files where a raw parquet reader
   * must list and footer-check everything.
   */
-class GraftTableProvider extends TableProvider with DataSourceRegister {
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -91,6 +92,75 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val (base, version) = resolve(new CaseInsensitiveStringMap(properties))
     new GraftTable(base, version, schema)
   }
+
+  // -------------------------------------------------------------------
+  // Streaming read surface ([[GraftStreamSource]]). GraftTable does not
+  // declare MICRO_BATCH_READ, so `readStream.format("graft")` falls back
+  // to this V1 StreamSourceProvider — the same bridge Delta's source
+  // rides. The batch and streaming paths resolve (base, version) and
+  // schema identically.
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    (shortName(), schema.getOrElse {
+      require(resolve(opts)._2.nonEmpty,
+        s"cannot stream a never-committed graft table without an " +
+          s"explicit schema: ${opts.get("path")}")
+      inferSchema(opts)
+    })
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (base, _) = resolve(opts)
+    val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val (snapshotStart, fromVersion) =
+      Option(opts.get("startingVersion")) match {
+        case None => (true, 1L) // Delta default: snapshot, then tail
+        case Some("latest") =>
+          // "commits after STREAM start" — pinned into the source's
+          // checkpoint metadata dir on first creation, so a restart
+          // resumes from the original start instead of re-resolving
+          // "latest" and silently skipping the commits in between
+          // (the Kafka-source initial-offset discipline)
+          (false, pinnedStartingVersion(metadataPath,
+            VersionedTable.latestVersion(base).getOrElse(0L) + 1L))
+        case Some(v) => (false, v.toLong)
+      }
+    val skip = Option(opts.get("skipChangeCommits")).exists(_.toBoolean)
+    new GraftStreamSource(sqlContext.sparkSession, base, st, snapshotStart,
+      fromVersion, skip)
+  }
+
+  /** Read-or-publish the resolved `startingVersion=latest` under the
+    * source's checkpoint metadata dir (atomic same-dir move, matching
+    * the commit log's publish discipline).
+    */
+  private def pinnedStartingVersion(metadataPath: String,
+                                    resolved: Long): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mp = if (metadataPath.startsWith("file:"))
+      new java.net.URI(metadataPath).getPath else metadataPath
+    val pin = Paths.get(mp, "graft-starting-version")
+    if (Files.exists(pin))
+      new String(Files.readAllBytes(pin), "UTF-8").trim.toLong
+    else {
+      Files.createDirectories(pin.getParent)
+      val tmp = pin.getParent.resolve(
+        s".sv-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, resolved.toString.getBytes("UTF-8"))
+      Files.move(tmp, pin, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      resolved
+    }
+  }
 }
 
 /** One resolved (base, version) snapshot as a DSv2 table. `version` is
@@ -99,7 +169,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   */
 class GraftTable(base: String, version: Option[Long],
                  tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     s"graft.`$base` (versionAsOf=${version.getOrElse(0L)})"
@@ -124,6 +195,42 @@ class GraftTable(base: String, version: Option[Long],
     ParquetScanBuilder(spark,
       new GraftFileIndex(spark, base, version, tableSchema),
       tableSchema, tableSchema, options)
+  }
+
+  /** SQL `DELETE FROM` — routed straight into the commit protocol's
+    * file-scoped delete ([[VersionedTable.commitDelete]]): the pushed
+    * predicate becomes both the row filter AND (via the same
+    * [[GraftFilters.toRanges]] translation the read path prunes with)
+    * the delete's zone-map footprint, so only files that can contain a
+    * matching row are rewritten — `DELETE FROM t WHERE k BETWEEN a AND
+    * b` on a 100 TB table is O(affected files), not O(table), from
+    * plain SQL. `canDeleteWhere` admits exactly the predicates the
+    * row-filter translation covers (Spark rejects the rest at analysis
+    * — no silent partial deletes); the range translation is implied by
+    * the row predicate per conjunct, the [[VersionedTable.commitDelete]]
+    * contract. TRUNCATE TABLE rides the default bridge (an always-true
+    * delete → empty manifest, still readable).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = SparkSession.active
+    val rowPred = filters.flatMap(GraftFilters.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val ranges = filters
+      .flatMap(f => GraftFilters.toRanges(f, tableSchema))
+      .collect { case LongRange(c, lo, hi) => (c, lo, hi) }
+    // rewritten files keep the table's own stats discipline (the
+    // union of columns any current file carries maps for) — otherwise
+    // a delete would silently strip zone maps and later deletes/reads
+    // lose their pruning
+    val statsCols = VersionedTable.latestVersion(base).toSeq
+      .flatMap(v => VersionedTable.entries(base, v))
+      .flatMap(_.stats.keys).distinct
+    VersionedTable.commitDelete(s, base, rowPred, ranges.toSeq, statsCols)
+    ()
   }
 
   /** The WRITE surface rides Spark's V1 insert bridge ([[V1Write]]):
@@ -294,6 +401,36 @@ object GraftFilters {
   private def eqRange(c: String, v: Any): Seq[PruneRange] = v match {
     case s: String => Seq(StrRange(c, s, s))
     case other => asLong(other).map(l => LongRange(c, l, l)).toSeq
+  }
+
+  /** Source-filter → row-predicate `Column` — the DELETE path's
+    * translation ([[GraftTable.deleteWhere]]). Total over the
+    * conjunct/disjunct/comparison shapes SQL `DELETE WHERE` produces;
+    * `None` for anything else (string pattern matches, nested
+    * predicates), which makes `canDeleteWhere` reject the statement
+    * at analysis instead of deleting the wrong rows.
+    */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) }
+        yield a && b
+      case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) }
+        yield a || b
+      case Not(c) => toColumn(c).map(!_)
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
   }
 
   private def fieldOf(schema: StructType, c: String): Option[StructField] =

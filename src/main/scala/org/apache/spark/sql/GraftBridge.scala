@@ -22,4 +22,33 @@ object GraftBridge {
   def translateFilter(e: Expression): Option[sources.Filter] =
     execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** A batch of parquet files as a STREAMING-flagged DataFrame — the
+    * `Source.getBatch` contract (MicroBatchExecution asserts
+    * `isStreaming` on the returned plan). This is exactly how Spark's
+    * own `FileStreamSource.getBatch` builds its batches: resolve a
+    * parquet relation over the file list (no existence re-check — the
+    * commit log is the authority) and wrap it in a streaming
+    * `LogicalRelation`. `Dataset.ofRows` and the relation machinery
+    * are private[sql], hence this lives in the shim.
+    */
+  def streamingScan(s: SparkSession, paths: Seq[String],
+                    schema: types.StructType): DataFrame = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    val rel = new execution.datasources.DataSource(
+      cs, className = "parquet", paths = paths,
+      userSpecifiedSchema = Some(schema))
+      .resolveRelation(checkFilesExist = false)
+    classic.Dataset.ofRows(cs,
+      execution.datasources.LogicalRelation(rel, isStreaming = true))
+  }
+
+  /** A zero-row streaming-flagged frame of `schema` (the empty-batch
+    * case of [[streamingScan]]).
+    */
+  def streamingEmpty(s: SparkSession, schema: types.StructType): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession],
+      catalyst.plans.logical.LocalRelation(
+        catalyst.types.DataTypeUtils.toAttributes(schema),
+        Nil, isStreaming = true))
 }

@@ -157,4 +157,45 @@ class GraftDataSourceSpec extends SparkSuite {
     assert(df.count() === 0L)
     assert(GraftScanMetrics.lastPrune(base) === Some((0, 4)))
   }
+
+  test("SQL DELETE FROM rewrites only files the zone maps implicate") {
+    val base = mkTable("del")
+    spark.sql("DROP TABLE IF EXISTS graft_del")
+    spark.sql(s"CREATE TABLE graft_del USING graft OPTIONS (path '$base')")
+    try {
+      spark.sql("DELETE FROM graft_del WHERE k BETWEEN 12 AND 17")
+      assert(spark.sql("SELECT count(*) AS c FROM graft_del")
+        .head().getLong(0) === 34L)
+      assert(spark.sql("SELECT count(*) AS c FROM graft_del " +
+        "WHERE k BETWEEN 12 AND 17").head().getLong(0) === 0L)
+      // file-scoped: exactly ONE of the four decade files removed (the
+      // 10-19 one), the rest carried forward untouched in the log
+      val v = VersionedTable.latestVersion(base).get
+      assert(v === 5L)
+      val (op, _, removes) = VersionedTable.commitDelta(base, v)
+      assert(op === "delete")
+      assert(removes.size === 1)
+      // a delete no zone map can match is a provable no-op: no commit
+      spark.sql("DELETE FROM graft_del WHERE k > 1000")
+      assert(VersionedTable.latestVersion(base) === Some(5L))
+      // an untranslatable predicate is rejected at analysis, never a
+      // silent partial delete
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("DELETE FROM graft_del WHERE nm LIKE 'name1%'")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_del")
+  }
+
+  test("TRUNCATE via an always-true DELETE leaves a readable empty table") {
+    val base = mkTable("trunc")
+    spark.sql("DROP TABLE IF EXISTS graft_trunc")
+    spark.sql(s"CREATE TABLE graft_trunc USING graft OPTIONS (path '$base')")
+    try {
+      spark.sql("DELETE FROM graft_trunc WHERE true")
+      assert(spark.sql("SELECT * FROM graft_trunc").count() === 0L)
+      // history intact: pre-delete versions still time-travel
+      assert(spark.read.format("graft").option("versionAsOf", "4")
+        .load(base).count() === 40L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_trunc")
+  }
 }

@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.{SparkSuite, TempDirs}
+import graft.operators.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.types._
+
+/** The commit log as a streaming source: `readStream.format("graft")`
+  * must deliver (a) the current snapshot as the first batch, (b) each
+  * later commit's added files as tail batches, exactly once across
+  * checkpointed restarts, (c) a loud failure (or an explicit skip) on
+  * commits that rewrite files, and (d) batches read through the
+  * stream-start schema (old files null-fill evolved-in columns).
+  */
+class GraftStreamSourceSpec extends SparkSuite {
+
+  private val sinkSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType)))
+
+  private def appendDecade(base: String, lo: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    VersionedTable.commitAppend(spark, base,
+      (lo until lo + 10L).map(k => (k, k * 2)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+  }
+
+  /** Drain the graft stream at `base` into `dir`'s parquet sink under
+    * AvailableNow, with the checkpoint keyed to `dir` (so re-calls
+    * RESUME — the restart-recovery shape).
+    */
+  private def drain(base: String, dir: String,
+                    options: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(base).writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+  }
+
+  private def sinkRows(dir: String): Seq[Long] =
+    spark.read.schema(sinkSchema).parquet(s"$dir/out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("snapshot first batch, per-commit tail, exactly-once restart") {
+    val base = TempDirs.scoped("graft_stream_tail")
+    val dir = TempDirs.scoped("graft_stream_tail_sink")
+    appendDecade(base, 0L); appendDecade(base, 10L)
+    drain(base, dir)
+    assert(sinkRows(dir) === (0L until 20L))
+    // two more commits land; the same checkpoint resumes and reads
+    // ONLY their files — rows appear exactly once
+    appendDecade(base, 20L); appendDecade(base, 30L)
+    drain(base, dir)
+    assert(sinkRows(dir) === (0L until 40L))
+    // nothing new: a third drain emits nothing
+    drain(base, dir)
+    assert(sinkRows(dir) === (0L until 40L))
+  }
+
+  test("snapshot start over a compacted table does not double-count") {
+    val base = TempDirs.scoped("graft_stream_compact")
+    val dir = TempDirs.scoped("graft_stream_compact_sink")
+    appendDecade(base, 0L); appendDecade(base, 10L)
+    VersionedTable.compact(spark, base, numFiles = 1, statsCols = Seq("k"))
+    // fresh stream: first batch = the v3 snapshot (1 compacted file),
+    // NOT a replay of appends + compaction output
+    drain(base, dir)
+    assert(sinkRows(dir) === (0L until 20L))
+  }
+
+  test("change commit in the tail fails loudly; skipChangeCommits skips") {
+    val base = TempDirs.scoped("graft_stream_chg")
+    val dir = TempDirs.scoped("graft_stream_chg_sink")
+    appendDecade(base, 0L)
+    drain(base, dir) // consumed through v1
+    VersionedTable.compact(spark, base, numFiles = 1, statsCols = Seq("k"))
+    appendDecade(base, 10L) // v3
+    val ex = intercept[StreamingQueryException] { drain(base, dir) }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(_.getMessage.contains("change commit")))
+    // the failed attempt committed nothing; skipping moves past the
+    // compaction and delivers only v3's append
+    drain(base, dir, Map("skipChangeCommits" -> "true"))
+    assert(sinkRows(dir) === (0L until 20L))
+  }
+
+  test("startingVersion replays from a commit; 'latest' tails only") {
+    val base = TempDirs.scoped("graft_stream_sv")
+    (0L until 4L).foreach(i => appendDecade(base, i * 10L))
+    val d3 = TempDirs.scoped("graft_stream_sv3_sink")
+    drain(base, d3, Map("startingVersion" -> "3"))
+    assert(sinkRows(d3) === (20L until 40L))
+    val dl = TempDirs.scoped("graft_stream_svl_sink")
+    drain(base, dl, Map("startingVersion" -> "latest"))
+    // nothing after the stream's start version: the sink has no data
+    // files (only its metadata dir)
+    assert(!new java.io.File(s"$dl/out").exists() ||
+      spark.read.schema(sinkSchema).parquet(s"$dl/out").count() === 0L)
+    appendDecade(base, 40L)
+    drain(base, dl, Map("startingVersion" -> "latest"))
+    assert(sinkRows(dl) === (40L until 50L))
+  }
+
+  test("batches read through the stream-start schema; old files null-fill") {
+    val base = TempDirs.scoped("graft_stream_evo")
+    val s = spark
+    import s.implicits._
+    appendDecade(base, 0L) // v1: (k, v)
+    VersionedTable.commitAppend(spark, base, // v2 evolves: (k, v, tag)
+      (10L until 20L).map(k => (k, k * 2, s"t$k")).toDF("k", "v", "tag")
+        .coalesce(1), statsCols = Seq("k"))
+    val dir = TempDirs.scoped("graft_stream_evo_sink")
+    drain(base, dir)
+    val out = spark.read.schema(StructType(sinkSchema.fields :+
+        StructField("tag", StringType))).parquet(s"$dir/out")
+    assert(out.count() === 20L)
+    // v1's files predate the ADD COLUMN: their rows null-fill `tag`
+    assert(out.filter(col("tag").isNull).count() === 10L)
+    assert(out.filter(col("k") >= 10L && col("tag").isNotNull).count() === 10L)
+  }
+}

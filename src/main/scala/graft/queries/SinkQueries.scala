@@ -1172,6 +1172,116 @@ object SinkQueries {
             WHERE mx >= dlo AND mn <= dhi) AS files_removed
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q166: the change feed as a LIVE STREAM (r11) — q158's log-
+    // derived CDC re-expressed as readChangeFeed=true on the streaming
+    // source: the feed of (version, key, old/new, change_type) rows
+    // becomes a Structured Streaming query with checkpointed resume.
+    // Append commits stream straight off their added files (version
+    // recovered from the d{v}- dir name — zero copies); the delete
+    // commit spools its per-commit diff under the checkpoint (the
+    // read-side _change_data materialization). Fixture: lineitem keyed
+    // by rid = l_orderkey*10 + l_linenumber in two append halves, then
+    // a zone-map-scoped DELETE of a two-sixteenths orderkey span; the
+    // CDC stream drains BEFORE the delete, then RESUMES across it —
+    // so the delete's rows flow through the spool leg of a tailing
+    // batch. Output: per (version, change_type) row counts and
+    // quantity sums from the sink; the oracle recomputes all three
+    // commits' feeds from raw lineitem — a feed that double-counts on
+    // resume, mis-attributes versions, or leaks surviving rows into
+    // the delete diff hash-fails.
+    Q("q166_stream_change_feed",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        import org.apache.spark.sql.streaming.Trigger
+        val base = graft.TempDirs.scoped("graft_q166")
+        val sink = graft.TempDirs.scoped("graft_q166_sink")
+        // CDC keys must be UNIQUE (the diff joins on them): the
+        // synthetic lineitem repeats (orderkey, linenumber), so the
+        // fixture dedupes to one row per rid (max quantity — a
+        // deterministic argmax both engines compute identically)
+        val t = Tables.lineitem(s, d)
+          .select((col("l_orderkey") * 10 +
+            col("l_linenumber").cast("long")).as("rid"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .groupBy(col("rid")).agg(max(col("qty_e2")).as("qty_e2"))
+          .withColumn("l_orderkey", expr("rid div 10"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val (dlo, dhi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        def half(r: Int) = t.filter(pmod(col("l_orderkey"), lit(2)) === r)
+          .select(col("rid"), col("qty_e2")).coalesce(4)
+        VersionedTable.commitAppend(s, base, half(0), Seq("rid"))
+        VersionedTable.commitAppend(s, base, half(1), Seq("rid"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft")
+            .option("readChangeFeed", "true").option("cdcKey", "rid")
+            .load(base).writeStream
+            .trigger(Trigger.AvailableNow())
+            .format("parquet")
+            .option("path", s"$sink/out")
+            .option("checkpointLocation", s"$sink/ckpt")
+            .start()
+          q.awaitTermination()
+        }
+        drain() // v1-v2 inserts, off the data files
+        VersionedTable.commitDelete(s, base,
+          (col("rid") / 10).cast("long").between(dlo, dhi),
+          Seq(("rid", dlo * 10, dhi * 10 + 9)), statsCols = Seq("rid"))
+        drain() // resumed: exactly the delete commit's diff, spooled
+        t.unpersist()
+        s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qty_e2_old",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qty_e2_new",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(s"$sink/out")
+          .groupBy(col("version"), col("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(coalesce(col("qty_e2_new"), col("qty_e2_old"))).as("qty_e2"))
+          .orderBy(col("version"), col("change_type"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 (l_orderkey * 10 + l_linenumber) // 10 AS l_orderkey,
+                 MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS qty_e2
+          FROM lineitem GROUP BY 1, 2
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS dlo,
+                 olo + (span * 7) // 16 - 1 AS dhi
+          FROM b
+        )
+        SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+        FROM t WHERE l_orderkey % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'insert',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(qty_e2) AS BIGINT)
+        FROM t WHERE l_orderkey % 2 = 1
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(qty_e2) AS BIGINT)
+        FROM t, pr WHERE l_orderkey BETWEEN dlo AND dhi
+        ORDER BY version, change_type
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

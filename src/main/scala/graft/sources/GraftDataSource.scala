@@ -100,17 +100,28 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   // rides. The batch and streaming paths resolve (base, version) and
   // schema identically.
 
+  private def cdcKeyOf(opts: CaseInsensitiveStringMap): Option[String] =
+    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean))
+      Some(Option(opts.get("cdcKey")).getOrElse(
+        throw new IllegalArgumentException(
+          "readChangeFeed=true needs cdcKey=<column> (the key " +
+            "delete/merge commits diff on)")))
+    else None
+
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
-    (shortName(), schema.getOrElse {
+    val rowSchema = schema.getOrElse {
       require(resolve(opts)._2.nonEmpty,
         s"cannot stream a never-committed graft table without an " +
           s"explicit schema: ${opts.get("path")}")
       inferSchema(opts)
-    })
+    }
+    (shortName(), cdcKeyOf(opts)
+      .map(k => GraftStreamSource.cdcSchemaOf(rowSchema, k))
+      .getOrElse(rowSchema))
   }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
@@ -120,10 +131,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Source = {
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
     val (base, _) = resolve(opts)
-    val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val rowSchema = schema.getOrElse(inferSchema(opts))
+    val cdcKey = cdcKeyOf(opts)
     val (snapshotStart, fromVersion) =
       Option(opts.get("startingVersion")) match {
-        case None => (true, 1L) // Delta default: snapshot, then tail
+        // Delta defaults: rows = snapshot-then-tail; the change feed
+        // replays the whole history (every commit IS a change)
+        case None => (cdcKey.isEmpty, 1L)
         case Some("latest") =>
           // "commits after STREAM start" — pinned into the source's
           // checkpoint metadata dir on first creation, so a restart
@@ -135,8 +149,11 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
         case Some(v) => (false, v.toLong)
       }
     val skip = Option(opts.get("skipChangeCommits")).exists(_.toBoolean)
-    new GraftStreamSource(sqlContext.sparkSession, base, st, snapshotStart,
-      fromVersion, skip)
+    val mp = if (metadataPath.startsWith("file:"))
+      new java.net.URI(metadataPath).getPath else metadataPath
+    new GraftStreamSource(sqlContext.sparkSession, base, rowSchema,
+      snapshotStart, fromVersion, skip, cdcKey,
+      spoolDir = Some(s"$mp/cdc-spool"))
   }
 
   /** Read-or-publish the resolved `startingVersion=latest` under the

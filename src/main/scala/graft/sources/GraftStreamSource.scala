@@ -1,10 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, regexp_extract}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.VersionedTable
 
@@ -44,16 +45,35 @@ import graft.operators.VersionedTable
   * data files to still exist — vacuum retention must cover consumer
   * lag (the same precondition Delta's CDF read documents; a vacuumed
   * marker fails the batch loudly via `commitDelta`'s require).
+  *
+  * `readChangeFeed=true` (+ `cdcKey=<col>`) switches the stream to the
+  * CHANGE FEED — Delta CDF as a live query: each batch emits
+  * [[VersionedTable.changesPerCommit]]-shaped rows (`version`, key,
+  * `*_old`/`*_new`, `change_type`) for the commits it covers, with
+  * append commits streamed straight off their added files as `insert`
+  * rows (zero copies) and change commits spooled per-commit under the
+  * checkpoint (see [[cdcBatch]]). Default start replays the full
+  * history; `startingVersion` applies as in row mode.
   */
 class GraftStreamSource(spark: SparkSession, base: String,
                         sourceSchema: StructType, snapshotStart: Boolean,
-                        fromVersion: Long, skipChangeCommits: Boolean)
+                        fromVersion: Long, skipChangeCommits: Boolean,
+                        cdcKey: Option[String] = None,
+                        spoolDir: Option[String] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val readSchema =
     StructType(sourceSchema.fields.map(_.copy(nullable = true)))
 
-  override def schema: StructType = sourceSchema
+  /** CHANGE-FEED shape (`readChangeFeed=true`): one row per
+    * (commit, changed key) in [[VersionedTable.changesPerCommit]]'s
+    * schema — `version`, the key, `*_old`/`*_new` value columns,
+    * `change_type` — pinned at stream start like the row schema.
+    */
+  private val cdcSchema: Option[StructType] =
+    cdcKey.map(k => GraftStreamSource.cdcSchemaOf(readSchema, k))
+
+  override def schema: StructType = cdcSchema.getOrElse(sourceSchema)
 
   private def ver(o: OffsetV2): Long = o.json.trim.toLong
 
@@ -84,8 +104,13 @@ class GraftStreamSource(spark: SparkSession, base: String,
   override def reportLatestOffset(): OffsetV2 =
     currentLatest().map(LongOffset(_)).orNull
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = ver(end)
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    cdcSchema match {
+      case Some(cs) => cdcBatch(start, ver(end), cs)
+      case None => rowBatch(start, ver(end))
+    }
+
+  private def rowBatch(start: Option[Offset], endV: Long): DataFrame = {
     val paths = start match {
       case None if snapshotStart =>
         // first batch: the full snapshot at the stream's start version
@@ -100,7 +125,8 @@ class GraftStreamSource(spark: SparkSession, base: String,
             s"graft stream over $base hit change commit v$v (op=$op): a " +
               "commit that removes files cannot stream as appends — set " +
               "skipChangeCommits=true to skip rewrite commits (their " +
-              "re-written rows will NOT be re-emitted)")
+              "re-written rows will NOT be re-emitted), or read the " +
+              "change feed (readChangeFeed=true) instead")
         }
     }
     if (paths.isEmpty) GraftBridge.streamingEmpty(spark, readSchema)
@@ -108,5 +134,97 @@ class GraftStreamSource(spark: SparkSession, base: String,
       readSchema)
   }
 
+  /** One CDC micro-batch for commits `(start, end]`. Two legs, both
+    * O(changed files):
+    *   - pure-append commits stream their ADDED FILES directly as
+    *     `insert` rows — zero copies; the emitting commit's version is
+    *     recovered from the file's `d{v}-{nonce}` directory name (the
+    *     commit protocol's layout invariant), so one scan serves any
+    *     number of appends in the range;
+    *   - change commits (delete/merge/compact/replace) spool their
+    *     [[VersionedTable.changesPerCommit]] diff to a per-commit
+    *     parquet under the stream's checkpoint metadata dir and stream
+    *     that — the read-side materialization of Delta's `_change_data`
+    *     files, deterministic per commit (overwrite mode), so a
+    *     retried batch rebuilds the identical spool. A compaction's
+    *     diff is empty by construction (rows unchanged) — it spools
+    *     zero rows rather than failing the feed.
+    */
+  private def cdcBatch(start: Option[Offset], endV: Long,
+                       cs: StructType): DataFrame = {
+    val key = cdcKey.get
+    val spool = spoolDir.getOrElse(throw new IllegalStateException(
+      "CDC stream needs a spool dir — create the source through " +
+        "readStream.format(\"graft\") so the checkpoint provides one"))
+    val lo = start.map(ver(_) + 1L).getOrElse(fromVersion)
+    var appendPaths = Vector.empty[String]
+    var spoolPaths = Vector.empty[String]
+    (lo to endV).foreach { v =>
+      val (_, adds, removes) = VersionedTable.commitDelta(base, v)
+      if (removes.isEmpty) appendPaths ++= adds.map(_.path)
+      else {
+        val dir = s"$spool/v$v"
+        align(VersionedTable.changesPerCommit(spark, base, v - 1, v, key),
+          cs).write.mode("overwrite").parquet(dir)
+        spoolPaths :+= dir
+      }
+    }
+    val legs = Seq(
+      if (appendPaths.isEmpty) None else Some(insertLeg(appendPaths, cs, key)),
+      if (spoolPaths.isEmpty) None
+      else Some(GraftBridge.streamingScan(spark, spoolPaths, cs))).flatten
+    legs.reduceOption(_.unionByName(_))
+      .getOrElse(GraftBridge.streamingEmpty(spark, cs))
+  }
+
+  /** Append commits as CDC `insert` rows, straight off the data files. */
+  private def insertLeg(paths: Vector[String], cs: StructType,
+                        key: String): DataFrame = {
+    val scan = GraftBridge.streamingScan(spark,
+      paths.map(p => s"$base/$p"), readSchema)
+    val vals = readSchema.fieldNames.filterNot(_ == key).toSeq
+    scan.select(
+      regexp_extract(input_file_name(), "/d([0-9]+)-[^/]*/[^/]*$", 1)
+        .cast(LongType).as("version") +:
+        col(key) +:
+        (vals.map(c => lit(null).cast(readSchema(c).dataType)
+          .as(s"${c}_old")) ++
+          vals.map(c => col(c).as(s"${c}_new"))) :+
+        lit("insert").as("change_type"): _*)
+  }
+
+  /** Project `df` onto exactly `cs` (missing columns null-fill — the
+    * schema-evolution case where an old commit's diff lacks a later
+    * column), keeping the spool and the stream schema aligned.
+    */
+  private def align(df: DataFrame, cs: StructType): DataFrame =
+    df.select(cs.fields.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+
   override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+
+  /** The change-feed schema for a row schema and key — must match
+    * [[VersionedTable.changesPerCommit]]'s output shape exactly
+    * (`version`, key, `*_old` then `*_new` in row-schema order,
+    * `change_type`), since spooled diffs and the declared stream
+    * schema are one and the same.
+    */
+  def cdcSchemaOf(rowSchema: StructType, key: String): StructType = {
+    val nullable =
+      StructType(rowSchema.fields.map(_.copy(nullable = true)))
+    val vals = nullable.fields.filterNot(_.name == key)
+    StructType(
+      StructField("version", LongType, nullable = false) +:
+        nullable.fields.find(_.name == key).getOrElse(
+          throw new IllegalArgumentException(
+            s"cdcKey '$key' is not a column " +
+              s"(${rowSchema.fieldNames.mkString(", ")})")) +:
+        (vals.map(f => f.copy(name = s"${f.name}_old")) ++
+          vals.map(f => f.copy(name = s"${f.name}_new"))).toSeq :+
+        StructField("change_type", StringType, nullable = true))
+  }
 }

@@ -108,6 +108,76 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(sinkRows(dl) === (40L until 50L))
   }
 
+  private val cdcSinkSchema = StructType(Seq(
+    StructField("version", LongType), StructField("k", LongType),
+    StructField("v_old", LongType), StructField("v_new", LongType),
+    StructField("change_type", StringType)))
+
+  private def drainCdc(base: String, dir: String): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("cdcKey", "k")
+      .load(base).writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+  }
+
+  private def cdcRows(dir: String): Set[(Long, Long, Option[Long],
+      Option[Long], String)] =
+    spark.read.schema(cdcSinkSchema).parquet(s"$dir/out").collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))
+    }.toSet
+
+  test("change feed: history replay equals changesPerCommit; resume tails") {
+    val base = TempDirs.scoped("graft_cdc")
+    val dir = TempDirs.scoped("graft_cdc_sink")
+    val s = spark
+    import s.implicits._
+    appendDecade(base, 0L) // v1: 10 inserts
+    VersionedTable.commitMerge(spark, base, // v2: update k=5 → 999
+      Seq((5L, 999L)).toDF("k", "v"), "k", Seq("v"))
+    VersionedTable.commitDelete(spark, base, // v3: delete k=7
+      col("k") === 7L, Seq(("k", 7L, 7L)))
+    drainCdc(base, dir)
+    val got = cdcRows(dir)
+    val inserts: Set[(Long, Long, Option[Long], Option[Long], String)] =
+      (0L until 10L)
+        .map(k => (1L, k, None, Some(k * 2), "insert")).toSet
+    assert(got === inserts +
+      ((2L, 5L, Some(10L), Some(999L), "update")) +
+      ((3L, 7L, Some(14L), None, "delete")))
+    // the live feed IS the batch change feed, row for row
+    val batch = VersionedTable.changesPerCommit(spark, base, 0L, 3L, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toSet
+    assert(got === batch)
+    // resume: a fourth commit feeds exactly its own inserts
+    appendDecade(base, 10L)
+    drainCdc(base, dir)
+    assert(cdcRows(dir) === got ++
+      (10L until 20L).map(k => (4L, k, None, Some(k * 2), "insert")))
+  }
+
+  test("change feed: a compaction feeds zero rows (no false changes)") {
+    val base = TempDirs.scoped("graft_cdc_compact")
+    val dir = TempDirs.scoped("graft_cdc_compact_sink")
+    appendDecade(base, 0L); appendDecade(base, 10L)
+    VersionedTable.compact(spark, base, numFiles = 1, statsCols = Seq("k"))
+    drainCdc(base, dir)
+    val got = cdcRows(dir)
+    assert(got.size === 20)
+    assert(got.forall(_._5 == "insert"))
+    assert(got.map(_._1) === Set(1L, 2L)) // nothing attributed to v3
+  }
+
   test("batches read through the stream-start schema; old files null-fill") {
     val base = TempDirs.scoped("graft_stream_evo")
     val s = spark

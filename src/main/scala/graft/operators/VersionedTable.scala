@@ -143,9 +143,12 @@ object VersionedTable {
   }
 
   /** One manifest line: a data file path (relative to the table base)
-    * plus its zone-map stats.
+    * plus its zone-map stats and exact row count (`-1` = unknown, for
+    * manifests published before row counts existed — the aggregate
+    * pushdown refuses rather than guesses on those).
     */
-  final case class ManifestEntry(path: String, stats: Map[String, Stat])
+  final case class ManifestEntry(path: String, stats: Map[String, Stat],
+                                 rows: Long = -1L)
 
   private def logDir(base: String): Path = Paths.get(base, "_log")
 
@@ -214,26 +217,35 @@ object VersionedTable {
     x.length - y.length
   }
 
+  private val RowsTag = "#rows="
+
   private def parseEntry(line: String): ManifestEntry = {
     val toks = line.split('\t')
-    val stats: Map[String, Stat] = toks.iterator.drop(1).map { t =>
-      val Array(c, range) = t.split("=", 2)
-      if (range.startsWith(StrTag)) {
-        val Array(lo, hi) = range.stripPrefix(StrTag).split("\\.\\.", 2)
-        c -> StrStats(hexDec(lo), hexDec(hi))
-      } else {
-        val Array(lo, hi) = range.split("\\.\\.", 2)
-        c -> ColStats(lo.toLong, hi.toLong)
-      }
-    }.toMap
-    ManifestEntry(toks.head, stats)
+    // `#rows=N` is a reserved token (stats columns may not contain
+    // '#'-free '=' splits that collide: commitAt rejects '=' in names)
+    val rows = toks.iterator.drop(1).find(_.startsWith(RowsTag))
+      .map(_.stripPrefix(RowsTag).toLong).getOrElse(-1L)
+    val stats: Map[String, Stat] = toks.iterator.drop(1)
+      .filterNot(_.startsWith(RowsTag)).map { t =>
+        val Array(c, range) = t.split("=", 2)
+        if (range.startsWith(StrTag)) {
+          val Array(lo, hi) = range.stripPrefix(StrTag).split("\\.\\.", 2)
+          c -> StrStats(hexDec(lo), hexDec(hi))
+        } else {
+          val Array(lo, hi) = range.split("\\.\\.", 2)
+          c -> ColStats(lo.toLong, hi.toLong)
+        }
+      }.toMap
+    ManifestEntry(toks.head, stats, rows)
   }
 
   private def formatEntry(e: ManifestEntry): String =
-    (e.path +: e.stats.toSeq.sortBy(_._1).map {
-      case (c, ColStats(lo, hi)) => s"$c=$lo..$hi"
-      case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
-    }).mkString("\t")
+    (e.path +:
+      (if (e.rows >= 0L) Seq(s"$RowsTag${e.rows}") else Seq.empty) ++:
+      e.stats.toSeq.sortBy(_._1).map {
+        case (c, ColStats(lo, hi)) => s"$c=$lo..$hi"
+        case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
+      }).mkString("\t")
 
   private def schemaHeader(st: StructType): String = s"#schema=${st.json}"
 
@@ -878,16 +890,17 @@ object VersionedTable {
     // a rewrite that empties the table writes NO part files — nothing
     // to scan (and parquet schema inference over zero files would err)
     val stats =
-      if (freshNames.isEmpty) Map.empty[String, Map[String, Stat]]
+      if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
       else collectStats(s, s"$base/$dataDir", statsCols)
-    // with stats collected, a fresh file absent from the grouped scan
-    // is PROVABLY empty (zero rows ⟹ no group; all-null columns still
-    // group) — keep it out of the manifest, so deletes that empty a
-    // file don't strand unprunable zero-row entries
-    val liveNames =
-      if (statsCols.isEmpty) freshNames else freshNames.filter(stats.contains)
+    // a fresh file absent from the grouped scan is PROVABLY empty
+    // (zero rows ⟹ no group; all-null columns still group) — keep it
+    // out of the manifest, so deletes that empty a file don't strand
+    // unprunable zero-row entries (the scan always runs now: the row
+    // count is a manifest column even without declared stats columns)
+    val liveNames = freshNames.filter(stats.contains)
     val freshLines = liveNames.map { n =>
-      formatEntry(ManifestEntry(s"$dataDir/$n", stats.getOrElse(n, Map.empty)))
+      val (rows, st) = stats(n)
+      formatEntry(ManifestEntry(s"$dataDir/$n", st, rows))
     }
     val (addLines, removePaths) = mkDelta(freshLines)
     beforePublish()
@@ -901,19 +914,20 @@ object VersionedTable {
     next
   }
 
-  /** Per-file min/max of the declared stats columns over a freshly
-    * written delta dir: one O(delta) grouped scan keyed by the hidden
-    * `_metadata.file_name`, collected to the driver — metadata-plane
-    * by construction (one row per file, like the manifest itself). On
-    * a cluster the same numbers come from the parquet footers the
-    * writer already produced; the read-back keeps the sandbox seam
-    * engine-only. Dates flatten to epoch days, timestamps to epoch
-    * micros (both ColStats); strings stay strings (StrStats, bytewise
-    * order).
+  /** Per-file row count + min/max of the declared stats columns over a
+    * freshly written delta dir: one O(delta) grouped scan keyed by the
+    * hidden `_metadata.file_name`, collected to the driver —
+    * metadata-plane by construction (one row per file, like the
+    * manifest itself). On a cluster the same numbers come from the
+    * parquet footers the writer already produced; the read-back keeps
+    * the sandbox seam engine-only. Dates flatten to epoch days,
+    * timestamps to epoch micros (both ColStats); strings stay strings
+    * (StrStats, bytewise order). The row count is unconditional (a
+    * column-less count scan when no stats columns are declared): it is
+    * what lets `SELECT count(*)` answer from the manifest alone.
     */
   private def collectStats(s: SparkSession, dir: String,
-      statsCols: Seq[String]): Map[String, Map[String, Stat]] = {
-    if (statsCols.isEmpty) return Map.empty
+      statsCols: Seq[String]): Map[String, (Long, Map[String, Stat])] = {
     val df = s.read.parquet(dir)
     def proj(c: String): Column = df.schema(c).dataType match {
       case DateType => unix_date(col(c)).cast("long")
@@ -923,7 +937,7 @@ object VersionedTable {
     }
     val isStr = statsCols.map(c =>
       c -> (df.schema(c).dataType == StringType)).toMap
-    val aggs = statsCols.flatMap(c => Seq(
+    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
       min(proj(c)).as(s"__lo_$c"),
       max(proj(c)).as(s"__hi_$c")))
     df.groupBy(col("_metadata.file_name").as("__f"))
@@ -941,7 +955,8 @@ object VersionedTable {
           else Some(c -> ColStats(lo.asInstanceOf[Long],
             hi.asInstanceOf[Long]))
         }.toMap
-        r.getAs[String]("__f") -> (per: Map[String, Stat])
+        r.getAs[String]("__f") ->
+          ((r.getAs[Long]("__rows"), per: Map[String, Stat]))
       }.toMap
   }
 

@@ -1282,6 +1282,72 @@ object SinkQueries {
         ORDER BY version, change_type
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q167: MANIFEST-ANSWERED AGGREGATES (r11) — `SELECT count(*),
+    // min(c), max(c)` on a graft table never opens a data file: the
+    // commit log carries exact per-file row counts (#rows=, written by
+    // the same O(delta) commit-time scan as the zone maps) and exact
+    // per-file min/max, so the whole-table fold is driver-plane
+    // manifest arithmetic and the scan plans as a LocalScan (zero
+    // tasks). At 100 TB this turns the most common audit queries there
+    // are into metadata lookups. Fixture: orders in 4 orderkey-quarter
+    // commits with long + date + string zone maps; ONE SQL statement
+    // aggregates all three; from_manifest reports whether the planner
+    // actually took the LocalScan path (GraftScanMetrics) — the oracle
+    // expects TRUE, so silently falling back to a real scan hash-fails
+    // alongside any wrong value (a stale row count after DML, a
+    // mis-decoded epoch-day, a collation-divergent string bound).
+    Q("q167_manifest_aggregates",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q167")
+        val t = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_date"),
+            col("o_orderpriority")).persist()
+        val b = t.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val (klo, khi) = (b.getLong(0), b.getLong(1))
+        val span = khi - klo + 1
+        (0L until 4L).foreach { q =>
+          VersionedTable.commitAppend(s, base,
+            t.filter(expr(s"(o_orderkey - ${klo}L) * 4 div ${span}L") === q)
+              .coalesce(1),
+            statsCols = Seq("o_orderkey", "o_date", "o_orderpriority"))
+        }
+        t.unpersist()
+        s.sql("DROP TABLE IF EXISTS graft_q167_t")
+        s.sql(s"CREATE TABLE graft_q167_t USING graft OPTIONS (path '$base')")
+        try {
+          val before = graft.sources.GraftScanMetrics.aggPushdowns(base)
+          val r = s.sql(
+            """SELECT count(*) AS n_rows,
+                      min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+                      min(o_date) AS d_lo, max(o_date) AS d_hi,
+                      min(o_orderpriority) AS p_lo,
+                      max(o_orderpriority) AS p_hi
+               FROM graft_q167_t""").head()
+          val fromManifest =
+            graft.sources.GraftScanMetrics.aggPushdowns(base) > before
+          import s.implicits._
+          Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDate(3), r.getDate(4), r.getString(5), r.getString(6),
+            fromManifest))
+            .toDF("n_rows", "k_lo", "k_hi", "d_lo", "d_hi", "p_lo", "p_hi",
+              "from_manifest")
+        } finally { s.sql("DROP TABLE IF EXISTS graft_q167_t"); () }
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(o_orderkey) AS k_lo, MAX(o_orderkey) AS k_hi,
+               MIN(CAST(o_orderdate AS DATE)) AS d_lo,
+               MAX(CAST(o_orderdate AS DATE)) AS d_hi,
+               MIN(o_orderpriority) AS p_lo, MAX(o_orderpriority) AS p_hi,
+               TRUE AS from_manifest
+        FROM orders
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

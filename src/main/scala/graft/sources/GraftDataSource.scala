@@ -209,9 +209,14 @@ class GraftTable(base: String, version: Option[Long],
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
-    ParquetScanBuilder(spark,
+    val delegate = ParquetScanBuilder(spark,
       new GraftFileIndex(spark, base, version, tableSchema),
       tableSchema, tableSchema, options)
+    // the wrapper adds manifest-answered COUNT/MIN/MAX pushdown and
+    // forwards filters/column pruning to the parquet builder verbatim
+    new GraftScanBuilder(delegate, base,
+      version.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty),
+      tableSchema)
   }
 
   /** SQL `DELETE FROM` — routed straight into the commit protocol's
@@ -351,9 +356,18 @@ class GraftFileIndex(spark: SparkSession, base: String,
 object GraftScanMetrics {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private val aggCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[sources] def record(base: String, kept: Int, total: Int): Unit =
     last.put(base, (kept, total))
+  private[sources] def recordAgg(base: String): Unit =
+    aggCount.merge(base, 1L, (a, b) => a + b)
   def lastPrune(base: String): Option[(Int, Int)] = Option(last.get(base))
+  /** How many scans of `base` were answered ENTIRELY from the
+    * manifest (planned as LocalScan — zero files opened).
+    */
+  def aggPushdowns(base: String): Long =
+    Option(aggCount.get(base)).map(_.longValue).getOrElse(0L)
 }
 
 /** Source-filter → zone-map-range translation. Conservative by

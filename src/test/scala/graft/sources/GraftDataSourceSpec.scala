@@ -186,6 +186,84 @@ class GraftDataSourceSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_del")
   }
 
+  test("whole-table COUNT/MIN/MAX answer from the manifest: LocalScan, zero files") {
+    val base = mkTable("agg")
+    spark.sql("DROP TABLE IF EXISTS graft_agg")
+    spark.sql(s"CREATE TABLE graft_agg USING graft OPTIONS (path '$base')")
+    try {
+      val before = GraftScanMetrics.aggPushdowns(base)
+      val df = spark.sql(
+        "SELECT count(*) AS n, min(k) AS klo, max(k) AS khi, " +
+          "min(nm) AS nlo, max(nm) AS nhi FROM graft_agg")
+      val r = df.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)) === ((40L, 0L, 39L, "name0", "name9")))
+      // the scan planned as a driver-local row — no file scan at all
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("LocalTableScan"), plan)
+      assert(!plan.contains("BatchScan"), plan)
+      // >=: head() plans its own limited query over the same logical
+      // plan, so one user-visible query may build the scan twice
+      assert(GraftScanMetrics.aggPushdowns(base) >= before + 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg")
+  }
+
+  test("manifest aggregates refuse when they can't be exact") {
+    val base = mkTable("aggref")
+    val df = spark.read.format("graft").load(base)
+    // v has no zone maps -> the whole aggregation falls back to a real
+    // scan (values still correct)
+    val q1 = df.agg(min(col("v")).as("vlo"), max(col("k")).as("khi"))
+    assert(q1.head() === org.apache.spark.sql.Row(0L, 39L))
+    assert(q1.queryExecution.executedPlan.toString().contains("BatchScan"))
+    // a filtered aggregate is never answered from whole-table stats
+    val q2 = df.filter(col("k") >= 10L).agg(count(lit(1)).as("n"))
+    assert(q2.head().getLong(0) === 30L)
+    assert(q2.queryExecution.executedPlan.toString().contains("BatchScan"))
+    // grouped aggregates fall through too
+    val q3 = df.groupBy(col("nm")).count()
+    assert(q3.count() === 40L)
+    assert(q3.queryExecution.executedPlan.toString().contains("BatchScan"))
+  }
+
+  test("manifest aggregates stay exact across DML and time travel") {
+    val base = mkTable("aggdml")
+    spark.sql("DROP TABLE IF EXISTS graft_aggdml")
+    spark.sql(s"CREATE TABLE graft_aggdml USING graft OPTIONS (path '$base')")
+    try {
+      spark.sql("DELETE FROM graft_aggdml WHERE k BETWEEN 8 AND 22")
+      val r = spark.sql("SELECT count(*) AS n, min(k) AS klo, max(k) AS khi " +
+        "FROM graft_aggdml").head()
+      // 8..22 gone: files 0-9 and 20-29 rewritten with fresh counts/maps
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((25L, 0L, 39L)))
+      // time travel answers from THAT version's manifest
+      val v4 = spark.read.format("graft").option("versionAsOf", "4").load(base)
+        .agg(count(lit(1)).as("n")).head().getLong(0)
+      assert(v4 === 40L)
+      // count() on the DataFrame API rides the same path
+      assert(spark.read.format("graft").load(base).count() === 25L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_aggdml")
+  }
+
+  test("date-typed manifest aggregates decode back to DateType") {
+    val base = TempDirs.scoped("graft_dsv2_aggdate")
+    val s = spark
+    import s.implicits._
+    Seq("2024-01-05", "2024-03-01", "2023-11-30").zipWithIndex.foreach {
+      case (d, i) =>
+        VersionedTable.commitAppend(spark, base,
+          Seq((i.toLong, java.sql.Date.valueOf(d))).toDF("k", "dt")
+            .coalesce(1), statsCols = Seq("k", "dt"))
+    }
+    val df = spark.read.format("graft").load(base)
+      .agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+    val r = df.head()
+    assert(r.getDate(0).toString === "2023-11-30")
+    assert(r.getDate(1).toString === "2024-03-01")
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+  }
+
   test("TRUNCATE via an always-true DELETE leaves a readable empty table") {
     val base = mkTable("trunc")
     spark.sql("DROP TABLE IF EXISTS graft_trunc")

@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // in the plain functions._ style (see NativeVectorRewrite scaladoc
     // for the rewrite contract)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
+    // SQL UPDATE on graft tables -> the commit protocol's zone-map-
+    // scoped copy-on-write rewrite (see GraftDmlRewrite scaladoc)
+    ext.injectResolutionRule(_ => graft.plans.GraftDmlRewrite)
   }
 }
 

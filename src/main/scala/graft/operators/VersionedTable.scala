@@ -596,6 +596,54 @@ object VersionedTable {
       }
     }
 
+  /** UPDATE ... SET ... WHERE as a commit — the third leg of the DML
+    * triad, same copy-on-write discipline as [[commitDelete]]: files
+    * whose zone maps cannot contain a matching row carry forward
+    * implicitly; each touched file rewrites WHOLE, with `sets` applied
+    * to exactly the rows satisfying `rowPred` (everything else copies
+    * verbatim, so the rewrite is row-count-preserving by construction).
+    * Assigned values are cast back to the column's declared type — an
+    * update can change VALUES, never the schema. `pruneRanges` states
+    * the predicate's key footprint exactly as in [[commitDelete]]
+    * (empty = every file is touched); a provable no-op commits
+    * nothing. Updated rows' old values remain time-travelable until
+    * [[vacuum]] — and flow through the change feed as `update` rows
+    * ([[changesPerCommit]] diffs the rewritten files against their
+    * predecessors).
+    */
+  def commitUpdate(s: SparkSession, base: String,
+                   rowPred: Column,
+                   sets: Seq[(String, Column)],
+                   pruneRanges: Seq[(String, Long, Long)] = Nil,
+                   statsCols: Seq[String] = Nil,
+                   maxAttempts: Int = 5): Long = {
+    require(sets.nonEmpty, "commitUpdate needs at least one SET column")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"duplicate SET columns: ${sets.map(_._1).mkString(", ")}")
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to update in $base")
+      val (es, schema) = replay(base, prevV.get)
+      val touched = prune(es, pruneRanges)
+      if (touched.isEmpty) prevV.get
+      else {
+        val rows = readFiles(s, base, touched.map(_.path), schema)
+        val setMap = sets.toMap
+        setMap.keys.foreach(c => require(rows.columns.contains(c),
+          s"SET column '$c' is not a table column " +
+            s"(${rows.columns.mkString(", ")})"))
+        val rewritten = rows.select(rows.columns.toSeq.map { c =>
+          setMap.get(c)
+            .map(nv => when(rowPred, nv).otherwise(col(c))
+              .cast(rows.schema(c).dataType).as(c))
+            .getOrElse(col(c))
+        }: _*)
+        commitAt(s, base, rewritten, "update", statsCols, prevV)(
+          fresh => (fresh, touched.map(_.path)))
+      }
+    }
+  }
+
   /** 16-bit Morton interleave of two integral columns — the z-value
     * [[optimize]] clusters on (and q133/q153 audit): a codegen'd sum
     * of shift/mask terms, no UDF. Degrades gracefully past 2^16 per

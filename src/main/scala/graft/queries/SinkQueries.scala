@@ -1348,6 +1348,95 @@ object SinkQueries {
         FROM orders
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q168: SQL `UPDATE` on the graft format (r11) — the DML triad
+    // closed: an injected analyzer rule (GraftDmlRewrite) turns
+    // UPDATE over a graft relation into the commit protocol's
+    // copy-on-write rewrite, with the WHERE clause translated BOTH to
+    // the row predicate and (via the read path's filter translation)
+    // to the zone-map footprint, so only implicated files rewrite.
+    // Fixture: lineitem in 8 one-file orderkey-bin commits; UPDATE
+    // adds +7 to qty_e2 over a two-sixteenths span straddling bins
+    // 2-3. Output: post count/sum, the pre-update sum via versionAsOf
+    // time travel ACROSS the update, and the commit's rewritten-file
+    // count — the oracle recomputes all of it from raw lineitem +
+    // per-bin min/max arithmetic, so a row updated twice, a missed
+    // row, an over-rewritten bin, or broken time travel hash-fails.
+    Q("q168_sql_update",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q168")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val (dlo, dhi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+            statsCols = Seq("l_orderkey"))
+        }
+        t.unpersist()
+        s.sql("DROP TABLE IF EXISTS graft_q168_t")
+        s.sql(s"CREATE TABLE graft_q168_t USING graft OPTIONS (path '$base')")
+        try {
+          s.sql(s"UPDATE graft_q168_t SET qty_e2 = qty_e2 + 7 " +
+            s"WHERE l_orderkey BETWEEN ${dlo}L AND ${dhi}L")
+          val post = s.sql("SELECT count(*) AS n, sum(qty_e2) AS q " +
+            "FROM graft_q168_t").head()
+          val pre = s.read.format("graft").option("versionAsOf", "8")
+            .load(base)
+            .agg(sum(col("qty_e2")).as("q")).head()
+          val (_, _, removed) = VersionedTable.commitDelta(base,
+            VersionedTable.latestVersion(base).get)
+          import s.implicits._
+          Seq((post.getLong(0), post.getLong(1), pre.getLong(0),
+            removed.size.toLong))
+            .toDF("n_post", "qty_post", "qty_pre", "files_rewritten")
+        } finally { s.sql("DROP TABLE IF EXISTS graft_q168_t"); () }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS dlo,
+                 olo + (span * 7) // 16 - 1 AS dhi
+          FROM b
+        ), x AS (
+          SELECT t.*, (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        ), bins AS (
+          SELECT bin, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+          FROM x GROUP BY 1
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) +
+                  7 * (SELECT COUNT(*) FROM t, pr
+                        WHERE l_orderkey BETWEEN dlo AND dhi)
+            FROM t) AS qty_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_pre,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bins, pr
+            WHERE mx >= dlo AND mn <= dhi) AS files_rewritten
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -184,8 +184,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   * None for a created-but-never-committed table: it reads as zero rows
   * of the declared schema and accepts the first write.
   */
-class GraftTable(base: String, version: Option[Long],
-                 tableSchema: StructType)
+class GraftTable(val base: String, version: Option[Long],
+                 val tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 

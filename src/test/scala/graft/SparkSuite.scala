@@ -8,6 +8,10 @@ trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the production extension point (Sessions.local sets the same):
+    // SQL functions, the HOF->native rewrite, and the analyzer-level
+    // DML rules (SQL UPDATE) all ride it
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -264,6 +264,46 @@ class GraftDataSourceSpec extends SparkSuite {
       .contains("LocalTableScan"))
   }
 
+  test("SQL UPDATE rewrites only implicated files; old values time-travel") {
+    val base = mkTable("upd")
+    spark.sql("DROP TABLE IF EXISTS graft_upd")
+    spark.sql(s"CREATE TABLE graft_upd USING graft OPTIONS (path '$base')")
+    try {
+      spark.sql("UPDATE graft_upd SET v = v + 1000 WHERE k BETWEEN 12 AND 17")
+      val got = spark.sql("SELECT k, v FROM graft_upd ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === (0L until 40L).map(k =>
+        (k, if (k >= 12 && k <= 17) k * 2 + 1000 else k * 2)))
+      // file-scoped: only the 10-19 decade file rewritten
+      val v = VersionedTable.latestVersion(base).get
+      assert(v === 5L)
+      val (op, adds, removes) = VersionedTable.commitDelta(base, v)
+      assert(op === "update")
+      assert(adds.size === 1 && removes.size === 1)
+      // pre-update values still time-travel
+      assert(spark.read.format("graft").option("versionAsOf", "4").load(base)
+        .filter(col("k") === 15L).head().getLong(1) === 30L)
+      // the change feed sees exactly the six updates
+      val feed = VersionedTable.changesPerCommit(spark, base, 4L, 5L, "k")
+        .collect().map(r => (r.getLong(1), r.getString(r.length - 1))).sorted
+      assert(feed.toSeq === (12L to 17L).map((_, "update")))
+      // the rewritten file's zone maps are FRESH: a key filter after
+      // the update still prunes to one file and finds the row
+      val one = spark.read.format("graft").load(base)
+        .filter(col("k") === 15L)
+      assert(one.head().getLong(1) === 1030L)
+      assert(GraftScanMetrics.lastPrune(base) === Some((1, 4)))
+      // a provably-out-of-range update is a no-op: no commit
+      spark.sql("UPDATE graft_upd SET v = 0 WHERE k > 5000")
+      assert(VersionedTable.latestVersion(base) === Some(5L))
+      // unconditional UPDATE rewrites everything
+      spark.sql("UPDATE graft_upd SET v = k")
+      assert(spark.sql("SELECT sum(v) AS s FROM graft_upd")
+        .head().getLong(0) === (0L until 40L).sum)
+      assert(VersionedTable.commitDelta(base, 6L)._3.size === 4)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_upd")
+  }
+
   test("TRUNCATE via an always-true DELETE leaves a readable empty table") {
     val base = mkTable("trunc")
     spark.sql("DROP TABLE IF EXISTS graft_trunc")

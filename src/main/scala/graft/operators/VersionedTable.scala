@@ -511,6 +511,231 @@ object VersionedTable {
     }
   }
 
+  /** One WHEN MATCHED clause of [[commitMergeInto]], in declaration
+    * order (first applicable wins, the SQL MERGE contract). Column
+    * expressions may reference target columns as `__t_<name>` and
+    * source columns as `__s_<name>` — the namespaces of the joined
+    * frame the clauses evaluate over.
+    */
+  sealed trait MergeMatched { def cond: Option[Column] }
+  final case class MergeUpdate(cond: Option[Column],
+                               sets: Seq[(String, Column)])
+    extends MergeMatched
+  final case class MergeDelete(cond: Option[Column]) extends MergeMatched
+  /** One WHEN NOT MATCHED clause: expressions reference `__s_<name>`
+    * only (there is no target row).
+    */
+  final case class MergeInsert(cond: Option[Column],
+                               sets: Seq[(String, Column)])
+
+  /** SQL `MERGE INTO` as a commit — general matched/not-matched clause
+    * lists over an equi-key ON condition, executed with the same
+    * copy-on-write, footprint-scoped discipline as DELETE/UPDATE:
+    *
+    *  1. the source's key extrema become zone-map prune ranges, so
+    *     only CANDIDATE files (maps overlapping the source key span)
+    *     are even read;
+    *  2. one semi-join pass finds the TOUCHED files (candidates that
+    *     actually hold a matching key — Delta's findTouchedFiles);
+    *  3. touched files rewrite whole: target rows left-join the
+    *     source, the first applicable matched clause decides each
+    *     matched row (update sets / delete drops / no clause copies),
+    *     unmatched target rows copy verbatim;
+    *  4. source rows matching NO target row cascade through the
+    *     not-matched clauses (first applicable inserts; none drops);
+    *  5. one commit removes the touched files and adds the rewritten
+    *     + inserted rows — O(affected), never O(table).
+    *
+    * A target row matching MORE THAN ONE source row is ambiguous and
+    * fails loudly (the standard MERGE cardinality error), checked via
+    * source-side key counts — the fast path (unique source keys)
+    * costs one small aggregate. Key equality is null-unsafe, as in
+    * SQL. Assigned values cast back to declared types; unassigned
+    * insert columns null-fill. A MERGE that touches nothing and
+    * inserts nothing commits nothing.
+    */
+  def commitMergeInto(s: SparkSession, base: String, source: DataFrame,
+                      keys: Seq[(String, Column)],
+                      matched: Seq[MergeMatched],
+                      inserts: Seq[MergeInsert],
+                      targetSchema: StructType,
+                      statsCols: Seq[String] = Nil,
+                      maxAttempts: Int = 5): Long = {
+    require(keys.nonEmpty, "MERGE needs at least one equi-join key")
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      val (es, schemaOpt) =
+        prevV.map(replay(base, _)).getOrElse((Seq.empty, None))
+      val schema = schemaOpt.getOrElse(targetSchema)
+      val tCols = schema.fieldNames.toSeq
+      // source evaluated once, all columns prefixed __s_, plus the
+      // computed join keys as __k_<targetCol> and the match marker
+      val srcP = {
+        val p = source.select(source.columns.toSeq.map(c =>
+          col(c).as(s"__s_$c")): _*)
+        keys.foldLeft(p) { case (df, (tCol, kExpr)) =>
+          df.withColumn(s"__k_$tCol", kExpr)
+        }.withColumn("__m", lit(1)).persist()
+      }
+      try {
+        // 1. footprint: source key extrema on zone-mappable key columns
+        val rangeable = keys.map(_._1).filter(c =>
+          schema.fields.find(_.name == c).exists(_.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType => true
+            case _ => false
+          }))
+        val ranges =
+          if (rangeable.isEmpty) Seq.empty
+          else {
+            val aggs = rangeable.flatMap(c => Seq(
+              min(flatLong(col(s"__k_$c"),
+                schema(c).dataType)).as(s"__lo_$c"),
+              max(flatLong(col(s"__k_$c"),
+                schema(c).dataType)).as(s"__hi_$c")))
+            val r = srcP.agg(aggs.head, aggs.tail: _*).head()
+            rangeable.flatMap { c =>
+              val lo = r.getAs[Any](s"__lo_$c")
+              val hi = r.getAs[Any](s"__hi_$c")
+              // an all-null key column matches nothing: empty range
+              if (lo == null) Some((c, 1L, 0L))
+              else Some((c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+            }
+          }
+        val candidates = prune(es, ranges)
+        val keyEq = keys.map { case (tCol, _) =>
+          col(s"__t_$tCol") === col(s"__k_$tCol")
+        }.reduce(_ && _)
+        def prefixed(paths: Seq[String]): DataFrame = {
+          val df = readFiles(s, base, paths, Some(schema))
+          df.select(df.columns.toSeq.map(c => col(c).as(s"__t_$c")): _*)
+        }
+        // 2. touched files: candidates that actually hold a matching key
+        val touched: Seq[String] =
+          if (candidates.isEmpty) Seq.empty
+          else {
+            val withRel = readFiles(s, base, candidates.map(_.path),
+              Some(schema))
+              .select(keys.map { case (tCol, _) =>
+                col(tCol).as(s"__t_$tCol") } :+
+                regexp_extract(col("_metadata.file_path"),
+                  "/(d[0-9]+-[^/]+/[^/]+)$", 1).as("__rel"): _*)
+            withRel.join(srcP, keyEq, "left_semi")
+              .select(col("__rel")).distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+          }
+        // ambiguity: a touched key with >1 source rows (fast path: no
+        // duplicate source keys at all → no join needed)
+        val dupKeys = srcP.groupBy(keys.map(k =>
+            col(s"__k_${k._1}")): _*)
+          .agg(count(lit(1)).as("__s_cnt"))
+          .filter(col("__s_cnt") > 1L)
+        if (touched.nonEmpty && !dupKeys.isEmpty) {
+          val clash = prefixed(touched).join(dupKeys,
+            keys.map { case (tCol, _) =>
+              col(s"__t_$tCol") === col(s"__k_$tCol") }.reduce(_ && _),
+            "left_semi").limit(1).count()
+          require(clash == 0L,
+            "MERGE cardinality violation: a target row matches more " +
+              "than one source row (duplicate source keys) — " +
+              "deduplicate the source")
+        }
+        // 3. rewrite the touched files through the matched cascade:
+        // __act = index of the FIRST applicable clause, -1 = none/copy
+        val actIdx: Column =
+          when(col("__m").isNull, lit(-1)).otherwise(
+            matched.zipWithIndex.map { case (a, i) =>
+              (a.cond.getOrElse(lit(true)), lit(i))
+            }.foldRight(lit(-1): Column) { case ((c, i), rest) =>
+              when(c, i).otherwise(rest)
+            })
+        val deleteIdx = matched.zipWithIndex.collect {
+          case (_: MergeDelete, i) => i
+        }.toSet
+        val rewritten: Option[DataFrame] =
+          if (touched.isEmpty) None
+          else {
+            val joined = prefixed(touched).join(srcP, keyEq, "left_outer")
+              .withColumn("__act", actIdx)
+            val kept =
+              if (deleteIdx.isEmpty) joined
+              else joined.filter(!col("__act")
+                .isin(deleteIdx.toSeq.map(i => i: Any): _*))
+            Some(kept.select(tCols.map { c =>
+              val f = schema(c)
+              matched.zipWithIndex.foldRight(col(s"__t_$c")) {
+                case ((MergeUpdate(_, sets), i), rest) =>
+                  sets.find(_._1 == c)
+                    .map(sv => when(col("__act") === i, sv._2)
+                      .otherwise(rest))
+                    .getOrElse(rest)
+                case (_, rest) => rest
+              }.cast(f.dataType).as(c)
+            }: _*))
+          }
+        // 4. the insert leg: source rows matching no target row (only
+        // candidate files can hold a matching key, so the anti-join is
+        // candidate-sized)
+        val insertRows: Option[DataFrame] =
+          if (inserts.isEmpty) None
+          else {
+            val tgtKeys =
+              if (candidates.isEmpty)
+                None
+              else Some(prefixed(candidates.map(_.path))
+                .select(keys.map(k => col(s"__t_${k._1}")): _*))
+            val notM = tgtKeys match {
+              case Some(tk) => srcP.join(tk, keyEq, "left_anti")
+              case None => srcP
+            }
+            val iIdx = inserts.zipWithIndex
+              .map { case (a, i) => (a.cond.getOrElse(lit(true)), lit(i)) }
+              .foldRight(lit(-1): Column) { case ((c, i), rest) =>
+                when(c, i).otherwise(rest)
+              }
+            Some(notM.withColumn("__iact", iIdx)
+              .filter(col("__iact") >= 0)
+              .select(tCols.map { c =>
+                val f = schema(c)
+                inserts.zipWithIndex.foldRight(lit(null): Column) {
+                  case ((MergeInsert(_, sets), i), rest) =>
+                    sets.find(_._1 == c)
+                      .map(sv => when(col("__iact") === i, sv._2)
+                        .otherwise(rest))
+                      .getOrElse(rest)
+                }.cast(f.dataType).as(c)
+              }: _*))
+          }
+        val newRows = (rewritten, insertRows) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        newRows match {
+          case None => prevV.getOrElse(
+            throw new IllegalStateException(
+              s"MERGE into never-committed $base needs an insert clause"))
+          case Some(df) =>
+            // a merge that touches nothing and inserts nothing is a
+            // provable no-op — commit nothing (one cheap existence
+            // probe, only on the empty-touched path)
+            if (touched.isEmpty && df.isEmpty) prevV.getOrElse(0L)
+            else commitAt(s, base, df, "merge", statsCols, prevV)(
+              fresh => (fresh, touched))
+        }
+      } finally { srcP.unpersist(); () }
+    }
+  }
+
+  /** A key value flattened to the long domain zone maps store (the
+    * collectStats convention: dates → epoch days, timestamps → epoch
+    * micros).
+    */
+  private def flatLong(c: Column, dt: DataType): Column = dt match {
+    case DateType => unix_date(c).cast("long")
+    case TimestampType => unix_micros(c)
+    case _ => c.cast("long")
+  }
+
   /** INSERT OVERWRITE as a commit: the new version's snapshot is
     * exactly `df` (manifest removes every previous file, adds the
     * fresh ones — same copy-on-write shape as a merge). The declared

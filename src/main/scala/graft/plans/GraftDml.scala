@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -55,7 +55,119 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
               cond.map(e => GraftExpr(stripAttrs(e))), ranges)
           case None => u
         }
+
+      // Step 1: ACCEPT_ANY_SCHEMA makes the analyzer SKIP merge
+      // reference resolution (NamedRelation.skipSchemaResolution) —
+      // re-target the relation at a strict copy so Spark's own
+      // ResolveReferences resolves the ON/SET/VALUES expressions on a
+      // later iteration; step 2 below then rewrites the resolved merge.
+      case m: MergeIntoTable if !m.resolved && m.targetTable.resolved &&
+          m.sourceTable.resolved &&
+          m.targetTable.exists {
+            case r: DataSourceV2Relation => r.table match {
+              case g: GraftTable => g.acceptAnySchema
+              case _ => false
+            }
+            case _ => false
+          } =>
+        m.copy(targetTable = m.targetTable.transformUp {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+              r.table.asInstanceOf[GraftTable].acceptAnySchema =>
+            r.copy(table = r.table.asInstanceOf[GraftTable].strict)
+        })
+
+      // Step 2: the resolved merge becomes the runnable command.
+      case m: MergeIntoTable if m.resolved =>
+        m.targetTable.collectFirst {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+            r.table.asInstanceOf[GraftTable]
+        } match {
+          case Some(t) => rewriteMerge(m, t)
+          case None => m
+        }
     }
+
+  /** Translate a resolved [[MergeIntoTable]] over a graft target into
+    * a [[GraftMergeCommand]]. The ON condition must be a conjunction
+    * of target-column = source-expression equalities (the equi-key
+    * shape every zone-map-scoped merge needs — Delta's merge is the
+    * same join); matched clauses may UPDATE/DELETE, not-matched
+    * clauses INSERT, each with optional conditions, first applicable
+    * wins. Target references rewrite to `__t_<name>`, source to
+    * `__s_<name>` — the joined frame's namespaces (collision-free by
+    * construction). `WHEN NOT MATCHED BY SOURCE` and automatic schema
+    * evolution are rejected loudly.
+    */
+  private def rewriteMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
+    require(m.notMatchedBySourceActions.isEmpty,
+      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE " +
+        "(it makes the rewrite O(table), not O(affected))")
+    require(!m.withSchemaEvolution,
+      "graft MERGE does not support WITH SCHEMA EVOLUTION")
+    val tAttrs = m.targetTable.outputSet
+    val sAttrs = m.sourceTable.outputSet
+    val tCols = m.targetTable.output.map(_.name)
+    def side(e: Expression): Expression = e.transform {
+      case a: AttributeReference if tAttrs.contains(a) =>
+        UnresolvedAttribute.quoted(s"__t_${a.name}")
+      case a: AttributeReference if sAttrs.contains(a) =>
+        UnresolvedAttribute.quoted(s"__s_${a.name}")
+    }
+    def sourceOnly(e: Expression): Expression = {
+      e.foreach {
+        case a: AttributeReference if tAttrs.contains(a) =>
+          throw new IllegalArgumentException(
+            s"NOT MATCHED clause references target column ${a.name}")
+        case _ => ()
+      }
+      side(e)
+    }
+    // ON condition → (targetCol, sourceExpr) key pairs
+    val keys = splitConjuncts(normalize(m.mergeCondition)).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+        val (tSide, sSide) =
+          if (l.references.subsetOf(tAttrs) &&
+            r.references.subsetOf(sAttrs)) (l, r)
+          else if (r.references.subsetOf(tAttrs) &&
+            l.references.subsetOf(sAttrs)) (r, l)
+          else throw new IllegalArgumentException(
+            s"graft MERGE ON conjunct must compare a target column " +
+              s"to a source expression, got $l = $r")
+        tSide match {
+          case a: AttributeReference => (a.name, GraftExpr(sourceOnly(sSide)))
+          case other => throw new IllegalArgumentException(
+            s"graft MERGE ON target side must be a plain column, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft MERGE ON condition must be equi-join conjuncts, got $other")
+    }
+    def assigns(as: Seq[Assignment]): Seq[(String, GraftExpr)] =
+      as.map(a => (attrName(a.key), GraftExpr(side(normalize(a.value)))))
+    def starSets: Seq[(String, GraftExpr)] = tCols.map(c =>
+      (c, GraftExpr(UnresolvedAttribute.quoted(s"__s_$c"))))
+    val matched: Seq[GraftMergeCommand.Matched] = m.matchedActions.map {
+      case UpdateAction(c, as, _) => GraftMergeCommand.MatchedUpdate(
+        c.map(e => GraftExpr(side(normalize(e)))), assigns(as))
+      case UpdateStarAction(c) => GraftMergeCommand.MatchedUpdate(
+        c.map(e => GraftExpr(side(normalize(e)))), starSets)
+      case DeleteAction(c) => GraftMergeCommand.MatchedDelete(
+        c.map(e => GraftExpr(side(normalize(e)))))
+      case other: MergeAction => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val inserts: Seq[GraftMergeCommand.Insert] = m.notMatchedActions.map {
+      case InsertAction(c, as) => GraftMergeCommand.Insert(
+        c.map(e => GraftExpr(sourceOnly(normalize(e)))),
+        as.map(a => (attrName(a.key),
+          GraftExpr(sourceOnly(normalize(a.value))))))
+      case InsertStarAction(c) => GraftMergeCommand.Insert(
+        c.map(e => GraftExpr(sourceOnly(normalize(e)))), starSets)
+      case other: MergeAction => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    GraftMergeCommand(t.base, GraftMergeCommand.Plan(m.sourceTable),
+      keys, matched, inserts, t.tableSchema)
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -137,4 +249,58 @@ case class GraftUpdateCommand(base: String,
       ranges, statsCols)
     Seq.empty
   }
+}
+
+/** SQL `MERGE INTO` over a graft target, planned by [[GraftDmlRewrite]]
+  * and executed by [[VersionedTable.commitMergeInto]] (footprint-scoped
+  * copy-on-write: candidate files from source key extrema, touched
+  * files from one semi-join, first-applicable-clause cascade,
+  * cardinality check). The captured source plan re-executes at run
+  * time — it is a resolved, self-contained query.
+  */
+case class GraftMergeCommand(base: String,
+                             source: GraftMergeCommand.Plan,
+                             keys: Seq[(String, GraftExpr)],
+                             matched: Seq[GraftMergeCommand.Matched],
+                             inserts: Seq[GraftMergeCommand.Insert],
+                             targetSchema: org.apache.spark.sql.types
+                               .StructType)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftMergeCommand._
+    val src = GraftBridge.ofRows(spark, source.plan)
+    val statsCols = VersionedTable.latestVersion(base).toSeq
+      .flatMap(v => VersionedTable.entries(base, v))
+      .flatMap(_.stats.keys).distinct
+    VersionedTable.commitMergeInto(spark, base, src,
+      keys.map { case (c, h) => (c, GraftBridge.column(h.e)) },
+      matched.map {
+        case MatchedUpdate(c, sets) => VersionedTable.MergeUpdate(
+          c.map(h => GraftBridge.column(h.e)),
+          sets.map { case (n, h) => (n, GraftBridge.column(h.e)) })
+        case MatchedDelete(c) => VersionedTable.MergeDelete(
+          c.map(h => GraftBridge.column(h.e)))
+      },
+      inserts.map { case Insert(c, sets) => VersionedTable.MergeInsert(
+        c.map(h => GraftBridge.column(h.e)),
+        sets.map { case (n, h) => (n, GraftBridge.column(h.e)) })
+      },
+      targetSchema, statsCols)
+    Seq.empty
+  }
+}
+
+object GraftMergeCommand {
+  /** A resolved plan as OPAQUE command data (same reasoning as
+    * [[GraftExpr]]: a bare LogicalPlan field would be walked by plan
+    * traversals that must not see it).
+    */
+  case class Plan(plan: LogicalPlan)
+  sealed trait Matched
+  case class MatchedUpdate(cond: Option[GraftExpr],
+                           sets: Seq[(String, GraftExpr)]) extends Matched
+  case class MatchedDelete(cond: Option[GraftExpr]) extends Matched
+  case class Insert(cond: Option[GraftExpr],
+                    sets: Seq[(String, GraftExpr)])
 }

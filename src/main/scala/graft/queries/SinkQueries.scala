@@ -1437,6 +1437,124 @@ object SinkQueries {
             WHERE mx >= dlo AND mn <= dhi) AS files_rewritten
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q169: SQL `MERGE INTO` on the graft format (r11) — the full
+    // upsert statement, footprint-scoped: candidate files from the
+    // source's key extrema, TOUCHED files from one semi-join (only
+    // files that actually hold a matching key rewrite — Delta's
+    // findTouchedFiles), first-applicable-clause cascade, loud
+    // cardinality check. Fixture: rid-keyed lineitem (deduped, the
+    // q166 convention) in 8 one-file orderkey bins; ONE statement
+    // carries all three clause kinds — a 1/16 orderkey span updates
+    // (qty += rid%1000+1), a disjoint 1/16 span deletes (nq<0 routes
+    // to the DELETE clause), a third span's keys SHIFTED out of range
+    // inserts. Output: post count/sum, pre-merge sum via time travel,
+    // and the commit's rewritten-file count — the oracle recomputes
+    // everything from raw lineitem (files_rewritten = distinct bins
+    // holding a matched key, exactly the semi-join's answer), so a
+    // mis-cascaded clause, a double-applied update, an insert that
+    // matched, or an over-rewritten bin hash-fails.
+    Q("q169_sql_merge",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q169")
+        val t = Tables.lineitem(s, d)
+          .select((col("l_orderkey") * 10 +
+            col("l_linenumber").cast("long")).as("rid"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .groupBy(col("rid")).agg(max(col("qty_e2")).as("qty_e2"))
+          .withColumn("ok", expr("rid div 10"))
+          .persist()
+        val b = t.agg(min(col("ok")), max(col("ok"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        def lo(n: Long) = olo + (span * n) / 16
+        val (ulo, uhi) = (lo(2), lo(3) - 1)   // update span
+        val (xlo, xhi) = (lo(9), lo(10) - 1)  // delete span
+        val (ilo, ihi) = (lo(12), lo(13) - 1) // insert-source span
+        val shift = (ohi + 1) * 10            // out of every bin's range
+        val binned = t.withColumn("bin",
+          expr(s"(ok - ${olo}L) * 8 div ${span}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("rid"), col("qty_e2")).coalesce(1),
+            statsCols = Seq("rid"))
+        }
+        t.filter(col("ok").between(ulo, uhi))
+          .select(col("rid"), (pmod(col("rid"), lit(1000)) + 1).as("nq"))
+          .unionAll(t.filter(col("ok").between(xlo, xhi))
+            .select(col("rid"), lit(-1L).as("nq")))
+          .unionAll(t.filter(col("ok").between(ilo, ihi))
+            .select((col("rid") + shift).as("rid"),
+              (pmod(col("rid"), lit(97)) + 1).as("nq")))
+          .createOrReplaceTempView("graft_q169_src")
+        t.unpersist()
+        s.sql("DROP TABLE IF EXISTS graft_q169_t")
+        s.sql(s"CREATE TABLE graft_q169_t USING graft OPTIONS (path '$base')")
+        try {
+          s.sql(
+            """MERGE INTO graft_q169_t t USING graft_q169_src s
+               ON t.rid = s.rid
+               WHEN MATCHED AND s.nq < 0 THEN DELETE
+               WHEN MATCHED THEN UPDATE SET qty_e2 = t.qty_e2 + s.nq
+               WHEN NOT MATCHED THEN INSERT (rid, qty_e2)
+                 VALUES (s.rid, s.nq)""")
+          val post = s.sql("SELECT count(*) AS n, sum(qty_e2) AS q " +
+            "FROM graft_q169_t").head()
+          val pre = s.read.format("graft").option("versionAsOf", "8")
+            .load(base).agg(sum(col("qty_e2"))).head()
+          val (_, _, removed) = VersionedTable.commitDelta(base,
+            VersionedTable.latestVersion(base).get)
+          import s.implicits._
+          Seq((post.getLong(0), post.getLong(1), pre.getLong(0),
+            removed.size.toLong))
+            .toDF("n_post", "qty_post", "qty_pre", "files_rewritten")
+        } finally { s.sql("DROP TABLE IF EXISTS graft_q169_t"); () }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS qty_e2,
+                 (l_orderkey * 10 + l_linenumber) // 10 AS ok
+          FROM lineitem GROUP BY 1, 3
+        ), b AS (
+          SELECT MIN(ok) AS olo, MAX(ok) - MIN(ok) + 1 AS span FROM t
+        ), pr AS (
+          SELECT olo + (span * 2) // 16 AS ulo,
+                 olo + (span * 3) // 16 - 1 AS uhi,
+                 olo + (span * 9) // 16 AS xlo,
+                 olo + (span * 10) // 16 - 1 AS xhi,
+                 olo + (span * 12) // 16 AS ilo,
+                 olo + (span * 13) // 16 - 1 AS ihi
+          FROM b
+        ), x AS (
+          SELECT t.*, (ok - olo) * 8 // span AS bin FROM t, b
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t)
+            - (SELECT COUNT(*) FROM t, pr WHERE ok BETWEEN xlo AND xhi)
+            + (SELECT COUNT(*) FROM t, pr WHERE ok BETWEEN ilo AND ihi)
+            AS n_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t)
+            + (SELECT CAST(COALESCE(SUM(rid % 1000 + 1), 0) AS BIGINT)
+                 FROM t, pr WHERE ok BETWEEN ulo AND uhi)
+            - (SELECT CAST(COALESCE(SUM(qty_e2), 0) AS BIGINT)
+                 FROM t, pr WHERE ok BETWEEN xlo AND xhi)
+            + (SELECT CAST(COALESCE(SUM(rid % 97 + 1), 0) AS BIGINT)
+                 FROM t, pr WHERE ok BETWEEN ilo AND ihi)
+            AS qty_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_pre,
+          (SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) FROM x, pr
+            WHERE ok BETWEEN ulo AND uhi OR ok BETWEEN xlo AND xhi)
+            AS files_rewritten
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -185,7 +185,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   * of the declared schema and accepts the first write.
   */
 class GraftTable(val base: String, version: Option[Long],
-                 val tableSchema: StructType)
+                 val tableSchema: StructType,
+                 val acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -194,6 +195,14 @@ class GraftTable(val base: String, version: Option[Long],
 
   override def schema(): StructType = tableSchema
 
+  /** This table minus ACCEPT_ANY_SCHEMA — the analyzer skips MERGE
+    * reference resolution entirely for accept-any-schema tables
+    * (`NamedRelation.skipSchemaResolution`), so the graft MERGE rule
+    * re-targets the relation at a strict copy first.
+    */
+  def strict: GraftTable =
+    new GraftTable(base, version, tableSchema, acceptAnySchema = false)
+
   // BATCH_WRITE advertises writability to the planner; the V1Write the
   // builder produces still routes through the V1-fallback write exec.
   // ACCEPT_ANY_SCHEMA defers schema checking to the commit protocol
@@ -201,10 +210,11 @@ class GraftTable(val base: String, version: Option[Long],
   // required for first-write-to-fresh-path, where there is no schema
   // to validate against yet.
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.OVERWRITE_BY_FILTER) ++
+      (if (acceptAnySchema) Set(TableCapability.ACCEPT_ANY_SCHEMA)
+       else Set.empty[TableCapability])).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {

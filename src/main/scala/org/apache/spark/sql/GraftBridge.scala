@@ -51,4 +51,12 @@ object GraftBridge {
       catalyst.plans.logical.LocalRelation(
         catalyst.types.DataTypeUtils.toAttributes(schema),
         Nil, isStreaming = true))
+
+  /** A resolved logical plan as a DataFrame — the graft DML commands
+    * re-execute the MERGE source plan they captured at analysis
+    * (`Dataset.ofRows` is private[sql]).
+    */
+  def ofRows(s: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 }

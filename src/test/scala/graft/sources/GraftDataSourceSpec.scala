@@ -304,6 +304,75 @@ class GraftDataSourceSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_upd")
   }
 
+  test("SQL MERGE INTO: clause cascade, footprint scope, cardinality check") {
+    val base = mkTable("mrg")
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_mrg")
+    spark.sql(s"CREATE TABLE graft_mrg USING graft OPTIONS (path '$base')")
+    try {
+      // source: one update (k=15), one delete trigger (k=17, nv<0),
+      // one insert (k=100)
+      Seq((15L, 999L), (17L, -1L), (100L, 7L)).toDF("k", "nv")
+        .createOrReplaceTempView("mrg_src")
+      spark.sql(
+        """MERGE INTO graft_mrg t USING mrg_src s ON t.k = s.k
+           WHEN MATCHED AND s.nv < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.nv
+           WHEN NOT MATCHED THEN INSERT (k, v, nm) VALUES (s.k, s.nv, 'new')
+        """)
+      val got = spark.sql("SELECT k, v, nm FROM graft_mrg ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val want = (0L until 40L).filterNot(_ == 17L).map {
+        case 15L => (15L, 999L, "name15")
+        case k => (k, k * 2, s"name$k")
+      } :+ ((100L, 7L, "new"))
+      assert(got.toSeq === want)
+      // footprint: only the 10-19 decade file was touched (15 and 17
+      // live there; 100 matches nothing) — 1 removed, not 4
+      val v = VersionedTable.latestVersion(base).get
+      val (op, _, removes) = VersionedTable.commitDelta(base, v)
+      assert(op === "merge")
+      assert(removes.size === 1)
+      // pre-merge state still time-travels
+      assert(spark.read.format("graft").option("versionAsOf", s"${v - 1}")
+        .load(base).count() === 40L)
+      // duplicate source keys that MATCH a target row: loud cardinality
+      // error, nothing committed
+      Seq((20L, 1L), (20L, 2L)).toDF("k", "nv")
+        .createOrReplaceTempView("mrg_dup")
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_mrg t USING mrg_dup s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET v = s.nv
+             WHEN NOT MATCHED THEN INSERT (k, v, nm) VALUES (s.k, s.nv, 'x')
+          """)
+      }
+      assert(e.getMessage.contains("cardinality"), e.getMessage)
+      assert(VersionedTable.latestVersion(base) === Some(v))
+      // duplicate source keys that DON'T match any target row insert
+      // twice — the SQL-legal case the check must not reject
+      Seq((200L, 1L), (200L, 2L)).toDF("k", "nv")
+        .createOrReplaceTempView("mrg_dup2")
+      spark.sql(
+        """MERGE INTO graft_mrg t USING mrg_dup2 s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.nv
+           WHEN NOT MATCHED THEN INSERT (k, v, nm) VALUES (s.k, s.nv, 'x')
+        """)
+      assert(spark.sql("SELECT count(*) AS c FROM graft_mrg WHERE k = 200")
+        .head().getLong(0) === 2L)
+      // a merge whose source matches nothing and has no applicable
+      // insert rows is a provable no-op: no commit
+      val v2 = VersionedTable.latestVersion(base).get
+      Seq((300L, 1L)).toDF("k", "nv").createOrReplaceTempView("mrg_noop")
+      spark.sql(
+        """MERGE INTO graft_mrg t USING mrg_noop s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.nv
+        """)
+      assert(VersionedTable.latestVersion(base) === Some(v2))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mrg")
+  }
+
   test("TRUNCATE via an always-true DELETE leaves a readable empty table") {
     val base = mkTable("trunc")
     spark.sql("DROP TABLE IF EXISTS graft_trunc")

@@ -94,6 +94,24 @@ def rows_of(table):
 
 def main(out_dir, sf_dir, json_out=None):
     con = duckdb.connect()
+    # bound DuckDB's memory and give it a spill dir: the amplified-corpus
+    # iterative twins (q154's 4-sweep CTE chain) otherwise OOM when the
+    # host is also running Spark, killing the whole sweep
+    try:
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckspill'")
+    except Exception:
+        pass
+    # resume: keep prior results, re-check only missing/errored names
+    done = set()
+    prior = {}
+    if json_out and os.path.exists(json_out):
+        try:
+            prior = json.load(open(json_out))
+            done = {k for k, v in prior.items()
+                    if v.get("hash_match") or v.get("err") == "no_oracle"}
+        except Exception:
+            prior = {}
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark-written (e.g. graft.Amplify) layout
@@ -102,7 +120,7 @@ def main(out_dir, sf_dir, json_out=None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
-    report = {}
+    report = dict(prior)
 
     def record(name, rows_match=None, schema_match=None, hash_match=None,
                spark_rows=None, oracle_rows=None, err=None):
@@ -114,6 +132,9 @@ def main(out_dir, sf_dir, json_out=None):
                 json.dump(report, f, indent=2, sort_keys=True)
 
     for name in sorted(oracle):
+        if name in done:
+            print(f"SKIP {name} (already green in {json_out})")
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -121,7 +142,13 @@ def main(out_dir, sf_dir, json_out=None):
             record(name, err="no_spark_output")
             continue
         got = pq.read_table(files[0])
-        exp = con.execute(oracle[name]).arrow()
+        try:
+            exp = con.execute(oracle[name]).arrow()
+        except Exception as e:  # e.g. a twin OOMs: record, keep sweeping
+            print(f"FAIL {name}: oracle error {e}")
+            failed.append(name)
+            record(name, err=f"oracle_error: {str(e)[:200]}")
+            continue
         gcols, grows = rows_of(got)
         ecols, erows = rows_of(exp)
         nsg, nse = len(grows), len(erows)

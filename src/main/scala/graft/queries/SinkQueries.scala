@@ -1555,6 +1555,89 @@ object SinkQueries {
             AS files_rewritten
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q170: INCREMENTAL VIEW MAINTENANCE off the LIVE change feed
+    // (r11) — the CDC loop closed: a per-bucket (count, sum) view
+    // maintained by folding q166's streaming change feed through the
+    // classic delta rule (insert → +1/+new, delete → −1/−old, update
+    // → new−old), never rescanning the base table after bootstrap.
+    // The view state is itself a graft table (one commitReplace per
+    // micro-batch, retry-guarded by a last_batch column riding the
+    // committed state). Fixture: rid-keyed lineitem in two append
+    // halves, drained; then a zone-map-scoped DELETE and a SQL-shaped
+    // commitUpdate (+3 on a disjoint span), drained on RESUME — so
+    // the maintained view crosses a checkpoint boundary and both
+    // change-commit kinds. Output: the view's final rows; the oracle
+    // recomputes the view from raw lineitem — a missed update delta,
+    // a double-applied batch, or a delete that leaked into the wrong
+    // bucket hash-fails.
+    Q("q170_stream_ivm",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q170")
+        val view = graft.TempDirs.scoped("graft_q170_view")
+        val t = Tables.lineitem(s, d)
+          .select((col("l_orderkey") * 10 +
+            col("l_linenumber").cast("long")).as("rid"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .groupBy(col("rid")).agg(max(col("qty_e2")).as("qty_e2"))
+          .withColumn("ok", expr("rid div 10"))
+          .persist()
+        val b = t.agg(min(col("ok")), max(col("ok"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        def lo(n: Long) = olo + (span * n) / 16
+        val (dlo, dhi) = (lo(5), lo(6) - 1)   // delete span (ok units)
+        val (ulo, uhi) = (lo(10), lo(11) - 1) // update span
+        def half(r: Int) = t.filter(pmod(col("ok"), lit(2)) === r)
+          .select(col("rid"), col("qty_e2")).coalesce(4)
+        VersionedTable.commitAppend(s, base, half(0), Seq("rid"))
+        VersionedTable.commitAppend(s, base, half(1), Seq("rid"))
+        def maintain(): Unit = graft.streaming.ChangeFeedIvm
+          .runAvailableNow(s, base, view, "rid",
+            k => pmod(k, lit(7L)), "qty_e2")
+        maintain() // bootstrap: the two insert commits
+        VersionedTable.commitDelete(s, base,
+          col("rid").between(dlo * 10, dhi * 10 + 9),
+          Seq(("rid", dlo * 10, dhi * 10 + 9)), statsCols = Seq("rid"))
+        VersionedTable.commitUpdate(s, base,
+          col("rid").between(ulo * 10, uhi * 10 + 9),
+          Seq(("qty_e2", col("qty_e2") + 3L)),
+          Seq(("rid", ulo * 10, uhi * 10 + 9)), statsCols = Seq("rid"))
+        maintain() // resumed: exactly the delete + update deltas
+        t.unpersist()
+        VersionedTable.readVersion(s, view,
+            VersionedTable.latestVersion(view).get)
+          .select(col("bucket"), col("n_rows"), col("value_sum"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS qty_e2,
+                 (l_orderkey * 10 + l_linenumber) // 10 AS ok
+          FROM lineitem GROUP BY 1, 3
+        ), b AS (
+          SELECT MIN(ok) AS olo, MAX(ok) - MIN(ok) + 1 AS span FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS dlo,
+                 olo + (span * 6) // 16 - 1 AS dhi,
+                 olo + (span * 10) // 16 AS ulo,
+                 olo + (span * 11) // 16 - 1 AS uhi
+          FROM b
+        )
+        SELECT rid % 7 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty_e2 + CASE WHEN ok BETWEEN ulo AND uhi
+                 THEN 3 ELSE 0 END) AS BIGINT) AS value_sum
+        FROM t, pr
+        WHERE ok NOT BETWEEN dlo AND dhi
+        GROUP BY 1 ORDER BY 1
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

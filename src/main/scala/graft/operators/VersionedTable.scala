@@ -126,12 +126,39 @@ object VersionedTable {
     * binary order Spark's min/max on StringType produces).
     */
   final case class StrStats(lo: String, hi: String) extends Stat
+  /** Per-file Bloom filter of a key column — the point-lookup
+    * complement to min/max maps (a high-cardinality key scattered
+    * across files has every file spanning the whole range; the bloom
+    * still answers "definitely not here"). Bits set by Spark's own
+    * XXH64 (`xxhash64(lit(j), col)` for j = 0..k-1), so driver-side
+    * probes share the exact hash. Stored in the stats map under
+    * `<col>#bloom`; m = bits.length * 8.
+    */
+  final case class BloomStats(k: Int, bits: Array[Byte]) extends Stat
+
+  /** Bloom sizing: 4096 bits (512 B, ~684 base64 chars in the
+    * manifest line) holds ~300 distinct keys per file at <0.1% false
+    * positives with 5 hashes. A saturated bloom degrades to reading,
+    * never to wrong answers. At 100k-file scale the same bits would
+    * move to sidecar files next to the data (the Iceberg/Delta
+    * layout); the text manifest keeps the sandbox inspectable.
+    */
+  val BloomBits: Int = 4096
+  val BloomHashes: Int = 5
 
   /** One zone-map pruning conjunct. */
   sealed trait PruneRange { def col: String }
   final case class LongRange(col: String, lo: Long, hi: Long)
     extends PruneRange
   final case class StrRange(col: String, lo: String, hi: String)
+    extends PruneRange
+  /** Point-lookup probe: the file is kept iff ANY of `values` may be
+    * present per the column's Bloom filter (files without a bloom
+    * always keep). Emitted alongside the range form for equality/IN
+    * filters — ranges prune sorted layouts, probes prune scattered
+    * ones.
+    */
+  final case class KeyProbe(col: String, values: Seq[Any])
     extends PruneRange
   object PruneRange {
     /** A date slice as a prune conjunct (dates are stored as epoch
@@ -195,6 +222,7 @@ object VersionedTable {
   }
 
   private val StrTag = "S:"
+  private val BloomTag = "F:"
 
   private def hexEnc(s: String): String =
     s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
@@ -231,6 +259,10 @@ object VersionedTable {
         if (range.startsWith(StrTag)) {
           val Array(lo, hi) = range.stripPrefix(StrTag).split("\\.\\.", 2)
           c -> StrStats(hexDec(lo), hexDec(hi))
+        } else if (range.startsWith(BloomTag)) {
+          val Array(k, b64) = range.stripPrefix(BloomTag).split(":", 2)
+          c -> BloomStats(k.toInt,
+            java.util.Base64.getDecoder.decode(b64))
         } else {
           val Array(lo, hi) = range.split("\\.\\.", 2)
           c -> ColStats(lo.toLong, hi.toLong)
@@ -245,6 +277,8 @@ object VersionedTable {
       e.stats.toSeq.sortBy(_._1).map {
         case (c, ColStats(lo, hi)) => s"$c=$lo..$hi"
         case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
+        case (c, BloomStats(k, bits)) => s"$c=$BloomTag$k:" +
+          java.util.Base64.getEncoder.encodeToString(bits)
       }).mkString("\t")
 
   private def schemaHeader(st: StructType): String = s"#schema=${st.json}"
@@ -375,8 +409,14 @@ object VersionedTable {
     */
   def pruneTyped(es: Seq[ManifestEntry],
                  ranges: Seq[PruneRange]): Seq[ManifestEntry] =
-    es.filter(e => ranges.forall { r =>
-      (e.stats.get(r.col), r) match {
+    es.filter(e => ranges.forall {
+      case KeyProbe(c, values) =>
+        e.stats.get(s"$c#bloom") match {
+          case Some(BloomStats(k, bits)) =>
+            values.exists(v => bloomMayContain(v, k, bits))
+          case _ => true
+        }
+      case r => (e.stats.get(r.col), r) match {
         case (Some(ColStats(slo, shi)), LongRange(_, lo, hi)) =>
           shi >= lo && slo <= hi
         case (Some(StrStats(slo, shi)), StrRange(_, lo, hi)) =>
@@ -384,6 +424,43 @@ object VersionedTable {
         case _ => true
       }
     })
+
+  /** The driver-side mirror of the bloom writer's hash chain: bit j
+    * of value v is `xxhash64(lit(j), col)` — Spark's XxHash64 hashes
+    * each child with the previous hash as seed (initial 42), and
+    * [[org.apache.spark.sql.catalyst.expressions.XXH64]] is public,
+    * so the probe calls the SAME implementation the scan aggregated
+    * with (no reimplementation to drift).
+    */
+  def bloomMayContain(value: Any, k: Int, bits: Array[Byte]): Boolean = {
+    val m = bits.length * 8
+    bloomPositions(value, k, m).forall { pos =>
+      (bits(pos >> 3) & (1 << (pos & 7))) != 0
+    }
+  }
+
+  private[graft] def bloomPositions(value: Any, k: Int,
+                                    m: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until k).map { j =>
+      val seed = XXH64.hashLong(j.toLong, 42L)
+      val h = value match {
+        case l: Long => XXH64.hashLong(l, seed)
+        case i: Int => XXH64.hashInt(i, seed)
+        case i: java.lang.Integer => XXH64.hashInt(i.intValue, seed)
+        case l: java.lang.Long => XXH64.hashLong(l.longValue, seed)
+        case s: String =>
+          val b = s.getBytes("UTF-8")
+          XXH64.hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, seed)
+        case other => throw new IllegalArgumentException(
+          s"bloom probe supports long/int/string keys, got " +
+            s"${other.getClass.getName}")
+      }
+      java.lang.Math.floorMod(h, m.toLong).toInt
+    }
+  }
 
   private def readFiles(s: SparkSession, base: String, paths: Seq[String],
                         schemaOpt: Option[StructType]): DataFrame = {
@@ -456,12 +533,25 @@ object VersionedTable {
     */
   def commitAppend(s: SparkSession, base: String, df: DataFrame,
                    statsCols: Seq[String] = Nil,
-                   maxAttempts: Int = 5): Long =
+                   maxAttempts: Int = 5,
+                   bloomCols: Seq[String] = Nil): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
-      commitAt(s, base, df, "append", statsCols, prevV)(
-        fresh => (fresh, Seq.empty))
+      commitAt(s, base, df, "append", statsCols, prevV,
+        bloomCols = bloomCols)(fresh => (fresh, Seq.empty))
     }
+
+  /** The table's current stats discipline: (zone-map columns, bloom
+    * columns) — the union of what any live file carries, which is
+    * what a DML rewrite must re-collect so pruning never silently
+    * degrades after updates/deletes.
+    */
+  def statsDiscipline(base: String): (Seq[String], Seq[String]) = {
+    val keys = latestVersion(base).toSeq
+      .flatMap(v => entries(base, v)).flatMap(_.stats.keys).distinct
+    (keys.filterNot(_.endsWith("#bloom")),
+      keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom")))
+  }
 
   /** MERGE INTO closure: the new version's state is the per-key argmax
     * (latest by `ordCols`) of previous state ∪ `delta` — associative,
@@ -560,7 +650,8 @@ object VersionedTable {
                       inserts: Seq[MergeInsert],
                       targetSchema: StructType,
                       statsCols: Seq[String] = Nil,
-                      maxAttempts: Int = 5): Long = {
+                      maxAttempts: Int = 5,
+                      bloomCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "MERGE needs at least one equi-join key")
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
@@ -719,8 +810,8 @@ object VersionedTable {
             // provable no-op — commit nothing (one cheap existence
             // probe, only on the empty-touched path)
             if (touched.isEmpty && df.isEmpty) prevV.getOrElse(0L)
-            else commitAt(s, base, df, "merge", statsCols, prevV)(
-              fresh => (fresh, touched))
+            else commitAt(s, base, df, "merge", statsCols, prevV,
+              bloomCols = bloomCols)(fresh => (fresh, touched))
         }
       } finally { srcP.unpersist(); () }
     }
@@ -746,13 +837,14 @@ object VersionedTable {
     */
   def commitReplace(s: SparkSession, base: String, df: DataFrame,
                     statsCols: Seq[String] = Nil,
-                    maxAttempts: Int = 5): Long =
+                    maxAttempts: Int = 5,
+                    bloomCols: Seq[String] = Nil): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       val prevPaths = prevV.map(entries(base, _).map(_.path))
         .getOrElse(Seq.empty)
-      commitAt(s, base, df, "replace", statsCols, prevV)(
-        fresh => (fresh, prevPaths))
+      commitAt(s, base, df, "replace", statsCols, prevV,
+        bloomCols = bloomCols)(fresh => (fresh, prevPaths))
     }
 
   private def retrying(maxAttempts: Int)(attempt: => Long): Long = {
@@ -797,12 +889,16 @@ object VersionedTable {
                    pruneRanges: Seq[(String, Long, Long)] = Nil,
                    statsCols: Seq[String] = Nil,
                    maxAttempts: Int = 5,
-                   verifyFootprint: Boolean = false): Long =
+                   verifyFootprint: Boolean = false,
+                   bloomCols: Seq[String] = Nil,
+                   pruneProbes: Seq[PruneRange] = Nil): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to delete from in $base")
       val (es, schema) = replay(base, prevV.get)
-      val touched = prune(es, pruneRanges)
+      val touched = pruneTyped(es,
+        pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
+          pruneProbes)
       if (touched.isEmpty) prevV.get
       else {
         val untouched = es.filterNot(touched.toSet)
@@ -816,8 +912,8 @@ object VersionedTable {
         }
         val remaining = readFiles(s, base, touched.map(_.path), schema)
           .filter(!rowPred)
-        commitAt(s, base, remaining, "delete", statsCols, prevV)(
-          fresh => (fresh, touched.map(_.path)))
+        commitAt(s, base, remaining, "delete", statsCols, prevV,
+          bloomCols = bloomCols)(fresh => (fresh, touched.map(_.path)))
       }
     }
 
@@ -841,7 +937,9 @@ object VersionedTable {
                    sets: Seq[(String, Column)],
                    pruneRanges: Seq[(String, Long, Long)] = Nil,
                    statsCols: Seq[String] = Nil,
-                   maxAttempts: Int = 5): Long = {
+                   maxAttempts: Int = 5,
+                   bloomCols: Seq[String] = Nil,
+                   pruneProbes: Seq[PruneRange] = Nil): Long = {
     require(sets.nonEmpty, "commitUpdate needs at least one SET column")
     require(sets.map(_._1).distinct.size == sets.size,
       s"duplicate SET columns: ${sets.map(_._1).mkString(", ")}")
@@ -849,7 +947,9 @@ object VersionedTable {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to update in $base")
       val (es, schema) = replay(base, prevV.get)
-      val touched = prune(es, pruneRanges)
+      val touched = pruneTyped(es,
+        pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
+          pruneProbes)
       if (touched.isEmpty) prevV.get
       else {
         val rows = readFiles(s, base, touched.map(_.path), schema)
@@ -863,8 +963,8 @@ object VersionedTable {
               .cast(rows.schema(c).dataType).as(c))
             .getOrElse(col(c))
         }: _*)
-        commitAt(s, base, rewritten, "update", statsCols, prevV)(
-          fresh => (fresh, touched.map(_.path)))
+        commitAt(s, base, rewritten, "update", statsCols, prevV,
+          bloomCols = bloomCols)(fresh => (fresh, touched.map(_.path)))
       }
     }
   }
@@ -890,15 +990,16 @@ object VersionedTable {
     * files at commit.
     */
   def compact(s: SparkSession, base: String, numFiles: Int,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to compact in $base")
       val snap = readVersion(s, base, prevV.get).repartition(numFiles)
       val prevPaths = entries(base, prevV.get).map(_.path)
-      commitAt(s, base, snap, "compact", statsCols, prevV)(
-        fresh => (fresh, prevPaths))
+      commitAt(s, base, snap, "compact", statsCols, prevV,
+        bloomCols = bloomCols)(fresh => (fresh, prevPaths))
     }
   }
 
@@ -1133,10 +1234,11 @@ object VersionedTable {
   private def commitAt(s: SparkSession, base: String, df: DataFrame,
                        op: String, statsCols: Seq[String],
                        prevV: Option[Long],
-                       beforePublish: () => Unit = () => ())(
+                       beforePublish: () => Unit = () => (),
+                       bloomCols: Seq[String] = Nil)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
     statsCols.foreach { c =>
-      require(!c.contains('=') && !c.contains('\t'),
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
         s"stats column name '$c' would corrupt the manifest line format")
       val ok = df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -1145,6 +1247,16 @@ object VersionedTable {
       }
       require(ok, s"stats column '$c' must be integral, date, timestamp " +
         s"or string for zone maps, got ${df.schema(c).dataType}")
+    }
+    bloomCols.foreach { c =>
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
+        s"bloom column name '$c' would corrupt the manifest line format")
+      val ok = df.schema(c).dataType match {
+        case IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      require(ok, s"bloom column '$c' must be int, long or string, " +
+        s"got ${df.schema(c).dataType}")
     }
     val declared = mergeSchema(prevV.flatMap(declaredSchema(base, _)),
       df.schema)
@@ -1164,7 +1276,7 @@ object VersionedTable {
     // to scan (and parquet schema inference over zero files would err)
     val stats =
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
-      else collectStats(s, s"$base/$dataDir", statsCols)
+      else collectStats(s, s"$base/$dataDir", statsCols, bloomCols)
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand
@@ -1200,7 +1312,9 @@ object VersionedTable {
     * what lets `SELECT count(*)` answer from the manifest alone.
     */
   private def collectStats(s: SparkSession, dir: String,
-      statsCols: Seq[String]): Map[String, (Long, Map[String, Stat])] = {
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil)
+      : Map[String, (Long, Map[String, Stat])] = {
     val df = s.read.parquet(dir)
     def proj(c: String): Column = df.schema(c).dataType match {
       case DateType => unix_date(col(c)).cast("long")
@@ -1210,9 +1324,16 @@ object VersionedTable {
     }
     val isStr = statsCols.map(c =>
       c -> (df.schema(c).dataType == StringType)).toMap
-    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
-      min(proj(c)).as(s"__lo_$c"),
-      max(proj(c)).as(s"__hi_$c")))
+    val aggs = count(lit(1)).as("__rows") +:
+      (statsCols.flatMap(c => Seq(
+        min(proj(c)).as(s"__lo_$c"),
+        max(proj(c)).as(s"__hi_$c"))) ++
+        // bloom bit positions: hash j of value v is xxhash64(lit(j), v)
+        // — the chain bloomPositions mirrors exactly; collect_set is
+        // bounded by m (= BloomBits) distinct positions per file
+        bloomCols.flatMap(c => (0 until BloomHashes).map(j =>
+          collect_set(pmod(xxhash64(lit(j.toLong), col(c)),
+            lit(BloomBits.toLong))).as(s"__bl_${j}_$c"))))
     df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1228,8 +1349,19 @@ object VersionedTable {
           else Some(c -> ColStats(lo.asInstanceOf[Long],
             hi.asInstanceOf[Long]))
         }.toMap
+        val blooms = bloomCols.map { c =>
+          val bits = new Array[Byte](BloomBits / 8)
+          (0 until BloomHashes).foreach { j =>
+            r.getAs[scala.collection.Seq[Long]](s"__bl_${j}_$c")
+              .foreach { pos =>
+                val p = pos.toInt
+                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+              }
+          }
+          s"$c#bloom" -> (BloomStats(BloomHashes, bits): Stat)
+        }.toMap
         r.getAs[String]("__f") ->
-          ((r.getAs[Long]("__rows"), per: Map[String, Stat]))
+          ((r.getAs[Long]("__rows"), per ++ blooms: Map[String, Stat]))
       }.toMap
   }
 

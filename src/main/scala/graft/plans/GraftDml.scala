@@ -42,17 +42,18 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
             // BIGINT)) — both the footprint translation and the stored
             // predicate derive from this form
             val cond = u.condition.map(normalize)
-            val ranges = cond.toSeq
+            val translated = cond.toSeq
               .flatMap(splitConjuncts)
               .flatMap(e => GraftBridge.translateFilter(e))
               .flatMap(f => GraftFilters.toRanges(f, t.tableSchema))
-              .collect {
-                case VersionedTable.LongRange(c, lo, hi) => (c, lo, hi)
-              }
             GraftUpdateCommand(t.base,
               u.assignments.map(a =>
                 (attrName(a.key), GraftExpr(stripAttrs(normalize(a.value))))),
-              cond.map(e => GraftExpr(stripAttrs(e))), ranges)
+              cond.map(e => GraftExpr(stripAttrs(e))),
+              translated.collect {
+                case VersionedTable.LongRange(c, lo, hi) => (c, lo, hi)
+              },
+              translated.collect { case p: VersionedTable.KeyProbe => p })
           case None => u
         }
 
@@ -233,7 +234,8 @@ case class GraftExpr(e: Expression)
 case class GraftUpdateCommand(base: String,
                               sets: Seq[(String, GraftExpr)],
                               condition: Option[GraftExpr],
-                              ranges: Seq[(String, Long, Long)])
+                              ranges: Seq[(String, Long, Long)],
+                              probes: Seq[VersionedTable.KeyProbe] = Nil)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -241,12 +243,10 @@ case class GraftUpdateCommand(base: String,
       .getOrElse(lit(true))
     // rewritten files keep the table's stats discipline (same rule as
     // the DELETE path): the union of columns any current file maps
-    val statsCols = VersionedTable.latestVersion(base).toSeq
-      .flatMap(v => VersionedTable.entries(base, v))
-      .flatMap(_.stats.keys).distinct
+    val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
     VersionedTable.commitUpdate(spark, base, rowPred,
       sets.map { case (c, h) => (c, GraftBridge.column(h.e)) },
-      ranges, statsCols)
+      ranges, statsCols, bloomCols = bloomCols, pruneProbes = probes)
     Seq.empty
   }
 }
@@ -270,9 +270,7 @@ case class GraftMergeCommand(base: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftMergeCommand._
     val src = GraftBridge.ofRows(spark, source.plan)
-    val statsCols = VersionedTable.latestVersion(base).toSeq
-      .flatMap(v => VersionedTable.entries(base, v))
-      .flatMap(_.stats.keys).distinct
+    val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
     VersionedTable.commitMergeInto(spark, base, src,
       keys.map { case (c, h) => (c, GraftBridge.column(h.e)) },
       matched.map {
@@ -286,7 +284,7 @@ case class GraftMergeCommand(base: String,
         c.map(h => GraftBridge.column(h.e)),
         sets.map { case (n, h) => (n, GraftBridge.column(h.e)) })
       },
-      targetSchema, statsCols)
+      targetSchema, statsCols, bloomCols = bloomCols)
     Seq.empty
   }
 }

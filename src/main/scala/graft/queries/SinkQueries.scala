@@ -1638,6 +1638,84 @@ object SinkQueries {
         GROUP BY 1 ORDER BY 1
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q171: BLOOM-FILTER FILE SKIPPING (r11) — the point-lookup
+    // complement to min/max zone maps: keys hash-scattered across
+    // files make every file's [min,max] span the whole domain (range
+    // pruning keeps all 8 — the oracle PROVES that from per-bin
+    // min/max arithmetic), while the per-file bloom (bits =
+    // xxhash64(lit(j), key) % m at commit time, probed driver-side
+    // through Spark's own public XXH64 — no hash reimplementation to
+    // drift) keeps exactly the one file holding the key. Fixture: a
+    // 1000-rid mod-prime sample (corpus-size-independent, the q161
+    // convention — per-file key counts stay bloom-sized at ANY SF)
+    // committed in 8 rid%8 slices with bloomCols=rid; the probe key
+    // is the sample's median rid, read through plain DSv2 equality.
+    // bloom_kept=1 is a hash-checked column: a false positive, a
+    // probe that stopped consulting the bloom, or a lost row fails.
+    Q("q171_bloom_skipping",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q171")
+        val sample = Tables.lineitem(s, d)
+          .select((col("l_orderkey") * 10 +
+            col("l_linenumber").cast("long")).as("rid"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .groupBy(col("rid")).agg(max(col("qty_e2")).as("qty_e2"))
+          .orderBy(pmod(col("rid") * 7919L, lit(1000003L)), col("rid"))
+          .limit(1000)
+          .persist()
+        (0L until 8L).foreach { b =>
+          VersionedTable.commitAppend(s, base,
+            sample.filter(pmod(col("rid"), lit(8L)) === b).coalesce(1),
+            statsCols = Seq("rid"), bloomCols = Seq("rid"))
+        }
+        val probe = sample.orderBy(col("rid"))
+          .limit(501).orderBy(col("rid").desc).limit(1)
+          .head().getLong(0)
+        sample.unpersist()
+        // the range-only counterfactual, from the SAME manifest the
+        // bloom prunes (oracle recomputes it from per-bin arithmetic)
+        val es = VersionedTable.entries(base,
+          VersionedTable.latestVersion(base).get)
+        val rangeKept = VersionedTable.prune(es,
+          Seq(("rid", probe, probe))).size.toLong
+        val r = s.read.format("graft").load(base)
+          .filter(col("rid") === probe).head()
+        val (bloomKept, total) =
+          graft.sources.GraftScanMetrics.lastPrune(base).get
+        import s.implicits._
+        Seq((total.toLong, rangeKept, bloomKept.toLong, 1L,
+          r.getLong(1)))
+          .toDF("files_total", "range_kept", "bloom_kept", "n_rows",
+            "qty_e2")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS qty_e2
+          FROM lineitem GROUP BY 1
+        ), smp AS (
+          SELECT rid, qty_e2 FROM t
+          ORDER BY (rid * 7919) % 1000003, rid LIMIT 1000
+        ), p AS (
+          SELECT rid AS probe FROM smp ORDER BY rid LIMIT 1 OFFSET 500
+        ), bins AS (
+          SELECT rid % 8 AS b, MIN(rid) AS mn, MAX(rid) AS mx
+          FROM smp GROUP BY 1
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bins) AS files_total,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bins, p
+            WHERE probe BETWEEN mn AND mx) AS range_kept,
+          CAST(1 AS BIGINT) AS bloom_kept,
+          CAST(1 AS BIGINT) AS n_rows,
+          (SELECT qty_e2 FROM smp, p WHERE rid = probe) AS qty_e2
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

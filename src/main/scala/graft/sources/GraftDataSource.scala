@@ -251,17 +251,21 @@ class GraftTable(val base: String, version: Option[Long],
     val rowPred = filters.flatMap(GraftFilters.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val ranges = filters
+    val translated = filters
       .flatMap(f => GraftFilters.toRanges(f, tableSchema))
-      .collect { case LongRange(c, lo, hi) => (c, lo, hi) }
+    val ranges = translated.collect {
+      case LongRange(c, lo, hi) => (c, lo, hi)
+    }
+    val probes = translated.collect {
+      case p: VersionedTable.KeyProbe => p
+    }
     // rewritten files keep the table's own stats discipline (the
-    // union of columns any current file carries maps for) — otherwise
-    // a delete would silently strip zone maps and later deletes/reads
-    // lose their pruning
-    val statsCols = VersionedTable.latestVersion(base).toSeq
-      .flatMap(v => VersionedTable.entries(base, v))
-      .flatMap(_.stats.keys).distinct
-    VersionedTable.commitDelete(s, base, rowPred, ranges.toSeq, statsCols)
+    // union of zone-map/bloom columns any current file carries) —
+    // otherwise a delete would silently strip them and later
+    // deletes/reads lose their pruning
+    val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
+    VersionedTable.commitDelete(s, base, rowPred, ranges.toSeq, statsCols,
+      bloomCols = bloomCols, pruneProbes = probes.toSeq)
     ()
   }
 
@@ -308,15 +312,17 @@ class GraftTable(val base: String, version: Option[Long],
                   case (c, f) => data.col(c).cast(f.dataType).as(f.name)
                 }.toSeq: _*)
               }
-            val stats = Option(info.options.get("statsCols"))
+            def colsOpt(name: String) = Option(info.options.get(name))
               .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
               .getOrElse(Seq.empty)
+            val stats = colsOpt("statsCols")
+            val blooms = colsOpt("bloomCols")
             if (replace || overwrite)
               VersionedTable.commitReplace(data.sparkSession, base, aligned,
-                stats)
+                stats, bloomCols = blooms)
             else
               VersionedTable.commitAppend(data.sparkSession, base, aligned,
-                stats)
+                stats, bloomCols = blooms)
             ()
           }
       }
@@ -415,8 +421,9 @@ object GraftFilters {
     */
   def toRanges(f: Filter, schema: StructType): Seq[PruneRange] = f match {
     case And(l, r) => toRanges(l, schema) ++ toRanges(r, schema)
-    case EqualTo(c, v) => eqRange(c, v)
-    case EqualNullSafe(c, v) if v != null => eqRange(c, v)
+    case EqualTo(c, v) => eqRange(c, v) ++ keyProbe(c, Seq(v))
+    case EqualNullSafe(c, v) if v != null =>
+      eqRange(c, v) ++ keyProbe(c, Seq(v))
     case GreaterThanOrEqual(c, v) =>
       asLong(v).map(lo => LongRange(c, lo, Long.MaxValue)).toSeq
     case GreaterThan(c, v) =>
@@ -426,8 +433,9 @@ object GraftFilters {
     case LessThan(c, v) =>
       asLong(v).map(hi => LongRange(c, Long.MinValue, tighterHi(hi))).toSeq
     case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
-      // span relaxation: [min, max] is a superset of the value set
-      if (fieldOf(schema, c).exists(_.dataType == StringType)) {
+      // span relaxation: [min, max] is a superset of the value set;
+      // the probe keeps a file iff ANY value may be present
+      (if (fieldOf(schema, c).exists(_.dataType == StringType)) {
         val ss = vs.collect { case s: String => s }
         if (ss.length != vs.length) Seq.empty
         else Seq(StrRange(c, ss.min, ss.max))
@@ -435,9 +443,22 @@ object GraftFilters {
         val ls = vs.toSeq.flatMap(asLong)
         if (ls.length != vs.length) Seq.empty
         else Seq(LongRange(c, ls.min, ls.max))
-      }
+      }) ++ keyProbe(c, vs.toSeq)
     case _ => Seq.empty
   }
+
+  /** Bloom probe for equality/IN — only for the key types the bloom
+    * writer hashes (long/int/string); other types probe nothing.
+    * Files without a bloom for the column always keep (pruneTyped's
+    * contract), so emitting the probe unconditionally is sound.
+    */
+  private def keyProbe(c: String, vs: Seq[Any]): Seq[PruneRange] =
+    if (vs.forall {
+      case _: Long | _: Int | _: String => true
+      case _: java.lang.Long | _: java.lang.Integer => true
+      case _ => false
+    }) Seq(VersionedTable.KeyProbe(c, vs))
+    else Seq.empty
 
   private def eqRange(c: String, v: Any): Seq[PruneRange] = v match {
     case s: String => Seq(StrRange(c, s, s))

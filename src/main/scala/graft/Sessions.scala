@@ -30,6 +30,11 @@ object Sessions {
   def local(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // the graft table format as a named SQL catalog (graft.ns.tbl,
+    // VERSION AS OF time travel) — warehouse layout IS the identity
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1716,6 +1716,85 @@ object SinkQueries {
           (SELECT qty_e2 FROM smp, p WHERE rid = probe) AS qty_e2
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q172: the graft CATALOG (r11) — name-addressed tables +
+    // VERSION AS OF in plain SQL: `spark.sql.catalog.graft` maps
+    // `graft.<ns>.<table>` onto the warehouse layout (the path IS the
+    // identity — no second metadata store to drift), CREATE TABLE
+    // publishes an empty v1 with the declared schema header, and time
+    // travel resolves through Spark's own `loadTable(ident, version)`
+    // analysis. Lifecycle under the oracle gate: CREATE (v1, empty) →
+    // two INSERT INTO ... SELECT halves (v2, v3) → a DELETE span (v4);
+    // the output reads the CREATED-empty version, the pre-delete
+    // version, and the latest — every row by NAME through SQL, no
+    // paths anywhere. The oracle recomputes all three states from raw
+    // lineitem, so a time-travel read that resolves the wrong version
+    // or a catalog that loses a commit hash-fails.
+    Q("q172_sql_catalog",
+      (s, d) => {
+        val ns = s"q172_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = s"graft.$ns.lineitem"
+        val src = Tables.lineitem(s, d)
+          .select((col("l_orderkey") * 10 +
+            col("l_linenumber").cast("long")).as("rid"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .groupBy(col("rid")).agg(max(col("qty_e2")).as("qty_e2"))
+          .withColumn("ok", expr("rid div 10"))
+          .persist()
+        val b = src.agg(min(col("ok")), max(col("ok"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val (dlo, dhi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        src.createOrReplaceTempView("graft_q172_src")
+        s.sql(s"CREATE TABLE $t (rid BIGINT, qty_e2 BIGINT)")
+        try {
+          s.sql(s"INSERT INTO $t SELECT rid, qty_e2 " +
+            s"FROM graft_q172_src WHERE ok % 2 = 0")
+          s.sql(s"INSERT INTO $t SELECT rid, qty_e2 " +
+            s"FROM graft_q172_src WHERE ok % 2 = 1")
+          s.sql(s"DELETE FROM $t WHERE rid BETWEEN ${dlo * 10} " +
+            s"AND ${dhi * 10 + 9}")
+          src.unpersist()
+          // materialized INSIDE the try: the finally drops the table,
+          // and the driver writes the returned frame lazily after
+          val r = s.sql(
+            s"""SELECT
+                  (SELECT count(*) FROM $t VERSION AS OF 1) AS n_created,
+                  (SELECT count(*) FROM $t VERSION AS OF 3) AS n_pre,
+                  (SELECT sum(qty_e2) FROM $t VERSION AS OF 3) AS qty_pre,
+                  (SELECT count(*) FROM $t) AS n_post,
+                  (SELECT sum(qty_e2) FROM $t) AS qty_post""").head()
+          import s.implicits._
+          Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+            .toDF("n_created", "n_pre", "qty_pre", "n_post", "qty_post")
+        } finally { s.sql(s"DROP TABLE IF EXISTS $t"); () }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS qty_e2,
+                 (l_orderkey * 10 + l_linenumber) // 10 AS ok
+          FROM lineitem GROUP BY 1, 3
+        ), b AS (
+          SELECT MIN(ok) AS olo, MAX(ok) - MIN(ok) + 1 AS span FROM t
+        ), pr AS (
+          SELECT (olo + (span * 5) // 16) * 10 AS dlo,
+                 (olo + (span * 7) // 16 - 1) * 10 + 9 AS dhi
+          FROM b
+        )
+        SELECT CAST(0 AS BIGINT) AS n_created,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_pre,
+               (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_pre,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t, pr
+                 WHERE rid NOT BETWEEN dlo AND dhi) AS n_post,
+               (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t, pr
+                 WHERE rid NOT BETWEEN dlo AND dhi) AS qty_post
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -12,6 +12,9 @@ trait SparkSuite extends AnyFunSuite {
     // SQL functions, the HOF->native rewrite, and the analyzer-level
     // DML rules (SQL UPDATE) all ride it
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -98,7 +98,8 @@ def main(out_dir, sf_dir, json_out=None):
     # iterative twins (q154's 4-sweep CTE chain) otherwise OOM when the
     # host is also running Spark, killing the whole sweep
     try:
-        con.execute("SET memory_limit='48GB'")
+        con.execute("SET memory_limit='%s'"
+                    % os.environ.get("SELFCHECK_DUCK_MEM", "48GB"))
         con.execute("SET temp_directory='/tmp/duckspill'")
     except Exception:
         pass

@@ -149,11 +149,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
         case Some(v) => (false, v.toLong)
       }
     val skip = Option(opts.get("skipChangeCommits")).exists(_.toBoolean)
+    val maxCommits = Option(opts.get("maxCommitsPerTrigger")).map(_.toLong)
     val mp = if (metadataPath.startsWith("file:"))
       new java.net.URI(metadataPath).getPath else metadataPath
     new GraftStreamSource(sqlContext.sparkSession, base, rowSchema,
       snapshotStart, fromVersion, skip, cdcKey,
-      spoolDir = Some(s"$mp/cdc-spool"))
+      spoolDir = Some(s"$mp/cdc-spool"),
+      maxCommitsPerTrigger = maxCommits)
   }
 
   /** Read-or-publish the resolved `startingVersion=latest` under the

@@ -59,8 +59,12 @@ class GraftStreamSource(spark: SparkSession, base: String,
                         sourceSchema: StructType, snapshotStart: Boolean,
                         fromVersion: Long, skipChangeCommits: Boolean,
                         cdcKey: Option[String] = None,
-                        spoolDir: Option[String] = None)
+                        spoolDir: Option[String] = None,
+                        maxCommitsPerTrigger: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
+
+  maxCommitsPerTrigger.foreach(m => require(m >= 1L,
+    s"maxCommitsPerTrigger must be >= 1, got $m"))
 
   private val readSchema =
     StructType(sourceSchema.fields.map(_.copy(nullable = true)))
@@ -95,9 +99,25 @@ class GraftStreamSource(spark: SparkSession, base: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Admission control (`maxCommitsPerTrigger`): bound each batch's
+    * end offset to `start + max` commits — the Delta
+    * `maxFilesPerTrigger` idiom at commit granularity, so a consumer
+    * restarting after long downtime drains the backlog in bounded
+    * batches instead of one unbounded catch-up. The snapshot-first
+    * batch is indivisible (one consistent state) and stays uncapped;
+    * under AvailableNow the cap composes with the pinned drain target
+    * (several bounded batches until the pin is reached).
+    */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val capped = currentLatest().map(l =>
-      availableNowCap.fold(l)(math.min(l, _)))
+    val capped = currentLatest().map { l =>
+      val pinned = availableNowCap.fold(l)(math.min(l, _))
+      (Option(start), maxCommitsPerTrigger) match {
+        case (Some(st), Some(m)) => math.min(pinned, ver(st) + m)
+        case (None, Some(m)) if !snapshotStart =>
+          math.min(pinned, fromVersion - 1L + m)
+        case _ => pinned
+      }
+    }
     capped.map(LongOffset(_)).orNull
   }
 

@@ -178,6 +178,36 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(got.map(_._1) === Set(1L, 2L)) // nothing attributed to v3
   }
 
+  test("maxCommitsPerTrigger bounds each batch; the drain still completes") {
+    val base = TempDirs.scoped("graft_stream_rate")
+    appendDecade(base, 0L); appendDecade(base, 10L)
+    appendDecade(base, 20L); appendDecade(base, 30L)
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .option("maxCommitsPerTrigger", "2")
+      .load(base).writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, df.count())); () }
+      }
+      .start()
+    q.awaitTermination()
+    // 4 tail commits / 2 per trigger = exactly 2 bounded batches
+    assert(batches.map(_._2).toSeq === Seq(20L, 20L), batches)
+    // snapshot-first mode: the snapshot batch is indivisible, the cap
+    // applies to the tail
+    val base2 = TempDirs.scoped("graft_stream_rate2")
+    appendDecade(base2, 0L); appendDecade(base2, 10L)
+    val dir2 = TempDirs.scoped("graft_stream_rate2_sink")
+    drain(base2, dir2, Map("maxCommitsPerTrigger" -> "1"))
+    assert(sinkRows(dir2) === (0L until 20L))
+    appendDecade(base2, 20L); appendDecade(base2, 30L)
+    drain(base2, dir2, Map("maxCommitsPerTrigger" -> "1"))
+    assert(sinkRows(dir2) === (0L until 40L))
+  }
+
   test("batches read through the stream-start schema; old files null-fill") {
     val base = TempDirs.scoped("graft_stream_evo")
     val s = spark

@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE on graft tables -> the commit protocol's zone-map-
     // scoped copy-on-write rewrite (see GraftDmlRewrite scaladoc)
     ext.injectResolutionRule(_ => graft.plans.GraftDmlRewrite)
+    // commit-log audit surfaces as table-valued functions:
+    // graft_history(t), graft_changes(t, from, to, key)
+    graft.plans.GraftTableFunctions.functions.foreach(ext.injectTableFunction)
   }
 }
 

@@ -1795,6 +1795,88 @@ object SinkQueries {
                  WHERE rid NOT BETWEEN dlo AND dhi) AS qty_post
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q173: the commit-log AUDIT surface as SQL table functions (r11)
+    // — graft_history(t) (DESCRIBE HISTORY) and graft_changes(t, from,
+    // to, key) (batch CDC, the table_changes idiom) joined in ONE
+    // statement: per committed version, its op and its change-feed
+    // row/quantity deltas. graft_changes splices changesPerCommit's
+    // lazy O(changed files) plan into the query, so the feed is
+    // joinable/aggregatable like any relation. Fixture: two append
+    // halves + a zone-map-scoped DELETE; the oracle reconstructs all
+    // three versions' deltas from raw lineitem (insert deltas = each
+    // half's sum, the delete's delta = minus the span's), so a feed
+    // that mis-attributes a version, drops a change, or signs a delta
+    // wrong hash-fails.
+    Q("q173_sql_tvfs",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q173")
+        val t = Tables.lineitem(s, d)
+          .select((col("l_orderkey") * 10 +
+            col("l_linenumber").cast("long")).as("rid"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .groupBy(col("rid")).agg(max(col("qty_e2")).as("qty_e2"))
+          .withColumn("ok", expr("rid div 10"))
+          .persist()
+        val b = t.agg(min(col("ok")), max(col("ok"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val (dlo, dhi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        def half(r: Int) = t.filter(pmod(col("ok"), lit(2)) === r)
+          .select(col("rid"), col("qty_e2")).coalesce(4)
+        VersionedTable.commitAppend(s, base, half(0), Seq("rid"))
+        VersionedTable.commitAppend(s, base, half(1), Seq("rid"))
+        VersionedTable.commitDelete(s, base,
+          col("rid").between(dlo * 10, dhi * 10 + 9),
+          Seq(("rid", dlo * 10, dhi * 10 + 9)), statsCols = Seq("rid"))
+        t.unpersist()
+        s.sql(
+          s"""SELECT h.version, h.op,
+                     coalesce(c.n_changes, CAST(0 AS BIGINT)) AS n_changes,
+                     coalesce(c.qty_delta, CAST(0 AS BIGINT)) AS qty_delta
+              FROM graft_history('$base') h
+              LEFT JOIN (
+                SELECT version, CAST(count(*) AS BIGINT) AS n_changes,
+                       CAST(sum(coalesce(qty_e2_new, CAST(0 AS BIGINT)) -
+                         coalesce(qty_e2_old, CAST(0 AS BIGINT)))
+                         AS BIGINT) AS qty_delta
+                FROM graft_changes('$base', 0, 3, 'rid')
+                GROUP BY version) c
+              USING (version)
+              ORDER BY h.version""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS qty_e2,
+                 (l_orderkey * 10 + l_linenumber) // 10 AS ok
+          FROM lineitem GROUP BY 1, 3
+        ), b AS (
+          SELECT MIN(ok) AS olo, MAX(ok) - MIN(ok) + 1 AS span FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS dlo,
+                 olo + (span * 7) // 16 - 1 AS dhi
+          FROM b
+        )
+        SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+               CAST(COUNT(*) AS BIGINT) AS n_changes,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_delta
+        FROM t WHERE ok % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'append',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(qty_e2) AS BIGINT)
+        FROM t WHERE ok % 2 = 1
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete',
+               CAST(COUNT(*) AS BIGINT), CAST(-SUM(qty_e2) AS BIGINT)
+        FROM t, pr WHERE ok BETWEEN dlo AND dhi
+        ORDER BY version
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

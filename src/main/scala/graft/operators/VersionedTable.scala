@@ -651,7 +651,8 @@ object VersionedTable {
                       targetSchema: StructType,
                       statsCols: Seq[String] = Nil,
                       maxAttempts: Int = 5,
-                      bloomCols: Seq[String] = Nil): Long = {
+                      bloomCols: Seq[String] = Nil,
+                      bySource: Seq[MergeMatched] = Nil): Long = {
     require(keys.nonEmpty, "MERGE needs at least one equi-join key")
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
@@ -702,8 +703,14 @@ object VersionedTable {
           df.select(df.columns.toSeq.map(c => col(c).as(s"__t_$c")): _*)
         }
         // 2. touched files: candidates that actually hold a matching key
+        // WHEN NOT MATCHED BY SOURCE makes every live file a rewrite
+        // candidate — any file may hold rows with no source match, the
+        // honest O(table) cost of the sync-delete/sync-update shape
+        // (documented; Delta pays the same); without it, touched files
+        // come from the candidate semi-join
         val touched: Seq[String] =
-          if (candidates.isEmpty) Seq.empty
+          if (bySource.nonEmpty) es.map(_.path).sorted
+          else if (candidates.isEmpty) Seq.empty
           else {
             val withRel = readFiles(s, base, candidates.map(_.path),
               Some(schema))
@@ -740,7 +747,19 @@ object VersionedTable {
             }.foldRight(lit(-1): Column) { case ((c, i), rest) =>
               when(c, i).otherwise(rest)
             })
+        // the NOT-MATCHED-BY-SOURCE cascade mirrors the matched one,
+        // applying to rows whose left join found no source key
+        val bactIdx: Column =
+          when(col("__m").isNotNull, lit(-1)).otherwise(
+            bySource.zipWithIndex.map { case (a, i) =>
+              (a.cond.getOrElse(lit(true)), lit(i))
+            }.foldRight(lit(-1): Column) { case ((c, i), rest) =>
+              when(c, i).otherwise(rest)
+            })
         val deleteIdx = matched.zipWithIndex.collect {
+          case (_: MergeDelete, i) => i
+        }.toSet
+        val bDeleteIdx = bySource.zipWithIndex.collect {
           case (_: MergeDelete, i) => i
         }.toSet
         val rewritten: Option[DataFrame] =
@@ -748,16 +767,30 @@ object VersionedTable {
           else {
             val joined = prefixed(touched).join(srcP, keyEq, "left_outer")
               .withColumn("__act", actIdx)
-            val kept =
-              if (deleteIdx.isEmpty) joined
-              else joined.filter(!col("__act")
-                .isin(deleteIdx.toSeq.map(i => i: Any): _*))
+              .withColumn("__bact",
+                if (bySource.isEmpty) lit(-1) else bactIdx)
+            val kept = joined.filter(
+              (if (deleteIdx.isEmpty) lit(true)
+               else !col("__act")
+                 .isin(deleteIdx.toSeq.map(i => i: Any): _*)) &&
+                (if (bDeleteIdx.isEmpty) lit(true)
+                 else !col("__bact")
+                   .isin(bDeleteIdx.toSeq.map(i => i: Any): _*)))
             Some(kept.select(tCols.map { c =>
               val f = schema(c)
-              matched.zipWithIndex.foldRight(col(s"__t_$c")) {
+              val afterMatched =
+                matched.zipWithIndex.foldRight(col(s"__t_$c")) {
+                  case ((MergeUpdate(_, sets), i), rest) =>
+                    sets.find(_._1 == c)
+                      .map(sv => when(col("__act") === i, sv._2)
+                        .otherwise(rest))
+                      .getOrElse(rest)
+                  case (_, rest) => rest
+                }
+              bySource.zipWithIndex.foldRight(afterMatched) {
                 case ((MergeUpdate(_, sets), i), rest) =>
                   sets.find(_._1 == c)
-                    .map(sv => when(col("__act") === i, sv._2)
+                    .map(sv => when(col("__bact") === i, sv._2)
                       .otherwise(rest))
                     .getOrElse(rest)
                 case (_, rest) => rest

@@ -100,9 +100,6 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     * evolution are rejected loudly.
     */
   private def rewriteMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE " +
-        "(it makes the rewrite O(table), not O(affected))")
     require(!m.withSchemaEvolution,
       "graft MERGE does not support WITH SCHEMA EVOLUTION")
     val tAttrs = m.targetTable.outputSet
@@ -119,6 +116,16 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
         case a: AttributeReference if tAttrs.contains(a) =>
           throw new IllegalArgumentException(
             s"NOT MATCHED clause references target column ${a.name}")
+        case _ => ()
+      }
+      side(e)
+    }
+    def targetOnly(e: Expression): Expression = {
+      e.foreach {
+        case a: AttributeReference if sAttrs.contains(a) =>
+          throw new IllegalArgumentException(
+            s"NOT MATCHED BY SOURCE clause references source column " +
+              s"${a.name}")
         case _ => ()
       }
       side(e)
@@ -166,8 +173,19 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
       case other: MergeAction => throw new IllegalArgumentException(
         s"unsupported WHEN NOT MATCHED action: $other")
     }
+    val bySource: Seq[GraftMergeCommand.Matched] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(c, as, _) => GraftMergeCommand.MatchedUpdate(
+          c.map(e => GraftExpr(targetOnly(normalize(e)))),
+          as.map(a => (attrName(a.key),
+            GraftExpr(targetOnly(normalize(a.value))))))
+        case DeleteAction(c) => GraftMergeCommand.MatchedDelete(
+          c.map(e => GraftExpr(targetOnly(normalize(e)))))
+        case other: MergeAction => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
     GraftMergeCommand(t.base, GraftMergeCommand.Plan(m.sourceTable),
-      keys, matched, inserts, t.tableSchema)
+      keys, matched, inserts, t.tableSchema, bySource)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -264,27 +282,31 @@ case class GraftMergeCommand(base: String,
                              matched: Seq[GraftMergeCommand.Matched],
                              inserts: Seq[GraftMergeCommand.Insert],
                              targetSchema: org.apache.spark.sql.types
-                               .StructType)
+                               .StructType,
+                             bySource: Seq[GraftMergeCommand.Matched] = Nil)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftMergeCommand._
-    val src = GraftBridge.ofRows(spark, source.plan)
-    val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
-    VersionedTable.commitMergeInto(spark, base, src,
-      keys.map { case (c, h) => (c, GraftBridge.column(h.e)) },
-      matched.map {
+    def toOp(ms: Seq[Matched]): Seq[VersionedTable.MergeMatched] =
+      ms.map {
         case MatchedUpdate(c, sets) => VersionedTable.MergeUpdate(
           c.map(h => GraftBridge.column(h.e)),
           sets.map { case (n, h) => (n, GraftBridge.column(h.e)) })
         case MatchedDelete(c) => VersionedTable.MergeDelete(
           c.map(h => GraftBridge.column(h.e)))
-      },
+      }
+    val src = GraftBridge.ofRows(spark, source.plan)
+    val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
+    VersionedTable.commitMergeInto(spark, base, src,
+      keys.map { case (c, h) => (c, GraftBridge.column(h.e)) },
+      toOp(matched),
       inserts.map { case Insert(c, sets) => VersionedTable.MergeInsert(
         c.map(h => GraftBridge.column(h.e)),
         sets.map { case (n, h) => (n, GraftBridge.column(h.e)) })
       },
-      targetSchema, statsCols, bloomCols = bloomCols)
+      targetSchema, statsCols, bloomCols = bloomCols,
+      bySource = toOp(bySource))
     Seq.empty
   }
 }

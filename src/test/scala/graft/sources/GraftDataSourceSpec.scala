@@ -373,6 +373,39 @@ class GraftDataSourceSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_mrg")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync semantics") {
+    val base = mkTable("mrgsync")
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_mrgsync")
+    spark.sql(
+      s"CREATE TABLE graft_mrgsync USING graft OPTIONS (path '$base')")
+    try {
+      // the sync shape: source IS the desired state for k < 20 —
+      // matched rows update, unmatched source rows insert, and target
+      // rows ABSENT from the source either flag (small k) or delete
+      (0L until 15L).map(k => (k, k * 100L)).toDF("k", "nv")
+        .createOrReplaceTempView("sync_src")
+      spark.sql(
+        """MERGE INTO graft_mrgsync t USING sync_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.nv
+           WHEN NOT MATCHED THEN INSERT (k, v, nm) VALUES (s.k, s.nv, 'new')
+           WHEN NOT MATCHED BY SOURCE AND t.k < 25 THEN UPDATE SET v = -1
+           WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+      val got = spark.sql("SELECT k, v FROM graft_mrgsync ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // 0..14 updated to k*100; 15..24 unmatched-by-source + k<25 -> -1;
+      // 25..39 unmatched-by-source -> deleted; nothing inserted (source
+      // keys all existed)
+      assert(got === ((0L until 15L).map(k => (k, k * 100L)) ++
+        (15L until 25L).map(k => (k, -1L))))
+      // every file rewritten: the bySource clause is O(table) by nature
+      val v = VersionedTable.latestVersion(base).get
+      assert(VersionedTable.commitDelta(base, v)._3.size === 4)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mrgsync")
+  }
+
   test("TRUNCATE via an always-true DELETE leaves a readable empty table") {
     val base = mkTable("trunc")
     spark.sql("DROP TABLE IF EXISTS graft_trunc")

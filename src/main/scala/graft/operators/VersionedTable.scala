@@ -1146,6 +1146,110 @@ object VersionedTable {
     deletedFiles ++ deletedMarkers
   }
 
+  /** RESTORE TABLE TO VERSION — roll the table's LATEST state back to
+    * an earlier committed version as a NEW commit (`#op=restore`), the
+    * Delta `RESTORE` / Iceberg `rollback_to_snapshot` shape: nothing
+    * is rewritten and history is never erased — the restore is one
+    * O(changed files) manifest delta re-adding the target snapshot's
+    * entries (with their original zone maps/blooms, so pruning is
+    * exact immediately) and dropping the paths committed since. The
+    * bad-deploy undo button: a botched DELETE/UPDATE/MERGE on a
+    * 100 TB table un-happens for the cost of a metadata commit, and
+    * the mistake itself stays time-travelable for the audit trail.
+    *
+    * The restored version's declared schema is republished, so a
+    * restore across an ADD COLUMN also rolls the schema back (the
+    * Delta semantic). Requires every target data file to still exist
+    * — a restore PAST vacuum retention fails loudly before publishing
+    * rather than committing an unreadable snapshot. Concurrency-safe
+    * via the same rebase-and-retry loop as the data commits; restoring
+    * to the current latest is a provable no-op and commits nothing.
+    * Returns the new (or unchanged) latest version.
+    */
+  def restore(base: String, toV: Long, maxAttempts: Int = 5): Long =
+    retrying(maxAttempts) {
+      val latest = latestVersion(base).getOrElse(
+        throw new IllegalArgumentException(s"nothing to restore in $base"))
+      require(toV >= 1L && Files.exists(markerPath(base, toV)),
+        s"cannot restore $base to version $toV: no such committed " +
+          s"version (latest: $latest)")
+      if (toV == latest) latest
+      else {
+        val (target, targetSchema) = replay(base, toV)
+        target.foreach { e =>
+          require(Files.exists(Paths.get(base, e.path)),
+            s"cannot restore $base to version $toV: data file ${e.path} " +
+              "was vacuumed away — restore only reaches versions whose " +
+              "files vacuum retention still holds")
+        }
+        val current = entries(base, latest)
+        val currentByPath = current.map(e => e.path -> e).toMap
+        val targetPaths = target.map(_.path).toSet
+        // minimal delta: re-add only entries absent from the current
+        // snapshot (paths are content-addressed by the commit that
+        // wrote them, so an entry present in both is identical), drop
+        // only paths the target lacks
+        val adds = target.filterNot(e => currentByPath.contains(e.path))
+        val removes = current.map(_.path).filterNot(targetPaths).sorted
+        val next = latest + 1L
+        val body = (Seq(s"#op=restore") ++
+          targetSchema.map(schemaHeader).toSeq ++
+          adds.map(e => "+" + formatEntry(e)) ++ removes.map("-" + _))
+          .mkString("", "\n", "\n")
+        publish(base, next, body)
+        if (next % CheckpointEvery == 0)
+          try writeCheckpoint(base, next) catch { case _: Exception => () }
+        next
+      }
+    }
+
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit
+    * (`#op=alter_schema`): republishes the declared schema with the new
+    * fields appended — zero data files written or rewritten, so on a
+    * 100 TB table the ALTER costs one manifest line (the Delta/Iceberg
+    * metadata-evolution shape). Every existing file null-fills the new
+    * columns at read time through the declared-schema read path — the
+    * same reconciliation a widening append already exercises. Added
+    * columns are forced nullable (there is no default-value backfill,
+    * so a NOT NULL add would lie about every existing row) and must be
+    * new names — re-adding an existing column fails loudly even at an
+    * identical type (the standard catalog error, and silently absorbing
+    * it would mask caller typos). Concurrency-safe via the usual
+    * rebase-and-retry: ADD COLUMN commutes with concurrent data commits
+    * because replay takes the LAST schema header and [[mergeSchema]]
+    * re-unions on the next write. Returns the new version.
+    */
+  def alterAddColumns(base: String, newCols: Seq[StructField],
+                      maxAttempts: Int = 5): Long = {
+    require(newCols.nonEmpty, "ALTER TABLE ADD COLUMNS: no columns given")
+    val dup = newCols.groupBy(_.name.toLowerCase).collect {
+      case (n, fs) if fs.sizeIs > 1 => n
+    }
+    require(dup.isEmpty,
+      s"duplicate column name(s) in ADD COLUMNS: ${dup.mkString(", ")}")
+    retrying(maxAttempts) {
+      val latest = latestVersion(base).getOrElse(
+        throw new IllegalArgumentException(s"no graft table at $base"))
+      val prev = declaredSchema(base, latest).getOrElse(
+        throw new IllegalArgumentException(
+          s"$base predates schema headers — no declared schema to alter"))
+      val prevNames = prev.fieldNames.map(_.toLowerCase).toSet
+      newCols.foreach { f =>
+        require(!prevNames.contains(f.name.toLowerCase),
+          s"cannot ADD COLUMN '${f.name}': it already exists in $base")
+      }
+      val declared =
+        StructType(prev.fields ++ newCols.map(_.copy(nullable = true)))
+      val next = latest + 1L
+      publish(base, next,
+        Seq(s"#op=alter_schema", schemaHeader(declared))
+          .mkString("", "\n", "\n"))
+      if (next % CheckpointEvery == 0)
+        try writeCheckpoint(base, next) catch { case _: Exception => () }
+      next
+    }
+  }
+
   /** Change data feed between two committed versions: one row per key
     * whose state differs, tagged insert/update/delete with old and new
     * value columns side by side (the Delta-CDF idea reconstructed from

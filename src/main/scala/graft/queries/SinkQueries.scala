@@ -1877,6 +1877,108 @@ object SinkQueries {
         ORDER BY version
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q174: RESTORE TO VERSION from SQL (r11) — the undo button as a
+    // stored procedure (`CALL graft.system.restore`, the Iceberg
+    // rollback_to_snapshot idiom on Spark 4's native ProcedureCatalog
+    // API): a zone-map-scoped SQL DELETE (the bad deploy) is rolled
+    // back by ONE O(changed files) metadata commit that re-adds the
+    // deleted span's original files and drops the delete's rewrites —
+    // nothing is recopied, and the mistake stays time-travelable.
+    // Fixture: lineitem in 8 one-file orderkey-bin commits; DELETE a
+    // two-sixteenths span (v9) through the catalog; CALL restore to
+    // v8 (v10). Output: post-delete and post-restore counts/sums plus
+    // the restore commit's re-added/dropped file counts and the new
+    // version. The oracle recomputes everything from raw lineitem +
+    // per-bin arithmetic — a restore that loses a row, forgets a
+    // file, rewrites data it could carry as metadata, or publishes
+    // the wrong version number hash-fails.
+    Q("q174_sql_restore",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val ns = s"q174_${java.util.UUID.randomUUID().toString.take(8)}"
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$ns/t"
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val (dlo, dhi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+            statsCols = Seq("l_orderkey"))
+        }
+        try {
+          s.sql(s"DELETE FROM graft.$ns.t WHERE l_orderkey " +
+            s"BETWEEN ${dlo}L AND ${dhi}L")
+          val del = s.sql("SELECT count(*) AS n, sum(qty_e2) AS q " +
+            s"FROM graft.$ns.t").head()
+          val r = s.sql(s"CALL graft.system.restore('$ns.t', 8)").head()
+          val post = s.sql("SELECT count(*) AS n, sum(qty_e2) AS q " +
+            s"FROM graft.$ns.t").head()
+          val (op, adds, removes) =
+            VersionedTable.commitDelta(base, r.getLong(1))
+          require(op == "restore", s"expected a restore commit, got $op")
+          import s.implicits._
+          Seq((del.getLong(0), del.getLong(1), post.getLong(0),
+            post.getLong(1), adds.size.toLong, removes.size.toLong,
+            r.getLong(1)))
+            .toDF("n_del", "qty_del", "n_post", "qty_post",
+              "files_readded", "files_dropped", "new_version")
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS graft.$ns.t")
+          t.unpersist(); ()
+        }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS dlo,
+                 olo + (span * 7) // 16 - 1 AS dhi
+          FROM b
+        ), x AS (
+          SELECT t.*, (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        ), touched AS (
+          SELECT bin,
+                 COUNT(CASE WHEN l_orderkey NOT BETWEEN dlo AND dhi
+                       THEN 1 END) AS survivors
+          FROM x, pr
+          GROUP BY bin, dlo, dhi
+          HAVING MAX(l_orderkey) >= dlo AND MIN(l_orderkey) <= dhi
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t, pr
+            WHERE l_orderkey NOT BETWEEN dlo AND dhi) AS n_del,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t, pr
+            WHERE l_orderkey NOT BETWEEN dlo AND dhi) AS qty_del,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_post,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM touched) AS files_readded,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM touched
+            WHERE survivors > 0) AS files_dropped,
+          CAST(10 AS BIGINT) AS new_version
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.VersionedTable
+
+/** The table format's MAINTENANCE surface as SQL stored procedures —
+  * the Iceberg `CALL catalog.system.<proc>(...)` idiom on Spark 4's
+  * native `ProcedureCatalog` API, so the ops loop a 100 TB table
+  * lives by (roll back a bad deploy, reclaim storage, compact small
+  * files, recluster for skipping) is plain SQL a scheduler can run —
+  * no JVM library call, no engine internals in the runbook:
+  *
+  * {{{
+  *   CALL graft.system.restore('ns.t', 8)        -- undo to version 8
+  *   CALL graft.system.vacuum('ns.t', 9)         -- erase pre-9 files
+  *   CALL graft.system.compact('ns.t', 4, 'k')   -- 4 files, stats on k
+  *   CALL graft.system.zorder('ns.t', 'a', 'b', 4)
+  * }}}
+  *
+  * Each procedure resolves its table argument through the SAME
+  * warehouse layout [[GraftCatalog]] resolves names with (the path IS
+  * the identity — no second source of truth), delegates to the
+  * [[VersionedTable]] maintenance op, and returns a one-row
+  * `LocalScan` result (zero tasks — the ops themselves are
+  * metadata-plane or internally distributed). Scale: `restore` is an
+  * O(changed files) manifest commit; `vacuum` a driver-plane listing
+  * diff; `compact`/`zorder` cluster-side rewrites bounded by the live
+  * snapshot, committed through the same optimistic-retry protocol as
+  * every data write.
+  */
+private[sources] object GraftProcedures {
+
+  /** One self-binding procedure: the parameter list is declared, so
+    * `bind` is the identity (Spark's `InvokeProcedures` has already
+    * aligned positional/named CALL args to `parameters()` order).
+    */
+  private final class Proc(
+      procName: String,
+      doc: String,
+      params: Seq[(String, DataType, String)],
+      result: StructType,
+      body: InternalRow => Seq[Any])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t, c) =>
+        ProcedureParameter.in(n, t).comment(c).build()
+      }.toArray
+    // maintenance ops mutate the commit log — never cacheable
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val row: InternalRow = new GenericInternalRow(body(input).toArray)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = result
+      }
+      Seq(scan).iterator.asJava
+    }
+  }
+
+  private def out(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) })
+
+  private val tableParam =
+    ("table", StringType: DataType,
+      "table name inside this catalog, e.g. 'ns.t'")
+
+  /** Comma-separated column list → Seq (empty string = none). */
+  private def cols(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  def names: Seq[String] = Seq("restore", "vacuum", "compact", "zorder")
+
+  /** Procedures for one catalog instance; `tableBase` is the
+    * catalog's name→commit-log-base resolution.
+    */
+  def load(name: String, tableBase: String => String): Option[UnboundProcedure] = {
+    def base(in: InternalRow): String = {
+      val b = tableBase(in.getUTF8String(0).toString)
+      require(VersionedTable.latestVersion(b).isDefined,
+        s"no graft table at $b (never committed)")
+      b
+    }
+    name match {
+      case "restore" => Some(new Proc("restore",
+        "roll the table back to an earlier version as a new commit " +
+          "(history preserved; O(changed files) metadata only)",
+        Seq(tableParam,
+          ("version", LongType, "committed version to restore to")),
+        out("restored_to" -> LongType, "version" -> LongType),
+        in => {
+          val toV = in.getLong(1)
+          Seq(toV, VersionedTable.restore(base(in), toV))
+        }))
+      case "vacuum" => Some(new Proc("vacuum",
+        "physically delete files unreferenced by any version >= " +
+          "retain_from (checkpoints the truncation point first)",
+        Seq(tableParam,
+          ("retain_from", LongType, "oldest version to keep readable")),
+        out("files_deleted" -> LongType),
+        in => Seq(
+          VersionedTable.vacuum(base(in), in.getLong(1)).size.toLong)))
+      case "compact" => Some(new Proc("compact",
+        "rewrite the latest snapshot into num_files files as a new " +
+          "commit (small-file maintenance; old version stays readable)",
+        Seq(tableParam,
+          ("num_files", IntegerType, "target file count"),
+          ("stats_cols", StringType,
+            "comma-separated zone-map columns ('' = none)")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.compact(SparkSession.active, base(in),
+          in.getInt(1), cols(in.getUTF8String(2).toString)))))
+      case "zorder" => Some(new Proc("zorder",
+        "OPTIMIZE ZORDER BY (col_a, col_b): rewrite the latest " +
+          "snapshot Morton-clustered so zone-map skipping bites on " +
+          "multi-key predicates",
+        Seq(tableParam,
+          ("col_a", StringType, "first z-order column"),
+          ("col_b", StringType, "second z-order column"),
+          ("num_files", IntegerType, "target file count")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.optimize(SparkSession.active, base(in),
+          (in.getUTF8String(1).toString, in.getUTF8String(2).toString),
+          in.getInt(3)))))
+      case _ => None
+    }
+  }
+
+  def identifiers: Array[Identifier] =
+    names.map(n => Identifier.of(Array("system"), n)).toArray
+}

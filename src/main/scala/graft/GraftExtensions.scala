@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE on graft tables -> the commit protocol's zone-map-
     // scoped copy-on-write rewrite (see GraftDmlRewrite scaladoc)
     ext.injectResolutionRule(_ => graft.plans.GraftDmlRewrite)
+    // deletion-vector reads: a graft relation whose snapshot carries
+    // DVs becomes union(clean DSv2 scan, position-filtered dv leg).
+    // Optimizer-stage on purpose: after analysis (count(*) detectable)
+    // but before V2ScanRelationPushDown (relation still rewritable) —
+    // see GraftDvReadRewrite scaladoc
+    ext.injectOptimizerRule(_ => graft.plans.GraftDvReadRewrite)
     // commit-log audit surfaces as table-valued functions:
     // graft_history(t), graft_changes(t, from, to, key)
     graft.plans.GraftTableFunctions.functions.foreach(ext.injectTableFunction)

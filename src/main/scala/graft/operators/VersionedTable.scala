@@ -169,13 +169,31 @@ object VersionedTable {
       LongRange(col, lo.toEpochDay, hi.toEpochDay)
   }
 
+  /** A data file's DELETION VECTOR reference: `path` (relative to the
+    * table base) names a sidecar file of row positions
+    * (`_metadata.row_index` values, one per line, sorted) that are
+    * DELETED from the data file without rewriting it — merge-on-read,
+    * the Delta/Iceberg v2 position-delete idea. `count` is the exact
+    * number of positions, so `count(*)` stays manifest-answerable
+    * (physical rows − deleted rows). Sidecars are immutable like data
+    * files: a later MoR delete writes a NEW merged sidecar and swaps
+    * the manifest token — time travel and the change feed come free.
+    */
+  final case class DvRef(path: String, count: Long)
+
   /** One manifest line: a data file path (relative to the table base)
-    * plus its zone-map stats and exact row count (`-1` = unknown, for
+    * plus its zone-map stats, exact row count (`-1` = unknown, for
     * manifests published before row counts existed — the aggregate
-    * pushdown refuses rather than guesses on those).
+    * pushdown refuses rather than guesses on those), and the file's
+    * deletion vector, if any rows are soft-deleted ([[DvRef]]).
     */
   final case class ManifestEntry(path: String, stats: Map[String, Stat],
-                                 rows: Long = -1L)
+                                 rows: Long = -1L,
+                                 dv: Option[DvRef] = None) {
+    /** Live (non-deleted) rows, when the physical count is known. */
+    def liveRows: Long =
+      if (rows < 0L) -1L else rows - dv.map(_.count).getOrElse(0L)
+  }
 
   private def logDir(base: String): Path = Paths.get(base, "_log")
 
@@ -246,15 +264,22 @@ object VersionedTable {
   }
 
   private val RowsTag = "#rows="
+  private val DvTag = "#dv="
 
   private def parseEntry(line: String): ManifestEntry = {
     val toks = line.split('\t')
-    // `#rows=N` is a reserved token (stats columns may not contain
-    // '#'-free '=' splits that collide: commitAt rejects '=' in names)
+    // `#rows=N` / `#dv=count:path` are reserved tokens (stats columns
+    // may not contain '#'-free '=' splits that collide: commitAt
+    // rejects '=' in names)
     val rows = toks.iterator.drop(1).find(_.startsWith(RowsTag))
       .map(_.stripPrefix(RowsTag).toLong).getOrElse(-1L)
+    val dv = toks.iterator.drop(1).find(_.startsWith(DvTag)).map { t =>
+      val Array(cnt, p) = t.stripPrefix(DvTag).split(":", 2)
+      DvRef(p, cnt.toLong)
+    }
     val stats: Map[String, Stat] = toks.iterator.drop(1)
-      .filterNot(_.startsWith(RowsTag)).map { t =>
+      .filterNot(t => t.startsWith(RowsTag) || t.startsWith(DvTag))
+      .map { t =>
         val Array(c, range) = t.split("=", 2)
         if (range.startsWith(StrTag)) {
           val Array(lo, hi) = range.stripPrefix(StrTag).split("\\.\\.", 2)
@@ -268,12 +293,13 @@ object VersionedTable {
           c -> ColStats(lo.toLong, hi.toLong)
         }
       }.toMap
-    ManifestEntry(toks.head, stats, rows)
+    ManifestEntry(toks.head, stats, rows, dv)
   }
 
   private def formatEntry(e: ManifestEntry): String =
     (e.path +:
-      (if (e.rows >= 0L) Seq(s"$RowsTag${e.rows}") else Seq.empty) ++:
+      ((if (e.rows >= 0L) Seq(s"$RowsTag${e.rows}") else Seq.empty) ++
+        e.dv.map(d => s"$DvTag${d.count}:${d.path}").toSeq) ++:
       e.stats.toSeq.sortBy(_._1).map {
         case (c, ColStats(lo, hi)) => s"$c=$lo..$hi"
         case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
@@ -473,6 +499,79 @@ object VersionedTable {
     }
   }
 
+  /** A scanned row's manifest-relative source file (`d{v}-{nonce}/f`),
+    * computed AT the scan (metadata columns resolve only on the file
+    * relation itself, never across a join).
+    */
+  private def relPathExpr: Column =
+    regexp_extract(col("_metadata.file_path"), "/(d[0-9]+-[^/]+/[^/]+)$", 1)
+
+  /** Deleted positions of the given dv'd entries as a distributed
+    * (`__dvrel`, `__dvpos`) frame — one text read per sidecar, total
+    * rows ∝ soft-deleted rows (never ∝ table). Callers broadcast it
+    * into the anti-join.
+    */
+  private[graft] def dvPositionsFrame(s: SparkSession, base: String,
+                                      es: Seq[ManifestEntry]): DataFrame =
+    es.flatMap(e => e.dv.map(d => (e.path, d.path))).map {
+      case (rel, dvPath) =>
+        s.read.textFile(s"$base/$dvPath")
+          .select(lit(rel).as("__dvrel"),
+            col("value").cast("long").as("__dvpos"))
+    }.reduce(_.unionAll(_))
+
+  /** Read manifest entries APPLYING their deletion vectors — the one
+    * read primitive every snapshot-consuming path (time travel, DML
+    * rewrites, MERGE, compaction, change feed, the DSv2 DV rewrite)
+    * funnels through, so a soft-deleted row can never resurrect.
+    *
+    * Plan shape: entries WITHOUT a DV take the exact bulk-parquet scan
+    * a DV-less table always took (zero overhead, identical plan);
+    * entries WITH a DV scan with `_metadata.row_index` and drop their
+    * deleted positions via ONE broadcast hash LEFT ANTI join against
+    * the (file, position) sidecar frame — cost ∝ dv'd files' rows +
+    * deleted positions, codegen-friendly, nothing driver-side. With
+    * `withRel` the result keeps a `__rel` column naming each row's
+    * source file (the MERGE touched-file discovery needs it; computed
+    * at the scan because metadata columns don't survive joins).
+    */
+  private[graft] def readEntries(s: SparkSession, base: String,
+                                 es: Seq[ManifestEntry],
+                                 schemaOpt: Option[StructType],
+                                 withRel: Boolean = false): DataFrame = {
+    val (dvd, clean) = es.partition(_.dv.exists(_.count > 0L))
+    val cols = schemaOpt.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    def projected(df: DataFrame): DataFrame = {
+      val dataCols = if (cols.nonEmpty) cols else
+        df.columns.toSeq.filterNot(Seq("__rel", "__pos").contains)
+      df.select((dataCols ++ (if (withRel) Seq("__rel") else Nil))
+        .map(col): _*)
+    }
+    val cleanDf =
+      if (clean.isEmpty) None
+      else {
+        val raw = readFiles(s, base, clean.map(_.path), schemaOpt)
+        Some(if (withRel) projected(raw.withColumn("__rel", relPathExpr))
+             else raw)
+      }
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val raw = readFiles(s, base, dvd.map(_.path), schemaOpt)
+          .withColumn("__rel", relPathExpr)
+          .withColumn("__pos", col("_metadata.row_index"))
+        val alive = raw.join(broadcast(dvPositionsFrame(s, base, dvd)),
+          raw("__rel") === col("__dvrel") && raw("__pos") === col("__dvpos"),
+          "left_anti")
+        Some(projected(alive))
+      }
+    (cleanDf, dvdDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).getOrElse(
+        throw new IllegalArgumentException("readEntries of zero entries"))
+    }
+  }
+
   private def emptyFrame(s: SparkSession, base: String, v: Long,
                          schemaOpt: Option[StructType]): DataFrame = {
     val st = schemaOpt.getOrElse(throw new IllegalArgumentException(
@@ -490,7 +589,7 @@ object VersionedTable {
   def readVersion(s: SparkSession, base: String, v: Long): DataFrame = {
     val (es, schema) = replay(base, v)
     if (es.isEmpty) emptyFrame(s, base, v, schema)
-    else readFiles(s, base, es.map(_.path), schema)
+    else readEntries(s, base, es, schema)
   }
 
   /** Time travel THROUGH the zone maps: read version `v` opening only
@@ -515,7 +614,7 @@ object VersionedTable {
       else if (schema.isDefined) emptyFrame(s, base, v, schema)
       // schema-preserving empty frame for pre-header manifests
       else readFiles(s, base, Seq(all.head.path), None).limit(0)
-    } else readFiles(s, base, kept.map(_.path), schema)
+    } else readEntries(s, base, kept, schema)
   }
 
   def readLatest(s: SparkSession, base: String): DataFrame = {
@@ -698,8 +797,9 @@ object VersionedTable {
         val keyEq = keys.map { case (tCol, _) =>
           col(s"__t_$tCol") === col(s"__k_$tCol")
         }.reduce(_ && _)
+        val byPath = es.map(e => e.path -> e).toMap
         def prefixed(paths: Seq[String]): DataFrame = {
-          val df = readFiles(s, base, paths, Some(schema))
+          val df = readEntries(s, base, paths.map(byPath), Some(schema))
           df.select(df.columns.toSeq.map(c => col(c).as(s"__t_$c")): _*)
         }
         // 2. touched files: candidates that actually hold a matching key
@@ -712,12 +812,10 @@ object VersionedTable {
           if (bySource.nonEmpty) es.map(_.path).sorted
           else if (candidates.isEmpty) Seq.empty
           else {
-            val withRel = readFiles(s, base, candidates.map(_.path),
-              Some(schema))
+            val withRel = readEntries(s, base, candidates,
+              Some(schema), withRel = true)
               .select(keys.map { case (tCol, _) =>
-                col(tCol).as(s"__t_$tCol") } :+
-                regexp_extract(col("_metadata.file_path"),
-                  "/(d[0-9]+-[^/]+/[^/]+)$", 1).as("__rel"): _*)
+                col(tCol).as(s"__t_$tCol") } :+ col("__rel"): _*)
             withRel.join(srcP, keyEq, "left_semi")
               .select(col("__rel")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
@@ -936,17 +1034,140 @@ object VersionedTable {
       else {
         val untouched = es.filterNot(touched.toSet)
         if (verifyFootprint && untouched.nonEmpty) {
-          val leaked = readFiles(s, base, untouched.map(_.path), schema)
+          val leaked = readEntries(s, base, untouched, schema)
             .filter(rowPred).count()
           require(leaked == 0L,
             s"commitDelete footprint violation: $leaked row(s) matching " +
               s"rowPred live in the ${untouched.size} file(s) pruneRanges " +
               "excluded — the delete would be silently incomplete")
         }
-        val remaining = readFiles(s, base, touched.map(_.path), schema)
+        val remaining = readEntries(s, base, touched, schema)
           .filter(!rowPred)
         commitAt(s, base, remaining, "delete", statsCols, prevV,
           bloomCols = bloomCols)(fresh => (fresh, touched.map(_.path)))
+      }
+    }
+
+  /** The deleted positions of one sidecar, driver-side (sidecars are
+    * ∝ deleted rows — metadata-plane by the MoR size contract below).
+    */
+  private[graft] def dvPositions(base: String, dvPath: String): Seq[Long] =
+    Files.readAllLines(Paths.get(base, dvPath)).asScala
+      .filter(_.nonEmpty).map(_.toLong).toSeq
+
+  /** Merge-on-read DELETE — DELETION VECTORS, the point-delete
+    * complement to [[commitDelete]]'s copy-on-write: instead of
+    * rewriting every touched file whole, the commit writes one tiny
+    * SIDECAR of deleted row positions per touched file and swaps the
+    * manifest token (`-path` + `+path … #dv=count:sidecar`) — the
+    * Delta deletion-vector / Iceberg positional-delete shape. A
+    * single-row GDPR delete on a 100 TB table costs one row-position
+    * scan of the implicated file(s) plus bytes ∝ deleted rows, where
+    * copy-on-write pays a full rewrite of every implicated file. Reads
+    * drop the positions via a broadcast anti-join ([[readEntries]]);
+    * compaction/OPTIMIZE fold the vectors away (their rewrites read
+    * DV-applied and write clean files); `count(*)` stays
+    * manifest-answered (physical − deleted).
+    *
+    * Same contract as [[commitDelete]]: `pruneRanges`/`pruneProbes`
+    * scope the footprint (only implicated files are even scanned; the
+    * bloom-probe path makes a scattered-key point delete touch ~1
+    * file), `verifyFootprint` audits the contract, a no-match delete
+    * commits nothing, old state stays time-travelable and the change
+    * feed emits the soft-deleted rows as `delete` rows (before/after
+    * of the swapped entry differ by exactly the new positions).
+    *
+    * A file whose vector would cover EVERY physical row drops from the
+    * manifest entirely (no sidecar, no read cost). Stacking MoR
+    * deletes merge positions into a fresh immutable sidecar — vectors
+    * never mutate, so time travel reads each version's own sidecar.
+    *
+    * Size contract: matched positions are collected to the driver to
+    * write the sidecars (bytes ∝ deleted rows, like the manifest
+    * write itself); `maxPositions` fails loudly past the point where
+    * a delete is no longer "point" — use [[commitDelete]] there, the
+    * same guidance Delta gives for wide deletes.
+    */
+  def commitDeleteMoR(s: SparkSession, base: String,
+                      rowPred: Column,
+                      pruneRanges: Seq[(String, Long, Long)] = Nil,
+                      maxAttempts: Int = 5,
+                      verifyFootprint: Boolean = false,
+                      pruneProbes: Seq[PruneRange] = Nil,
+                      maxPositions: Long = 10000000L): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to delete from in $base")
+      val (es, schema) = replay(base, prevV.get)
+      val touched = pruneTyped(es,
+        pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
+          pruneProbes)
+      if (touched.isEmpty) prevV.get
+      else {
+        val untouched = es.filterNot(touched.toSet)
+        if (verifyFootprint && untouched.nonEmpty) {
+          val leaked = readEntries(s, base, untouched, schema)
+            .filter(rowPred).count()
+          require(leaked == 0L,
+            s"commitDeleteMoR footprint violation: $leaked row(s) " +
+              s"matching rowPred live in the ${untouched.size} file(s) " +
+              "pruneRanges excluded — the delete would be silently " +
+              "incomplete")
+        }
+        // matching LIVE positions (DV-applied read: already-deleted
+        // rows can't re-match, so stacked deletes stay exact)
+        val raw = readFiles(s, base, touched.map(_.path), schema)
+          .withColumn("__rel", relPathExpr)
+          .withColumn("__pos", col("_metadata.row_index"))
+        val dvd = touched.filter(_.dv.exists(_.count > 0L))
+        val live =
+          if (dvd.isEmpty) raw
+          else raw.join(broadcast(dvPositionsFrame(s, base, dvd)),
+            raw("__rel") === col("__dvrel") &&
+              raw("__pos") === col("__dvpos"), "left_anti")
+        val matchedDf = live.filter(rowPred)
+          .select(col("__rel"), col("__pos")).persist()
+        try {
+          val cnt = matchedDf.count()
+          require(cnt <= maxPositions,
+            s"commitDeleteMoR matched $cnt rows (> maxPositions " +
+              s"$maxPositions): this is a wide delete — use the " +
+              "copy-on-write commitDelete, which rewrites instead of " +
+              "accumulating vectors that large")
+          if (cnt == 0L) prevV.get // provable no-op: commit nothing
+          else {
+            val byFile = matchedDf.collect()
+              .map(r => (r.getString(0), r.getLong(1)))
+              .groupBy(_._1).map { case (p, ps) => p -> ps.map(_._2).toSeq }
+            val next = prevV.get + 1L
+            val dir = f"d$next-${java.util.UUID.randomUUID().toString.take(8)}"
+            Files.createDirectories(Paths.get(base, dir))
+            val byPath = es.map(e => e.path -> e).toMap
+            val swapped = byFile.toSeq.sortBy(_._1).zipWithIndex.map {
+              case ((p, newPos), i) =>
+                val e = byPath(p)
+                val prevPos = e.dv
+                  .map(d => dvPositions(base, d.path)).getOrElse(Seq.empty)
+                val all = (prevPos ++ newPos).distinct.sorted
+                if (e.rows >= 0L && all.size.toLong == e.rows) (p, None)
+                else {
+                  val dvName = s"$dir/dv-$i.dv"
+                  Files.write(Paths.get(base, dvName),
+                    all.mkString("", "\n", "\n").getBytes("UTF-8"))
+                  (p, Some(e.copy(dv = Some(DvRef(dvName, all.size.toLong)))))
+                }
+            }
+            val body = (Seq("#op=delete_mor") ++
+              schema.map(schemaHeader).toSeq ++
+              swapped.map { case (p, _) => "-" + p } ++
+              swapped.flatMap(_._2).map(e => "+" + formatEntry(e)))
+              .mkString("", "\n", "\n")
+            publish(base, next, body)
+            if (next % CheckpointEvery == 0)
+              try writeCheckpoint(base, next) catch { case _: Exception => () }
+            next
+          }
+        } finally { matchedDf.unpersist(); () }
       }
     }
 
@@ -985,7 +1206,7 @@ object VersionedTable {
           pruneProbes)
       if (touched.isEmpty) prevV.get
       else {
-        val rows = readFiles(s, base, touched.map(_.path), schema)
+        val rows = readEntries(s, base, touched, schema)
         val setMap = sets.toMap
         setMap.keys.foreach(c => require(rows.columns.contains(c),
           s"SET column '$c' is not a table column " +
@@ -1089,7 +1310,8 @@ object VersionedTable {
       writeCheckpoint(base, retainFrom)
     val referenced = (retainFrom to latest)
       .filter(v => Files.exists(markerPath(base, v)))
-      .flatMap(v => entries(base, v).map(_.path)).toSet
+      .flatMap(v => entries(base, v)
+        .flatMap(e => e.path +: e.dv.map(_.path).toSeq)).toSet
     val dataDirs = {
       val stream = Files.list(Paths.get(base))
       try stream.iterator().asScala
@@ -1126,10 +1348,11 @@ object VersionedTable {
           rels
         }
       } else {
-        // live dir: delete only unreferenced DATA files — writer
-        // bookkeeping stays with the files it describes
+        // live dir: delete only unreferenced DATA files and deletion
+        // vectors — writer bookkeeping stays with the files it
+        // describes
         val victims = files.zip(rels).filter { case (f, rel) =>
-          rel.endsWith(".parquet") &&
+          (rel.endsWith(".parquet") || rel.endsWith(".dv")) &&
             !f.getFileName.toString.startsWith(".") &&
             !referenced.contains(rel)
         }
@@ -1177,24 +1400,34 @@ object VersionedTable {
       else {
         val (target, targetSchema) = replay(base, toV)
         target.foreach { e =>
-          require(Files.exists(Paths.get(base, e.path)),
-            s"cannot restore $base to version $toV: data file ${e.path} " +
-              "was vacuumed away — restore only reaches versions whose " +
-              "files vacuum retention still holds")
+          (e.path +: e.dv.map(_.path).toSeq).foreach { p =>
+            require(Files.exists(Paths.get(base, p)),
+              s"cannot restore $base to version $toV: file $p " +
+                "was vacuumed away — restore only reaches versions whose " +
+                "files vacuum retention still holds")
+          }
         }
         val current = entries(base, latest)
         val currentByPath = current.map(e => e.path -> e).toMap
         val targetPaths = target.map(_.path).toSet
-        // minimal delta: re-add only entries absent from the current
-        // snapshot (paths are content-addressed by the commit that
-        // wrote them, so an entry present in both is identical), drop
-        // only paths the target lacks
-        val adds = target.filterNot(e => currentByPath.contains(e.path))
-        val removes = current.map(_.path).filterNot(targetPaths).sorted
+        // minimal delta: re-add only entries whose current-snapshot
+        // state DIFFERS (data files are immutable, but a MoR delete
+        // swaps the same path's dv token — restoring across one must
+        // republish the target's entry), drop only paths the target
+        // lacks. Same-path swaps emit `-` AND `+` (removes precede
+        // adds in the body), so replay lands on the target entry and
+        // the change feed diffs exactly the resurrected rows.
+        // compare by manifest-line form: entry equality via case-class
+        // == would bite on BloomStats' Array[Byte] (reference equality)
+        val adds = target.filterNot(e => currentByPath.get(e.path)
+          .map(formatEntry).contains(formatEntry(e)))
+        val removes = current.map(_.path)
+          .filter(p => !targetPaths.contains(p) ||
+            adds.exists(_.path == p)).sorted
         val next = latest + 1L
         val body = (Seq(s"#op=restore") ++
           targetSchema.map(schemaHeader).toSeq ++
-          adds.map(e => "+" + formatEntry(e)) ++ removes.map("-" + _))
+          removes.map("-" + _) ++ adds.map(e => "+" + formatEntry(e)))
           .mkString("", "\n", "\n")
         publish(base, next, body)
         if (next % CheckpointEvery == 0)
@@ -1286,10 +1519,10 @@ object VersionedTable {
     val frames = ((fromV + 1) to toV).map { v =>
       val (_, adds, removes) = commitDelta(base, v)
       val schemaOpt = replay(base, v)._2
-      def readSet(paths: Seq[String]): DataFrame =
-        if (paths.isEmpty) emptyFrame(s, base, v, schemaOpt)
-        else readFiles(s, base, paths, schemaOpt)
-      val after = readSet(adds.map(_.path))
+      def readSet(set: Seq[ManifestEntry]): DataFrame =
+        if (set.isEmpty) emptyFrame(s, base, v, schemaOpt)
+        else readEntries(s, base, set, schemaOpt)
+      val after = readSet(adds)
       val tagged =
         if (removes.isEmpty) {
           // pure append: the added files' rows ARE the inserts
@@ -1299,7 +1532,14 @@ object VersionedTable {
               .as(s"${c}_old")) ++
               valCols.map(c => col(c).as(s"${c}_new"))) :+
             lit("insert").as("change_type")): _*)
-        } else diffFrames(readSet(removes), after, keyCol)
+        } else {
+          // removed paths read at their PRE-commit state: the previous
+          // snapshot's entries carry the dv each file had BEFORE this
+          // commit (a MoR delete swaps the dv token, so before/after
+          // diff exactly the newly soft-deleted rows)
+          val prevByPath = entries(base, v - 1L).map(e => e.path -> e).toMap
+          diffFrames(readSet(removes.map(prevByPath)), after, keyCol)
+        }
       tagged.select(lit(v).as("version") +: tagged.columns.map(col): _*)
     }
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))

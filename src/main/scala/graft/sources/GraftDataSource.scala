@@ -186,14 +186,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   * None for a created-but-never-committed table: it reads as zero rows
   * of the declared schema and accepts the first write.
   */
-class GraftTable(val base: String, version: Option[Long],
+class GraftTable(val base: String, val snapshotVersion: Option[Long],
                  val tableSchema: StructType,
-                 val acceptAnySchema: Boolean = true)
+                 val acceptAnySchema: Boolean = true,
+                 val dvCleanOnly: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
-    s"graft.`$base` (versionAsOf=${version.getOrElse(0L)})"
+    s"graft.`$base` (versionAsOf=${snapshotVersion.getOrElse(0L)})"
 
   override def schema(): StructType = tableSchema
 
@@ -203,7 +204,26 @@ class GraftTable(val base: String, version: Option[Long],
     * re-targets the relation at a strict copy first.
     */
   def strict: GraftTable =
-    new GraftTable(base, version, tableSchema, acceptAnySchema = false)
+    new GraftTable(base, snapshotVersion, tableSchema, acceptAnySchema = false)
+
+  /** The resolved snapshot's manifest entries (plan-time driver
+    * metadata, like the pruning itself).
+    */
+  def snapshotEntries: Seq[ManifestEntry] =
+    snapshotVersion.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty)
+
+  /** This table restricted to entries WITHOUT a deletion vector — the
+    * clean leg of [[graft.plans.GraftDvReadRewrite]]'s union, which
+    * keeps Spark's full parquet scan + pushdown machinery for the
+    * files that need no position filtering.
+    */
+  def cleanOnly: GraftTable =
+    new GraftTable(base, snapshotVersion, tableSchema, acceptAnySchema,
+      dvCleanOnly = true)
+
+  private def scanEntries: Seq[ManifestEntry] =
+    if (dvCleanOnly) snapshotEntries.filterNot(_.dv.exists(_.count > 0L))
+    else snapshotEntries
 
   // BATCH_WRITE advertises writability to the planner; the V1Write the
   // builder produces still routes through the V1-fallback write exec.
@@ -221,14 +241,13 @@ class GraftTable(val base: String, version: Option[Long],
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
+    val es = scanEntries
     val delegate = ParquetScanBuilder(spark,
-      new GraftFileIndex(spark, base, version, tableSchema),
+      new GraftFileIndex(spark, base, es, tableSchema),
       tableSchema, tableSchema, options)
     // the wrapper adds manifest-answered COUNT/MIN/MAX pushdown and
     // forwards filters/column pruning to the parquet builder verbatim
-    new GraftScanBuilder(delegate, base,
-      version.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty),
-      tableSchema)
+    new GraftScanBuilder(delegate, base, es, tableSchema)
   }
 
   /** SQL `DELETE FROM` — routed straight into the commit protocol's
@@ -261,13 +280,24 @@ class GraftTable(val base: String, version: Option[Long],
     val probes = translated.collect {
       case p: VersionedTable.KeyProbe => p
     }
-    // rewritten files keep the table's own stats discipline (the
-    // union of zone-map/bloom columns any current file carries) —
-    // otherwise a delete would silently strip them and later
-    // deletes/reads lose their pruning
-    val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
-    VersionedTable.commitDelete(s, base, rowPred, ranges.toSeq, statsCols,
-      bloomCols = bloomCols, pruneProbes = probes.toSeq)
+    // session conf routes between the two delete disciplines:
+    // copy-on-write (default — rewrites implicated files whole) and
+    // merge-on-read (`spark.graft.delete.mode=mor` — writes deletion
+    // vectors; the point-delete shape, folded away by compaction)
+    val mor = s.conf.getOption("spark.graft.delete.mode")
+      .exists(_.equalsIgnoreCase("mor"))
+    if (mor)
+      VersionedTable.commitDeleteMoR(s, base, rowPred, ranges.toSeq,
+        pruneProbes = probes.toSeq)
+    else {
+      // rewritten files keep the table's own stats discipline (the
+      // union of zone-map/bloom columns any current file carries) —
+      // otherwise a delete would silently strip them and later
+      // deletes/reads lose their pruning
+      val (statsCols, bloomCols) = VersionedTable.statsDiscipline(base)
+      VersionedTable.commitDelete(s, base, rowPred, ranges.toSeq, statsCols,
+        bloomCols = bloomCols, pruneProbes = probes.toSeq)
+    }
     ()
   }
 
@@ -337,15 +367,11 @@ class GraftTable(val base: String, version: Option[Long],
   * (`TahoeFileIndex` in Delta, `SparkScan`'s planning in Iceberg).
   */
 class GraftFileIndex(spark: SparkSession, base: String,
-                     version: Option[Long], schema: StructType)
+                     manifest: Seq[ManifestEntry], schema: StructType)
     extends InMemoryFileIndex(spark,
-      version.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty)
-        .map(e => new HPath(s"$base/${e.path}")),
+      manifest.map(e => new HPath(s"$base/${e.path}")),
       Map.empty[String, String], Some(schema),
       FileStatusCache.getOrCreate(spark)) {
-
-  private val manifest: Seq[ManifestEntry] =
-    version.map(v => VersionedTable.entries(base, v)).getOrElse(Seq.empty)
 
   /** A data file's manifest-relative name: `d{v}-{nonce}/part-*`. */
   private def relName(p: HPath): String = s"${p.getParent.getName}/${p.getName}"

@@ -138,10 +138,12 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, base: String,
       f: AggregateFunc): Option[(StructField, Any)] = f match {
     case _: CountStar =>
       // exact only when every live file carries a row count (written
-      // since manifests gained #rows=; older manifests refuse)
+      // since manifests gained #rows=; older manifests refuse).
+      // Deletion vectors subtract exactly: live rows = physical −
+      // soft-deleted (the dv token carries the exact position count)
       if (entries.exists(_.rows < 0L)) None
       else Some((StructField("count(*)", LongType, nullable = false),
-        entries.map(_.rows).sum))
+        entries.map(_.liveRows).sum))
     case m: Min => minMax(fieldOf(m.column), isMin = true)
     case m: Max => minMax(fieldOf(m.column), isMin = false)
     case _ => None
@@ -153,6 +155,10 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, base: String,
     val name = s"${if (isMin) "min" else "max"}(${f.name})"
     val out = StructField(name, f.dataType, nullable = true)
     if (entries.isEmpty) return Some((out, null)) // MIN of empty = NULL
+    // a deletion vector may have soft-deleted the extremum itself —
+    // zone maps describe the PHYSICAL file, so MIN/MAX refuse on any
+    // dv'd entry (count stays answerable: the dv count is exact)
+    if (entries.exists(_.dv.exists(_.count > 0L))) return None
     f.dataType match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType =>

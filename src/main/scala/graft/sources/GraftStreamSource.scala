@@ -131,15 +131,16 @@ class GraftStreamSource(spark: SparkSession, base: String,
     }
 
   private def rowBatch(start: Option[Offset], endV: Long): DataFrame = {
-    val paths = start match {
+    val es: Seq[VersionedTable.ManifestEntry] = start match {
       case None if snapshotStart =>
         // first batch: the full snapshot at the stream's start version
-        VersionedTable.entries(base, endV).map(_.path)
+        VersionedTable.entries(base, endV)
       case _ =>
         val lo = start.map(ver(_) + 1L).getOrElse(fromVersion)
         (lo to endV).flatMap { v =>
           val (op, adds, removes) = VersionedTable.commitDelta(base, v)
-          if (removes.isEmpty) adds.map(_.path)
+          // appended files never carry a deletion vector at birth
+          if (removes.isEmpty) adds
           else if (skipChangeCommits) Seq.empty
           else throw new IllegalStateException(
             s"graft stream over $base hit change commit v$v (op=$op): a " +
@@ -149,9 +150,29 @@ class GraftStreamSource(spark: SparkSession, base: String,
               "change feed (readChangeFeed=true) instead")
         }
     }
-    if (paths.isEmpty) GraftBridge.streamingEmpty(spark, readSchema)
-    else GraftBridge.streamingScan(spark, paths.map(p => s"$base/$p"),
-      readSchema)
+    if (es.isEmpty) GraftBridge.streamingEmpty(spark, readSchema)
+    else {
+      val scan = GraftBridge.streamingScan(spark,
+        es.map(e => s"$base/${e.path}"), readSchema)
+      // snapshot entries may carry deletion vectors (MoR deletes):
+      // drop the soft-deleted positions via a stream-static broadcast
+      // anti-join on (file, row_index) — the same shape the batch
+      // reader uses, cost ∝ dv'd files' rows + deleted positions
+      val dvd = es.filter(_.dv.exists(_.count > 0L))
+      if (dvd.isEmpty) scan
+      else {
+        val withPos = scan
+          .withColumn("__rel", regexp_extract(col("_metadata.file_path"),
+            "/(d[0-9]+-[^/]+/[^/]+)$", 1))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val dvF = org.apache.spark.sql.functions.broadcast(
+          VersionedTable.dvPositionsFrame(spark, base, dvd))
+        withPos.join(dvF,
+          withPos("__rel") === dvF("__dvrel") &&
+            withPos("__pos") === dvF("__dvpos"), "left_anti")
+          .select(readSchema.fieldNames.map(col).toSeq: _*)
+      }
+    }
   }
 
   /** One CDC micro-batch for commits `(start, end]`. Two legs, both

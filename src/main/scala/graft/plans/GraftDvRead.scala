@@ -113,8 +113,15 @@ object GraftDvReadRewrite extends Rule[LogicalPlan] {
             else {
               val s = SparkSession.active
               val clean = r.copy(table = g.cleanOnly)
+              // optimizedPlan, not analyzed: this rule runs AFTER the
+              // optimizer's hint-elimination batch, so an embedded
+              // analyzed subtree would carry the dv anti-join's
+              // broadcast() ResolvedHint into physical planning and
+              // fail there; pre-optimizing the leg folds the hint into
+              // the Join node (and costs only driver-plane work ∝ the
+              // dv leg's plan size)
               val dvPlan = VersionedTable.readEntries(s, g.base, dvd,
-                Some(g.tableSchema)).queryExecution.analyzed
+                Some(g.tableSchema)).queryExecution.optimizedPlan
               val byName = dvPlan.output.map(a => a.name -> a).toMap
               val aligned = Project(r.output.map(o => byName(o.name)), dvPlan)
               Union(Seq(clean, aligned))

@@ -1979,6 +1979,220 @@ object SinkQueries {
           CAST(10 AS BIGINT) AS new_version
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q175: DELETION-VECTOR lifecycle (r11) — merge-on-read DELETE
+    // under the oracle gate. Fixture: lineitem in 16 one-file
+    // orderkey-bin commits; two STACKED point deletes on scattered
+    // keys (l_partkey % 19 = 0, then % 23 = 0) via commitDeleteMoR —
+    // each writes position sidecars and swaps manifest tokens, ZERO
+    // parquet rewritten; then compact(4) folds the vectors away.
+    // Output hash-checks the invariants: files_total (unchanged by
+    // both deletes — MoR never rewrites data), files_dvd1/dv1 (files
+    // carrying a vector and total positions after delete 1),
+    // files_dvd2/dv2 (after the stack: merged distinct positions —
+    // rows matching BOTH predicates count once, because the second
+    // delete reads DV-applied and dead rows can't re-match), live
+    // n/sum read through the anti-join read path, and the
+    // post-compaction state (4 clean files, zero vectors, same rows).
+    // The oracle recomputes every number from raw lineitem + the bin
+    // arithmetic, so a vector that drops a live row, resurrects a dead
+    // one, double-counts a stacked position, or survives compaction
+    // hash-fails. Scale: each delete costs one scan of the implicated
+    // files + bytes ∝ deleted rows — the GDPR point-delete shape at
+    // 100 TB, where copy-on-write pays full file rewrites.
+    Q("q175_dv_lifecycle",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q175")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 16 div ${ohi - olo + 1}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("l_partkey"), col("qty_e2"))
+              .coalesce(1),
+            statsCols = Seq("l_orderkey"))
+        }
+        def dvState(v: Long): (Long, Long, Long) = {
+          val es = VersionedTable.entries(base, v)
+          (es.size.toLong,
+            es.count(_.dv.exists(_.count > 0L)).toLong,
+            es.flatMap(_.dv).map(_.count).sum)
+        }
+        val v1 = VersionedTable.commitDeleteMoR(s, base,
+          col("l_partkey") % 19 === 0)
+        val (ft1, fdvd1, dv1) = dvState(v1)
+        val v2 = VersionedTable.commitDeleteMoR(s, base,
+          col("l_partkey") % 23 === 0)
+        val (ft2, fdvd2, dv2) = dvState(v2)
+        require(ft1 == ft2, "MoR deletes must not change the file count")
+        val live = VersionedTable.readLatest(s, base)
+          .agg(count(lit(1)).as("n_live"), sum(col("qty_e2")).as("qty_live"))
+          .head()
+        val cv = VersionedTable.compact(s, base, numFiles = 4,
+          statsCols = Seq("l_orderkey"))
+        val (fc, fdvdC, dvC) = dvState(cv)
+        require(fdvdC == 0L && dvC == 0L,
+          "compaction must fold deletion vectors away")
+        val out = VersionedTable.readLatest(s, base)
+          .agg(count(lit(1)).as("n_final"), sum(col("qty_e2")).as("qty_final"))
+          .select(lit(ft1).as("files_total"),
+            lit(fdvd1).as("files_dvd1"), lit(dv1).as("dv1"),
+            lit(fdvd2).as("files_dvd2"), lit(dv2).as("dv2"),
+            lit(live.getLong(0)).as("n_live"),
+            lit(live.getLong(1)).as("qty_live"),
+            lit(fc).as("files_clean"),
+            col("n_final"), col("qty_final"))
+        t.unpersist()
+        out
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey, l_partkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi FROM t
+        ), x AS (
+          SELECT t.*, (l_orderkey - olo) * 16 // (ohi - olo + 1) AS bin
+          FROM t, b
+        )
+        SELECT
+          (SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) FROM x)
+            AS files_total,
+          (SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) FROM x
+            WHERE l_partkey % 19 = 0) AS files_dvd1,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM x
+            WHERE l_partkey % 19 = 0) AS dv1,
+          (SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) FROM x
+            WHERE l_partkey % 19 = 0 OR l_partkey % 23 = 0) AS files_dvd2,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM x
+            WHERE l_partkey % 19 = 0 OR l_partkey % 23 = 0) AS dv2,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM x
+            WHERE l_partkey % 19 <> 0 AND l_partkey % 23 <> 0) AS n_live,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM x
+            WHERE l_partkey % 19 <> 0 AND l_partkey % 23 <> 0) AS qty_live,
+          CAST(4 AS BIGINT) AS files_clean,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM x
+            WHERE l_partkey % 19 <> 0 AND l_partkey % 23 <> 0) AS n_final,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM x
+            WHERE l_partkey % 19 <> 0 AND l_partkey % 23 <> 0) AS qty_final
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q176: the DV READ PATH through the DSv2/SQL surface (r11) —
+    // proves an ordinary engine query over a vector-carrying snapshot
+    // is exact WITHOUT any caller knowing vectors exist. Fixture: the
+    // q175 table shape (8 orderkey-bin commits into the catalog
+    // warehouse), one MoR point delete (l_partkey % 19 = 0). Then two
+    // plain SQL reads: (1) `SELECT count(*)` — must STAY
+    // manifest-answered (LocalTableScan, zero file opens; the rewrite
+    // rule exempts bare global counts because the manifest's live
+    // count is physical − vector, exact); (2) a grouped aggregate
+    // over a pushed-down l_orderkey range — goes through
+    // GraftDvReadRewrite's union(clean parquet scan, broadcast
+    // anti-join dv leg), asserted structurally (plan contains Union).
+    // The oracle recomputes both from raw lineitem minus the deleted
+    // predicate: a dv leg that leaks a deleted row, drops a live one,
+    // or a count exemption that forgets to subtract vectors
+    // hash-fails. Scale: the clean leg keeps zone-map skipping +
+    // parquet pushdown untouched; the dv leg costs ∝ the one dv'd
+    // minority of files — re-absorbed at the next compaction.
+    Q("q176_dsv2_dv_read",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val ns = s"q176_${java.util.UUID.randomUUID().toString.take(8)}"
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$ns/t"
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("l_partkey"), col("qty_e2"))
+              .coalesce(1),
+            statsCols = Seq("l_orderkey"))
+        }
+        try {
+          VersionedTable.commitDeleteMoR(s, base,
+            col("l_partkey") % 19 === 0)
+          // (1) bare global count: manifest-answered, dv-subtracted
+          val cnt = s.sql(s"SELECT count(*) AS n FROM graft.$ns.t")
+          require(cnt.queryExecution.executedPlan.toString()
+            .contains("LocalTableScan"),
+            "count(*) over a dv'd snapshot must stay manifest-answered")
+          val totalLive = cnt.head().getLong(0)
+          // (2) pushed-down range + grouped agg: the union read path
+          val (flo, fhi) = (olo + span / 8, olo + (span * 5) / 8 - 1)
+          val grouped = s.sql(
+            s"""SELECT l_orderkey % 4 AS g, count(*) AS n,
+               |       sum(qty_e2) AS qty_e2
+               |FROM graft.$ns.t
+               |WHERE l_orderkey BETWEEN ${flo}L AND ${fhi}L
+               |GROUP BY l_orderkey % 4 ORDER BY g""".stripMargin)
+          require(grouped.queryExecution.optimizedPlan.toString()
+            .contains("Union"),
+            "a non-count read over a dv'd snapshot must take the " +
+              "clean-scan ∪ dv-leg plan")
+          // materialize BEFORE the finally drops the table — the
+          // returned frame must not lazily re-read a dropped path
+          import s.implicits._
+          grouped.collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), totalLive))
+            .toDF("g", "n", "qty_e2", "total_live")
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS graft.$ns.t")
+          t.unpersist(); ()
+        }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey, l_partkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), live AS (
+          SELECT * FROM t WHERE l_partkey % 19 <> 0
+        ), pr AS (
+          SELECT olo + span // 8 AS flo,
+                 olo + (span * 5) // 8 - 1 AS fhi
+          FROM b
+        )
+        SELECT l_orderkey % 4 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_e2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS total_live
+        FROM live, pr
+        WHERE l_orderkey BETWEEN flo AND fhi
+        GROUP BY l_orderkey % 4
+        ORDER BY g
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -420,6 +420,32 @@ object VersionedTable {
     }
   }
 
+  /** The highest writer-supplied transaction version committed for
+    * `appId` — the idempotence handle streaming writes dedup replayed
+    * micro-batches on (the Delta `txnAppId`/`txnVersion` discipline):
+    * a commit stamped `txn = (appId, v)` makes every later
+    * `lastCommittedTxn(base, appId)` return ≥ v, so a sink that
+    * re-runs a batch after a crash sees its own stamp and skips.
+    * O(commits) over driver-plane marker headers, like [[history]].
+    * Retention caveat (Delta shares it): `vacuum` drops markers below
+    * its retention horizon, and txn stamps go with them — a writer
+    * idle longer than the table's retention window cannot dedup its
+    * next replay. Streaming batchIds grow monotonically, so only the
+    * LATEST stamp matters, and it lives in a recent commit by
+    * construction.
+    */
+  def lastCommittedTxn(base: String, appId: String): Option[Long] = {
+    val latest = latestVersion(base).getOrElse(return None)
+    val prefix = s"#txn=$appId\t"
+    val vs = (1L to latest).filter(v => Files.exists(markerPath(base, v)))
+      .flatMap { v =>
+        Files.readAllLines(markerPath(base, v)).asScala
+          .find(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix).trim.toLong)
+      }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   /** Zone-map pruning on integral ranges — see [[pruneTyped]] for the
     * general (string/date-capable) form.
     */
@@ -633,11 +659,12 @@ object VersionedTable {
   def commitAppend(s: SparkSession, base: String, df: DataFrame,
                    statsCols: Seq[String] = Nil,
                    maxAttempts: Int = 5,
-                   bloomCols: Seq[String] = Nil): Long =
+                   bloomCols: Seq[String] = Nil,
+                   txn: Option[(String, Long)] = None): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       commitAt(s, base, df, "append", statsCols, prevV,
-        bloomCols = bloomCols)(fresh => (fresh, Seq.empty))
+        bloomCols = bloomCols, txn = txn)(fresh => (fresh, Seq.empty))
     }
 
   /** The table's current stats discipline: (zone-map columns, bloom
@@ -969,13 +996,14 @@ object VersionedTable {
   def commitReplace(s: SparkSession, base: String, df: DataFrame,
                     statsCols: Seq[String] = Nil,
                     maxAttempts: Int = 5,
-                    bloomCols: Seq[String] = Nil): Long =
+                    bloomCols: Seq[String] = Nil,
+                    txn: Option[(String, Long)] = None): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       val prevPaths = prevV.map(entries(base, _).map(_.path))
         .getOrElse(Seq.empty)
       commitAt(s, base, df, "replace", statsCols, prevV,
-        bloomCols = bloomCols)(fresh => (fresh, prevPaths))
+        bloomCols = bloomCols, txn = txn)(fresh => (fresh, prevPaths))
     }
 
   private def retrying(maxAttempts: Int)(attempt: => Long): Long = {
@@ -1612,8 +1640,13 @@ object VersionedTable {
                        op: String, statsCols: Seq[String],
                        prevV: Option[Long],
                        beforePublish: () => Unit = () => (),
-                       bloomCols: Seq[String] = Nil)(
+                       bloomCols: Seq[String] = Nil,
+                       txn: Option[(String, Long)] = None)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
+    txn.foreach { case (appId, _) =>
+      require(appId.nonEmpty && !appId.exists(c => c == '\n' || c == '\t'),
+        s"txn appId must be non-empty and tab/newline-free: '$appId'")
+    }
     statsCols.foreach { c =>
       require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
         s"stats column name '$c' would corrupt the manifest line format")
@@ -1667,6 +1700,7 @@ object VersionedTable {
     val (addLines, removePaths) = mkDelta(freshLines)
     beforePublish()
     val body = (Seq(s"#op=$op", schemaHeader(declared)) ++
+      txn.map { case (appId, tv) => s"#txn=$appId\t$tv" }.toSeq ++
       addLines.map("+" + _) ++ removePaths.map("-" + _))
       .mkString("", "\n", "\n")
     publish(base, next, body)

@@ -2193,6 +2193,176 @@ object SinkQueries {
         ORDER BY g
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q177: DYNAMIC FILE PRUNING (r11) — the runtime half of the
+    // skipping story. q157 prunes on LITERAL predicates at plan time;
+    // here the selective predicate lives on a DIMENSION attribute
+    // (`okey_grp`, the date-dim shape: the fact is clustered by the
+    // dim key and the dim carries an attribute correlated with it),
+    // so the fact-side key values only exist once the join's build
+    // side has run. GraftRuntimeScan declares the zone-mapped columns
+    // as runtime-filterable; Spark's PartitionPruning rule plants a
+    // DynamicPruningExpression on the graft scan (reusing the
+    // broadcast exchange), and at execution the surviving o_orderkey
+    // values prune the 16 fact files through the same span-relaxation
+    // arithmetic the oracle recomputes exactly: files kept = bins
+    // whose [min,max] overlaps [min,max] of the surviving keys. The
+    // join aggregate rides the pruned read, so a runtime filter that
+    // drops a live file hash-fails on n_rows/qty_e2, and one that
+    // keeps the wrong set hash-fails on files_kept. Scale: this is
+    // the Delta/Iceberg dynamic-file-pruning shape — `fact ⋈ dim
+    // WHERE dim.selective` on a 100 TB clustered fact reads only the
+    // overlapping files, decided driver-plane once per query.
+    Q("q177_runtime_pruning",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val kb = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (klo, khi) = (kb.getLong(0), kb.getLong(1))
+        val base = graft.TempDirs.scoped("graft_q177_fact")
+        val binned = li.withColumn("bin",
+          expr(s"(l_orderkey - ${klo}L) * 16 div ${khi - klo + 1}L"))
+        binned.select(col("bin")).distinct().collect().map(_.getLong(0))
+          .sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        // the dimension: parquet-backed so its Filter survives the
+        // optimizer (a filtered LocalRelation constant-folds away)
+        val ord = Tables.orders(s, d)
+        val ob = ord.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val (olo, ohi) = (ob.getLong(0), ob.getLong(1))
+        val dimP = graft.TempDirs.scoped("graft_q177_dim")
+        ord.select(col("o_orderkey"),
+            expr(s"(o_orderkey - ${olo}L) * 64 div ${ohi - olo + 1}L")
+              .as("okey_grp"))
+          .write.mode("overwrite").parquet(dimP)
+        val dim = s.read.parquet(dimP).filter(col("okey_grp") === 20L)
+        val fact = s.read.format("graft").load(base)
+        val agg = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+          .head()
+        val (kept, total) = graft.sources.GraftScanMetrics
+          .lastRuntimePrune(base).getOrElse(throw new IllegalStateException(
+            s"no runtime prune recorded over $base — dynamic file " +
+              "pruning did not fire"))
+        li.unpersist()
+        import s.implicits._
+        Seq((total.toLong, kept.toLong, agg.getLong(0), agg.getLong(1)))
+          .toDF("files_total", "files_kept", "n_rows", "qty_e2")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), kb AS (
+          SELECT MIN(l_orderkey) AS klo, MAX(l_orderkey) AS khi FROM li
+        ), bins AS (
+          SELECT (l_orderkey - klo) * 16 // (khi - klo + 1) AS bin,
+                 MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+          FROM li, kb GROUP BY 1
+        ), ob AS (
+          SELECT MIN(o_orderkey) AS olo, MAX(o_orderkey) AS ohi FROM orders
+        ), sel AS (
+          SELECT o_orderkey FROM orders, ob
+          WHERE (o_orderkey - olo) * 64 // (ohi - olo + 1) = 20
+        ), sp AS (
+          SELECT MIN(o_orderkey) AS smin, MAX(o_orderkey) AS smax FROM sel
+        ), kept AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bins) AS files_total,
+                 CAST(COUNT(*) AS BIGINT) AS files_kept
+          FROM bins, sp WHERE mx >= smin AND mn <= smax
+        ), j AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(qty_e2) AS BIGINT) AS qty_e2
+          FROM li JOIN sel ON l_orderkey = o_orderkey
+        )
+        SELECT files_total, files_kept, n_rows, qty_e2 FROM kept, j
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q178: the format as a STREAMING SINK (r11) — q164's dual, and
+    // together with it the full format-to-format streaming ETL loop:
+    // readStream.format("graft") (commit-log tail, one micro-batch
+    // per source commit via maxCommitsPerTrigger=1) ⇒ writeStream
+    // .format("graft") (GraftSink — each micro-batch lands as ONE
+    // txn-stamped commit). Exactly-once is checked as ARITHMETIC,
+    // not argued: (a) the final sink contents must equal raw lineitem
+    // exactly once — a replay that double-appends hash-fails the
+    // per-linenumber rollup; (b) after the drains, batchId 0 is
+    // re-delivered straight to a GraftSink with the SAME writer
+    // identity (the simulated crash replay) and must be a no-op —
+    // the rollup is computed AFTER the replay, so a dedup miss
+    // hash-fails; (c) sink_commits counts the sink's history — one
+    // commit per source commit (3), so coarser/finer batching also
+    // fails. Scale: a year of micro-batches is a year of O(delta)
+    // commits and one marker each; the txn stamp rides the marker
+    // write, so exactly-once costs zero extra I/O.
+    Q("q178_stream_sink",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        val src = graft.TempDirs.scoped("graft_q178_src")
+        val dst = graft.TempDirs.scoped("graft_q178_dst")
+        val cp = graft.TempDirs.scoped("graft_q178_cp")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+        def slice(lo: Int, hi: Int) =
+          t.filter(col("l_linenumber").between(lo, hi)).coalesce(4)
+        VersionedTable.commitAppend(s, src, slice(1, 2),
+          statsCols = Seq("l_linenumber"))
+        VersionedTable.commitAppend(s, src, slice(3, 4),
+          statsCols = Seq("l_linenumber"))
+        def drain(): Unit = s.readStream.format("graft")
+          .option("startingVersion", "1")
+          .option("maxCommitsPerTrigger", "1")
+          .load(src)
+          .writeStream.format("graft")
+          .option("path", dst)
+          .option("checkpointLocation", cp)
+          .option("statsCols", "l_linenumber")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+        drain() // commits 1-2, one micro-batch each
+        VersionedTable.commitAppend(s, src, slice(5, 7),
+          statsCols = Seq("l_linenumber")) // lands AFTER the checkpoint
+        drain() // resumed drain ships exactly commit 3
+        // simulated crash replay: batch 0 re-delivered to the same
+        // writer identity — must be a driver-plane no-op
+        new graft.sources.GraftSink(s, dst, cp, OutputMode.Append(),
+          Seq("l_linenumber"), Nil).addBatch(0L, slice(1, 2))
+        val nCommits = VersionedTable.history(dst).size.toLong
+        s.read.format("graft").load(dst)
+          .groupBy(col("l_linenumber"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+          .withColumn("sink_commits", lit(nCommits))
+          .orderBy(col("l_linenumber"))
+          .select(col("l_linenumber"), col("n_rows"), col("qty_e2"),
+            col("sink_commits"))
+      },
+      Some("""
+        SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_e2,
+               CAST(3 AS BIGINT) AS sink_commits
+        FROM lineitem GROUP BY 1 ORDER BY 1
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -38,7 +38,8 @@ import graft.operators.VersionedTable
   * path-based reads use, so every read/write/DML capability is
   * identical between `format("graft").load(path)` and catalog names.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -133,13 +134,63 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val base = Paths.get(basePath(ident))
     if (!Files.isDirectory(base)) return false
+    deleteRecursively(base)
+    true
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    if (!Files.exists(dir)) return
     // depth-first delete of the table directory (log + data)
-    val stream = Files.walk(base)
+    val stream = Files.walk(dir)
     try stream.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.delete)
     finally stream.close()
-    true
   }
+
+  // -------------------------------------------------------------------
+  // Atomic CTAS / RTAS ([[StagingTableCatalog]]): `CREATE TABLE ... AS
+  // SELECT` writes into a HIDDEN sibling staging directory (a complete
+  // graft table: empty v1 with the declared schema header, then the
+  // query's rows as v2 through the ordinary commit protocol), and
+  // `commitStagedChanges` publishes it with ONE same-filesystem
+  // directory rename — a failed or killed CTAS leaves no half-written
+  // table at the target name, and REPLACE TABLE AS SELECT never
+  // exposes a window where the table is missing or half-new. The
+  // non-staging fallback Spark uses for plain TableCatalogs (create,
+  // write, drop-on-failure) is exactly the non-atomicity this removes.
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform], replace: Boolean,
+                    orCreate: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE ZORDER, not PARTITIONED BY")
+    if (!replace && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    val base = Paths.get(basePath(ident))
+    Files.createDirectories(base.getParent)
+    val stageDir = base.resolveSibling(
+      s".${base.getFileName}.stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    val s = SparkSession.active
+    VersionedTable.commitAppend(s, stageDir.toString, s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    new GraftStagedTable(stageDir, base, schema, replace, ident,
+      deleteRecursively)
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info.schema(), info.partitions(), replace = false,
+      orCreate = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info.schema(), info.partitions(), replace = true,
+      orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: TableInfo): StagedTable =
+    stage(ident, info.schema(), info.partitions(), replace = true,
+      orCreate = true)
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
@@ -155,7 +206,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (!Files.isDirectory(dir)) return Array.empty
     val stream = Files.list(dir)
     try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p.resolve("_log")))
+      .filter(p => Files.isDirectory(p.resolve("_log")) &&
+        !p.getFileName.toString.startsWith(".")) // staging/trash dirs
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally stream.close()
@@ -183,4 +235,44 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"no such graft procedure: ${ident.namespace().mkString(".")}." +
         s"${ident.name()} (have: system.{${GraftProcedures.names.mkString(",")}})"))
   }
+}
+
+/** A staged CTAS/RTAS target: a complete graft table at a hidden
+  * sibling path, published (or discarded) with directory renames —
+  * see the staging scaladoc in [[GraftCatalog]]. Reads and writes
+  * during the staged query are the ordinary [[GraftTable]] surface
+  * over the staging path.
+  */
+private[sources] class GraftStagedTable(
+    stageDir: java.nio.file.Path, finalDir: java.nio.file.Path,
+    schema0: StructType, replace: Boolean, ident: Identifier,
+    rm: java.nio.file.Path => Unit)
+    extends GraftTable(stageDir.toString, Some(1L), schema0)
+    with StagedTable {
+
+  import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+
+  override def commitStagedChanges(): Unit = {
+    if (replace && Files.isDirectory(finalDir)) {
+      // swap: old snapshot aside (readers holding the old path keep
+      // their already-planned file lists), staged table in, old gone
+      val trash = finalDir.resolveSibling(
+        s".${finalDir.getFileName}.old-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      Files.move(finalDir, trash, ATOMIC_MOVE)
+      Files.move(stageDir, finalDir, ATOMIC_MOVE)
+      rm(trash)
+    } else {
+      // create-exclusive: a concurrent CTAS of the same name loses
+      // loudly, exactly like a lost commit race
+      try Files.move(stageDir, finalDir, ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          rm(stageDir)
+          throw new TableAlreadyExistsException(ident)
+      }
+    }
+  }
+
+  override def abortStagedChanges(): Unit = rm(stageDir)
 }

@@ -49,7 +49,8 @@ import graft.operators.VersionedTable.{LongRange, ManifestEntry, PruneRange, Str
   * must list and footer-check everything.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -156,6 +157,39 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       snapshotStart, fromVersion, skip, cdcKey,
       spoolDir = Some(s"$mp/cdc-spool"),
       maxCommitsPerTrigger = maxCommits)
+  }
+
+  /** Streaming WRITE surface ([[GraftSink]]): `writeStream.format
+    * ("graft")` — exactly-once via txn-stamped commits. The writer
+    * identity defaults to the checkpoint location (same checkpoint ⟹
+    * same stream across restarts); `txnAppId` overrides.
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode): org.apache.spark.sql.execution
+                            .streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(partitionColumns.isEmpty,
+      "graft sink does not take partitionBy (cluster with statsCols " +
+        "zone maps / OPTIMIZE ZORDER instead)")
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"graft sink supports Append and Complete output modes, got " +
+        s"$outputMode (keyed upserts are graft.streaming.UpsertPipeline)")
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (base, _) = resolve(opts)
+    val appId = Option(opts.get("txnAppId"))
+      .orElse(Option(opts.get("checkpointLocation")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs a checkpointLocation (or an explicit " +
+          "txnAppId) — it is the exactly-once writer identity"))
+    def colsOpt(name: String) = Option(opts.get(name))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    new GraftSink(sqlContext.sparkSession, base, appId, outputMode,
+      colsOpt("statsCols"), colsOpt("bloomCols"))
   }
 
   /** Read-or-publish the resolved `startingVersion=latest` under the
@@ -402,11 +436,21 @@ object GraftScanMetrics {
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
   private val aggCount =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val lastRuntime =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
   private[sources] def record(base: String, kept: Int, total: Int): Unit =
     last.put(base, (kept, total))
   private[sources] def recordAgg(base: String): Unit =
     aggCount.merge(base, 1L, (a, b) => a + b)
+  private[sources] def recordRuntime(base: String, kept: Int,
+                                     total: Int): Unit =
+    lastRuntime.put(base, (kept, total))
   def lastPrune(base: String): Option[(Int, Int)] = Option(last.get(base))
+  /** The (files kept, files total) of the most recent RUNTIME prune —
+    * dynamic file pruning from join-key values ([[GraftRuntimeScan]]).
+    */
+  def lastRuntimePrune(base: String): Option[(Int, Int)] =
+    Option(lastRuntime.get(base))
   /** How many scans of `base` were answered ENTIRELY from the
     * manifest (planned as LocalScan — zero files opened).
     */

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.VersionedTable
+import graft.operators.VersionedTable.{KeyProbe, ManifestEntry}
+
+/** DYNAMIC FILE PRUNING: the graft scan as a runtime-filterable DSv2
+  * scan. Plan-time zone-map skipping ([[GraftFileIndex]]) covers
+  * literal predicates; this wrapper covers the other half of the
+  * lakehouse skipping story — predicates whose values only EXIST at
+  * runtime, i.e. join keys. When a graft fact table is joined to a
+  * selectively-filtered dimension, Spark's dynamic-partition-pruning
+  * rule (`PartitionPruning`) sees a scan implementing
+  * `SupportsRuntimeFiltering` whose `filterAttributes` cover the join
+  * key, plants a `DynamicPruningExpression` subquery on the scan, and
+  * at execution — after the dimension side has materialized (for
+  * broadcast joins, reusing the broadcast exchange itself) — calls
+  * `filter(...)` with the actual key values. The wrapper translates
+  * them through the SAME [[GraftFilters.toRanges]] path the plan-time
+  * prune uses (span relaxation + bloom key probes) and swaps in a
+  * file index restricted to the surviving manifest entries; Spark
+  * then re-plans input partitions off the pruned index.
+  *
+  * Scale: this is the Delta/Iceberg dynamic-file-pruning shape — on a
+  * 100 TB fact table, `fact ⋈ dim WHERE dim.selective` reads only the
+  * files whose zone maps (or bloom filters, for scattered point keys)
+  * can hold the surviving join keys, and the decision is driver-plane
+  * manifest arithmetic made once per query, not per task. Runtime IN-
+  * sets can be large, so bloom probes cap at [[GraftRuntimeScan
+  * .MaxProbeValues]] values — beyond that only the O(1) [min,max]
+  * span relaxation applies (probing 100k keys against every file's
+  * bloom would cost more driver time than it saves).
+  *
+  * Everything row-shaped still belongs to Spark's parquet machinery:
+  * the wrapper delegates `toBatch`/schema/metrics to the (possibly
+  * re-pruned) [[ParquetScan]], so vectorized reads, row-group
+  * pushdown and columnar support are untouched. `BatchScanExec`
+  * caches its reader factory off the ORIGINAL batch and re-plans only
+  * the partition list after `filter` — the factory depends on schema
+  * and pushed filters, both invariant under file pruning, so the swap
+  * is sound.
+  */
+class GraftRuntimeScan(initial: ParquetScan, val base: String,
+                       entries: Seq[ManifestEntry], schema: StructType)
+    extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  @volatile private var current: ParquetScan = initial
+
+  private[sources] def delegate: ParquetScan = current
+
+  // ----- Scan surface: the delegate's machinery verbatim
+
+  override def readSchema(): StructType = current.readSchema()
+  override def toBatch: Batch = current.toBatch
+  override def description(): String = s"Graft ${current.description()}"
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    current.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    current.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+  override def estimateStatistics(): Statistics =
+    current.estimateStatistics()
+  override def getMetaData(): Map[String, String] =
+    current.getMetaData()
+
+  // exchange-reuse / sameResult compare scans for equality; two graft
+  // scans are interchangeable iff their parquet delegates are
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftRuntimeScan => base == g.base && current == g.delegate
+    case _ => false
+  }
+  override def hashCode(): Int = (base, current).hashCode()
+
+  // ----- runtime filtering
+
+  /** The columns runtime filters can prune files on: every column any
+    * live manifest entry carries a zone map or bloom for, restricted
+    * to the scan's (column-pruned) read schema — `PartitionPruning`
+    * resolves these against the scan relation's output, so reporting
+    * a pruned-away column would fail resolution.
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val readable = (current.readDataSchema.fieldNames ++
+      current.readPartitionSchema.fieldNames).toSet
+    entries.iterator
+      .flatMap(_.stats.keysIterator)
+      .map(_.stripSuffix("#bloom"))
+      .distinct
+      .filter(readable.contains)
+      .map(c => Expressions.column(c))
+      .toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val ranges = filters.toSeq
+      .flatMap(f => GraftFilters.toRanges(f, schema))
+      .filter {
+        case KeyProbe(_, vs) => vs.size <= GraftRuntimeScan.MaxProbeValues
+        case _ => true
+      }
+    if (ranges.nonEmpty) {
+      val kept = VersionedTable.pruneTyped(entries, ranges)
+      GraftScanMetrics.recordRuntime(base, kept.size, entries.size)
+      if (kept.size < entries.size) {
+        val spark = current.sparkSession
+        current = current.copy(fileIndex =
+          new GraftFileIndex(spark, base, kept, schema))
+      }
+    }
+  }
+}
+
+object GraftRuntimeScan {
+  /** Bloom-probe cap for runtime IN-sets: beyond this many join-key
+    * values, only the [min,max] span relaxation prunes (O(1) per file
+    * instead of O(values) bloom lookups).
+    */
+  val MaxProbeValues: Int = 4096
+}

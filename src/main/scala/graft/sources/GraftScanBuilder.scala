@@ -80,7 +80,15 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, base: String,
     case Some((st, row)) =>
       GraftScanMetrics.recordAgg(base)
       new GraftManifestAggScan(base, st, row)
-    case None => delegate.build()
+    case None =>
+      // runtime-filterable wrapper: join keys prune files at
+      // execution time through the same zone-map/bloom translation
+      // (dynamic file pruning — see GraftRuntimeScan)
+      delegate.build() match {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => new GraftRuntimeScan(p, base, entries, schema)
+        case other => other
+      }
   }
 
   /** The column a MIN/MAX references, when it is a plain top-level

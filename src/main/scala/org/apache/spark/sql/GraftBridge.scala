@@ -52,6 +52,20 @@ object GraftBridge {
         catalyst.types.DataTypeUtils.toAttributes(schema),
         Nil, isStreaming = true))
 
+  /** A streaming micro-batch's rows re-wrapped as a BATCH DataFrame —
+    * the V1 `Sink.addBatch` contract hands over a streaming-incepted
+    * frame whose logical plan cannot be re-executed through batch
+    * writers (`df.write` rejects `isStreaming` plans). Executing the
+    * incremental plan once (`queryExecution.toRdd`) and wrapping the
+    * rows batch-side is exactly what Spark's own sinks do;
+    * `internalCreateDataFrame` is private[sql], hence the shim.
+    */
+  def batchOf(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** A resolved logical plan as a DataFrame — the graft DML commands
     * re-execute the MERGE source plan they captured at analysis
     * (`Dataset.ofRows` is private[sql]).

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.{SparkSuite, TempDirs}
+import graft.operators.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Dynamic file pruning ([[GraftRuntimeScan]]): join-key values that
+  * only exist at runtime must prune fact files through the same
+  * zone-map/bloom machinery plan-time literals use — and pruning must
+  * never change the join's answer.
+  */
+class GraftRuntimeScanSpec extends SparkSuite {
+
+  /** A 4-file fact table with disjoint key decades and zone maps on k. */
+  private def mkFact(tag: String): String = {
+    val base = TempDirs.scoped(s"graft_dfp_$tag")
+    val s = spark
+    import s.implicits._
+    Seq(0L, 10L, 20L, 30L).foreach(lo => VersionedTable.commitAppend(
+      spark, base,
+      (lo until lo + 10L).map(k => (k, k * 7)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k")))
+    base
+  }
+
+  /** A parquet-backed dimension (the Filter node must survive the
+    * optimizer — a filtered LocalRelation constant-folds away and
+    * PartitionPruning sees no selective build side).
+    */
+  private def mkDim(tag: String): String = {
+    val s = spark
+    import s.implicits._
+    val p = TempDirs.scoped(s"graft_dfp_dim_$tag")
+    // grp is the correlated dimension attribute (the date-dim shape:
+    // fact clustered by the dim key, dim filtered on an attribute)
+    (0L until 40L).map(k => (k, k / 10L, s"attr$k"))
+      .toDF("k", "grp", "attr").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("join keys prune fact files at runtime (dynamic file pruning)") {
+    val base = mkFact("bhj")
+    val dim = spark.read.parquet(mkDim("bhj")).filter(col("grp") === 1L)
+    val fact = spark.read.format("graft").load(base)
+    val out = fact.join(dim, "k").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("sv")).head()
+    // correctness first: keys 10..19, sum(7k) = 7 * sum(10..19)
+    assert(out.getLong(0) === 10L)
+    assert(out.getLong(1) === 7L * (10L to 19L).sum)
+    // the runtime filter reached the manifest: 1 of 4 files survived
+    assert(GraftScanMetrics.lastRuntimePrune(base) === Some((1, 4)))
+  }
+
+  test("the planned scan carries a dynamicpruning subquery") {
+    val base = mkFact("plan")
+    val dim = spark.read.parquet(mkDim("plan")).filter(col("grp") === 2L)
+    val fact = spark.read.format("graft").load(base)
+    val df = fact.join(dim, "k").agg(sum(col("v")).as("sv"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the graft scan:\n$plan")
+  }
+
+  test("scattered point keys prune via bloom probes where spans cannot") {
+    val base = TempDirs.scoped("graft_dfp_bloom")
+    val s = spark
+    import s.implicits._
+    // interleaved keys: every file's [min,max] span covers the whole
+    // domain, so only the bloom probe can skip
+    (0L until 4L).foreach(r => VersionedTable.commitAppend(
+      spark, base,
+      (0L until 10L).map(i => (i * 4L + r, i)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"), bloomCols = Seq("k")))
+    val dimP = TempDirs.scoped("graft_dfp_bloom_dim")
+    (0L until 40L).map(k => (k, if (k == 17L) 1L else 0L))
+      .toDF("k", "sel").write.mode("overwrite").parquet(dimP)
+    val dim = spark.read.parquet(dimP).filter(col("sel") === 1L)
+    val fact = spark.read.format("graft").load(base)
+    val got = fact.join(dim, "k").select(col("v")).head().getLong(0)
+    assert(got === 4L) // 17 = 4*4 + 1
+    val (kept, total) = GraftScanMetrics.lastRuntimePrune(base).get
+    assert(total === 4)
+    // key 17 lives in exactly one file; blooms may (rarely) keep a
+    // false positive but must keep the true file and skip the rest
+    assert(kept <= 2, s"bloom runtime prune kept $kept of $total")
+  }
+
+  test("runtime pruning never loses rows: join equals parquet twin") {
+    val base = mkFact("twin")
+    val s = spark
+    import s.implicits._
+    val twinP = TempDirs.scoped("graft_dfp_twin")
+    spark.read.format("graft").load(base)
+      .write.mode("overwrite").parquet(twinP)
+    val dim = spark.read.parquet(mkDim("twin")).filter(col("grp") >= 2L)
+    def agg(f: org.apache.spark.sql.DataFrame) =
+      f.join(dim, "k").agg(count(lit(1)), sum(col("v"))).head()
+    val a = agg(spark.read.format("graft").load(base))
+    val b = agg(spark.read.parquet(twinP))
+    assert(a === b)
+  }
+}

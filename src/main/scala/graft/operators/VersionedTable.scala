@@ -446,6 +446,35 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Version `v`'s commit wall-clock (epoch millis) — the IN-COMMIT
+    * timestamp written into the marker (`#ts=`), falling back to the
+    * marker file's modification time for pre-header commits (exactly
+    * Delta's historical mtime-based resolution, upgraded to its
+    * inCommitTimestamp discipline for new commits: [[commitAt]] bumps
+    * the stamp to `max(now, previous + 1)`, so timestamps are
+    * STRICTLY increasing by version even under clock skew or rapid
+    * commits, and `TIMESTAMP AS OF` resolves deterministically).
+    */
+  def commitTimestamp(base: String, v: Long): Option[Long] = {
+    val m = markerPath(base, v)
+    if (!Files.exists(m)) return None
+    Files.readAllLines(m).asScala
+      .find(_.startsWith("#ts="))
+      .map(_.stripPrefix("#ts=").trim.toLong)
+      .orElse(Some(Files.getLastModifiedTime(m).toMillis))
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version whose commit
+    * timestamp is ≤ `tsMillis`. None when the table's FIRST commit is
+    * already later (nothing existed at that time).
+    */
+  def versionAtTimestamp(base: String, tsMillis: Long): Option[Long] = {
+    val latest = latestVersion(base).getOrElse(return None)
+    // strict monotonicity makes this a reverse scan with early exit
+    (latest to 1L by -1L)
+      .find(v => commitTimestamp(base, v).exists(_ <= tsMillis))
+  }
+
   /** Zone-map pruning on integral ranges — see [[pruneTyped]] for the
     * general (string/date-capable) form.
     */
@@ -1782,8 +1811,17 @@ object VersionedTable {
     */
   private[operators] def publish(base: String, v: Long, body: String): Unit = {
     Files.createDirectories(logDir(base))
+    // in-commit timestamp, strictly increasing by version (see
+    // commitTimestamp): rapid commits and backwards clocks both bump.
+    // Stamped HERE so every commit path — append/replace/merge,
+    // delete (CoW and MoR), compact, restore, alter — carries one.
+    val ts = math.max(System.currentTimeMillis(),
+      (if (v > 1L) commitTimestamp(base, v - 1L).getOrElse(0L) else 0L) + 1L)
+    val stamped =
+      if (body.linesIterator.exists(_.startsWith("#ts="))) body
+      else s"#ts=$ts\n$body"
     val tmp = logDir(base).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.write(tmp, stamped.getBytes("UTF-8"))
     try Files.createLink(markerPath(base, v), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>

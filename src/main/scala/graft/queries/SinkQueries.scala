@@ -2363,6 +2363,75 @@ object SinkQueries {
         FROM lineitem GROUP BY 1 ORDER BY 1
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q179: ATOMIC CTAS / RTAS through the catalog (r11) —
+    // GraftCatalog as a StagingTableCatalog: `CREATE TABLE AS SELECT`
+    // writes a COMPLETE graft table (schema commit + data commit)
+    // into a hidden staging dir and publishes it with one directory
+    // rename; `REPLACE TABLE AS SELECT` swaps the dir without a
+    // missing-table window. The entry runs both statements and reads
+    // each result back through plain catalog SQL; rtas_commits pins
+    // the post-swap history to exactly the staged table's own two
+    // commits (a non-atomic create-then-insert path would differ).
+    // Divergence by design: REPLACE here physically supersedes the
+    // old table's history (atomic-rename publish), unlike Delta's
+    // log-threaded REPLACE — RESTORE/time travel serve the keep-
+    // history case. The oracle recomputes both aggregates from raw
+    // lineitem, so a staged write that loses or doubles rows, or a
+    // swap that leaves the old contents, hash-fails.
+    Q("q179_sql_ctas",
+      (s, d) => {
+        val ns = s"q179_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = s"graft.$ns.agg"
+        Tables.lineitem(s, d)
+          .select(col("l_linenumber").cast("long").as("ln"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .createOrReplaceTempView("graft_q179_src")
+        def snap(): (Long, Long, Long) = {
+          val r = s.sql(s"SELECT count(*) AS g, sum(n) AS r, " +
+            s"sum(q) AS q FROM $t").head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        try {
+          s.sql(s"""CREATE TABLE $t AS
+                    SELECT ln, count(*) AS n, sum(qty_e2) AS q
+                    FROM graft_q179_src GROUP BY ln""")
+          val (g1, r1, q1) = snap()
+          s.sql(s"""REPLACE TABLE $t AS
+                    SELECT ln, count(*) AS n, sum(qty_e2) AS q
+                    FROM graft_q179_src WHERE ln <= 3 GROUP BY ln""")
+          val (g2, r2, q2) = snap()
+          val commits = s.sql(s"SELECT count(*) AS c FROM " +
+            s"graft_history('$ns.agg')").head().getLong(0)
+          import s.implicits._
+          Seq((g1, r1, q1, g2, r2, q2, commits))
+            .toDF("grps_ctas", "rows_ctas", "qty_ctas",
+              "grps_rtas", "rows_rtas", "qty_rtas", "rtas_commits")
+        } finally { s.sql(s"DROP TABLE IF EXISTS $t"); () }
+      },
+      Some("""
+        WITH t AS (
+          SELECT CAST(l_linenumber AS BIGINT) AS ln,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), a AS (
+          SELECT ln, COUNT(*) AS n, SUM(qty_e2) AS q FROM t GROUP BY ln
+        ), b AS (
+          SELECT ln, COUNT(*) AS n, SUM(qty_e2) AS q FROM t
+          WHERE ln <= 3 GROUP BY ln
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS grps_ctas,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM a) AS rows_ctas,
+               (SELECT CAST(SUM(q) AS BIGINT) FROM a) AS qty_ctas,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS grps_rtas,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM b) AS rows_rtas,
+               (SELECT CAST(SUM(q) AS BIGINT) FROM b) AS qty_rtas,
+               CAST(2 AS BIGINT) AS rtas_commits
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -76,10 +76,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft time travel is by version (VERSION AS OF n); the commit " +
-        "log records no wall-clock authority to resolve TIMESTAMP AS OF")
+  /** `TIMESTAMP AS OF <t>` — Spark hands the literal as epoch MICROS;
+    * resolution is the latest version whose in-commit timestamp
+    * ([[VersionedTable.commitTimestamp]] — strictly increasing by
+    * construction) is ≤ t.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = basePath(ident)
+    if (VersionedTable.latestVersion(base).isEmpty)
+      throw new NoSuchTableException(ident)
+    val v = VersionedTable.versionAtTimestamp(base, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $ident did not exist yet at timestamp $timestamp µs " +
+          "(its first commit is later)"))
+    load(ident, Some(v))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     VersionedTable.latestVersion(basePath(ident)).isDefined

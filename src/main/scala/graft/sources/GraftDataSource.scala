@@ -68,9 +68,26 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val base =
       if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
     val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map { t =>
+        VersionedTable.versionAtTimestamp(base, parseTsMillis(t))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$base did not exist yet at timestampAsOf=$t"))
+      })
       .orElse(VersionedTable.latestVersion(base))
     (base, version)
   }
+
+  /** `timestampAsOf` accepts epoch millis or an ISO/SQL timestamp
+    * (interpreted in UTC, the engine's session zone).
+    */
+  private def parseTsMillis(t: String): Long =
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (base, versionOpt) = resolve(options)

@@ -66,8 +66,28 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
-  override def estimateStatistics(): Statistics =
-    current.estimateStatistics()
+  /** The delegate's size estimate, upgraded with the manifest's EXACT
+    * row count when nothing filters the scan — the commit log already
+    * knows it (the same counts the COUNT(*) pushdown answers from),
+    * so join planning and AQE see a real cardinality instead of a
+    * bytes-divided guess. With pushed filters the physical count is
+    * an upper bound, not an estimate of the filtered output — refuse
+    * rather than mislead the optimizer.
+    */
+  override def estimateStatistics(): Statistics = {
+    val inner = current.estimateStatistics()
+    val unfiltered = current.dataFilters.isEmpty &&
+      current.partitionFilters.isEmpty
+    if (unfiltered && entries.nonEmpty && entries.forall(_.rows >= 0L)) {
+      val exact = entries.map(_.rows).sum
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          inner.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(exact)
+      }
+    } else inner
+  }
   override def getMetaData(): Map[String, String] =
     current.getMetaData()
 

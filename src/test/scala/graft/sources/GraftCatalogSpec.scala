@@ -28,10 +28,15 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getLong(0) === 0L)
     assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 2")
       .head().getLong(0) === 2L)
+    // TIMESTAMP AS OF: a pre-table instant fails loudly; "now"
+    // resolves to the latest version (in-commit timestamps —
+    // GraftTimestampTravelSpec covers mid-history resolution)
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '2026-01-01'").collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage)
+    assert(e.getMessage.contains("did not exist"), e.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t TIMESTAMP AS OF " +
+      "current_timestamp()").head().getLong(0) === 3L)
     // the DML surface rides the same GraftTable
     spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 2")
     spark.sql(s"DELETE FROM $t WHERE k = 1")

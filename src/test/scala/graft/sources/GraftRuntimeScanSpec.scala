@@ -86,6 +86,29 @@ class GraftRuntimeScanSpec extends SparkSuite {
     assert(kept <= 2, s"bloom runtime prune kept $kept of $total")
   }
 
+  test("unfiltered scan reports the manifest's EXACT row count as stats") {
+    val base = mkFact("stats")
+    val df = spark.read.format("graft").load(base)
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation =>
+        val st = r.scan
+          .asInstanceOf[org.apache.spark.sql.connector.read
+            .SupportsReportStatistics].estimateStatistics()
+        assert(st.numRows().isPresent && st.numRows().getAsLong === 40L)
+    }.ensuring(_.nonEmpty, "expected a DSv2 scan relation in the plan")
+    // a filtered scan refuses the exact claim (physical ≠ filtered)
+    val f = spark.read.format("graft").load(base).filter(col("k") > 5L)
+    f.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation =>
+        val st = r.scan
+          .asInstanceOf[org.apache.spark.sql.connector.read
+            .SupportsReportStatistics].estimateStatistics()
+        assert(!st.numRows().isPresent)
+    }
+  }
+
   test("runtime pruning never loses rows: join equals parquet twin") {
     val base = mkFact("twin")
     val s = spark

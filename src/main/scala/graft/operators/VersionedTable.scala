@@ -446,6 +446,69 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  // -------------------------------------------------------------------
+  // CHECK constraints (the Delta `delta.constraints.*` shape): named
+  // boolean SQL expressions every committed row must satisfy. Stored
+  // in `_log/_constraints` (tab-separated name/expr lines, replaced
+  // atomically — table-level config, not history: enforcement is a
+  // write-time property, so time travel of the constraint SET is not
+  // meaningful and the file survives vacuum). Enforcement happens in
+  // commitAt on the freshly WRITTEN delta files (one O(delta) re-read
+  // — never a re-execution of the caller's plan, which for streaming
+  // micro-batches must not run twice), BEFORE publish: a violating
+  // commit leaves only an unpublished attempt dir for vacuum to sweep.
+  // SQL NULL semantics match the standard: a constraint evaluating to
+  // NULL passes; only FALSE violates.
+
+  private def constraintsPath(base: String): Path =
+    logDir(base).resolve("_constraints")
+
+  /** The table's active CHECK constraints, name → boolean SQL expr. */
+  def constraints(base: String): Map[String, String] = {
+    val p = constraintsPath(base)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p).asScala.filter(_.contains('\t')).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+
+  /** Add (or redefine) a CHECK constraint. EXISTING rows must already
+    * satisfy it (one snapshot scan — the Delta ADD CONSTRAINT
+    * contract), else the add refuses and nothing changes.
+    */
+  def addConstraint(s: SparkSession, base: String, name: String,
+                    exprSql: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"constraint name must be tab/newline-free: '$name'")
+    require(!exprSql.exists(c => c == '\n'),
+      "constraint expression must be single-line SQL")
+    latestVersion(base).foreach { v =>
+      val snap = readVersion(s, base, v)
+      val bad = snap.filter(!coalesce(expr(exprSql), lit(true))).limit(1)
+      require(bad.isEmpty,
+        s"cannot ADD CONSTRAINT $name CHECK ($exprSql): existing rows " +
+          s"violate it (e.g. ${bad.collect().headOption.getOrElse("")})")
+    }
+    writeConstraints(base, constraints(base) + (name -> exprSql))
+  }
+
+  /** Drop a CHECK constraint by name (no-op if absent). */
+  def dropConstraint(base: String, name: String): Unit =
+    writeConstraints(base, constraints(base) - name)
+
+  private def writeConstraints(base: String,
+                               cs: Map[String, String]): Unit = {
+    Files.createDirectories(logDir(base))
+    val tmp = logDir(base).resolve(
+      s".constmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, constraintsPath(base),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Version `v`'s commit wall-clock (epoch millis) — the IN-COMMIT
     * timestamp written into the marker (`#ts=`), falling back to the
     * marker file's modification time for pre-header commits (exactly
@@ -1711,6 +1774,21 @@ object VersionedTable {
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .toSeq.sorted
       finally dirStream.close()
+    // CHECK constraints: validate the freshly WRITTEN files (one
+    // O(delta) re-read, never a re-execution of the caller's plan)
+    // before anything publishes — see the constraints section above
+    val activeConstraints = constraints(base)
+    if (activeConstraints.nonEmpty && freshNames.nonEmpty) {
+      val fresh = s.read.parquet(s"$base/$dataDir")
+      activeConstraints.foreach { case (name, e) =>
+        val bad = fresh.filter(!coalesce(expr(e), lit(true))).limit(1)
+          .collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"commit to $base violates CHECK constraint $name ($e): " +
+              s"e.g. ${bad.head}")
+      }
+    }
     // a rewrite that empties the table writes NO part files — nothing
     // to scan (and parquet schema inference over zero files would err)
     val stats =

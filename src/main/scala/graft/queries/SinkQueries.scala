@@ -2432,6 +2432,57 @@ object SinkQueries {
                CAST(2 AS BIGINT) AS rtas_commits
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q180: CHECK CONSTRAINTS (r11) — data-quality gates as table
+    // metadata, the Delta `delta.constraints.*` idiom via ALTER TABLE
+    // SET TBLPROPERTIES ('graft.constraint.<name>' = '<bool sql>').
+    // Enforcement is commit-scoped and O(delta): commitAt re-reads
+    // ONLY the freshly written files (never re-executes the writer's
+    // plan) and refuses BEFORE publish, so a violating batch leaves
+    // the table untouched. The entry commits lineitem in two inserts
+    // under a quantity ceiling that the first insert satisfies and
+    // the second violates; the violating insert must fail and commit
+    // NOTHING — the oracle recomputes the surviving table (only the
+    // passing slice) plus the would-be-violation count from raw
+    // lineitem, so an enforcement hole (bad rows slipping through)
+    // or over-enforcement (good rows blocked) both hash-fail.
+    Q("q180_sql_constraints",
+      (s, d) => {
+        val ns = s"q180_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = s"graft.$ns.t"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("ln"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .createOrReplaceTempView("graft_q180_src")
+        try {
+          s.sql(s"CREATE TABLE $t (l_orderkey BIGINT, ln BIGINT, " +
+            "qty_e2 BIGINT)")
+          s.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+            "('graft.constraint.small_lines' = 'ln <= 4')")
+          s.sql(s"INSERT INTO $t SELECT * FROM graft_q180_src " +
+            "WHERE ln <= 4")
+          val refused =
+            try { s.sql(s"INSERT INTO $t SELECT * FROM graft_q180_src " +
+              "WHERE ln > 4"); 0L }
+            catch { case _: Exception => 1L }
+          val r = s.sql(s"SELECT count(*) AS n, sum(qty_e2) AS q FROM $t")
+            .head()
+          import s.implicits._
+          Seq((r.getLong(0), r.getLong(1), refused))
+            .toDF("n_rows", "qty_e2", "violations_refused")
+        } finally { s.sql(s"DROP TABLE IF EXISTS $t"); () }
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_e2,
+               CAST(1 AS BIGINT) AS violations_refused
+        FROM lineitem WHERE l_linenumber <= 4
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

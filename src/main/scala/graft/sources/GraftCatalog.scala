@@ -121,7 +121,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
-    val adds = changes.map {
+    // CHECK constraints ride table properties, the Delta
+    // `delta.constraints.<name>` idiom:
+    //   ALTER TABLE t SET TBLPROPERTIES ('graft.constraint.pos' = 'v > 0')
+    //   ALTER TABLE t UNSET TBLPROPERTIES ('graft.constraint.pos')
+    // ADD validates existing rows first; writes enforce from then on.
+    val ConstraintKey = "graft.constraint.(.+)".r
+    val (constraintChanges, rest) = changes.partition {
+      case p: TableChange.SetProperty =>
+        ConstraintKey.pattern.matcher(p.property()).matches()
+      case p: TableChange.RemoveProperty =>
+        ConstraintKey.pattern.matcher(p.property()).matches()
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case p: TableChange.SetProperty =>
+        val ConstraintKey(nm) = p.property()
+        VersionedTable.addConstraint(SparkSession.active, basePath(ident),
+          nm, p.value())
+      case p: TableChange.RemoveProperty =>
+        val ConstraintKey(nm) = p.property()
+        VersionedTable.dropConstraint(basePath(ident), nm)
+      case _ => ()
+    }
+    if (rest.isEmpty) return loadTable(ident)
+    val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft ALTER TABLE adds top-level columns only, got nested " +

@@ -25,6 +25,34 @@ class GraftDataSourceSpec extends SparkSuite {
     base
   }
 
+  test("write-time clustering: clusterBy tightens zone maps at ingest") {
+    val s = spark
+    import s.implicits._
+    val base = TempDirs.scoped("graft_dsv2_clusterby")
+    // shuffled keys: without clustering, every file spans the domain
+    val df = new scala.util.Random(7).shuffle((0L until 400L).toList)
+      .map(k => (k, k * 3)).toDF("k", "v")
+    df.write.format("graft")
+      .option("statsCols", "k").option("clusterBy", "k")
+      .option("numFiles", "8").mode("append").save(base)
+    val got = spark.read.format("graft").load(base)
+      .filter(col("k").between(100L, 149L))
+    assert(got.count() === 50L)
+    val (kept, total) = GraftScanMetrics.lastPrune(base).get
+    assert(total === 8)
+    assert(kept <= 2, s"range-clustered write should skip most files, " +
+      s"kept $kept of $total")
+    // zorderCols: the two-key variant, same ingest-time story
+    val zb = TempDirs.scoped("graft_dsv2_zorderw")
+    df.withColumn("w", col("k") % 20L).write.format("graft")
+      .option("statsCols", "k,w").option("zorderCols", "k,w")
+      .option("numFiles", "8").mode("append").save(zb)
+    val zf = spark.read.format("graft").load(zb)
+      .filter(col("k").between(100L, 149L))
+    assert(zf.count() === 50L)
+    assert(GraftScanMetrics.lastPrune(zb).exists(_._1 < 8))
+  }
+
   test("format('graft'): full read, time travel via versionAsOf") {
     val base = mkTable("tt")
     val df = spark.read.format("graft").load(base)

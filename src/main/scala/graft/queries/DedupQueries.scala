@@ -1086,7 +1086,93 @@ object DedupQueries {
         SELECT ids.doc_id, COALESCE(comp.component, ids.doc_id) AS component
         FROM ids LEFT JOIN comp ON ids.doc_id = comp.doc_id
         ORDER BY ids.doc_id
-      """))
+      """)),
+
+    // ---------------------------------------------------------------
+    // q181: INCREMENTALLY-MAINTAINED LSH INDEX (r11) — the dedup tier
+    // and the table-format tier composing into the standing shape of
+    // a production dedup service: q41's band index becomes a
+    // PERSISTENT graft table maintained from the corpus table's
+    // change feed (LshIndexPipeline), so probing never re-signatures
+    // the corpus. Lifecycle under the oracle gate: evens merge-commit
+    // and drain (index bootstraps); odds merge in and a doc_id band
+    // is DELETEd; the second drain must add exactly the odds'
+    // postings and RETIRE the deleted docs' (file-scoped delete
+    // pruned by the index's own doc_id zone maps + blooms; the
+    // append leg txn-stamped for crash-replay dedup). The probe —
+    // one band equi-join over the index, exact-Jaccard verify
+    // against the live corpus — must equal the all-pairs ground
+    // truth over live docs; idx_docs pins insertion AND retirement
+    // completeness (a stale posting or a missed odd doc shifts it).
+    // Scale: per batch, work ∝ change rows + overlapping index
+    // files; the probe is the q41 shape against a table that already
+    // exists — the 100 TB dedup loop without a corpus rescan.
+    Q("q181_incremental_lsh_index",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val docsBase = graft.TempDirs.scoped("graft_q181_docs")
+        val idxBase = graft.TempDirs.scoped("graft_q181_idx")
+        val cp = graft.TempDirs.scoped("graft_q181_cp")
+        val t = 0.7
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ext = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (ilo, ihi) = (ext.getLong(0), ext.getLong(1))
+        val span = ihi - ilo + 1
+        val (dlo, dhi) = (ilo + span * 3 / 8, ilo + span * 4 / 8 - 1)
+        VersionedTable.commitMerge(s, docsBase,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", Seq("doc_id"),
+          statsCols = Seq("doc_id"))
+        graft.streaming.LshIndexPipeline.runAvailableNow(
+          s, docsBase, idxBase, cp)
+        VersionedTable.commitMerge(s, docsBase,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", Seq("doc_id"),
+          statsCols = Seq("doc_id"))
+        VersionedTable.commitDelete(s, docsBase,
+          col("doc_id").between(dlo, dhi), Seq(("doc_id", dlo, dhi)),
+          statsCols = Seq("doc_id"))
+        graft.streaming.LshIndexPipeline.runAvailableNow(
+          s, docsBase, idxBase, cp)
+        // probe: candidates from the INDEX, verified against the LIVE
+        // corpus read back through the format
+        val live = s.read.format("graft").load(docsBase)
+          .select(col("doc_id"),
+            array_sort(transform(
+              array_distinct(TextAnalysis.wordNgrams(col("text"), 3)),
+              g => xxhash64(g))).as("grams"))
+          .filter(size(col("grams")) > 0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val idxDocs = s.read.format("graft").load(idxBase)
+          .agg(countDistinct(col("doc_id"))).head().getLong(0)
+        val cand = graft.streaming.LshIndexPipeline.candidates(s, idxBase)
+        val out = verifyPairs(cand, live, t)
+          .withColumn("idx_docs", lit(idxDocs))
+        live.unpersist()
+        out
+      },
+      Some(s"""
+        WITH g0 AS ($DGrams),
+        ids AS (SELECT MIN(doc_id) AS ilo, MAX(doc_id) AS ihi
+                FROM documents),
+        pr AS (SELECT ilo + (ihi - ilo + 1) * 3 // 8 AS dlo,
+                      ilo + (ihi - ilo + 1) * 4 // 8 - 1 AS dhi
+               FROM ids),
+        g AS (SELECT g0.* FROM g0, pr
+              WHERE doc_id NOT BETWEEN dlo AND dhi),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(CAST(inter AS DOUBLE) / (la + lb - inter)
+                 * 10000) AS BIGINT) AS jac_e4,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS idx_docs
+        FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.7
+        ORDER BY doc_a, doc_b
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
+      bench = false)
   )
 
   private def sampledIdsSql(n: Int): String =

@@ -1168,6 +1168,117 @@ object VectorQueries {
                CAST(floor(cos * 100) AS BIGINT) AS score_e2
         FROM prr WHERE rank <= $K
         ORDER BY query_id, rank
-      """))
+      """)),
+
+    // ---------------------------------------------------------------
+    // q182: INCREMENTALLY-MAINTAINED IVF INDEX (r11) — q181's
+    // change-feed-maintained-index pattern for the vector tier: q51's
+    // inverted lists become a persistent graft table kept current by
+    // IvfIndexPipeline (coarse quantizer FIXED at bootstrap — the
+    // production discipline; per batch, new vectors broadcast-route
+    // against the stored centroids, deleted vectors' routings retire
+    // file-scoped, the append txn-stamped). Lifecycle: evens commit →
+    // drain (centroids elected from evens, evens routed) → odds merge
+    // in, a vec_id band DELETEd → drain. Serving probes the standing
+    // index and fetches ONLY candidate embeddings. The oracle is
+    // q51's generated twin with the centroid CTE restricted to the
+    // BOOTSTRAP corpus (evens) and assignment/candidates/scoring over
+    // the LIVE corpus — so stale routings, missed odds, or resurrected
+    // deletions all hash-fail; idx_vecs pins retirement completeness.
+    Q("q182_incremental_ivf_index",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val vecsBase = graft.TempDirs.scoped("graft_q182_vecs")
+        val idxBase = graft.TempDirs.scoped("graft_q182_idx")
+        val centBase = graft.TempDirs.scoped("graft_q182_cent")
+        val cp = graft.TempDirs.scoped("graft_q182_cp")
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val ext = vecs.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        val (ilo, ihi) = (ext.getLong(0), ext.getLong(1))
+        val span = ihi - ilo + 1
+        val (dlo, dhi) = (ilo + span * 3 / 8, ilo + span * 4 / 8 - 1)
+        VersionedTable.commitMerge(s, vecsBase,
+          vecs.filter(col("vec_id") % 2 === 0), "vec_id", Seq("vec_id"),
+          statsCols = Seq("vec_id"))
+        graft.streaming.IvfIndexPipeline.runAvailableNow(
+          s, vecsBase, idxBase, centBase, cp)
+        VersionedTable.commitMerge(s, vecsBase,
+          vecs.filter(col("vec_id") % 2 === 1), "vec_id", Seq("vec_id"),
+          statsCols = Seq("vec_id"))
+        VersionedTable.commitDelete(s, vecsBase,
+          col("vec_id").between(dlo, dhi), Seq(("vec_id", dlo, dhi)),
+          statsCols = Seq("vec_id"))
+        graft.streaming.IvfIndexPipeline.runAvailableNow(
+          s, vecsBase, idxBase, centBase, cp)
+        // serve off the standing index against the LIVE corpus
+        val live = s.read.format("graft").load(vecsBase)
+          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = live.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val idxVecs = s.read.format("graft").load(idxBase)
+          .agg(countDistinct(col("vec_id"))).head().getLong(0)
+        val out = scoreAndRank(graft.streaming.IvfIndexPipeline
+            .candidates(s, idxBase, centBase, live, queries))
+          .withColumn("idx_vecs", lit(idxVecs))
+        live.unpersist()
+        out
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), ids AS (
+          SELECT MIN(vec_id) AS ilo, MAX(vec_id) AS ihi FROM e0
+        ), pr AS (
+          SELECT ilo + (ihi - ilo + 1) * 3 // 8 AS dlo,
+                 ilo + (ihi - ilo + 1) * 4 // 8 - 1 AS dhi
+          FROM ids
+        ), e AS (
+          SELECT e0.* FROM e0, pr WHERE vec_id NOT BETWEEN dlo AND dhi
+        ), c AS (
+          SELECT vec_id AS cid, emb AS cemb
+          FROM e0 WHERE vec_id % 2 = 0
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT ${graft.streaming.IvfIndexPipeline.C}
+        ), asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC,
+                              c.cid) AS rn
+            FROM e, c) WHERE rn <= 1
+        ), probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.emb, c.cemb) DESC,
+                              c.cid) AS rn
+            FROM e q, c WHERE q.vec_id < $NumQueries) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id
+          FROM asg a JOIN probes p USING (cid)
+          WHERE a.vec_id <> p.query_id
+        ), scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 list_cosine_similarity(ev.emb, eq.emb) AS cos
+          FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+                    JOIN e eq ON eq.vec_id = cand.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS idx_vecs
+        FROM ranked WHERE rank <= $K
+        ORDER BY query_id, rank
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
+      bench = false)
   )
 }

@@ -1348,11 +1348,26 @@ object VersionedTable {
     * of shift/mask terms, no UDF. Degrades gracefully past 2^16 per
     * key (identical on any engine computing the same expression).
     */
-  def zValue(a: Column, b: Column): Column =
-    (0 until 16).map { i =>
-      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+  def zValue(a: Column, b: Column): Column = zValueN(Seq(a, b))
+
+  /** N-column Morton interleave — [[zValue]]'s general form: bit `i`
+    * of column `j` lands at position `i·k + j`, with the per-column
+    * bit budget shrunk to keep the interleave inside a long
+    * (`min(16, 63/k)` bits — 16 at k≤3, 12 at k=5, …). k=2 is
+    * bit-identical to the original two-column formula (q133/q153's
+    * oracles encode it), so existing layouts and twins are untouched.
+    */
+  def zValueN(cs: Seq[Column]): Column = {
+    require(cs.length >= 2, s"z-order needs >= 2 columns, got ${cs.length}")
+    val k = cs.length
+    val bitsPer = math.min(16, 63 / k)
+    (for {
+      i <- 0 until bitsPer
+      (c, j) <- cs.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)),
+      i * k + j))
+      .reduce(_ + _)
+  }
 
   /** Bin-packing COMPACTION: rewrite the latest snapshot into
     * `numFiles` balanced files as a new commit — the maintenance job
@@ -1387,16 +1402,23 @@ object VersionedTable {
     * [[compact]]; the rewritten columns' stats are always collected.
     */
   def optimize(s: SparkSession, base: String, zCols: (String, String),
-               numFiles: Int, statsCols: Seq[String] = Nil): Long = {
+               numFiles: Int, statsCols: Seq[String] = Nil): Long =
+    optimizeN(s, base, Seq(zCols._1, zCols._2), numFiles, statsCols)
+
+  /** [[optimize]] for any number of clustering keys (≥2) via
+    * [[zValueN]] — OPTIMIZE ZORDER BY (a, b, c, …).
+    */
+  def optimizeN(s: SparkSession, base: String, zCols: Seq[String],
+                numFiles: Int, statsCols: Seq[String] = Nil): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to optimize in $base")
-      val z = zValue(col(zCols._1).cast("long"), col(zCols._2).cast("long"))
+      val z = zValueN(zCols.map(c => col(c).cast("long")))
       val snap = readVersion(s, base, prevV.get)
         .repartitionByRange(numFiles, z)
         .sortWithinPartitions(z)
-      val stats = (statsCols ++ Seq(zCols._1, zCols._2)).distinct
+      val stats = (statsCols ++ zCols).distinct
       val prevPaths = entries(base, prevV.get).map(_.path)
       commitAt(s, base, snap, "optimize", stats, prevV)(
         fresh => (fresh, prevPaths))

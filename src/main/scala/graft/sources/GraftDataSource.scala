@@ -409,17 +409,16 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             // layout (the small-file knob).
             val zc = colsOpt("zorderCols")
             val cb = colsOpt("clusterBy")
-            require(zc.isEmpty || zc.length == 2,
-              s"zorderCols takes exactly two columns, got $zc")
+            require(zc.isEmpty || zc.length >= 2,
+              s"zorderCols takes two or more columns, got $zc")
             require(zc.isEmpty || cb.isEmpty,
               "zorderCols and clusterBy are mutually exclusive")
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
             import org.apache.spark.sql.functions.col
             val clustered =
-              if (zc.length == 2) {
+              if (zc.length >= 2) {
                 val w = aligned.withColumn("__graft_z",
-                  VersionedTable.zValue(col(zc.head).cast("long"),
-                    col(zc(1)).cast("long")))
+                  VersionedTable.zValueN(zc.map(c => col(c).cast("long"))))
                 nf.map(n => w.repartitionByRange(n, col("__graft_z")))
                   .getOrElse(w.repartitionByRange(col("__graft_z")))
                   .sortWithinPartitions(col("__graft_z"))

@@ -1392,6 +1392,53 @@ object VersionedTable {
     }
   }
 
+  /** INCREMENTAL compaction — the Delta bin-packing semantics
+    * [[compact]] approximates from above: rewrite ONLY the files
+    * under `smallBytes`, coalescing them into ceil(small bytes /
+    * targetBytes) files; right-sized files carry forward as implicit
+    * manifest lines, untouched. On a 100 TB table that accumulated a
+    * month of per-batch appends, this is O(small-file debt), not
+    * O(table) — the difference between a nightly maintenance job and
+    * a full rewrite. Files with a deletion vector always qualify
+    * (compaction is what folds DVs away — their physical size
+    * overstates their live rows anyway). Returns the new version, or
+    * the current one when fewer than `minSmallFiles` qualify (a
+    * single small file has nothing to pack with; threshold callers
+    * tune for their cadence).
+    */
+  def compactSmall(s: SparkSession, base: String, smallBytes: Long,
+                   targetBytes: Long,
+                   minSmallFiles: Int = 2,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    require(smallBytes > 0 && targetBytes > 0,
+      s"byte thresholds must be positive: small=$smallBytes target=$targetBytes")
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to compact in $base")
+      val (all, schema) = replay(base, prevV.get)
+      val sized = all.map(e =>
+        e -> Files.size(Paths.get(base, e.path)))
+      val small = sized.filter { case (e, sz) =>
+        sz < smallBytes || e.dv.exists(_.count > 0L) }
+      if (small.length < minSmallFiles) prevV.get
+      else {
+        val totalSmall = small.map(_._2).sum
+        val outFiles = math.max(1L,
+          (totalSmall + targetBytes - 1L) / targetBytes).toInt
+        val packed = readEntries(s, base, small.map(_._1), schema)
+          .repartition(outFiles)
+        // rewritten files keep the table's stats discipline, like
+        // DML rewrites — pruning never silently degrades
+        val (zc, bc) = statsDiscipline(base)
+        commitAt(s, base, packed, "compact",
+          (statsCols ++ zc).distinct, prevV,
+          bloomCols = (bloomCols ++ bc).distinct)(
+          fresh => (fresh, small.map(_._1.path)))
+      }
+    }
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the latest snapshot range-clustered
     * on the Morton z-value of two key columns (sorted within files),
     * as a new commit with fresh zone maps — the layout that makes

@@ -82,7 +82,9 @@ private[sources] object GraftProcedures {
   private def cols(s: String): Seq[String] =
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
-  def names: Seq[String] = Seq("restore", "vacuum", "compact", "zorder")
+  def names: Seq[String] =
+    Seq("restore", "vacuum", "compact", "compact_small", "zorder",
+      "zorder_by")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -123,6 +125,26 @@ private[sources] object GraftProcedures {
         out("version" -> LongType),
         in => Seq(VersionedTable.compact(SparkSession.active, base(in),
           in.getInt(1), cols(in.getUTF8String(2).toString)))))
+      case "compact_small" => Some(new Proc("compact_small",
+        "INCREMENTAL compaction: rewrite ONLY files under small_bytes " +
+          "(plus deletion-vector'd files, folding their DVs away) into " +
+          "~target_bytes files; right-sized files carry forward " +
+          "untouched -- O(small-file debt), never O(table)",
+        Seq(tableParam,
+          ("small_bytes", LongType, "files under this size qualify"),
+          ("target_bytes", LongType, "packed output file size")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.compactSmall(SparkSession.active,
+          base(in), in.getLong(1), in.getLong(2)))))
+      case "zorder_by" => Some(new Proc("zorder_by",
+        "OPTIMIZE ZORDER BY (c1, c2, ...): the N-column form of " +
+          "zorder -- comma-separated clustering keys",
+        Seq(tableParam,
+          ("columns", StringType, "comma-separated z-order columns (>=2)"),
+          ("num_files", IntegerType, "target file count")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.optimizeN(SparkSession.active, base(in),
+          cols(in.getUTF8String(1).toString), in.getInt(2)))))
       case "zorder" => Some(new Proc("zorder",
         "OPTIMIZE ZORDER BY (col_a, col_b): rewrite the latest " +
           "snapshot Morton-clustered so zone-map skipping bites on " +

@@ -57,6 +57,44 @@ object GraftTableFunctions {
           longArg(args(1)), longArg(args(2)),
           strArg(args(3), "graft_changes key"))
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_detail"),
+      new ExpressionInfo(getClass.getCanonicalName, "graft_detail"),
+      (args: Seq[Expression]) => {
+        // DESCRIBE DETAIL: the one-row operational snapshot a table
+        // owner reads before maintenance — all driver-plane manifest
+        // arithmetic (rows/files/bytes/dv counts from the commit log,
+        // zone-map/bloom discipline, active constraints), zero file
+        // opens.
+        require(args.length == 1,
+          "graft_detail(table) takes the table path or ns.name")
+        val s = SparkSession.active
+        val base = resolveBase(s, strArg(args.head, "graft_detail"))
+        val v = VersionedTable.latestVersion(base).getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft table at $base (never committed)"))
+        val es = VersionedTable.entries(base, v)
+        val bytes = es.map(e => java.nio.file.Files.size(
+          java.nio.file.Paths.get(base, e.path))).sum
+        val rows =
+          if (es.exists(_.rows < 0L)) -1L else es.map(_.liveRows).sum
+        val (zc, bc) = VersionedTable.statsDiscipline(base)
+        val cons = VersionedTable.constraints(base).toSeq.sortBy(_._1)
+          .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+        val row = org.apache.spark.sql.Row(v, es.size, rows, bytes,
+          es.count(_.dv.exists(_.count > 0L)),
+          zc.sorted.mkString(","), bc.sorted.mkString(","), cons)
+        s.createDataFrame(Seq(row).asJava,
+          StructType(Seq(
+            StructField("version", LongType),
+            StructField("n_files", IntegerType),
+            StructField("n_rows", LongType),
+            StructField("size_bytes", LongType),
+            StructField("n_dv_files", IntegerType),
+            StructField("stats_cols", StringType),
+            StructField("bloom_cols", StringType),
+            StructField("constraints", StringType))))
+          .queryExecution.logical
       }))
 
   private implicit class SeqAsJava[A](s: Seq[A]) {

@@ -168,12 +168,14 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       }
     val skip = Option(opts.get("skipChangeCommits")).exists(_.toBoolean)
     val maxCommits = Option(opts.get("maxCommitsPerTrigger")).map(_.toLong)
+    val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
     val mp = if (metadataPath.startsWith("file:"))
       new java.net.URI(metadataPath).getPath else metadataPath
     new GraftStreamSource(sqlContext.sparkSession, base, rowSchema,
       snapshotStart, fromVersion, skip, cdcKey,
       spoolDir = Some(s"$mp/cdc-spool"),
-      maxCommitsPerTrigger = maxCommits)
+      maxCommitsPerTrigger = maxCommits,
+      maxBytesPerTrigger = maxBytes)
   }
 
   /** Streaming WRITE surface ([[GraftSink]]): `writeStream.format
@@ -378,6 +380,26 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             // (the SQL `INSERT VALUES` shape, whose synthetic col1..colN
             // names carry no meaning), casting to declared types either
             // way.
+            // schema ENFORCEMENT opt-in: mergeSchema=false refuses a
+            // frame carrying columns beyond the declared schema
+            // (default remains evolve-on-write — the engine's
+            // documented contract; Delta defaults the other way)
+            val evolve = Option(info.options.get("mergeSchema"))
+              .forall(_.toBoolean)
+            if (!evolve) {
+              // the authoritative shape is the LOG's declared schema —
+              // for path writes Spark hands getTable the source
+              // frame's own schema, which can't detect evolution
+              val declared = VersionedTable.latestVersion(base)
+                .flatMap(v => VersionedTable.declaredSchema(base, v))
+              declared.foreach { ds =>
+                val extra = data.columns.filterNot(ds.fieldNames.contains)
+                require(extra.isEmpty,
+                  s"write carries columns not in the table schema: " +
+                    s"${extra.mkString(", ")} (mergeSchema=false is " +
+                    "strict; drop the option or pass true to evolve)")
+              }
+            }
             val aligned =
               if (tableSchema.fields.isEmpty) data
               else if (tableSchema.fieldNames.forall(data.columns.contains))

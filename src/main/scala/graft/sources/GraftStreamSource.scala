@@ -60,11 +60,14 @@ class GraftStreamSource(spark: SparkSession, base: String,
                         fromVersion: Long, skipChangeCommits: Boolean,
                         cdcKey: Option[String] = None,
                         spoolDir: Option[String] = None,
-                        maxCommitsPerTrigger: Option[Long] = None)
+                        maxCommitsPerTrigger: Option[Long] = None,
+                        maxBytesPerTrigger: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   maxCommitsPerTrigger.foreach(m => require(m >= 1L,
     s"maxCommitsPerTrigger must be >= 1, got $m"))
+  maxBytesPerTrigger.foreach(m => require(m >= 1L,
+    s"maxBytesPerTrigger must be >= 1, got $m"))
 
   private val readSchema =
     StructType(sourceSchema.fields.map(_.copy(nullable = true)))
@@ -111,15 +114,47 @@ class GraftStreamSource(spark: SparkSession, base: String,
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val capped = currentLatest().map { l =>
       val pinned = availableNowCap.fold(l)(math.min(l, _))
-      (Option(start), maxCommitsPerTrigger) match {
+      val byCommits = (Option(start), maxCommitsPerTrigger) match {
         case (Some(st), Some(m)) => math.min(pinned, ver(st) + m)
         case (None, Some(m)) if !snapshotStart =>
           math.min(pinned, fromVersion - 1L + m)
         case _ => pinned
       }
+      (Option(start).map(ver)
+        .orElse(if (snapshotStart) None else Some(fromVersion - 1L))) match {
+        case Some(from) => math.min(byCommits, bytesCap(from, byCommits))
+        case None => byCommits // the snapshot-first batch is indivisible
+      }
     }
     capped.map(LongOffset(_)).orNull
   }
+
+  /** `maxBytesPerTrigger` (the Delta idiom at commit granularity):
+    * admit commits after `fromExclusive` until their ADDED files'
+    * cumulative bytes reach the cap — always at least one, so the
+    * stream can never stall on a single oversized commit. Sizes come
+    * from the commit deltas' files on disk (driver-plane metadata
+    * walk, ∝ admitted commits).
+    */
+  private def bytesCap(fromExclusive: Long, upTo: Long): Long =
+    maxBytesPerTrigger match {
+      case None => upTo
+      case Some(cap) =>
+        var acc = 0L
+        var v = fromExclusive
+        while (v < upTo && acc < cap) {
+          val (_, adds, _) = VersionedTable.commitDelta(base, v + 1L)
+          acc += adds.map { e =>
+            val p = java.nio.file.Paths.get(base, e.path)
+            if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+            else 0L
+          }.sum
+          v += 1L
+        }
+        // the loop admits ≥1 commit whenever any is available (acc
+        // starts below the cap), so v is the bounded end offset
+        v
+    }
 
   override def reportLatestOffset(): OffsetV2 =
     currentLatest().map(LongOffset(_)).orNull

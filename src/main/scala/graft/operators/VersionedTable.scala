@@ -1472,6 +1472,39 @@ object VersionedTable {
     }
   }
 
+  /** SCOPED re-clustering — incremental OPTIMIZE: z-order ONLY the
+    * files whose zone maps overlap `scope` (the "recluster yesterday's
+    * ingest" pattern), carrying everything else forward as implicit
+    * manifest lines. On a 100 TB table where OPTIMIZE runs daily over
+    * the newest partition-worth of keys, this is O(recent files), not
+    * O(table) — the same footprint discipline DML rewrites use.
+    * Returns the current version unchanged when nothing overlaps.
+    */
+  def optimizeWhere(s: SparkSession, base: String,
+                    scope: Seq[PruneRange], zCols: Seq[String],
+                    numFiles: Int, statsCols: Seq[String] = Nil): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(scope.nonEmpty, "optimizeWhere needs a non-empty scope " +
+      "(use optimizeN for the whole table)")
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to optimize in $base")
+      val (all, schema) = replay(base, prevV.get)
+      val touched = pruneTyped(all, scope)
+      if (touched.isEmpty) prevV.get
+      else {
+        val z = zValueN(zCols.map(c => col(c).cast("long")))
+        val packed = readEntries(s, base, touched, schema)
+          .repartitionByRange(numFiles, z)
+          .sortWithinPartitions(z)
+        val (zc, bc) = statsDiscipline(base)
+        commitAt(s, base, packed, "optimize",
+          (statsCols ++ zCols ++ zc).distinct, prevV,
+          bloomCols = bc)(fresh => (fresh, touched.map(_.path)))
+      }
+    }
+  }
+
   /** Retention vacuum: delete every data file not referenced by any
     * version ≥ `retainFrom`, plus the log entries below it — time
     * travel to versions < `retainFrom` fails cleanly afterwards (their

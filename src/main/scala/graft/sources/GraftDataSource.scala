@@ -207,8 +207,14 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     def colsOpt(name: String) = Option(opts.get(name))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+    // autoCompactSmallBytes=<bytes>[,autoCompactTrigger=<n>]: fold the
+    // small-file debt inline once <n> (default 8) sub-threshold files
+    // accumulate
+    val auto = Option(opts.get("autoCompactSmallBytes")).map(_.toLong)
+      .map(b => (b,
+        Option(opts.get("autoCompactTrigger")).map(_.toInt).getOrElse(8)))
     new GraftSink(sqlContext.sparkSession, base, appId, outputMode,
-      colsOpt("statsCols"), colsOpt("bloomCols"))
+      colsOpt("statsCols"), colsOpt("bloomCols"), autoCompact = auto)
   }
 
   /** Read-or-publish the resolved `startingVersion=latest` under the

@@ -40,7 +40,8 @@ import graft.operators.VersionedTable
   */
 class GraftSink(spark: SparkSession, base: String, appId: String,
                 mode: OutputMode, statsCols: Seq[String],
-                bloomCols: Seq[String]) extends Sink {
+                bloomCols: Seq[String],
+                autoCompact: Option[(Long, Int)] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (VersionedTable.lastCommittedTxn(base, appId).exists(_ >= batchId))
@@ -53,6 +54,23 @@ class GraftSink(spark: SparkSession, base: String, appId: String,
     else
       VersionedTable.commitAppend(spark, base, batch, statsCols,
         bloomCols = bloomCols, txn = txn)
+    // AUTO-COMPACTION (the Delta autoOptimize shape): once the
+    // small-file debt passes the trigger count, fold it with one
+    // incremental compactSmall — O(small files), inline with the
+    // stream, so a long-running sink never needs an external
+    // maintenance job to stay readable. The compaction commit is NOT
+    // txn-stamped (it moves no rows); a crash between the batch
+    // commit and the compaction just defers folding to a later batch.
+    autoCompact.foreach { case (smallBytes, trigger) =>
+      val v = VersionedTable.latestVersion(base).get
+      val smallN = VersionedTable.entries(base, v).count { e =>
+        java.nio.file.Files.size(
+          java.nio.file.Paths.get(base, e.path)) < smallBytes
+      }
+      if (smallN >= trigger)
+        VersionedTable.compactSmall(spark, base, smallBytes,
+          targetBytes = math.max(smallBytes * trigger, smallBytes))
+    }
     ()
   }
 

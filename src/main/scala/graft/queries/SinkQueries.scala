@@ -2483,6 +2483,93 @@ object SinkQueries {
         FROM lineitem WHERE l_linenumber <= 4
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q183: SCOPED OPTIMIZE under the oracle gate (r11) — incremental
+    // maintenance as arithmetic: lineitem lands as 12 one-file
+    // orderkey-bin commits (the per-batch append debt), then `CALL
+    // graft.system.zorder_where` re-clusters ONLY the files whose
+    // zone maps overlap the "recent" top-third key scope into 2
+    // z-ordered files. files_touched is recomputed by the oracle from
+    // per-bin min/max overlap (a footprint that over- or under-reaches
+    // hash-fails), files_after pins the carried-forward survivors
+    // (12 − touched + 2), and the full-table row count and quantity
+    // sum prove the rewrite moved every row exactly once. Scale: the
+    // daily-OPTIMIZE-over-yesterday pattern — O(recent files), never
+    // O(table), from plain SQL.
+    Q("q183_scoped_optimize",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val ns = s"q183_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        val base = s"$wh/$ns/t"
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val kb = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (klo, khi) = (kb.getLong(0), kb.getLong(1))
+        val span = khi - klo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${klo}L) * 12 div ${span}L"))
+        binned.select(col("bin")).distinct().collect().map(_.getLong(0))
+          .sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("l_suppkey"), col("qty_e2"))
+                .coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        val v0 = VersionedTable.latestVersion(base).get
+        val before = VersionedTable.entries(base, v0)
+        val scopeLo = klo + (span * 2) / 3
+        try {
+          s.sql(s"CALL graft.system.zorder_where('$ns.t', 'l_orderkey', " +
+            s"${scopeLo}L, ${khi}L, 'l_orderkey,l_suppkey', 2)")
+          val v1 = VersionedTable.latestVersion(base).get
+          val after = VersionedTable.entries(base, v1)
+          val touched = before.size - after.map(_.path).toSet
+            .intersect(before.map(_.path).toSet).size
+          val agg = s.read.format("graft").load(base)
+            .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+          t.unpersist()
+          import s.implicits._
+          Seq((before.size.toLong, touched.toLong, after.size.toLong,
+            agg.getLong(0), agg.getLong(1)))
+            .toDF("files_before", "files_touched", "files_after",
+              "n_rows", "qty_e2")
+        } finally { s.sql(s"DROP TABLE IF EXISTS graft.$ns.t"); () }
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), kb AS (
+          SELECT MIN(l_orderkey) AS klo, MAX(l_orderkey) AS khi,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), bins AS (
+          SELECT (l_orderkey - klo) * 12 // span AS bin,
+                 MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+          FROM t, kb GROUP BY 1
+        ), sc AS (
+          SELECT klo + (span * 2) // 3 AS slo, khi AS shi FROM kb
+        ), tc AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS files_touched,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bins)
+                   AS files_before
+          FROM bins, sc WHERE mx >= slo AND mn <= shi
+        )
+        SELECT files_before, files_touched,
+               files_before - files_touched + 2 AS files_after,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_rows,
+               (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_e2
+        FROM tc
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -84,7 +84,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
-      "zorder_by")
+      "zorder_by", "zorder_where")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -145,6 +145,22 @@ private[sources] object GraftProcedures {
         out("version" -> LongType),
         in => Seq(VersionedTable.optimizeN(SparkSession.active, base(in),
           cols(in.getUTF8String(1).toString), in.getInt(2)))))
+      case "zorder_where" => Some(new Proc("zorder_where",
+        "SCOPED re-clustering: z-order ONLY the files whose zone maps " +
+          "overlap [lo, hi] on scope_col (the recluster-recent-ingest " +
+          "pattern -- O(touched files), everything else carries forward)",
+        Seq(tableParam,
+          ("scope_col", StringType, "zone-mapped column the scope keys on"),
+          ("lo", LongType, "scope lower bound (inclusive)"),
+          ("hi", LongType, "scope upper bound (inclusive)"),
+          ("columns", StringType, "comma-separated z-order columns (>=2)"),
+          ("num_files", IntegerType, "target file count for the scope")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.optimizeWhere(SparkSession.active,
+          base(in),
+          Seq(VersionedTable.LongRange(in.getUTF8String(1).toString,
+            in.getLong(2), in.getLong(3))),
+          cols(in.getUTF8String(4).toString), in.getInt(5)))))
       case "zorder" => Some(new Proc("zorder",
         "OPTIMIZE ZORDER BY (col_a, col_b): rewrite the latest " +
           "snapshot Morton-clustered so zone-map skipping bites on " +

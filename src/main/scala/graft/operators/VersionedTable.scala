@@ -437,13 +437,21 @@ object VersionedTable {
   def lastCommittedTxn(base: String, appId: String): Option[Long] = {
     val latest = latestVersion(base).getOrElse(return None)
     val prefix = s"#txn=$appId\t"
-    val vs = (1L to latest).filter(v => Files.exists(markerPath(base, v)))
+    // REVERSE scan with early exit: a writer's txn versions are
+    // monotone in commit order (a sink never commits a lower batchId
+    // later — replays commit nothing), so the writer's most recent
+    // stamp IS its maximum. The sink's hot path finds its stamp
+    // within the last few markers; the full-history walk is paid only
+    // when the appId has never written (once per writer lifetime,
+    // bounded by the vacuum horizon).
+    (latest to 1L by -1L).iterator
+      .filter(v => Files.exists(markerPath(base, v)))
       .flatMap { v =>
         Files.readAllLines(markerPath(base, v)).asScala
           .find(_.startsWith(prefix))
           .map(_.stripPrefix(prefix).trim.toLong)
       }
-    if (vs.isEmpty) None else Some(vs.max)
+      .nextOption()
   }
 
   // -------------------------------------------------------------------

@@ -136,6 +136,21 @@ object VersionedTable {
     */
   final case class BloomStats(k: Int, bits: Array[Byte]) extends Stat
 
+  /** Per-file K-Minimum-Values NDV sketch of a column (`ndvCols` at
+    * commit): the ≤ k smallest distinct 56-bit md5 hashes of the
+    * column's values (q146's cross-engine hash convention), O(k) per
+    * file and MERGEABLE across files by union-keep-k-smallest — so
+    * the table-level distinct count the optimizer asks for
+    * ([[ndvEstimates]] → `ColumnStatistics.distinctCount`) folds from
+    * manifest lines alone, no scan. Stored under `<col>#kmv`.
+    */
+  final case class KmvStats(k: Int, hashes: Array[Long]) extends Stat
+
+  /** NDV sketch size: 128 mins ≈ ±9% relative error, ~1.4 KB base64
+    * per column per manifest line (the bloom-scale budget).
+    */
+  val NdvK: Int = 128
+
   /** Bloom sizing: 4096 bits (512 B, ~684 base64 chars in the
     * manifest line) holds ~300 distinct keys per file at <0.1% false
     * positives with 5 hashes. A saturated bloom degrades to reading,
@@ -241,6 +256,7 @@ object VersionedTable {
 
   private val StrTag = "S:"
   private val BloomTag = "F:"
+  private val KmvTag = "K:"
 
   private def hexEnc(s: String): String =
     s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
@@ -288,6 +304,12 @@ object VersionedTable {
           val Array(k, b64) = range.stripPrefix(BloomTag).split(":", 2)
           c -> BloomStats(k.toInt,
             java.util.Base64.getDecoder.decode(b64))
+        } else if (range.startsWith(KmvTag)) {
+          val Array(k, b64) = range.stripPrefix(KmvTag).split(":", 2)
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          c -> KmvStats(k.toInt,
+            Array.fill(bytes.length / 8)(bb.getLong))
         } else {
           val Array(lo, hi) = range.split("\\.\\.", 2)
           c -> ColStats(lo.toLong, hi.toLong)
@@ -305,6 +327,11 @@ object VersionedTable {
         case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
         case (c, BloomStats(k, bits)) => s"$c=$BloomTag$k:" +
           java.util.Base64.getEncoder.encodeToString(bits)
+        case (c, KmvStats(k, hs)) =>
+          val bb = java.nio.ByteBuffer.allocate(hs.length * 8)
+          hs.foreach(bb.putLong)
+          s"$c=$KmvTag$k:" +
+            java.util.Base64.getEncoder.encodeToString(bb.array())
       }).mkString("\t")
 
   private def schemaHeader(st: StructType): String = s"#schema=${st.json}"
@@ -515,6 +542,48 @@ object VersionedTable {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(tmp, constraintsPath(base),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Table-level NDV estimates folded from manifest KMV sketches
+    * (commit option `ndvCols`): per column, the union-keep-k-smallest
+    * merge of every live file's sketch, estimated as (k−1)·M div h_k
+    * (M = 2^56, q146's convention; exact `size` when under k). A
+    * column is reported only when EVERY live file carries its sketch
+    * — a partial fold would silently understate. Deletion vectors:
+    * sketches describe the PHYSICAL file, so a dv'd table's estimate
+    * can overstate live NDV — acceptable for an optimizer input
+    * (compaction folds it exact again), noted here rather than
+    * refused because CBO wants an estimate, not an invariant.
+    * Driver-plane manifest arithmetic, zero file opens.
+    */
+  def ndvEstimates(base: String, v: Long): Map[String, Long] =
+    ndvEstimatesOf(entries(base, v))
+
+  /** [[ndvEstimates]] over an already-resolved snapshot's entries. */
+  def ndvEstimatesOf(es: Seq[ManifestEntry]): Map[String, Long] = {
+    if (es.isEmpty) return Map.empty
+    val cols = es.head.stats.keysIterator
+      .filter(_.endsWith("#kmv")).map(_.stripSuffix("#kmv")).toSeq
+    cols.flatMap { c =>
+      val per = es.map(_.stats.get(s"$c#kmv"))
+      if (per.exists(p => !p.exists(_.isInstanceOf[KmvStats]))) None
+      else {
+        val merged = scala.collection.mutable.TreeSet.empty[Long]
+        per.foreach { case Some(KmvStats(_, hs)) =>
+          hs.foreach { h =>
+            if (merged.size < NdvK) merged += h
+            else if (h < merged.last && !merged.contains(h)) {
+              merged += h; merged -= merged.last
+            }
+          }
+        case _ => ()
+        }
+        val est =
+          if (merged.size < NdvK) merged.size.toLong
+          else ((NdvK - 1).toLong * (1L << 56)) / merged.last
+        Some(c -> est)
+      }
+    }.toMap
   }
 
   /** Version `v`'s commit wall-clock (epoch millis) — the IN-COMMIT
@@ -760,11 +829,13 @@ object VersionedTable {
                    statsCols: Seq[String] = Nil,
                    maxAttempts: Int = 5,
                    bloomCols: Seq[String] = Nil,
-                   txn: Option[(String, Long)] = None): Long =
+                   txn: Option[(String, Long)] = None,
+                   ndvCols: Seq[String] = Nil): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       commitAt(s, base, df, "append", statsCols, prevV,
-        bloomCols = bloomCols, txn = txn)(fresh => (fresh, Seq.empty))
+        bloomCols = bloomCols, txn = txn,
+        ndvCols = ndvCols)(fresh => (fresh, Seq.empty))
     }
 
   /** The table's current stats discipline: (zone-map columns, bloom
@@ -1097,13 +1168,15 @@ object VersionedTable {
                     statsCols: Seq[String] = Nil,
                     maxAttempts: Int = 5,
                     bloomCols: Seq[String] = Nil,
-                    txn: Option[(String, Long)] = None): Long =
+                    txn: Option[(String, Long)] = None,
+                    ndvCols: Seq[String] = Nil): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       val prevPaths = prevV.map(entries(base, _).map(_.path))
         .getOrElse(Seq.empty)
       commitAt(s, base, df, "replace", statsCols, prevV,
-        bloomCols = bloomCols, txn = txn)(fresh => (fresh, prevPaths))
+        bloomCols = bloomCols, txn = txn,
+        ndvCols = ndvCols)(fresh => (fresh, prevPaths))
     }
 
   private def retrying(maxAttempts: Int)(attempt: => Long): Long = {
@@ -1843,8 +1916,13 @@ object VersionedTable {
                        prevV: Option[Long],
                        beforePublish: () => Unit = () => (),
                        bloomCols: Seq[String] = Nil,
-                       txn: Option[(String, Long)] = None)(
+                       txn: Option[(String, Long)] = None,
+                       ndvCols: Seq[String] = Nil)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
+    ndvCols.foreach { c =>
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
+        s"ndv column name '$c' would corrupt the manifest line format")
+    }
     txn.foreach { case (appId, _) =>
       require(appId.nonEmpty && !appId.exists(c => c == '\n' || c == '\t'),
         s"txn appId must be non-empty and tab/newline-free: '$appId'")
@@ -1903,7 +1981,7 @@ object VersionedTable {
     // to scan (and parquet schema inference over zero files would err)
     val stats =
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
-      else collectStats(s, s"$base/$dataDir", statsCols, bloomCols)
+      else collectStats(s, s"$base/$dataDir", statsCols, bloomCols, ndvCols)
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand
@@ -1941,7 +2019,8 @@ object VersionedTable {
     */
   private def collectStats(s: SparkSession, dir: String,
       statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil)
       : Map[String, (Long, Map[String, Stat])] = {
     val df = s.read.parquet(dir)
     def proj(c: String): Column = df.schema(c).dataType match {
@@ -1961,7 +2040,12 @@ object VersionedTable {
         // bounded by m (= BloomBits) distinct positions per file
         bloomCols.flatMap(c => (0 until BloomHashes).map(j =>
           collect_set(pmod(xxhash64(lit(j.toLong), col(c)),
-            lit(BloomBits.toLong))).as(s"__bl_${j}_$c"))))
+            lit(BloomBits.toLong))).as(s"__bl_${j}_$c"))) ++
+        // NDV sketch: q146's cross-engine 56-bit md5 hash, O(NdvK)
+        // aggregate state per file (never ∝ distinct values)
+        ndvCols.map(c => graft.expressions.KmvAgg.kmv(
+          conv(substring(md5(concat(lit("kmv:"), col(c).cast("string"))),
+            1, 14), 16, 10).cast("long"), NdvK).as(s"__kmv_$c")))
     df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1988,8 +2072,13 @@ object VersionedTable {
           }
           s"$c#bloom" -> (BloomStats(BloomHashes, bits): Stat)
         }.toMap
+        val kmvs = ndvCols.map { c =>
+          s"$c#kmv" -> (KmvStats(NdvK,
+            r.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toArray): Stat)
+        }.toMap
         r.getAs[String]("__f") ->
-          ((r.getAs[Long]("__rows"), per ++ blooms: Map[String, Stat]))
+          ((r.getAs[Long]("__rows"),
+            per ++ blooms ++ kmvs: Map[String, Stat]))
       }.toMap
   }
 

@@ -81,9 +81,11 @@ object GraftTableFunctions {
         val (zc, bc) = VersionedTable.statsDiscipline(base)
         val cons = VersionedTable.constraints(base).toSeq.sortBy(_._1)
           .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+        val ndv = VersionedTable.ndvEstimates(base, v).toSeq.sortBy(_._1)
+          .map { case (c, n) => s"$c≈$n" }.mkString("; ")
         val row = org.apache.spark.sql.Row(v, es.size, rows, bytes,
           es.count(_.dv.exists(_.count > 0L)),
-          zc.sorted.mkString(","), bc.sorted.mkString(","), cons)
+          zc.sorted.mkString(","), bc.sorted.mkString(","), cons, ndv)
         s.createDataFrame(Seq(row).asJava,
           StructType(Seq(
             StructField("version", LongType),
@@ -93,7 +95,8 @@ object GraftTableFunctions {
             StructField("n_dv_files", IntegerType),
             StructField("stats_cols", StringType),
             StructField("bloom_cols", StringType),
-            StructField("constraints", StringType))))
+            StructField("constraints", StringType),
+            StructField("ndv_estimates", StringType))))
           .queryExecution.logical
       }))
 

@@ -2570,6 +2570,89 @@ object SinkQueries {
         FROM tc
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q184: MANIFEST NDV SKETCHES (r11) — ANALYZE TABLE the table
+    // never runs: `ndvCols` at commit stores a per-file KMV sketch
+    // (≤128 smallest distinct 56-bit md5 hashes — q146's cross-engine
+    // convention) in the manifest line; the table-level distinct
+    // count folds driver-plane by union-keep-k-smallest (union of
+    // per-file k-mins ⊇ the global k-mins, so the merge equals one
+    // global sketch EXACTLY — the property the oracle exploits) and
+    // feeds the optimizer's ColumnStatistics.distinctCount. The twin
+    // recomputes the estimate from raw lineitem with one ranking
+    // window over distinct hashes, so a wrong sketch, a broken
+    // manifest round-trip, or a wrong merge hash-fails to the digit.
+    // Scale: NDV for CBO costs O(k) per file at commit and a manifest
+    // fold at plan time — never a table scan.
+    Q("q184_manifest_ndv",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q184")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .persist()
+        val kb = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (klo, khi) = (kb.getLong(0), kb.getLong(1))
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${klo}L) * 8 div ${khi - klo + 1}L"))
+        binned.select(col("bin")).distinct().collect().map(_.getLong(0))
+          .sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("l_suppkey")).coalesce(1),
+              statsCols = Seq("l_orderkey"),
+              ndvCols = Seq("l_orderkey", "l_suppkey"))
+          }
+        val ndv = VersionedTable.ndvEstimates(base,
+          VersionedTable.latestVersion(base).get)
+        val ex = t.agg(
+          countDistinct(col("l_orderkey")).as("eo"),
+          countDistinct(col("l_suppkey")).as("es")).head()
+        t.unpersist()
+        import s.implicits._
+        Seq(("l_orderkey", ex.getLong(0), ndv("l_orderkey")),
+          ("l_suppkey", ex.getLong(1), ndv("l_suppkey")))
+          .toDF("col", "exact_distinct", "est_distinct")
+          .withColumn("err_e4",
+            expr("abs(est_distinct - exact_distinct) * 10000 " +
+              "div exact_distinct"))
+          .orderBy(col("col"))
+      },
+      Some("""
+        WITH src AS (
+          SELECT 'l_orderkey' AS c, l_orderkey AS v FROM lineitem
+          UNION ALL
+          SELECT 'l_suppkey' AS c, l_suppkey AS v FROM lineitem
+        ), h AS (
+          SELECT DISTINCT c,
+                 CAST('0x' || substring(md5('kmv:' || CAST(v AS VARCHAR)),
+                   1, 14) AS BIGINT) AS h
+          FROM src
+        ), ranked AS (
+          SELECT c, h,
+                 ROW_NUMBER() OVER (PARTITION BY c ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY c) AS nd
+          FROM h
+        ), sk AS (
+          SELECT c, CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+                 MAX(CASE WHEN rn = 128 THEN h END) AS h128,
+                 COUNT(*) AS n_in
+          FROM ranked WHERE rn <= 128 GROUP BY c
+        ), est AS (
+          SELECT c AS col, exact_distinct,
+                 CAST(CASE WHEN n_in < 128 THEN n_in
+                      ELSE (127 * 72057594037927936) // h128 END AS BIGINT)
+                   AS est_distinct
+          FROM sk
+        )
+        SELECT col, exact_distinct, est_distinct,
+               CAST(abs(est_distinct - exact_distinct) * 10000
+                 // exact_distinct AS BIGINT) AS err_e4
+        FROM est ORDER BY col
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -428,6 +428,7 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               .getOrElse(Seq.empty)
             val stats = colsOpt("statsCols")
             val blooms = colsOpt("bloomCols")
+            val ndvs = colsOpt("ndvCols")
             // WRITE-TIME CLUSTERING: zone maps are only as tight as
             // the layout — `clusterBy` range-clusters + sorts on the
             // named columns (the time-partitioning replacement: one
@@ -459,10 +460,10 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               } else nf.map(aligned.repartition).getOrElse(aligned)
             if (replace || overwrite)
               VersionedTable.commitReplace(data.sparkSession, base, clustered,
-                stats, bloomCols = blooms)
+                stats, bloomCols = blooms, ndvCols = ndvs)
             else
               VersionedTable.commitAppend(data.sparkSession, base, clustered,
-                stats, bloomCols = blooms)
+                stats, bloomCols = blooms, ndvCols = ndvs)
             ()
           }
       }

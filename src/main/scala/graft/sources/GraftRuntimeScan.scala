@@ -80,11 +80,28 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       current.partitionFilters.isEmpty
     if (unfiltered && entries.nonEmpty && entries.forall(_.rows >= 0L)) {
       val exact = entries.map(_.rows).sum
+      // CBO column statistics from the manifest: per-column distinct
+      // counts folded from the commit-time KMV sketches (ndvCols) —
+      // the ANALYZE TABLE the table never has to run
+      val ndv = VersionedTable.ndvEstimatesOf(entries)
+      val colStats = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndv.foreach { case (c, est) =>
+        colStats.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(est)
+          })
+      }
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           inner.sizeInBytes()
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(exact)
+        override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = colStats
       }
     } else inner
   }

@@ -846,9 +846,18 @@ object VersionedTable {
   def statsDiscipline(base: String): (Seq[String], Seq[String]) = {
     val keys = latestVersion(base).toSeq
       .flatMap(v => entries(base, v)).flatMap(_.stats.keys).distinct
-    (keys.filterNot(_.endsWith("#bloom")),
+    (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv")),
       keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom")))
   }
+
+  /** The columns any live file carries an NDV sketch for — what a DML
+    * rewrite must re-collect so [[ndvEstimates]] keeps answering
+    * (like [[statsDiscipline]] for zone maps/blooms).
+    */
+  def ndvDiscipline(base: String): Seq[String] =
+    latestVersion(base).toSeq
+      .flatMap(v => entries(base, v)).flatMap(_.stats.keys).distinct
+      .filter(_.endsWith("#kmv")).map(_.stripSuffix("#kmv"))
 
   /** MERGE INTO closure: the new version's state is the per-key argmax
     * (latest by `ordCols`) of previous state ∪ `delta` — associative,
@@ -1919,7 +1928,24 @@ object VersionedTable {
                        txn: Option[(String, Long)] = None,
                        ndvCols: Seq[String] = Nil)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
-    ndvCols.foreach { c =>
+    // the NDV discipline is TABLE-STICKY: once any live file carries a
+    // column's sketch, every later commit re-collects it (append, DML
+    // rewrite, compaction alike) — declare ndvCols once at first
+    // write, never lose ANALYZE-grade stats to maintenance (the same
+    // never-silently-degrade rule zone maps/blooms follow, enforced
+    // centrally here instead of at each of the six rewrite sites)
+    val effNdvCols = {
+      val declared =
+        if (ndvCols.nonEmpty) ndvCols
+        else if (prevV.isDefined) ndvDiscipline(base)
+        else Nil
+      // a frame lacking the column (projection commits, evolving
+      // merges) just skips its sketch — ndvEstimates then refuses
+      // that column rather than understating (graceful degrade, the
+      // zone-map absent-stat rule)
+      declared.filter(df.columns.contains)
+    }
+    effNdvCols.foreach { c =>
       require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
         s"ndv column name '$c' would corrupt the manifest line format")
     }
@@ -1981,7 +2007,8 @@ object VersionedTable {
     // to scan (and parquet schema inference over zero files would err)
     val stats =
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
-      else collectStats(s, s"$base/$dataDir", statsCols, bloomCols, ndvCols)
+      else collectStats(s, s"$base/$dataDir", statsCols, bloomCols,
+        effNdvCols)
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand

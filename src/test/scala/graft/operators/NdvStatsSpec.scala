@@ -49,11 +49,43 @@ class NdvStatsSpec extends SparkSuite {
         true
     }
     assert(found.nonEmpty)
-    // a file WITHOUT the sketch poisons the fold: no claim
+    // the discipline is STICKY: a later plain append re-collects and
+    // the estimate tracks the new value
     VersionedTable.commitAppend(spark, base,
       Seq((9999L, 9L)).toDF("k", "g").coalesce(1))
     assert(VersionedTable.ndvEstimates(base,
+      VersionedTable.latestVersion(base).get).get("g").contains(6L))
+    // a frame genuinely LACKING the column skips its sketch, and the
+    // fold then refuses that column (graceful degrade, never a lie)
+    VersionedTable.commitAppend(spark, base,
+      Seq((10000L, "x")).toDF("k", "z").coalesce(1))
+    assert(VersionedTable.ndvEstimates(base,
       VersionedTable.latestVersion(base).get).isEmpty)
+  }
+
+  test("NDV discipline is table-sticky: DML rewrites keep answering") {
+    val ns = s"ndv_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = s"graft.$ns.t"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/" +
+      s"$ns/t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, g BIGINT)")
+    try {
+      val s = spark
+      import s.implicits._
+      VersionedTable.commitAppend(spark, base,
+        (0L until 1000L).map(j => (j, j % 5L)).toDF("k", "g").coalesce(1),
+        statsCols = Seq("k"), ndvCols = Seq("g"))
+      // the r11 regression: a '#kmv' token misread as a zone-map
+      // column crashed SQL DELETE/UPDATE on any ndv'd table
+      spark.sql(s"DELETE FROM $t WHERE k < 100")
+      spark.sql(s"UPDATE $t SET g = 0 WHERE k < 200")
+      val v = VersionedTable.latestVersion(base).get
+      // rewritten files RE-COLLECTED the sketch: estimates still answer
+      val ndv = VersionedTable.ndvEstimates(base, v)
+      assert(ndv.get("g").contains(5L))
+      assert(spark.sql(s"SELECT count(*) AS c FROM $t").head()
+        .getLong(0) === 900L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("graft_detail reports the estimates; round-trip through the log") {

@@ -1748,6 +1748,69 @@ object VersionedTable {
       }
     }
 
+  /** ANALYZE TABLE, retrofit form: compute NDV sketches for `ndvCols`
+    * over the EXISTING live files (one grouped scan keyed by file —
+    * the one full-table pass any ANALYZE costs anywhere) and republish
+    * every entry with its sketch attached as a stats-only commit
+    * (`#op=analyze` — same-path swaps like [[restore]]'s, so replay
+    * lands on the enriched entries and the key-diffed change feed nets
+    * to zero row changes). From then on the discipline is sticky
+    * ([[commitAt]]): later commits re-collect automatically. For
+    * tables that declared `ndvCols` at first write this is never
+    * needed; it exists for adoption on tables that didn't.
+    */
+  def analyze(s: SparkSession, base: String,
+              ndvCols: Seq[String], maxAttempts: Int = 5): Long = {
+    require(ndvCols.nonEmpty, "analyze needs at least one column")
+    ndvCols.foreach { c =>
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
+        s"ndv column name '$c' would corrupt the manifest line format")
+    }
+    retrying(maxAttempts) {
+      val latest = latestVersion(base).getOrElse(
+        throw new IllegalArgumentException(s"nothing to analyze in $base"))
+      val (es, schemaOpt) = replay(base, latest)
+      if (es.isEmpty) latest
+      else {
+        val df = readFiles(s, base, es.map(_.path), schemaOpt)
+        ndvCols.foreach(c => require(df.columns.contains(c),
+          s"analyze column '$c' is not a table column " +
+            s"(${df.columns.mkString(", ")})"))
+        val aggs = ndvCols.map(c =>
+          graft.expressions.KmvAgg.kmv(ndvHash56(col(c)), NdvK)
+            .as(s"__kmv_$c"))
+        val per = df.groupBy(relPathExpr.as("__rel"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // one row per live file — metadata-plane
+          .map { r =>
+            r.getAs[String]("__rel") -> ndvCols.map { c =>
+              s"$c#kmv" -> (KmvStats(NdvK,
+                r.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toArray)
+                : Stat)
+            }.toMap
+          }.toMap
+        val restated = es.map(e =>
+          e.copy(stats = e.stats ++ per.getOrElse(e.path,
+            Map.empty[String, Stat])))
+        val next = latest + 1L
+        val body = (Seq(s"#op=analyze") ++
+          schemaOpt.map(schemaHeader).toSeq ++
+          restated.map(e => "-" + e.path) ++
+          restated.map(e => "+" + formatEntry(e)))
+          .mkString("", "\n", "\n")
+        publish(base, next, body)
+        if (next % CheckpointEvery == 0)
+          try writeCheckpoint(base, next) catch { case _: Exception => () }
+        next
+      }
+    }
+  }
+
+  /** The NDV sketch hash: q146's cross-engine 56-bit md5 convention. */
+  private def ndvHash56(c: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), c.cast("string"))), 1, 14),
+      16, 10).cast("long")
+
   /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit
     * (`#op=alter_schema`): republishes the declared schema with the new
     * fields appended — zero data files written or rewritten, so on a
@@ -2071,8 +2134,7 @@ object VersionedTable {
         // NDV sketch: q146's cross-engine 56-bit md5 hash, O(NdvK)
         // aggregate state per file (never ∝ distinct values)
         ndvCols.map(c => graft.expressions.KmvAgg.kmv(
-          conv(substring(md5(concat(lit("kmv:"), col(c).cast("string"))),
-            1, 14), 16, 10).cast("long"), NdvK).as(s"__kmv_$c")))
+          ndvHash56(col(c)), NdvK).as(s"__kmv_$c")))
     df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -84,7 +84,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
-      "zorder_by", "zorder_where")
+      "zorder_by", "zorder_where", "analyze")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -145,6 +145,15 @@ private[sources] object GraftProcedures {
         out("version" -> LongType),
         in => Seq(VersionedTable.optimizeN(SparkSession.active, base(in),
           cols(in.getUTF8String(1).toString), in.getInt(2)))))
+      case "analyze" => Some(new Proc("analyze",
+        "compute NDV sketches for the named columns over the existing " +
+          "files (one full scan) and republish entries stats-only; " +
+          "later commits re-collect automatically (sticky discipline)",
+        Seq(tableParam,
+          ("columns", StringType, "comma-separated columns to sketch")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.analyze(SparkSession.active, base(in),
+          cols(in.getUTF8String(1).toString)))))
       case "zorder_where" => Some(new Proc("zorder_where",
         "SCOPED re-clustering: z-order ONLY the files whose zone maps " +
           "overlap [lo, hi] on scope_col (the recluster-recent-ingest " +

@@ -88,6 +88,31 @@ class NdvStatsSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CALL graft.system.analyze retrofits sketches; then sticky") {
+    val ns = s"ana_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = s"graft.$ns.t"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/" +
+      s"$ns/t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, g BIGINT)")
+    try {
+      spark.sql(s"INSERT INTO $t SELECT id, id % 4 FROM range(500)")
+      spark.sql(s"INSERT INTO $t SELECT id + 500, id % 4 FROM range(500)")
+      // no sketches yet
+      assert(VersionedTable.ndvEstimates(base,
+        VersionedTable.latestVersion(base).get).isEmpty)
+      spark.sql(s"CALL graft.system.analyze('$ns.t', 'g')")
+      val v = VersionedTable.latestVersion(base).get
+      assert(VersionedTable.ndvEstimates(base, v).get("g").contains(4L))
+      // rows unchanged; analyze is stats-only
+      assert(spark.sql(s"SELECT count(*) AS c FROM $t").head()
+        .getLong(0) === 1000L)
+      // sticky: a later INSERT keeps the discipline
+      spark.sql(s"INSERT INTO $t VALUES (2000, 9)")
+      assert(VersionedTable.ndvEstimates(base,
+        VersionedTable.latestVersion(base).get).get("g").contains(5L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("graft_detail reports the estimates; round-trip through the log") {
     val s = spark
     import s.implicits._

@@ -2653,6 +2653,93 @@ object SinkQueries {
         FROM est ORDER BY col
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q185: graft_detail (DESCRIBE DETAIL) under the oracle gate (r11)
+    // — the audit row's metadata arithmetic hash-checked: lineitem in
+    // 6 one-file bin commits with zone maps, blooms, NDV sketches and
+    // a CHECK constraint, then a MoR DELETE of one bin's span. The
+    // twin recomputes version (6 commits + 1 delete), file count,
+    // LIVE rows (dv-subtracted), dv'd-file count (bins overlapping
+    // the deleted span), the stats/bloom disciplines (declared
+    // literals), the constraint text, and the NDV estimate via the
+    // q184 ranking-window construction. size_bytes is the one
+    // non-predictable column, so the query projects everything else.
+    Q("q185_describe_detail",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q185")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")).persist()
+        val kb = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (klo, khi) = (kb.getLong(0), kb.getLong(1))
+        val span = khi - klo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${klo}L) * 6 div ${span}L"))
+        binned.select(col("bin")).distinct().collect().map(_.getLong(0))
+          .sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("l_suppkey")).coalesce(1),
+              statsCols = Seq("l_orderkey"),
+              bloomCols = Seq("l_suppkey"),
+              ndvCols = Seq("l_suppkey"))
+          }
+        VersionedTable.addConstraint(s, base, "okey_pos", "l_orderkey >= 0")
+        // MoR-delete HALF of bin 2's span — partial-file deletions, so
+        // deletion vectors genuinely exist (a span covering a whole
+        // file makes commitDeleteMoR drop the file instead, no DV)
+        val (dlo, dhi) = (klo + span * 2 / 6, klo + span * 5 / 12 - 1)
+        VersionedTable.commitDeleteMoR(s, base,
+          col("l_orderkey").between(dlo, dhi), Seq(("l_orderkey", dlo, dhi)))
+        t.unpersist()
+        s.sql(s"""SELECT version, n_files, n_rows, n_dv_files,
+                   stats_cols, bloom_cols, constraints, ndv_estimates
+                   FROM graft_detail('$base')""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem
+        ), kb AS (
+          SELECT MIN(l_orderkey) AS klo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT klo + span * 2 // 6 AS dlo,
+                 klo + span * 5 // 12 - 1 AS dhi
+          FROM kb
+        ), h AS (
+          SELECT DISTINCT
+                 CAST('0x' || substring(md5('kmv:' ||
+                   CAST(l_suppkey AS VARCHAR)), 1, 14) AS BIGINT) AS h
+          FROM t
+        ), ranked AS (
+          SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h
+        ), sk AS (
+          SELECT MAX(CASE WHEN rn = 128 THEN h END) AS h128,
+                 COUNT(*) AS n_in
+          FROM ranked WHERE rn <= 128
+        ), ndv AS (
+          SELECT CAST(CASE WHEN n_in < 128 THEN n_in
+                 ELSE (127 * 72057594037927936) // h128 END AS BIGINT) AS e
+          FROM sk
+        )
+        SELECT CAST(7 AS BIGINT) AS version,
+               6 AS n_files,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t, pr
+                 WHERE l_orderkey NOT BETWEEN dlo AND dhi) AS n_rows,
+               (SELECT CAST(COUNT(DISTINCT (l_orderkey - klo) * 6 // span)
+                   AS INTEGER)
+                FROM t, kb, pr WHERE l_orderkey BETWEEN dlo AND dhi)
+                 AS n_dv_files,
+               'l_orderkey' AS stats_cols,
+               'l_suppkey' AS bloom_cols,
+               'okey_pos CHECK (l_orderkey >= 0)' AS constraints,
+               'l_suppkey≈' || CAST((SELECT e FROM ndv) AS VARCHAR)
+                 AS ndv_estimates
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

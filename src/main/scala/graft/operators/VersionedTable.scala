@@ -116,6 +116,90 @@ object VersionedTable {
     */
   val CheckpointEvery: Long = 10L
 
+  /** PROTOCOL FEATURE GATE (the Delta `minReaderVersion`/table-features
+    * idea): the table features THIS build can read and write. A commit
+    * whose behavior a feature-unaware reader would silently get WRONG
+    * (deletion vectors: replaying the manifest without applying
+    * sidecars resurrects soft-deleted rows) declares the feature in a
+    * sticky `#features=` header ([[publish]] derives it from the body —
+    * `dv` for deletion-vector tokens, `ndv` for KMV sketch tokens — and
+    * unions it with the previous commit's set, so once declared it
+    * never silently disappears). Readers ([[replay]]/[[commitDelta]])
+    * and writers ([[publish]]) REFUSE a table carrying a feature token
+    * outside this set, loudly and naming the feature — wrong results
+    * are never an option. Zone maps and blooms are NOT gated: skipping
+    * stats degrade to reading when ignored, never to wrong answers.
+    * Pre-gate tables (no header anywhere) read and write unchanged.
+    */
+  val SupportedFeatures: Set[String] = Set("dv", "ndv")
+
+  private val FeaturesTag = "#features="
+
+  private def parseFeatures(l: String): Set[String] =
+    l.stripPrefix(FeaturesTag).split(",").map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Loud refusal on any feature token this build doesn't implement —
+    * the reader-side half of the protocol gate.
+    */
+  private def validateFeatures(l: String, where: String): Unit = {
+    val unknown = parseFeatures(l) -- SupportedFeatures
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"table feature(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(declared in $where) are not supported by this build " +
+          s"(supports: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
+          "— refusing rather than silently returning wrong results")
+  }
+
+  /** The sticky feature set as of committed version `v`: the newest
+    * `#features=` header at or below `v`, walking markers (and
+    * checkpoints — vacuum may have dropped the stamping marker but a
+    * checkpoint republishes the union) downward. The walk is bounded
+    * by checkpoint cadence: a checkpoint is a full-state restatement,
+    * so reaching one without a header means nothing was ever declared
+    * below it (pre-gate history). Does NOT validate — callers decide
+    * whether unknown tokens refuse ([[publish]]) or surface.
+    */
+  private[graft] def featuresAsOf(base: String, v: Long): Set[String] = {
+    var u = v
+    while (u >= 1L) {
+      val m = markerPath(base, u)
+      if (Files.exists(m)) {
+        val hit = Files.readAllLines(m).asScala
+          .find(_.startsWith(FeaturesTag))
+        if (hit.isDefined) return parseFeatures(hit.get)
+      }
+      val cp = checkpointPath(base, u)
+      if (Files.exists(cp)) {
+        // headers lead the checkpoint body; stop at the first data line
+        val it = Files.lines(cp)
+        try {
+          val hdr = it.iterator().asScala.takeWhile(_.startsWith("#"))
+            .find(_.startsWith(FeaturesTag))
+          return hdr.map(parseFeatures).getOrElse(Set.empty)
+        } finally it.close()
+      }
+      u -= 1L
+    }
+    Set.empty
+  }
+
+  /** Features a manifest body USES, derived from its own tokens — the
+    * writer-side half of the gate can't be forgotten by a new commit
+    * path because [[publish]] computes this centrally.
+    */
+  private def featuresOfBody(body: String): Set[String] = {
+    var dv = false; var ndv = false
+    body.linesIterator.foreach { l =>
+      if (!l.startsWith("#")) {
+        if (l.contains("\t" + DvTag)) dv = true
+        if (l.contains("#kmv=")) ndv = true
+      }
+    }
+    (if (dv) Set("dv") else Set.empty[String]) ++
+      (if (ndv) Set("ndv") else Set.empty[String])
+  }
+
   /** Per-file min/max of one stats column (inclusive). */
   sealed trait Stat
   /** Integral-kind stats: long range (dates as epoch days, timestamps
@@ -183,6 +267,39 @@ object VersionedTable {
              hi: java.time.LocalDate): PruneRange =
       LongRange(col, lo.toEpochDay, hi.toEpochDay)
   }
+
+  /** A commit attempt's READ footprint — what [[commitAt]]'s
+    * LOGICAL CONFLICT CHECK diffs against the winners of a lost
+    * publish race (the Delta `ConflictChecker` idea): when every
+    * winner's delta is provably disjoint from what this attempt read
+    * and removed, the attempt COMMUTES — its already-written files
+    * republish at the new head for the cost of one manifest write,
+    * instead of re-executing the whole operation (a lost race on a
+    * 2-hour MERGE must not cost 2 more hours when the winner touched
+    * other files). On true overlap the race falls back to the
+    * rebase-and-re-execute path, which is always correct.
+    */
+  sealed trait ReadFootprint
+  /** Reads the whole snapshot (full MERGE state, INSERT OVERWRITE
+    * semantics): any winner conflicts — always re-execute.
+    */
+  case object ReadEverything extends ReadFootprint
+  /** File-scoped read: `paths` are the snapshot files the attempt's
+    * OUTPUT depends on (winner removing any ⟹ conflict — the data we
+    * rewrote or carried is stale). `addPredicate` states whether rows
+    * a winner ADDED can affect this attempt: `None` = provably not
+    * (pure file-local maintenance: compaction reads named files, new
+    * files simply stay live); `Some(ranges)` = only rows inside the
+    * ranges can (a DML's key footprint — winner-added files are
+    * zone-map-tested against them, unprunable files conservatively
+    * conflict); `Some(Nil)` = any added row may match (an unscoped
+    * predicate) — every winner add conflicts.
+    */
+  final case class ReadScope(paths: Set[String],
+                             addPredicate: Option[Seq[PruneRange]])
+    extends ReadFootprint
+  /** A blind append: reads nothing, commutes with every winner. */
+  val ReadNothing: ReadFootprint = ReadScope(Set.empty, None)
 
   /** A data file's DELETION VECTOR reference: `path` (relative to the
     * table base) names a sidecar file of row positions
@@ -354,8 +471,10 @@ object VersionedTable {
       s"version $v does not exist in $base (latest: ${latestVersion(base)})")
     val acc = new java.util.LinkedHashMap[String, ManifestEntry]()
     var schema: Option[StructType] = None
-    def apply(lines: Seq[String], isDelta: Boolean): Unit = lines.foreach {
+    def apply(lines: Seq[String], isDelta: Boolean,
+              src: String): Unit = lines.foreach {
       case l if l.startsWith("#schema=") => schema = Some(parseSchemaHeader(l))
+      case l if l.startsWith(FeaturesTag) => validateFeatures(l, src)
       case l if l.startsWith("#") || l.isEmpty => ()
       case l if isDelta && l.startsWith("+") =>
         val e = parseEntry(l.substring(1)); acc.put(e.path, e)
@@ -365,14 +484,15 @@ object VersionedTable {
     val cp = latestCheckpointAtOrBefore(base, v)
     cp.foreach { c =>
       apply(Files.readAllLines(checkpointPath(base, c)).asScala.toSeq,
-        isDelta = false)
+        isDelta = false, src = s"$base checkpoint $c")
     }
     ((cp.getOrElse(0L) + 1L) to v).foreach { u =>
       val m = markerPath(base, u)
       require(Files.exists(m),
         s"commit log gap: version $u missing while replaying to $v in $base" +
           " (vacuumed without a checkpoint?)")
-      apply(Files.readAllLines(m).asScala.toSeq, isDelta = true)
+      apply(Files.readAllLines(m).asScala.toSeq, isDelta = true,
+        src = s"$base commit $u")
     }
     (acc.values().asScala.toSeq, schema)
   }
@@ -406,6 +526,8 @@ object VersionedTable {
     val rems = scala.collection.mutable.ArrayBuffer.empty[String]
     Files.readAllLines(m).asScala.foreach {
       case l if l.startsWith("#op=") => op = l.stripPrefix("#op=")
+      case l if l.startsWith(FeaturesTag) =>
+        validateFeatures(l, s"$base commit $v")
       case l if l.startsWith("#") || l.isEmpty => ()
       case l if l.startsWith("+") => adds += parseEntry(l.substring(1))
       case l if l.startsWith("-") => rems += l.substring(1)
@@ -420,7 +542,16 @@ object VersionedTable {
     */
   private def writeCheckpoint(base: String, v: Long): Unit = {
     val (es, schema) = replay(base, v)
-    val body = (schema.map(schemaHeader).toSeq ++ es.map(formatEntry))
+    val entryLines = es.map(formatEntry)
+    // restate the sticky feature set (vacuum may drop the stamping
+    // marker) ∪ what the snapshot itself still carries — checkpoints
+    // on pre-gate tables thereby retro-declare their dv/ndv tokens
+    val feats = featuresAsOf(base, v) ++
+      featuresOfBody(entryLines.mkString("\n"))
+    val body = ((if (feats.nonEmpty)
+                   Seq(s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}")
+                 else Seq.empty) ++
+      schema.map(schemaHeader).toSeq ++ entryLines)
       .mkString("", "\n", "\n")
     val tmp = logDir(base).resolve(s".cktmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -834,8 +965,22 @@ object VersionedTable {
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       commitAt(s, base, df, "append", statsCols, prevV,
-        bloomCols = bloomCols, txn = txn,
-        ndvCols = ndvCols)(fresh => (fresh, Seq.empty))
+        bloomCols = bloomCols, txn = txn, ndvCols = ndvCols,
+        footprint = ReadNothing)(fresh => (fresh, Seq.empty))
+    }
+
+  /** [[commitAppend]] with a pre-publish hook — the race-spec seam
+    * ([[commitMergeHooked]] discipline).
+    */
+  private[graft] def commitAppendHooked(s: SparkSession, base: String,
+                   df: DataFrame, statsCols: Seq[String] = Nil,
+                   maxAttempts: Int = 5)(
+                   beforePublish: () => Unit): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      commitAt(s, base, df, "append", statsCols, prevV,
+        beforePublish = beforePublish,
+        footprint = ReadNothing)(fresh => (fresh, Seq.empty))
     }
 
   /** The table's current stats discipline: (zone-map columns, bloom
@@ -1149,7 +1294,18 @@ object VersionedTable {
             // probe, only on the empty-touched path)
             if (touched.isEmpty && df.isEmpty) prevV.getOrElse(0L)
             else commitAt(s, base, df, "merge", statsCols, prevV,
-              bloomCols = bloomCols)(fresh => (fresh, touched))
+              bloomCols = bloomCols,
+              // read set = the candidate files (touched discovery +
+              // insert anti-join both scanned them); winner adds can
+              // only matter inside the source's key extrema — when no
+              // key column is rangeable, Some(Nil) conservatively
+              // conflicts with any add; BY SOURCE reads everything
+              footprint =
+                if (bySource.nonEmpty) ReadEverything
+                else ReadScope(candidates.map(_.path).toSet,
+                  Some(ranges.map { case (c, lo, hi) =>
+                    LongRange(c, lo, hi) })))(
+              fresh => (fresh, touched))
         }
       } finally { srcP.unpersist(); () }
     }
@@ -1233,6 +1389,23 @@ object VersionedTable {
                    verifyFootprint: Boolean = false,
                    bloomCols: Seq[String] = Nil,
                    pruneProbes: Seq[PruneRange] = Nil): Long =
+    commitDeleteHooked(s, base, rowPred, pruneRanges, statsCols,
+      maxAttempts, verifyFootprint, bloomCols, pruneProbes)(() => ())
+
+  /** [[commitDelete]] with a pre-publish hook per attempt — the seam
+    * the disjoint-race spec and q187 inject a deterministic racing
+    * committer through (the [[commitMergeHooked]] discipline: a
+    * scripted interleaving beats a timing-dependent thread race).
+    */
+  private[graft] def commitDeleteHooked(s: SparkSession, base: String,
+                   rowPred: Column,
+                   pruneRanges: Seq[(String, Long, Long)] = Nil,
+                   statsCols: Seq[String] = Nil,
+                   maxAttempts: Int = 5,
+                   verifyFootprint: Boolean = false,
+                   bloomCols: Seq[String] = Nil,
+                   pruneProbes: Seq[PruneRange] = Nil)(
+                   beforePublish: () => Unit): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to delete from in $base")
@@ -1254,7 +1427,12 @@ object VersionedTable {
         val remaining = readEntries(s, base, touched, schema)
           .filter(!rowPred)
         commitAt(s, base, remaining, "delete", statsCols, prevV,
-          bloomCols = bloomCols)(fresh => (fresh, touched.map(_.path)))
+          beforePublish = beforePublish,
+          bloomCols = bloomCols,
+          footprint = ReadScope(touched.map(_.path).toSet,
+            Some(pruneRanges.map { case (c, lo, hi) =>
+              LongRange(c, lo, hi) } ++ pruneProbes)))(
+          fresh => (fresh, touched.map(_.path)))
       }
     }
 
@@ -1428,7 +1606,11 @@ object VersionedTable {
             .getOrElse(col(c))
         }: _*)
         commitAt(s, base, rewritten, "update", statsCols, prevV,
-          bloomCols = bloomCols)(fresh => (fresh, touched.map(_.path)))
+          bloomCols = bloomCols,
+          footprint = ReadScope(touched.map(_.path).toSet,
+            Some(pruneRanges.map { case (c, lo, hi) =>
+              LongRange(c, lo, hi) } ++ pruneProbes)))(
+          fresh => (fresh, touched.map(_.path)))
       }
     }
   }
@@ -1477,7 +1659,10 @@ object VersionedTable {
       require(prevV.isDefined, s"nothing to compact in $base")
       val snap = readVersion(s, base, prevV.get).repartition(numFiles)
       val prevPaths = entries(base, prevV.get).map(_.path)
+      // file-local maintenance: reads exactly prevPaths, commutes with
+      // concurrent appends (they stay live uncompacted)
       commitAt(s, base, snap, "compact", statsCols, prevV,
+        footprint = ReadScope(prevPaths.toSet, None),
         bloomCols = bloomCols)(fresh => (fresh, prevPaths))
     }
   }
@@ -1523,7 +1708,8 @@ object VersionedTable {
         val (zc, bc) = statsDiscipline(base)
         commitAt(s, base, packed, "compact",
           (statsCols ++ zc).distinct, prevV,
-          bloomCols = (bloomCols ++ bc).distinct)(
+          bloomCols = (bloomCols ++ bc).distinct,
+          footprint = ReadScope(small.map(_._1.path).toSet, None))(
           fresh => (fresh, small.map(_._1.path)))
       }
     }
@@ -1557,7 +1743,8 @@ object VersionedTable {
         .sortWithinPartitions(z)
       val stats = (statsCols ++ zCols).distinct
       val prevPaths = entries(base, prevV.get).map(_.path)
-      commitAt(s, base, snap, "optimize", stats, prevV)(
+      commitAt(s, base, snap, "optimize", stats, prevV,
+        footprint = ReadScope(prevPaths.toSet, None))(
         fresh => (fresh, prevPaths))
     }
   }
@@ -1590,7 +1777,9 @@ object VersionedTable {
         val (zc, bc) = statsDiscipline(base)
         commitAt(s, base, packed, "optimize",
           (statsCols ++ zCols ++ zc).distinct, prevV,
-          bloomCols = bc)(fresh => (fresh, touched.map(_.path)))
+          bloomCols = bc,
+          footprint = ReadScope(touched.map(_.path).toSet, None))(
+          fresh => (fresh, touched.map(_.path)))
       }
     }
   }
@@ -1989,7 +2178,8 @@ object VersionedTable {
                        beforePublish: () => Unit = () => (),
                        bloomCols: Seq[String] = Nil,
                        txn: Option[(String, Long)] = None,
-                       ndvCols: Seq[String] = Nil)(
+                       ndvCols: Seq[String] = Nil,
+                       footprint: ReadFootprint = ReadEverything)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
     // the NDV discipline is TABLE-STICKY: once any live file carries a
     // column's sketch, every later commit re-collects it (append, DML
@@ -2084,15 +2274,63 @@ object VersionedTable {
     }
     val (addLines, removePaths) = mkDelta(freshLines)
     beforePublish()
-    val body = (Seq(s"#op=$op", schemaHeader(declared)) ++
-      txn.map { case (appId, tv) => s"#txn=$appId\t$tv" }.toSeq ++
-      addLines.map("+" + _) ++ removePaths.map("-" + _))
-      .mkString("", "\n", "\n")
-    publish(base, next, body)
-    if (next % CheckpointEvery == 0)
+    def mkBody(decl: StructType): String =
+      (Seq(s"#op=$op", schemaHeader(decl)) ++
+        txn.map { case (appId, tv) => s"#txn=$appId\t$tv" }.toSeq ++
+        addLines.map("+" + _) ++ removePaths.map("-" + _))
+        .mkString("", "\n", "\n")
+    // Publish at the pinned snapshot's successor. On a lost race:
+    // LOGICAL CONFLICT CHECK (Delta's ConflictChecker shape) — diff
+    // each winner's delta manifest (O(delta) driver-plane lines)
+    // against this attempt's read set and removals; when every winner
+    // is provably disjoint, the operations COMMUTE and the attempt
+    // REPUBLISHES its already-written files at the new head (one
+    // manifest write — a lost race on a long DML costs nothing but
+    // the diff), rethrowing to the rebase-and-re-execute path only on
+    // true overlap.
+    val ourReads: Set[String] = footprint match {
+      case ReadScope(paths, _) => paths ++ removePaths
+      case ReadEverything => Set.empty
+    }
+    def conflictsWith(v: Long): Boolean = footprint match {
+      case ReadEverything => true
+      case ReadScope(_, addPred) =>
+        val (_, wAdds, wRems) = commitDelta(base, v)
+        // winner removed (or DV-swapped) a file we read or also
+        // removed → our output is stale / doubly applied
+        wRems.exists(ourReads.contains) ||
+          // winner added rows our predicate could match → re-derive
+          (addPred match {
+            case None => false
+            case Some(rs) => pruneTyped(wAdds, rs).nonEmpty
+          })
+    }
+    var attemptV = next
+    var decl = declared
+    var republishes = 0
+    var done = false
+    while (!done) {
+      try { publish(base, attemptV, mkBody(decl)); done = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          val head = latestVersion(base).getOrElse(attemptV)
+          republishes += 1
+          // only winners this attempt hasn't already cleared; bounded
+          // republishes keep a pathological commit storm from
+          // livelocking the loop (the re-execute path then backs off)
+          if (republishes > 50 || (attemptV to head).exists(conflictsWith))
+            throw e
+          // disjoint: remerge the declared schema over the winners'
+          // (replay takes the LAST header — restating our stale one
+          // would drop columns a winner evolved in)
+          decl = mergeSchema(declaredSchema(base, head), decl)
+          attemptV = head + 1L
+      }
+    }
+    if (attemptV % CheckpointEvery == 0)
       // best-effort: replay works without it, content is deterministic
-      try writeCheckpoint(base, next) catch { case _: Exception => () }
-    next
+      try writeCheckpoint(base, attemptV) catch { case _: Exception => () }
+    attemptV
   }
 
   /** Per-file row count + min/max of the declared stats columns over a
@@ -2177,6 +2415,29 @@ object VersionedTable {
     */
   private[operators] def publish(base: String, v: Long, body: String): Unit = {
     Files.createDirectories(logDir(base))
+    // protocol gate, writer side: refuse to commit ON TOP OF a table
+    // carrying features this build doesn't implement (a feature-blind
+    // writer would replay/restate state it can't interpret), and stamp
+    // the sticky `#features=` union — previous set ∪ what this body
+    // uses — so readers gate without walking history. Central HERE so
+    // no commit path (append/merge/DML/MoR/restore/analyze/alter) can
+    // forget it.
+    val prevFeats = if (v > 1L) featuresAsOf(base, v - 1L)
+                    else Set.empty[String]
+    val unknownPrev = prevFeats -- SupportedFeatures
+    if (unknownPrev.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot commit version $v to $base: table feature(s) " +
+          s"${unknownPrev.toSeq.sorted.mkString(", ")} are not supported " +
+          s"by this writer (supports: " +
+          s"${SupportedFeatures.toSeq.sorted.mkString(", ")}) — a " +
+          "feature-blind commit could silently corrupt reader guarantees")
+    val feats = prevFeats ++ featuresOfBody(body)
+    val featLine =
+      if (feats.nonEmpty &&
+          !body.linesIterator.exists(_.startsWith(FeaturesTag)))
+        s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}\n"
+      else ""
     // in-commit timestamp, strictly increasing by version (see
     // commitTimestamp): rapid commits and backwards clocks both bump.
     // Stamped HERE so every commit path — append/replace/merge,
@@ -2184,8 +2445,8 @@ object VersionedTable {
     val ts = math.max(System.currentTimeMillis(),
       (if (v > 1L) commitTimestamp(base, v - 1L).getOrElse(0L) else 0L) + 1L)
     val stamped =
-      if (body.linesIterator.exists(_.startsWith("#ts="))) body
-      else s"#ts=$ts\n$body"
+      if (body.linesIterator.exists(_.startsWith("#ts="))) featLine + body
+      else s"#ts=$ts\n$featLine$body"
     val tmp = logDir(base).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, stamped.getBytes("UTF-8"))
     try Files.createLink(markerPath(base, v), tmp)

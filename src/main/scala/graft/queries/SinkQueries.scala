@@ -2740,6 +2740,137 @@ object SinkQueries {
                  AS ndv_estimates
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q187: DISJOINT-DML RACE under the oracle gate (r12) — two
+    // concurrent DELETEs on provably disjoint zone-map footprints.
+    // Writer A (bins 2-3 span) loses the publish race to writer B
+    // (bins 6-7 span, landed by A's pre-publish hook — the scripted
+    // interleaving the commitMergeHooked spec discipline uses); the
+    // commit protocol's LOGICAL CONFLICT CHECK diffs B's manifest
+    // delta against A's read set + predicate footprint, finds them
+    // disjoint, and REPUBLISHES A's already-written files at B's
+    // successor — no re-execution (a lost race on a long DML costs one
+    // manifest write when the winner touched other files). The
+    // republish is gated engine-side BY PATH: A's committed adds must
+    // still live under its PINNED attempt dir (d9-*) and no abandoned
+    // re-execution dir may exist; the oracle then hash-checks that
+    // BOTH deletes applied exactly (pre/post counts + quantity sums
+    // via the q165 per-bin min-max overlap arithmetic) — a republish
+    // that lost B's delete, leaked a matching row, or double-applied
+    // a rewrite hash-fails.
+    Q("q187_disjoint_dml_race",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q187")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        // the q165 8-bin one-file-per-commit fixture (zone maps on key)
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        // A's span straddles bins 2-3; B's straddles bins 6-7 —
+        // off-bin-edge by construction so both rewrites are non-empty
+        val (alo, ahi) = (olo + (span * 5) / 16, olo + (span * 7) / 16 - 1)
+        val (blo, bhi) = (olo + (span * 25) / 32, olo + (span * 29) / 32 - 1)
+        var bV = -1L
+        val aV = VersionedTable.commitDeleteHooked(s, base,
+          col("l_orderkey").between(alo, ahi),
+          pruneRanges = Seq(("l_orderkey", alo, ahi)),
+          statsCols = Seq("l_orderkey")) { () =>
+          if (bV < 0L)
+            bV = VersionedTable.commitDelete(s, base,
+              col("l_orderkey").between(blo, bhi),
+              pruneRanges = Seq(("l_orderkey", blo, bhi)),
+              statsCols = Seq("l_orderkey"))
+        }
+        // the republish gate, engine-side: B won the pinned v9, A
+        // commuted to v10 with its adds still under the d9-* attempt
+        // dir, and no abandoned re-execution dir exists on disk
+        require(bV == 9L && aV == 10L,
+          s"disjoint race did not commute: B=v$bV A=v$aV (expected 9/10)")
+        val (_, aAdds, aRems) = VersionedTable.commitDelta(base, aV)
+        require(aAdds.nonEmpty && aAdds.forall(_.path.startsWith("d9-")),
+          s"loser re-executed: adds ${aAdds.map(_.path)} not under the " +
+            "pinned d9-* attempt dir")
+        val dirStream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(base))
+        val nDirs =
+          try {
+            val it = dirStream.iterator()
+            var n = 0
+            while (it.hasNext) {
+              val p = it.next()
+              if (java.nio.file.Files.isDirectory(p) &&
+                  p.getFileName.toString.startsWith("d")) n += 1
+            }
+            n
+          } finally dirStream.close()
+        require(nDirs == 10,
+          s"expected 10 data dirs (8 bins + A + B), found $nDirs — a " +
+            "re-execution strands an 11th")
+        val (_, _, bRems) = VersionedTable.commitDelta(base, bV)
+        val pre = VersionedTable.readVersion(s, base, 8L)
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        val post = VersionedTable.readLatest(s, base)
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        t.unpersist()
+        import s.implicits._
+        Seq((pre.getLong(0), pre.getLong(1), post.getLong(0),
+          post.getLong(1), aRems.size.toLong, bRems.size.toLong))
+          .toDF("n_pre", "qty_pre", "n_post", "qty_post",
+            "files_removed_a", "files_removed_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS alo,
+                 olo + (span * 7) // 16 - 1 AS ahi,
+                 olo + (span * 25) // 32 AS blo,
+                 olo + (span * 29) // 32 - 1 AS bhi
+          FROM b
+        ), x AS (
+          SELECT t.*, (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        ), bins AS (
+          SELECT bin, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+          FROM x GROUP BY 1
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_pre,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t) AS qty_pre,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t, pr
+            WHERE l_orderkey NOT BETWEEN alo AND ahi
+              AND l_orderkey NOT BETWEEN blo AND bhi) AS n_post,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t, pr
+            WHERE l_orderkey NOT BETWEEN alo AND ahi
+              AND l_orderkey NOT BETWEEN blo AND bhi) AS qty_post,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bins, pr
+            WHERE mx >= alo AND mn <= ahi) AS files_removed_a,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bins, pr
+            WHERE mx >= blo AND mn <= bhi) AS files_removed_b
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

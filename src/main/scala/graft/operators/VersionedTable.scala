@@ -1436,6 +1436,73 @@ object VersionedTable {
       }
     }
 
+  /** DELETE BY KEY SET, keys as a DATAFRAME — [[commitDelete]] for the
+    * change-feed maintainers (the LSH/IVF standing indexes), with NO
+    * driver-side key materialization in the data path: the row
+    * predicate is a distributed LEFT ANTI join against `keys`, and the
+    * zone-map footprint derives from ONE small aggregate (the key
+    * extrema — sound for any batch size: every matching row lies
+    * inside them). Bloom KeyProbes are added only when the DISTINCT
+    * key count fits `probeLimit` (one bounded collect): probing a
+    * SAMPLE would be unsound — a file holding only unsampled keys
+    * would prune away and the delete would silently leak — so past the
+    * limit the footprint degrades to extrema-only (reads more files,
+    * never misses one). This is what lets a backfill replay with no
+    * admission control put millions of keys through one batch without
+    * blowing up the driver or the plan (the literal-`isin` shape both
+    * pipelines used before r12 would have).
+    *
+    * `keys` may carry any columns; only `keyCol` is used, deduplicated
+    * here. Empty keys / no overlapping files commit nothing. Same
+    * conflict footprint, stats re-collection, and rebase-or-republish
+    * discipline as [[commitDelete]].
+    */
+  def commitDeleteKeys(s: SparkSession, base: String,
+                       keyCol: String, keys: DataFrame,
+                       statsCols: Seq[String] = Nil,
+                       maxAttempts: Int = 5,
+                       bloomCols: Seq[String] = Nil,
+                       probeLimit: Int = 10000): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to delete from in $base")
+      val k = keys.select(col(keyCol)).distinct().persist()
+      try {
+        val isStr = k.schema(keyCol).dataType == StringType
+        val ext = k.agg(min(col(keyCol)).as("__lo"),
+          max(col(keyCol)).as("__hi"),
+          count(lit(1)).as("__n")).head()
+        val n = ext.getAs[Long]("__n")
+        if (n == 0L) prevV.get
+        else {
+          val ranges: Seq[PruneRange] =
+            if (isStr) Seq(StrRange(keyCol, ext.getAs[String]("__lo"),
+              ext.getAs[String]("__hi")))
+            else Seq(LongRange(keyCol,
+              ext.getAs[Number]("__lo").longValue,
+              ext.getAs[Number]("__hi").longValue))
+          val probes: Seq[PruneRange] =
+            if (n <= probeLimit)
+              Seq(KeyProbe(keyCol, k.collect().map(_.get(0)).toIndexedSeq))
+            else Seq.empty
+          val (es, schema) = replay(base, prevV.get)
+          val touched = pruneTyped(es, ranges ++ probes)
+          if (touched.isEmpty) prevV.get
+          else {
+            val rows = readEntries(s, base, touched, schema)
+            val side = if (n <= probeLimit) broadcast(k) else k
+            val remaining = rows.join(side,
+              rows(keyCol) === side(keyCol), "left_anti")
+            commitAt(s, base, remaining, "delete", statsCols, prevV,
+              bloomCols = bloomCols,
+              footprint = ReadScope(touched.map(_.path).toSet,
+                Some(ranges ++ probes)))(
+              fresh => (fresh, touched.map(_.path)))
+          }
+        }
+      } finally { k.unpersist(); () }
+    }
+
   /** The deleted positions of one sidecar, driver-side (sidecars are
     * ∝ deleted rows — metadata-plane by the MoR size contract below).
     */

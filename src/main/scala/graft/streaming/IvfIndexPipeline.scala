@@ -87,20 +87,13 @@ object IvfIndexPipeline {
           VersionedTable.commitAppend(s, centroidsBase, cents)
           cents
         } else VersionedTable.readLatest(s, centroidsBase)
-      // ∝ change rows, the IVM-guard class — see LshIndexPipeline
-      val retired = b
-        .filter(col("change_type").isin("delete", "update"))
-        .select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      if (retired.nonEmpty &&
-          VersionedTable.latestVersion(idxBase).isDefined) {
-        VersionedTable.commitDelete(s, idxBase,
-          col("vec_id").isin(retired.toIndexedSeq: _*),
-          pruneRanges = Seq(("vec_id", retired.head, retired.last)),
+      // keys-frame retirement — no driver-side key list; see
+      // LshIndexPipeline.applyBatch for the plan-safety rationale
+      if (VersionedTable.latestVersion(idxBase).isDefined) {
+        VersionedTable.commitDeleteKeys(s, idxBase, "vec_id",
+          b.filter(col("change_type").isin("delete", "update")),
           statsCols = Seq("vec_id", "cid"),
-          bloomCols = Seq("vec_id"),
-          pruneProbes = Seq(VersionedTable.KeyProbe("vec_id",
-            retired.toIndexedSeq)))
+          bloomCols = Seq("vec_id"))
       }
       val routed = VectorIvf
         .nearestCentroids(fresh, centroids, keep = 1, idCol = "vec_id")

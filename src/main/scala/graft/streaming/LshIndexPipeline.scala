@@ -100,21 +100,16 @@ object LshIndexPipeline {
         .filter(col("__rn") === 1).drop("__rn")
       // keys whose postings retire: ANY delete/update touched them
       // (deleting never-indexed keys matches nothing — harmless).
-      // Driver-collected, but micro-batch-bounded by construction —
-      // ∝ change rows, the IVM-guard class, never ∝ corpus/index.
-      val retired = b
-        .filter(col("change_type").isin("delete", "update"))
-        .select(col("doc_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      if (retired.nonEmpty &&
-          VersionedTable.latestVersion(idxBase).isDefined) {
-        VersionedTable.commitDelete(s, idxBase,
-          col("doc_id").isin(retired.toIndexedSeq: _*),
-          pruneRanges = Seq(("doc_id", retired.head, retired.last)),
+      // A keys-FRAME delete: the predicate is a distributed anti-join
+      // and the footprint derives from one extrema aggregate — no
+      // driver-side key list, so a backfill replay with admission
+      // control off (millions of keys in one batch) stays plan-safe;
+      // bloom probes kick in automatically when the batch is small.
+      if (VersionedTable.latestVersion(idxBase).isDefined) {
+        VersionedTable.commitDeleteKeys(s, idxBase, "doc_id",
+          b.filter(col("change_type").isin("delete", "update")),
           statsCols = Seq("doc_id", "bval"),
-          bloomCols = Seq("doc_id"),
-          pruneProbes = Seq(VersionedTable.KeyProbe("doc_id",
-            retired.toIndexedSeq)))
+          bloomCols = Seq("doc_id"))
       }
       val fresh = net
         .filter(col("change_type").isin("insert", "update"))

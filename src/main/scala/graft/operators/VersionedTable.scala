@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -553,10 +553,10 @@ object VersionedTable {
                  else Seq.empty) ++
       schema.map(schemaHeader).toSeq ++ entryLines)
       .mkString("", "\n", "\n")
-    val tmp = logDir(base).resolve(s".cktmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, checkpointPath(base, v),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // log-derived artifact: all-or-nothing replace via the seam
+    // (duplicate/lost writes are harmless — replay works without it)
+    LogStore.active.overwrite(checkpointPath(base, v),
+      body.getBytes("UTF-8"))
   }
 
   /** DESCRIBE HISTORY: one (version, op, n_files) row per committed
@@ -666,13 +666,10 @@ object VersionedTable {
   private def writeConstraints(base: String,
                                cs: Map[String, String]): Unit = {
     Files.createDirectories(logDir(base))
-    val tmp = logDir(base).resolve(
-      s".constmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, cs.toSeq.sortBy(_._1)
-      .map { case (n, e) => s"$n\t$e" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    Files.move(tmp, constraintsPath(base),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    LogStore.active.overwrite(constraintsPath(base),
+      cs.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n\t$e" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
   /** Table-level NDV estimates folded from manifest KMV sketches
@@ -2514,13 +2511,15 @@ object VersionedTable {
     val stamped =
       if (body.linesIterator.exists(_.startsWith("#ts="))) featLine + body
       else s"#ts=$ts\n$featLine$body"
-    val tmp = logDir(base).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, stamped.getBytes("UTF-8"))
-    try Files.createLink(markerPath(base, v), tmp)
+    // storage seam: create-exclusive through the active LogStore —
+    // POSIX hard-link by default; an object-store deployment plugs a
+    // conditional-PUT implementation (see LogStore's contract)
+    try LogStore.active.putIfAbsent(markerPath(base, v),
+      stamped.getBytes("UTF-8"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"commit conflict: version $v was committed concurrently in $base")
-    } finally Files.deleteIfExists(tmp)
+    }
   }
 }

@@ -2743,6 +2743,95 @@ object SinkQueries {
       bench = false),
 
     // ---------------------------------------------------------------
+    // q186: the CBO loop provably CLOSED under the oracle gate (r12) —
+    // a join-strategy decision FLIPS on manifest statistics. The dim
+    // (every 3rd orderkey + a ~1 KB pruned-away pad) is several MB on
+    // disk but rows x 8 B through the join's read schema: with the
+    // broadcast threshold pinned between the two, the manifest's exact
+    // row count broadcasts the dim (asserted on the static plan), and
+    // the negative control — the SAME table with its `#rows=` tokens
+    // stripped, the pre-rowcount manifest generation — refuses the
+    // claim, falls back to the file-size guess, and plans sort-merge
+    // (also asserted). The oracle then hash-checks the broadcast
+    // plan's answer against a plain DuckDB semi-join — a flip that
+    // broke correctness would fail the hash, a flip that never
+    // happened fails the engine-side require.
+    Q("q186_cbo_broadcast_flip",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q186")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .persist()
+        val dim = t.select(col("l_orderkey")).distinct()
+          .filter(col("l_orderkey") % 3L === 0L)
+          .withColumn("pad", expr(
+            "concat_ws('', transform(sequence(1, 32), " +
+              "i -> md5(concat(cast(l_orderkey AS string), '-', " +
+              "cast(i AS string)))))"))
+        VersionedTable.commitAppend(s, base, dim.coalesce(2),
+          statsCols = Seq("l_orderkey"))
+        val live = VersionedTable.entries(base,
+          VersionedTable.latestVersion(base).get)
+        val statsSz = live.map(_.rows).sum * 8L // pruned width: one long
+        val phys = live.map(e => java.nio.file.Files.size(
+          java.nio.file.Paths.get(base, e.path))).sum
+        val thr = statsSz * 4L
+        require(thr < phys,
+          s"fixture: stats size $statsSz x4 must undercut physical $phys")
+        def joined = t.join(
+          s.read.format("graft").load(base).select(col("l_orderkey")),
+          "l_orderkey")
+        val key = "spark.sql.autoBroadcastJoinThreshold"
+        val prev = s.conf.get(key)
+        s.conf.set(key, thr.toString)
+        try {
+          val plan = joined.queryExecution.sparkPlan.toString()
+          require(plan.contains("BroadcastHashJoin"),
+            s"manifest rows must broadcast the column-pruned dim:\n$plan")
+          // run the flipped plan BEFORE the negative control mutates
+          // the manifest
+          val out = joined.agg(count(lit(1)).as("n"),
+            sum(col("qty_e2")).as("q"),
+            countDistinct(col("l_orderkey")).as("k")).head()
+          val log = java.nio.file.Paths.get(base, "_log")
+          val st = java.nio.file.Files.list(log)
+          try {
+            val it = st.iterator()
+            while (it.hasNext) {
+              val m = it.next()
+              if (m.getFileName.toString.endsWith(".commit")) {
+                val body = new String(
+                  java.nio.file.Files.readAllBytes(m), "UTF-8")
+                java.nio.file.Files.write(m,
+                  body.replaceAll("\\t#rows=\\d+", "").getBytes("UTF-8"))
+              }
+            }
+          } finally st.close()
+          val p2 = joined.queryExecution.sparkPlan.toString()
+          require(p2.contains("SortMergeJoin") &&
+            !p2.contains("BroadcastHashJoin"),
+            s"stats-refused twin must plan sort-merge:\n$p2")
+          import s.implicits._
+          Seq((out.getLong(0), out.getLong(1), out.getLong(2)))
+            .toDF("n_rows", "qty_e2", "n_keys")
+        } finally {
+          s.conf.set(key, prev)
+          t.unpersist(); ()
+        }
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_e2,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        FROM lineitem WHERE l_orderkey % 3 = 0
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
     // q187: DISJOINT-DML RACE under the oracle gate (r12) — two
     // concurrent DELETEs on provably disjoint zone-map footprints.
     // Writer A (bins 2-3 span) loses the publish race to writer B

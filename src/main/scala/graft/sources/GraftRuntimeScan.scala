@@ -66,20 +66,35 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
-  /** The delegate's size estimate, upgraded with the manifest's EXACT
-    * row count when nothing filters the scan — the commit log already
-    * knows it (the same counts the COUNT(*) pushdown answers from),
-    * so join planning and AQE see a real cardinality instead of a
-    * bytes-divided guess. With pushed filters the physical count is
-    * an upper bound, not an estimate of the filtered output — refuse
-    * rather than mislead the optimizer.
+  /** The delegate's estimate, upgraded from the manifest when nothing
+    * filters the scan: `numRows` is the EXACT LIVE count (physical −
+    * deletion-vector positions — the same arithmetic the COUNT(*)
+    * pushdown answers from), and `sizeInBytes` derives from it
+    * (rows × schema default row width, Spark's own rowCount-based
+    * size estimation) instead of the delegate's on-disk file-size
+    * guess — the number that actually DRIVES JoinSelection's
+    * broadcast decision. The difference is a real plan flip: a dim
+    * table MoR-trimmed to 5% of its physical rows still LOOKS big on
+    * disk (file-size guess ⟹ sort-merge) but the manifest knows it
+    * broadcasts ([[graft.operators.CboFlipSpec]] pins both
+    * directions; q186 runs the flipped plan under the oracle gate).
+    * With pushed filters, or any entry predating row counts, the
+    * physical numbers are upper bounds, not estimates of the output
+    * — refuse rather than mislead the optimizer. Exception:
+    * IsNotNull-only pushdowns (what an inner join infers onto its
+    * keys) keep the claim — actual output can only be ≤ the manifest
+    * count, so the size estimate errs toward refusing a broadcast,
+    * never toward an OOM'ing one (the conservative direction; a range
+    * or equality filter, by contrast, can shrink output by orders of
+    * magnitude and genuinely forfeits the claim).
     */
   override def estimateStatistics(): Statistics = {
     val inner = current.estimateStatistics()
-    val unfiltered = current.dataFilters.isEmpty &&
-      current.partitionFilters.isEmpty
+    val unfiltered = current.partitionFilters.isEmpty &&
+      current.dataFilters.forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.IsNotNull])
     if (unfiltered && entries.nonEmpty && entries.forall(_.rows >= 0L)) {
-      val exact = entries.map(_.rows).sum
+      val exact = entries.map(_.liveRows).sum
       // CBO column statistics from the manifest: per-column distinct
       // counts folded from the commit-time KMV sketches (ndvCols) —
       // the ANALYZE TABLE the table never has to run
@@ -96,7 +111,8 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       }
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
-          inner.sizeInBytes()
+          java.util.OptionalLong.of(
+            math.max(1L, exact * readSchema().defaultSize))
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(exact)
         override def columnStats(): java.util.Map[NamedReference,

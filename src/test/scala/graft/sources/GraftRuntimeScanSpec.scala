@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   */
 class GraftRuntimeScanSpec extends SparkSuite {
 
-  /** A 4-file fact table with disjoint key decades and zone maps on k. */
+  /** A 4-file fact table with disjoint 10k-key decades and zone maps
+    * on k — big enough (r12) that its exact-rowcount stats (rows ×
+    * width, the CBO upgrade) still dwarf the dimension, so the dim
+    * broadcasts and DPP targets the fact side as it would at scale.
+    */
   private def mkFact(tag: String): String = {
     val base = TempDirs.scoped(s"graft_dfp_$tag")
     val s = spark
     import s.implicits._
-    Seq(0L, 10L, 20L, 30L).foreach(lo => VersionedTable.commitAppend(
+    Seq(0L, 10000L, 20000L, 30000L).foreach(lo => VersionedTable.commitAppend(
       spark, base,
-      (lo until lo + 10L).map(k => (k, k * 7)).toDF("k", "v").coalesce(1),
+      (lo until lo + 10000L).map(k => (k, k * 7)).toDF("k", "v").coalesce(1),
       statsCols = Seq("k")))
     base
   }
@@ -32,8 +36,9 @@ class GraftRuntimeScanSpec extends SparkSuite {
     import s.implicits._
     val p = TempDirs.scoped(s"graft_dfp_dim_$tag")
     // grp is the correlated dimension attribute (the date-dim shape:
-    // fact clustered by the dim key, dim filtered on an attribute)
-    (0L until 40L).map(k => (k, k / 10L, s"attr$k"))
+    // fact clustered by the dim key, dim filtered on an attribute);
+    // sparse keys — a dimension is orders smaller than the fact
+    (0L until 40000L by 100L).map(k => (k, k / 10000L, s"attr$k"))
       .toDF("k", "grp", "attr").write.mode("overwrite").parquet(p)
     p
   }
@@ -44,9 +49,9 @@ class GraftRuntimeScanSpec extends SparkSuite {
     val fact = spark.read.format("graft").load(base)
     val out = fact.join(dim, "k").agg(
       count(lit(1)).as("n"), sum(col("v")).as("sv")).head()
-    // correctness first: keys 10..19, sum(7k) = 7 * sum(10..19)
-    assert(out.getLong(0) === 10L)
-    assert(out.getLong(1) === 7L * (10L to 19L).sum)
+    // correctness first: every 100th key of [10000,20000)
+    assert(out.getLong(0) === 100L)
+    assert(out.getLong(1) === 7L * (10000L until 20000L by 100L).sum)
     // the runtime filter reached the manifest: 1 of 4 files survived
     assert(GraftScanMetrics.lastRuntimePrune(base) === Some((1, 4)))
   }
@@ -68,17 +73,21 @@ class GraftRuntimeScanSpec extends SparkSuite {
     import s.implicits._
     // interleaved keys: every file's [min,max] span covers the whole
     // domain, so only the bloom probe can skip
+    // 250 keys/file — inside the bloom's ~300-key capacity (a
+    // saturated bloom keeps everything and proves nothing); the fact's
+    // exact-stats size (1000 rows x 16 B) still exceeds the 10-row
+    // dim's parquet footprint, so the dim is the broadcast side
     (0L until 4L).foreach(r => VersionedTable.commitAppend(
       spark, base,
-      (0L until 10L).map(i => (i * 4L + r, i)).toDF("k", "v").coalesce(1),
+      (0L until 250L).map(i => (i * 4L + r, i)).toDF("k", "v").coalesce(1),
       statsCols = Seq("k"), bloomCols = Seq("k")))
     val dimP = TempDirs.scoped("graft_dfp_bloom_dim")
-    (0L until 40L).map(k => (k, if (k == 17L) 1L else 0L))
+    (0L until 1000L by 100L).map(k => (k, if (k == 400L) 1L else 0L))
       .toDF("k", "sel").write.mode("overwrite").parquet(dimP)
     val dim = spark.read.parquet(dimP).filter(col("sel") === 1L)
     val fact = spark.read.format("graft").load(base)
     val got = fact.join(dim, "k").select(col("v")).head().getLong(0)
-    assert(got === 4L) // 17 = 4*4 + 1
+    assert(got === 100L) // 400 = 100*4 + 0
     val (kept, total) = GraftScanMetrics.lastRuntimePrune(base).get
     assert(total === 4)
     // key 17 lives in exactly one file; blooms may (rarely) keep a
@@ -95,7 +104,7 @@ class GraftRuntimeScanSpec extends SparkSuite {
         val st = r.scan
           .asInstanceOf[org.apache.spark.sql.connector.read
             .SupportsReportStatistics].estimateStatistics()
-        assert(st.numRows().isPresent && st.numRows().getAsLong === 40L)
+        assert(st.numRows().isPresent && st.numRows().getAsLong === 40000L)
     }.ensuring(_.nonEmpty, "expected a DSv2 scan relation in the plan")
     // a filtered scan refuses the exact claim (physical ≠ filtered)
     val f = spark.read.format("graft").load(base).filter(col("k") > 5L)

@@ -131,7 +131,7 @@ object VersionedTable {
     * stats degrade to reading when ignored, never to wrong answers.
     * Pre-gate tables (no header anywhere) read and write unchanged.
     */
-  val SupportedFeatures: Set[String] = Set("dv", "ndv")
+  val SupportedFeatures: Set[String] = Set("dv", "ndv", "colmap")
 
   private val FeaturesTag = "#features="
 
@@ -684,8 +684,16 @@ object VersionedTable {
     * refused because CBO wants an estimate, not an invariant.
     * Driver-plane manifest arithmetic, zero file opens.
     */
-  def ndvEstimates(base: String, v: Long): Map[String, Long] =
-    ndvEstimatesOf(entries(base, v))
+  def ndvEstimates(base: String, v: Long): Map[String, Long] = {
+    val (es, schemaOpt) = replay(base, v)
+    val raw = ndvEstimatesOf(es) // keyed by PHYSICAL token names
+    schemaOpt match {
+      case Some(st) if ColumnMapping.isMapped(st) =>
+        val m = ColumnMapping.toLogical(st)
+        raw.flatMap { case (c, e) => m.get(c).map(_ -> e) }
+      case _ => raw
+    }
+  }
 
   /** [[ndvEstimates]] over an already-resolved snapshot's entries. */
   def ndvEstimatesOf(es: Seq[ManifestEntry]): Map[String, Long] = {
@@ -815,6 +823,13 @@ object VersionedTable {
                         schemaOpt: Option[StructType]): DataFrame = {
     val full = paths.map(p => s"$base/$p")
     schemaOpt match {
+      // mapped table: files live under PHYSICAL names — read those
+      // (renamed-away logicals would silently null-fill); callers
+      // alias back to logical AFTER any _metadata derefs (metadata
+      // columns resolve only on the file relation itself)
+      case Some(st) if ColumnMapping.isMapped(st) =>
+        s.read.schema(forceNullable(ColumnMapping.physicalSchema(st)))
+          .parquet(full: _*)
       // declared schema: old files null-fill evolved-in columns, and
       // nullability is relaxed (parquet writers vary on it)
       case Some(st) => s.read.schema(forceNullable(st)).parquet(full: _*)
@@ -863,18 +878,26 @@ object VersionedTable {
                                  schemaOpt: Option[StructType],
                                  withRel: Boolean = false): DataFrame = {
     val (dvd, clean) = es.partition(_.dv.exists(_.count > 0L))
-    val cols = schemaOpt.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
-    def projected(df: DataFrame): DataFrame = {
-      val dataCols = if (cols.nonEmpty) cols else
-        df.columns.toSeq.filterNot(Seq("__rel", "__pos").contains)
-      df.select((dataCols ++ (if (withRel) Seq("__rel") else Nil))
-        .map(col): _*)
+    val mapped = schemaOpt.exists(ColumnMapping.isMapped)
+    // data columns, logical-named: identity for unmapped tables;
+    // physical-as-logical aliases for mapped ones (tombstones gone)
+    def dataCols(df: DataFrame): Seq[Column] = schemaOpt match {
+      case Some(st) if mapped =>
+        ColumnMapping.visible(st).fields.toSeq
+          .map(f => col(ColumnMapping.physical(f)).as(f.name))
+      case Some(st) => st.fieldNames.toSeq.map(col)
+      case None => df.columns.toSeq
+        .filterNot(Seq("__rel", "__pos").contains).map(col)
     }
+    def projected(df: DataFrame): DataFrame =
+      df.select((dataCols(df) ++
+        (if (withRel) Seq(col("__rel")) else Nil)): _*)
     val cleanDf =
       if (clean.isEmpty) None
       else {
         val raw = readFiles(s, base, clean.map(_.path), schemaOpt)
         Some(if (withRel) projected(raw.withColumn("__rel", relPathExpr))
+             else if (mapped) projected(raw)
              else raw)
       }
     val dvdDf =
@@ -900,7 +923,8 @@ object VersionedTable {
     val st = schemaOpt.getOrElse(throw new IllegalArgumentException(
       s"version $v of $base is empty and predates schema headers — " +
         "no schema to produce an empty frame with"))
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], forceNullable(st))
+    s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      forceNullable(ColumnMapping.stripMeta(ColumnMapping.visible(st))))
   }
 
   /** The table as of committed version `v` (1-based) — time travel.
@@ -931,7 +955,9 @@ object VersionedTable {
   def readVersionPrunedTyped(s: SparkSession, base: String, v: Long,
                              ranges: Seq[PruneRange]): DataFrame = {
     val (all, schema) = replay(base, v)
-    val kept = pruneTyped(all, ranges)
+    // ranges arrive in LOGICAL names; stats tokens are physical —
+    // mapping-aware pruning is what makes skipping survive a RENAME
+    val kept = pruneTyped(all, ColumnMapping.mapRanges(schema, ranges))
     if (kept.isEmpty) {
       if (all.isEmpty) emptyFrame(s, base, v, schema)
       else if (schema.isDefined) emptyFrame(s, base, v, schema)
@@ -986,20 +1012,44 @@ object VersionedTable {
     * degrades after updates/deletes.
     */
   def statsDiscipline(base: String): (Seq[String], Seq[String]) = {
-    val keys = latestVersion(base).toSeq
-      .flatMap(v => entries(base, v)).flatMap(_.stats.keys).distinct
-    (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv")),
-      keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom")))
+    val (keys, logical) = disciplineKeys(base)
+    (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv"))
+       .flatMap(logical),
+      keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom"))
+        .flatMap(logical))
   }
+
+  /** Manifest stats-token names + the physical→logical resolution the
+    * discipline reporters share: identity on unmapped tables; on
+    * mapped ones a token whose physical no longer maps (its column
+    * was dropped) resolves to nothing — its stats orphan harmlessly
+    * and stop being re-collected.
+    */
+  private def disciplineKeys(base: String)
+      : (Seq[String], String => Option[String]) =
+    latestVersion(base) match {
+      case None => (Seq.empty, (k: String) => Some(k))
+      case Some(v) =>
+        val (es, schemaOpt) = replay(base, v)
+        val keys = es.flatMap(_.stats.keys).distinct
+        val logical = schemaOpt match {
+          case Some(st) if ColumnMapping.isMapped(st) =>
+            val m = ColumnMapping.toLogical(st)
+            (k: String) => m.get(k)
+          case _ => (k: String) => Some(k)
+        }
+        (keys, logical)
+    }
 
   /** The columns any live file carries an NDV sketch for — what a DML
     * rewrite must re-collect so [[ndvEstimates]] keeps answering
     * (like [[statsDiscipline]] for zone maps/blooms).
     */
-  def ndvDiscipline(base: String): Seq[String] =
-    latestVersion(base).toSeq
-      .flatMap(v => entries(base, v)).flatMap(_.stats.keys).distinct
-      .filter(_.endsWith("#kmv")).map(_.stripSuffix("#kmv"))
+  def ndvDiscipline(base: String): Seq[String] = {
+    val (keys, logical) = disciplineKeys(base)
+    keys.filter(_.endsWith("#kmv")).map(_.stripSuffix("#kmv"))
+      .flatMap(logical)
+  }
 
   /** MERGE INTO closure: the new version's state is the per-key argmax
     * (latest by `ordCols`) of previous state ∪ `delta` — associative,
@@ -1106,7 +1156,8 @@ object VersionedTable {
       val prevV = latestVersion(base)
       val (es, schemaOpt) =
         prevV.map(replay(base, _)).getOrElse((Seq.empty, None))
-      val schema = schemaOpt.getOrElse(targetSchema)
+      val declaredFull = schemaOpt.getOrElse(targetSchema)
+      val schema = ColumnMapping.visible(declaredFull)
       val tCols = schema.fieldNames.toSeq
       // source evaluated once, all columns prefixed __s_, plus the
       // computed join keys as __k_<targetCol> and the match marker
@@ -1142,7 +1193,9 @@ object VersionedTable {
               else Some((c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
             }
           }
-        val candidates = prune(es, ranges)
+        val candidates = pruneTyped(es, ColumnMapping.mapRanges(
+          Some(declaredFull),
+          ranges.map { case (c, lo, hi) => LongRange(c, lo, hi) }))
         val keyEq = keys.map { case (tCol, _) =>
           col(s"__t_$tCol") === col(s"__k_$tCol")
         }.reduce(_ && _)
@@ -1300,8 +1353,9 @@ object VersionedTable {
               footprint =
                 if (bySource.nonEmpty) ReadEverything
                 else ReadScope(candidates.map(_.path).toSet,
-                  Some(ranges.map { case (c, lo, hi) =>
-                    LongRange(c, lo, hi) })))(
+                  Some(ColumnMapping.mapRanges(Some(declaredFull),
+                    ranges.map { case (c, lo, hi) =>
+                      LongRange(c, lo, hi) }))))(
               fresh => (fresh, touched))
         }
       } finally { srcP.unpersist(); () }
@@ -1407,9 +1461,10 @@ object VersionedTable {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to delete from in $base")
       val (es, schema) = replay(base, prevV.get)
-      val touched = pruneTyped(es,
+      val mapped = ColumnMapping.mapRanges(schema,
         pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
           pruneProbes)
+      val touched = pruneTyped(es, mapped)
       if (touched.isEmpty) prevV.get
       else {
         val untouched = es.filterNot(touched.toSet)
@@ -1426,9 +1481,7 @@ object VersionedTable {
         commitAt(s, base, remaining, "delete", statsCols, prevV,
           beforePublish = beforePublish,
           bloomCols = bloomCols,
-          footprint = ReadScope(touched.map(_.path).toSet,
-            Some(pruneRanges.map { case (c, lo, hi) =>
-              LongRange(c, lo, hi) } ++ pruneProbes)))(
+          footprint = ReadScope(touched.map(_.path).toSet, Some(mapped)))(
           fresh => (fresh, touched.map(_.path)))
       }
     }
@@ -1483,7 +1536,8 @@ object VersionedTable {
               Seq(KeyProbe(keyCol, k.collect().map(_.get(0)).toIndexedSeq))
             else Seq.empty
           val (es, schema) = replay(base, prevV.get)
-          val touched = pruneTyped(es, ranges ++ probes)
+          val mapped = ColumnMapping.mapRanges(schema, ranges ++ probes)
+          val touched = pruneTyped(es, mapped)
           if (touched.isEmpty) prevV.get
           else {
             val rows = readEntries(s, base, touched, schema)
@@ -1493,7 +1547,7 @@ object VersionedTable {
             commitAt(s, base, remaining, "delete", statsCols, prevV,
               bloomCols = bloomCols,
               footprint = ReadScope(touched.map(_.path).toSet,
-                Some(ranges ++ probes)))(
+                Some(mapped)))(
               fresh => (fresh, touched.map(_.path)))
           }
         }
@@ -1551,9 +1605,9 @@ object VersionedTable {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to delete from in $base")
       val (es, schema) = replay(base, prevV.get)
-      val touched = pruneTyped(es,
+      val touched = pruneTyped(es, ColumnMapping.mapRanges(schema,
         pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
-          pruneProbes)
+          pruneProbes))
       if (touched.isEmpty) prevV.get
       else {
         val untouched = es.filterNot(touched.toSet)
@@ -1568,9 +1622,18 @@ object VersionedTable {
         }
         // matching LIVE positions (DV-applied read: already-deleted
         // rows can't re-match, so stacked deletes stay exact)
-        val raw = readFiles(s, base, touched.map(_.path), schema)
+        val rawPhys = readFiles(s, base, touched.map(_.path), schema)
           .withColumn("__rel", relPathExpr)
           .withColumn("__pos", col("_metadata.row_index"))
+        // rowPred references LOGICAL names; alias AFTER the _metadata
+        // derefs (metadata columns resolve only on the file relation)
+        val raw = schema match {
+          case Some(st) if ColumnMapping.isMapped(st) =>
+            rawPhys.select(ColumnMapping.visible(st).fields.toSeq
+              .map(f => col(ColumnMapping.physical(f)).as(f.name)) ++
+              Seq(col("__rel"), col("__pos")): _*)
+          case _ => rawPhys
+        }
         val dvd = touched.filter(_.dv.exists(_.count > 0L))
         val live =
           if (dvd.isEmpty) raw
@@ -1653,9 +1716,10 @@ object VersionedTable {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to update in $base")
       val (es, schema) = replay(base, prevV.get)
-      val touched = pruneTyped(es,
+      val mapped = ColumnMapping.mapRanges(schema,
         pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
           pruneProbes)
+      val touched = pruneTyped(es, mapped)
       if (touched.isEmpty) prevV.get
       else {
         val rows = readEntries(s, base, touched, schema)
@@ -1671,9 +1735,7 @@ object VersionedTable {
         }: _*)
         commitAt(s, base, rewritten, "update", statsCols, prevV,
           bloomCols = bloomCols,
-          footprint = ReadScope(touched.map(_.path).toSet,
-            Some(pruneRanges.map { case (c, lo, hi) =>
-              LongRange(c, lo, hi) } ++ pruneProbes)))(
+          footprint = ReadScope(touched.map(_.path).toSet, Some(mapped)))(
           fresh => (fresh, touched.map(_.path)))
       }
     }
@@ -2026,18 +2088,26 @@ object VersionedTable {
       if (es.isEmpty) latest
       else {
         val df = readFiles(s, base, es.map(_.path), schemaOpt)
-        ndvCols.foreach(c => require(df.columns.contains(c),
+        // the scan reads PHYSICAL names; `ndvCols` arrive logical and
+        // the stored token keys must be physical (rename-stable)
+        val physOf: String => String = schemaOpt match {
+          case Some(st) if ColumnMapping.isMapped(st) =>
+            val m = ColumnMapping.toPhysical(st)
+            c => m.getOrElse(c, c)
+          case _ => identity
+        }
+        ndvCols.foreach(c => require(df.columns.contains(physOf(c)),
           s"analyze column '$c' is not a table column " +
             s"(${df.columns.mkString(", ")})"))
         val aggs = ndvCols.map(c =>
-          graft.expressions.KmvAgg.kmv(ndvHash56(col(c)), NdvK)
+          graft.expressions.KmvAgg.kmv(ndvHash56(col(physOf(c))), NdvK)
             .as(s"__kmv_$c"))
         val per = df.groupBy(relPathExpr.as("__rel"))
           .agg(aggs.head, aggs.tail: _*)
           .collect() // one row per live file — metadata-plane
           .map { r =>
             r.getAs[String]("__rel") -> ndvCols.map { c =>
-              s"$c#kmv" -> (KmvStats(NdvK,
+              s"${physOf(c)}#kmv" -> (KmvStats(NdvK,
                 r.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toArray)
                 : Stat)
             }.toMap
@@ -2094,13 +2164,20 @@ object VersionedTable {
       val prev = declaredSchema(base, latest).getOrElse(
         throw new IllegalArgumentException(
           s"$base predates schema headers — no declared schema to alter"))
-      val prevNames = prev.fieldNames.map(_.toLowerCase).toSet
+      val prevNames = ColumnMapping.visible(prev)
+        .fieldNames.map(_.toLowerCase).toSet
       newCols.foreach { f =>
         require(!prevNames.contains(f.name.toLowerCase),
           s"cannot ADD COLUMN '${f.name}': it already exists in $base")
       }
-      val declared =
-        StructType(prev.fields ++ newCols.map(_.copy(nullable = true)))
+      val minted =
+        if (ColumnMapping.isMapped(prev)) {
+          var hwm = ColumnMapping.maxId(prev)
+          newCols.map { f =>
+            hwm += 1L; ColumnMapping.mintField(f.copy(nullable = true), hwm)
+          }
+        } else newCols.map(_.copy(nullable = true))
+      val declared = StructType(prev.fields ++ minted)
       val next = latest + 1L
       publish(base, next,
         Seq(s"#op=alter_schema", schemaHeader(declared))
@@ -2109,6 +2186,119 @@ object VersionedTable {
         try writeCheckpoint(base, next) catch { case _: Exception => () }
       next
     }
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` as a METADATA-ONLY commit via
+    * COLUMN MAPPING ([[ColumnMapping]], the Delta columnMapping
+    * reconstruction): the first rename/drop ACTIVATES mapping (every
+    * field stamped with a stable id + its current name as the frozen
+    * PHYSICAL name) and declares the `colmap` protocol feature, so a
+    * mapping-blind reader refuses loudly instead of silently
+    * resolving the renamed column to nulls. The rename itself updates
+    * only the LOGICAL name — zero data files touched, zone maps /
+    * blooms / NDV sketches keyed by the physical name keep pruning,
+    * and time travel shows each version under its own names. Renaming
+    * onto an existing visible name refuses; so does renaming a column
+    * a CHECK constraint references (the constraint text would
+    * silently stop binding).
+    */
+  def alterRenameColumn(base: String, oldName: String, newName: String,
+                        maxAttempts: Int = 5): Long = {
+    require(newName.nonEmpty && !newName.exists(c =>
+      c == '\t' || c == '\n' || c == '=' || c == '#'),
+      s"invalid column name '$newName'")
+    retrying(maxAttempts) {
+      val (latest, prev) = alterBase(base)
+      val activated = ColumnMapping.activate(prev)
+      val vis = ColumnMapping.visible(activated)
+      require(vis.fieldNames.contains(oldName),
+        s"cannot RENAME COLUMN '$oldName': no such column in $base " +
+          s"(${vis.fieldNames.mkString(", ")})")
+      require(!vis.fieldNames.map(_.toLowerCase)
+          .contains(newName.toLowerCase),
+        s"cannot RENAME COLUMN to '$newName': it already exists in $base")
+      refuseConstraintRef(base, oldName, "RENAME")
+      val declared = StructType(activated.fields.map { f =>
+        if (!ColumnMapping.isDropped(f) && f.name == oldName)
+          f.copy(name = newName)
+        else f
+      })
+      publishAlter(base, latest, declared)
+    }
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` as a METADATA-ONLY commit: the
+    * field is TOMBSTONED in the declared schema — hidden from every
+    * read, its id high-water mark and physical name stay reserved so
+    * a later re-add of the same logical name mints a fresh identity
+    * and the dropped data can never resurrect. Data files are
+    * untouched (a 100 TB drop costs one manifest line); the bytes
+    * physically disappear as rewrites happen — run
+    * compaction/OPTIMIZE to purge eagerly (the GDPR note). Its stats
+    * tokens orphan harmlessly: the discipline reporters skip
+    * physicals that no longer map, so DML rewrites simply stop
+    * re-collecting them. Dropping the last visible column, an unknown
+    * column, or one a CHECK constraint references refuses loudly.
+    */
+  def alterDropColumn(base: String, name: String,
+                      maxAttempts: Int = 5): Long =
+    retrying(maxAttempts) {
+      val (latest, prev) = alterBase(base)
+      val activated = ColumnMapping.activate(prev)
+      val vis = ColumnMapping.visible(activated)
+      require(vis.fieldNames.contains(name),
+        s"cannot DROP COLUMN '$name': no such column in $base " +
+          s"(${vis.fieldNames.mkString(", ")})")
+      require(vis.fields.length > 1,
+        s"cannot DROP COLUMN '$name': it is the last column of $base")
+      refuseConstraintRef(base, name, "DROP")
+      val declared = StructType(activated.fields.map { f =>
+        if (!ColumnMapping.isDropped(f) && f.name == name)
+          ColumnMapping.drop(f)
+        else f
+      })
+      publishAlter(base, latest, declared)
+    }
+
+  private def alterBase(base: String): (Long, StructType) = {
+    val latest = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(s"no graft table at $base"))
+    val prev = declaredSchema(base, latest).getOrElse(
+      throw new IllegalArgumentException(
+        s"$base predates schema headers — no declared schema to alter"))
+    (latest, prev)
+  }
+
+  /** A CHECK constraint whose SQL text references the column makes a
+    * rename/drop silently unbind it — refuse loudly instead (drop the
+    * constraint first; the Delta discipline).
+    */
+  private def refuseConstraintRef(base: String, col: String,
+                                  op: String): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(col) +
+        "($|[^a-z0-9_])")
+    constraints(base).foreach { case (n, e) =>
+      require(!pat.matcher(e).find(),
+        s"cannot $op COLUMN '$col': CHECK constraint $n ($e) references " +
+          "it — drop the constraint first")
+    }
+  }
+
+  /** Publish a mapping alter: metadata-only manifest carrying the new
+    * schema header and the sticky feature set ∪ `colmap` (explicit —
+    * the body has no data tokens for [[publish]] to derive it from).
+    */
+  private def publishAlter(base: String, latest: Long,
+                           declared: StructType): Long = {
+    val feats = (featuresAsOf(base, latest) + "colmap").toSeq.sorted
+    val next = latest + 1L
+    publish(base, next,
+      Seq(s"#op=alter_schema", s"#features=${feats.mkString(",")}",
+        schemaHeader(declared)).mkString("", "\n", "\n"))
+    if (next % CheckpointEvery == 0)
+      try writeCheckpoint(base, next) catch { case _: Exception => () }
+    next
   }
 
   /** Change data feed between two committed versions: one row per key
@@ -2218,16 +2408,26 @@ object VersionedTable {
                           next: StructType): StructType = prev match {
     case None => next
     case Some(p) =>
-      val prevNames = p.fieldNames.toSet
-      p.fields.foreach { f =>
+      // matching is by LOGICAL name over the VISIBLE fields — a
+      // tombstoned (dropped) field never blocks re-adding its name;
+      // the re-add below mints a fresh id + physical, so the old data
+      // stays dead
+      val vis = ColumnMapping.visible(p)
+      val prevNames = vis.fieldNames.toSet
+      vis.fields.foreach { f =>
         next.fields.find(_.name == f.name).foreach { g =>
           require(g.dataType == f.dataType,
             s"schema evolution cannot change column '${f.name}' from " +
               s"${f.dataType} to ${g.dataType}")
         }
       }
-      StructType(p.fields ++ next.fields.filterNot(f =>
-        prevNames.contains(f.name)))
+      val fresh = next.fields.filterNot(f => prevNames.contains(f.name))
+      val added =
+        if (ColumnMapping.isMapped(p)) {
+          var hwm = ColumnMapping.maxId(p)
+          fresh.map { f => hwm += 1L; ColumnMapping.mintField(f, hwm) }
+        } else fresh
+      StructType(p.fields ++ added)
   }
 
   /** One commit ATTEMPT at pinned snapshot `prevV`: write data files
@@ -2293,11 +2493,21 @@ object VersionedTable {
     }
     val declared = mergeSchema(prevV.flatMap(declaredSchema(base, _)),
       df.schema)
+    // mapped table: data files live under PHYSICAL names — rename the
+    // frame (and the stats/bloom/ndv token names) before writing, so
+    // renames never touch data and stats tokens survive them
+    val physMap =
+      if (ColumnMapping.isMapped(declared)) ColumnMapping.toPhysical(declared)
+      else Map.empty[String, String]
+    def phys(c: String): String = physMap.getOrElse(c, c)
+    val dfOut =
+      if (physMap.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
     val next = prevV.getOrElse(0L) + 1L
     // attempt-private dir: concurrent committers (and retries) can
     // never list or overwrite each other's unpublished files
     val dataDir = f"d$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$base/$dataDir")
+    dfOut.write.parquet(s"$base/$dataDir")
     val dirStream = Files.list(Paths.get(base, dataDir))
     val freshNames =
       try dirStream.iterator().asScala
@@ -2310,7 +2520,13 @@ object VersionedTable {
     // before anything publishes — see the constraints section above
     val activeConstraints = constraints(base)
     if (activeConstraints.nonEmpty && freshNames.nonEmpty) {
-      val fresh = s.read.parquet(s"$base/$dataDir")
+      val freshRaw = s.read.parquet(s"$base/$dataDir")
+      // constraint expressions reference LOGICAL names
+      val fresh =
+        if (physMap.isEmpty) freshRaw
+        else freshRaw.select(ColumnMapping.visible(declared).fields.toSeq
+          .filter(f => freshRaw.columns.contains(ColumnMapping.physical(f)))
+          .map(f => col(ColumnMapping.physical(f)).as(f.name)): _*)
       activeConstraints.foreach { case (name, e) =>
         val bad = fresh.filter(!coalesce(expr(e), lit(true))).limit(1)
           .collect()
@@ -2324,8 +2540,8 @@ object VersionedTable {
     // to scan (and parquet schema inference over zero files would err)
     val stats =
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
-      else collectStats(s, s"$base/$dataDir", statsCols, bloomCols,
-        effNdvCols)
+      else collectStats(s, s"$base/$dataDir", statsCols.map(phys),
+        bloomCols.map(phys), effNdvCols.map(phys))
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand

@@ -107,6 +107,27 @@ object GraftDvReadRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case r: DataSourceV2Relation if !exempt.contains(r) =>
         r.table match {
+          // COLUMN-MAPPED table (r12): files live under physical
+          // names the parquet scan machinery would null-fill — the
+          // relation reads through the library's mapping-aware path
+          // (readVersion: physical read + logical aliasing + DV
+          // anti-join), aliased back onto the relation's attribute
+          // ids. File skipping for mapped tables stays available at
+          // the library/DML surface (mapping-aware pruneTyped); the
+          // DSv2 literal-pushdown leg is forfeited until a field-id-
+          // resolving scan exists — the honest cost of rename-without-
+          // rewrite, paid only by tables that actually renamed.
+          case g: GraftTable
+              if graft.operators.ColumnMapping.isMapped(g.tableSchema) &&
+                g.snapshotVersion.isDefined =>
+            val s = SparkSession.active
+            val mapped = VersionedTable.readVersion(s, g.base,
+              g.snapshotVersion.get).queryExecution.optimizedPlan
+            val byName = mapped.output.map(a => a.name -> a).toMap
+            Project(r.output.map { o =>
+              org.apache.spark.sql.catalyst.expressions.Alias(
+                byName(o.name), o.name)(exprId = o.exprId)
+            }, mapped)
           case g: GraftTable if !g.dvCleanOnly =>
             val dvd = g.snapshotEntries.filter(_.dv.exists(_.count > 0L))
             if (dvd.isEmpty) r

@@ -2960,6 +2960,113 @@ object SinkQueries {
             WHERE mx >= blo AND mn <= bhi) AS files_removed_b
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q189: COLUMN MAPPING under the oracle gate (r12) — RENAME and
+    // DROP COLUMN as metadata-only commits, read across both. The
+    // q165 8-bin lineitem fixture (zone maps on l_orderkey) is
+    // RENAMEd (l_orderkey→okey) and has a column DROPped (disc_e2),
+    // both asserted metadata-only BY PATH (the snapshot references
+    // exactly the pre-alter files); a post-rename append lands under
+    // the frozen physical name; a zone-map-pruned slice on the NEW
+    // name proves skipping survives the rename (file-count asserted
+    // engine-side); time travel reads the dropped column at its old
+    // version. The oracle recomputes every aggregate — totals across
+    // the append, the pruned slice, the pre-drop discount sum — from
+    // raw lineitem with the same sixteenth-span arithmetic.
+    Q("q189_column_mapping",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q189")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"),
+            graft.functions.ColumnOps.e2(col("l_discount")).as("disc_e2"),
+            col("l_linenumber"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("qty_e2"), col("disc_e2"))
+                .coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        val filesBefore = VersionedTable.entries(base, 8L).map(_.path).toSet
+        // pre-drop discount total, via time travel AFTER the alters
+        VersionedTable.alterRenameColumn(base, "l_orderkey", "okey")
+        VersionedTable.alterDropColumn(base, "disc_e2")
+        require(VersionedTable.entries(base, 10L).map(_.path).toSet ==
+          filesBefore, "RENAME/DROP must be metadata-only (by path)")
+        // post-rename append under the NEW logical names (physical
+        // stays the frozen l_orderkey)
+        VersionedTable.commitAppend(s, base,
+          t.filter(col("l_linenumber") === 1)
+            .select(col("l_orderkey").as("okey"), col("qty_e2"))
+            .coalesce(1),
+          statsCols = Seq("okey"))
+        val total = VersionedTable.readLatest(s, base)
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        // zone-map-pruned slice on the RENAMED key: bins 2-3's span
+        val (plo, phi) = (olo + (span * 5) / 16, olo + (span * 6) / 16 - 1)
+        val pruned = VersionedTable.readVersionPrunedTyped(s, base, 11L,
+          Seq(VersionedTable.LongRange("okey", plo, phi)))
+          .filter(col("okey").between(plo, phi))
+        require(pruned.inputFiles.length <
+          VersionedTable.entries(base, 11L).size,
+          "pruning must bite across the rename")
+        val pr = pruned
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        val discPre = VersionedTable.readVersion(s, base, 8L)
+          .agg(sum(col("disc_e2"))).head().getLong(0)
+        val colsFinal = VersionedTable.readLatest(s, base)
+          .columns.mkString(",")
+        t.unpersist()
+        import s.implicits._
+        Seq((total.getLong(0), total.getLong(1), pr.getLong(0),
+          pr.getLong(1), discPre, colsFinal))
+          .toDF("n_total", "qty_total", "n_pruned", "qty_pruned",
+            "disc_pre", "cols_final")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS disc_e2,
+                 l_linenumber
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 5) // 16 AS plo,
+                 olo + (span * 6) // 16 - 1 AS phi
+          FROM b
+        ), u AS (
+          SELECT l_orderkey AS okey, qty_e2 FROM t
+          UNION ALL
+          SELECT l_orderkey AS okey, qty_e2 FROM t WHERE l_linenumber = 1
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_total,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM u) AS qty_total,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM u, pr
+            WHERE okey BETWEEN plo AND phi) AS n_pruned,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM u, pr
+            WHERE okey BETWEEN plo AND phi) AS qty_pruned,
+          (SELECT CAST(SUM(disc_e2) AS BIGINT) FROM t) AS disc_pre,
+          'okey,qty_e2' AS cols_final
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

@@ -64,6 +64,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new NoSuchTableException(ident))
     val v = version.getOrElse(latest)
     val schema = VersionedTable.declaredSchema(base, v)
+      .map(graft.operators.ColumnMapping.visible)
       .getOrElse(new StructType())
     new GraftTable(base, Some(v), schema)
   }
@@ -145,7 +146,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _ => ()
     }
     if (rest.isEmpty) return loadTable(ident)
-    val adds = rest.map {
+    // RENAME/DROP COLUMN: metadata-only commits via column mapping
+    // (r12) — stable physical ids under logical names, see
+    // VersionedTable.alterRenameColumn/alterDropColumn
+    val (mapping, additions) = rest.partition {
+      case _: TableChange.RenameColumn => true
+      case _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    mapping.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft RENAME COLUMN supports top-level columns only, got " +
+            r.fieldNames.mkString("."))
+        VersionedTable.alterRenameColumn(basePath(ident),
+          r.fieldNames.head, r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft DROP COLUMN supports top-level columns only, got " +
+            d.fieldNames.mkString("."))
+        VersionedTable.alterDropColumn(basePath(ident), d.fieldNames.head)
+      case _ => ()
+    }
+    if (additions.isEmpty) return loadTable(ident)
+    val adds = additions.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft ALTER TABLE adds top-level columns only, got nested " +

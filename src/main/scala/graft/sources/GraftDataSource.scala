@@ -95,7 +95,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     // schema (ACCEPT_ANY_SCHEMA lets the first append through; a READ
     // of it yields zero columns, which analysis rejects loudly)
     val version = versionOpt.getOrElse(return new StructType())
-    VersionedTable.declaredSchema(base, version).getOrElse {
+    VersionedTable.declaredSchema(base, version)
+      .map(graft.operators.ColumnMapping.visible).getOrElse {
       // pre-schema-header manifests: infer from the snapshot's files
       val files = VersionedTable.entries(base, version)
         .map(e => s"$base/${e.path}")
@@ -398,6 +399,7 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               // frame's own schema, which can't detect evolution
               val declared = VersionedTable.latestVersion(base)
                 .flatMap(v => VersionedTable.declaredSchema(base, v))
+                .map(graft.operators.ColumnMapping.visible)
               declared.foreach { ds =>
                 val extra = data.columns.filterNot(ds.fieldNames.contains)
                 require(extra.isEmpty,

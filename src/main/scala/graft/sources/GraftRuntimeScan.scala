@@ -98,7 +98,13 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       // CBO column statistics from the manifest: per-column distinct
       // counts folded from the commit-time KMV sketches (ndvCols) —
       // the ANALYZE TABLE the table never has to run
+      // sketch keys are PHYSICAL token names; the optimizer resolves
+      // LOGICAL ones (identity on unmapped tables)
+      val toLogical = graft.operators.ColumnMapping.toLogical(schema)
       val ndv = VersionedTable.ndvEstimatesOf(entries)
+        .flatMap { case (c, est) => toLogical.get(c).orElse(
+          if (graft.operators.ColumnMapping.isMapped(schema)) None
+          else Some(c)).map(_ -> est) }
       val colStats = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       ndv.foreach { case (c, est) =>
@@ -143,9 +149,12 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
   override def filterAttributes(): Array[NamedReference] = {
     val readable = (current.readDataSchema.fieldNames ++
       current.readPartitionSchema.fieldNames).toSet
+    val toLogical = graft.operators.ColumnMapping.toLogical(schema)
+    val isMapped = graft.operators.ColumnMapping.isMapped(schema)
     entries.iterator
       .flatMap(_.stats.keysIterator)
       .map(_.stripSuffix("#bloom"))
+      .flatMap(c => toLogical.get(c).orElse(if (isMapped) None else Some(c)))
       .distinct
       .filter(readable.contains)
       .map(c => Expressions.column(c))

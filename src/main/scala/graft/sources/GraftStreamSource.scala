@@ -69,6 +69,20 @@ class GraftStreamSource(spark: SparkSession, base: String,
   maxBytesPerTrigger.foreach(m => require(m >= 1L,
     s"maxBytesPerTrigger must be >= 1, got $m"))
 
+  // column-mapped tables whose physical names diverge from logical
+  // would null-fill through the raw per-file reads below — refuse
+  // loudly (read the change feed via the batch TVFs instead); a
+  // merely-ACTIVATED mapping (no rename yet) still streams fine
+  VersionedTable.latestVersion(base)
+    .flatMap(v => VersionedTable.declaredSchema(base, v)).foreach { st =>
+      val diverged = graft.operators.ColumnMapping.visible(st).fields
+        .filter(f => graft.operators.ColumnMapping.physical(f) != f.name)
+      require(diverged.isEmpty,
+        s"streaming from $base: renamed column(s) " +
+          s"${diverged.map(_.name).mkString(", ")} are not supported by " +
+          "the streaming source yet — use the batch change-feed TVFs")
+    }
+
   private val readSchema =
     StructType(sourceSchema.fields.map(_.copy(nullable = true)))
 

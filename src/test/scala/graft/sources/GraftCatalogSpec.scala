@@ -123,11 +123,18 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (req BIGINT NOT NULL)")
     }
+    // retypes still refuse loudly; RENAME/DROP became first-class in
+    // r12 (column mapping — ColumnMappingSpec covers them)
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE STRING")
     }
     // the refusals published nothing
     assert(VersionedTable.latestVersion(base) === Some(4L))
+    // ...and DROP COLUMN, formerly refused, is a metadata-only commit
+    spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    assert(VersionedTable.latestVersion(base) === Some(5L))
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq
+      === Seq("k", "v", "score"))
     spark.sql(s"DROP TABLE $t")
   }
 }

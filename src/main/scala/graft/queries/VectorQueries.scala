@@ -148,6 +148,175 @@ object VectorQueries {
       .dropDuplicates("query_id", "vec_id"))
   }
 
+  /** q188's GRAPH-ANN knobs (the HNSW-family recall/latency point,
+    * deterministic): out-degree per node, beam width, expansion hops,
+    * and how many coarse cells seed the walk. Shared with the
+    * generated oracle so the two can never drift.
+    */
+  private val GraphDegree = 8
+  private val GraphBeam = 16
+  private val GraphHops = 3
+  private val GraphSeeds = 4
+  private val GraphCells = 64
+
+  /** q188 body — GRAPH-BASED ANN, q97's fifth method: a deterministic
+    * k-NN GRAPH (each node keeps its [[GraphDegree]] best neighbors
+    * among the members of its 2 nearest coarse cells — candidate
+    * generation bounded exactly like q51's IVF lists, O(N·cell), never
+    * all-pairs) walked by GREEDY BEAM SEARCH: the query seeds at its
+    * [[GraphSeeds]] nearest coarse centroids (which are corpus
+    * members, q51's mod-prime pick — the coarse entry layer, HNSW's
+    * upper levels in spirit), then [[GraphHops]] rounds of
+    * expand-the-beam's-out-edges / rescore / keep-top-[[GraphBeam]].
+    * Every choice tie-breaks on vec_id, so the whole chain is the
+    * integer/argmax form the DuckDB twin unrolls round by round
+    * (q154's generated-CTE discipline).
+    *
+    * Scale shape: construction is one bounded equi-join + per-node
+    * top-G (the edge table persists as an ordinary table at
+    * production scale — the q182 standing-index discipline applies);
+    * serving touches seed cells + B·G·H candidate rows per query,
+    * independent of corpus size. The walk REACHES BEYOND the seed
+    * cells through cross-cell edges (a node's 2nd-nearest-cell
+    * neighbors) — the recall lever IVF's fixed nprobe doesn't have.
+    */
+  private[queries] def annGraph(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{TopK, VectorIvf}
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+    val centroids = emb
+      .orderBy(expr(modPrimeOrd), col("vec_id"))
+      .limit(GraphCells)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    // edges: node (2 nearest cells) x candidate (primary cell) — a
+    // pair appears at most once (the candidate's primary cell is one)
+    val asg1 = VectorIvf.nearestCentroids(emb, centroids,
+      keep = 1, idCol = "vec_id")
+      .select(col("vec_id").as("dst"), col("emb").as("demb"),
+        col("nrm").as("dnrm"), col("cid"))
+    val asg2 = VectorIvf.nearestCentroids(emb, centroids,
+      keep = 2, idCol = "vec_id")
+      .select(col("vec_id").as("src"), col("emb").as("semb"),
+        col("nrm").as("snrm"), col("cid"))
+    val pairs = asg2.join(asg1, "cid")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("ecos", VectorFunctions.dotNative(col("semb"), col("demb"))
+        / (col("snrm") * col("dnrm")))
+    val edges = TopK.perKey(pairs, Seq("src"),
+        Seq(col("ecos").desc, col("dst")), GraphDegree)
+      .select(col("src"), col("dst"))
+    val q = queryVectors(s, d)
+    val nodes = emb.select(col("vec_id").as("node"), col("emb"), col("nrm"))
+    def scoreNodes(ns: DataFrame): DataFrame =
+      ns.join(nodes, "node")
+        .join(broadcast(q), "query_id")
+        .withColumn("cos", VectorFunctions.dotNative(col("emb"), col("qemb"))
+          / (col("nrm") * col("qnrm")))
+        .select(col("query_id"), col("node"), col("cos"))
+    val seeds = VectorIvf.nearestCentroids(
+        q.select(col("query_id"), col("qemb").as("emb"),
+          col("qnrm").as("nrm")),
+        centroids, keep = GraphSeeds, idCol = "query_id")
+      .select(col("query_id"), col("cid").as("node"))
+    var visited = scoreNodes(seeds)
+    (1 to GraphHops).foreach { _ =>
+      val beam = TopK.perKey(visited, Seq("query_id"),
+          Seq(col("cos").desc, col("node")), GraphBeam)
+        .select(col("query_id"), col("node").as("src"))
+      val neigh = beam.join(edges, "src")
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      visited = visited.unionByName(scoreNodes(neigh))
+        .dropDuplicates("query_id", "node")
+    }
+    TopK.perKey(visited.filter(col("node") =!= col("query_id")),
+        Seq("query_id"), Seq(col("cos").desc, col("node")), K)
+      .select(col("query_id"), col("rank"),
+        col("node").as("neighbor_id"),
+        floor(col("cos") * 100).as("score_e2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The graph leg's generated oracle CTEs — graph build, seeding,
+    * and the [[GraphHops]] beam rounds unrolled (q154's discipline);
+    * leaves `granked(query_id, node, cos, rank)`. Shared by q188 and
+    * q97's graph row.
+    */
+  private def graphOracleCtes: String = {
+    val rounds = (1 to GraphHops).map { r =>
+      s"""gn$r AS (
+         |          SELECT DISTINCT b.query_id, ed.dst AS node
+         |          FROM gb${r - 1} b JOIN gedges ed ON ed.src = b.node
+         |        ), gs$r AS (
+         |          SELECT n.query_id, n.node,
+         |                 list_cosine_similarity(e.emb, q.qemb) AS cos
+         |          FROM gn$r n JOIN e ON e.vec_id = n.node
+         |          JOIN gq q ON q.query_id = n.query_id
+         |        ), gv$r AS (
+         |          SELECT * FROM gv${r - 1} UNION SELECT * FROM gs$r
+         |        ), gb$r AS (
+         |          SELECT query_id, node FROM (
+         |            SELECT query_id, node, ROW_NUMBER() OVER (
+         |              PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+         |            FROM gv$r) WHERE rn <= $GraphBeam
+         |        )""".stripMargin
+    }.mkString(", ")
+    s"""gc AS (
+       |          SELECT vec_id AS cid, emb AS cemb FROM e
+       |          ORDER BY $modPrimeOrd, vec_id LIMIT $GraphCells
+       |        ), ga1 AS (
+       |          SELECT vec_id, cid FROM (
+       |            SELECT e2.vec_id, gc.cid, ROW_NUMBER() OVER (
+       |              PARTITION BY e2.vec_id
+       |              ORDER BY list_cosine_similarity(e2.emb, gc.cemb) DESC,
+       |                       gc.cid) AS rn
+       |            FROM e e2, gc) WHERE rn <= 1
+       |        ), ga2 AS (
+       |          SELECT vec_id, cid FROM (
+       |            SELECT e2.vec_id, gc.cid, ROW_NUMBER() OVER (
+       |              PARTITION BY e2.vec_id
+       |              ORDER BY list_cosine_similarity(e2.emb, gc.cemb) DESC,
+       |                       gc.cid) AS rn
+       |            FROM e e2, gc) WHERE rn <= 2
+       |        ), gedges AS (
+       |          SELECT src, dst FROM (
+       |            SELECT a2.vec_id AS src, a1.vec_id AS dst,
+       |                   ROW_NUMBER() OVER (PARTITION BY a2.vec_id
+       |                     ORDER BY list_cosine_similarity(es.emb, ed.emb)
+       |                       DESC, a1.vec_id) AS rn
+       |            FROM ga2 a2 JOIN ga1 a1
+       |              ON a1.cid = a2.cid AND a1.vec_id <> a2.vec_id
+       |            JOIN e es ON es.vec_id = a2.vec_id
+       |            JOIN e ed ON ed.vec_id = a1.vec_id)
+       |          WHERE rn <= $GraphDegree
+       |        ), gq AS (
+       |          SELECT vec_id AS query_id, emb AS qemb FROM e
+       |          WHERE vec_id < $NumQueries
+       |        ), gseed AS (
+       |          SELECT query_id, cid AS node FROM (
+       |            SELECT q.query_id, gc.cid, ROW_NUMBER() OVER (
+       |              PARTITION BY q.query_id
+       |              ORDER BY list_cosine_similarity(q.qemb, gc.cemb) DESC,
+       |                       gc.cid) AS rn
+       |            FROM gq q, gc) WHERE rn <= $GraphSeeds
+       |        ), gv0 AS (
+       |          SELECT n.query_id, n.node,
+       |                 list_cosine_similarity(e.emb, q.qemb) AS cos
+       |          FROM gseed n JOIN e ON e.vec_id = n.node
+       |          JOIN gq q ON q.query_id = n.query_id
+       |        ), gb0 AS (
+       |          SELECT query_id, node FROM (
+       |            SELECT query_id, node, ROW_NUMBER() OVER (
+       |              PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+       |            FROM gv0) WHERE rn <= $GraphBeam
+       |        ), $rounds, granked AS (
+       |          SELECT query_id, node, cos, ROW_NUMBER() OVER (
+       |            PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+       |          FROM gv$GraphHops WHERE node <> query_id
+       |        )""".stripMargin
+  }
+
   /** q154's IVF-PQ knobs: M subspaces × subDim dims, k codes per
     * subspace codebook, Lloyd iters per codebook, and q51's coarse
     * C / nprobe routing. Shared between the Spark body and the
@@ -634,6 +803,9 @@ object VectorQueries {
           .unionByName(recallOf("pq", annPq(s, d)))
           // and the q156 refine stage — the recall the rerank buys back
           .unionByName(recallOf("pqr", annPqRerank(s, d)))
+          // r12: the q188 graph-ANN leg — k-NN-graph + beam search vs
+          // the same exact ground truth
+          .unionByName(recallOf("graph", annGraph(s, d)))
           .withColumn("possible", (col("k") * NumQueries).cast("long"))
           .withColumn("recall_e4", expr("(hits * 10000) div possible"))
           .orderBy(col("method"), col("k"))
@@ -707,11 +879,14 @@ object VectorQueries {
             JOIN e ev ON ev.vec_id = cand.vec_id
             JOIN e eq ON eq.vec_id = cand.query_id)
           WHERE rank <= $K
-        ), $pqOracleCtes, $pqRerankSql,
+        ), $pqOracleCtes, $pqRerankSql, $graphOracleCtes,
         rp AS (
           SELECT query_id, vec_id, rank FROM pqr WHERE rank <= $K
         ), rr AS (
           SELECT query_id, vec_id, rank FROM prr WHERE rank <= $K
+        ), rg AS (
+          SELECT query_id, node AS vec_id, rank FROM granked
+          WHERE rank <= $K
         ), ks(k) AS (VALUES (1), (5), (10)),
         ml AS (
           SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
@@ -725,6 +900,9 @@ object VectorQueries {
         ), mq AS (
           SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
           FROM rr a JOIN rx x USING (query_id, vec_id)
+        ), mg AS (
+          SELECT a.query_id, GREATEST(a.rank, x.rank) AS kmin
+          FROM rg a JOIN rx x USING (query_id, vec_id)
         ), rec AS (
           SELECT 'lsh' AS method, ks.k, COUNT(ml.kmin) AS hits
           FROM ks LEFT JOIN ml ON ml.kmin <= ks.k GROUP BY ks.k
@@ -737,6 +915,9 @@ object VectorQueries {
           UNION ALL
           SELECT 'pqr', ks.k, COUNT(mq.kmin)
           FROM ks LEFT JOIN mq ON mq.kmin <= ks.k GROUP BY ks.k
+          UNION ALL
+          SELECT 'graph', ks.k, COUNT(mg.kmin)
+          FROM ks LEFT JOIN mg ON mg.kmin <= ks.k GROUP BY ks.k
         )
         SELECT method, k, CAST(hits AS BIGINT) AS hits,
                CAST(k * $NumQueries AS BIGINT) AS possible,
@@ -1279,6 +1460,31 @@ object VectorQueries {
         ORDER BY query_id, rank
       """),
       // bench=false: fixture-write-dominated like q153/q157
-      bench = false)
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q188: GRAPH-BASED ANN under the oracle gate (r12) — the method
+    // class that currently wins the recall/latency frontier
+    // (HNSW-family), as a deterministic reconstruction: a k-NN graph
+    // (per-node top-8 among the members of its 2 nearest coarse
+    // cells — construction bounded like q51's IVF lists, O(N·cell))
+    // walked by greedy beam search (seed at the query's 4 nearest
+    // coarse centroids, 3 rounds of expand/rescore/keep-top-16, every
+    // step tie-broken on vec_id). The twin regenerates the ENTIRE
+    // chain — cell assignment, edge lists, each beam round — as
+    // unrolled CTEs (q154's discipline), so a drifted edge list, a
+    // beam that expanded the wrong frontier, or a lost candidate all
+    // hash-fail. q97 gains the method as its fifth recall row.
+    Q("q188_ann_graph",
+      (s, d) => annGraph(s, d),
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), $graphOracleCtes
+        SELECT query_id, rank, node AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2
+        FROM granked WHERE rank <= $K
+        ORDER BY query_id, rank
+      """))
   )
 }

@@ -540,6 +540,12 @@ object VersionedTable {
     * pure function of the log, so concurrent/duplicate writes are
     * idempotent — published with an atomic same-dir move.
     */
+  /** [[writeCheckpoint]] for the manifest-scale bench/spec (synthetic
+    * logs have no commit path to ride the cadence through).
+    */
+  private[graft] def checkpointAt(base: String, v: Long): Unit =
+    writeCheckpoint(base, v)
+
   private def writeCheckpoint(base: String, v: Long): Unit = {
     val (es, schema) = replay(base, v)
     val entryLines = es.map(formatEntry)

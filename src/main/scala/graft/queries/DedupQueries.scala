@@ -1172,6 +1172,86 @@ object DedupQueries {
         ORDER BY doc_a, doc_b
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q190: q181's standing-index lifecycle over the FIXED 1000-doc
+    // mod-prime sample (r12, judge ask #6) — the q161 sampling
+    // discipline applied to the incrementally-maintained LSH index, so
+    // the all-pairs ground-truth oracle stays tractable at the
+    // AMPLIFIED (~sf1) corpus where q181's full-corpus twin is the
+    // documented O(N²) class. Identical machinery: evens bootstrap,
+    // odds + a span DELETE maintain, the probe (band equi-join over
+    // the index, exact-Jaccard verify against the live corpus) must
+    // equal the sample's all-pairs truth over live docs, idx_docs pins
+    // insertion AND retirement completeness. Sampled work is
+    // corpus-size-independent; pairwise Jaccard is corpus-independent,
+    // so the sampled values equal the full run's for those pairs.
+    Q("q190_sampled_index_probe",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val docsBase = graft.TempDirs.scoped("graft_q190_docs")
+        val idxBase = graft.TempDirs.scoped("graft_q190_idx")
+        val cp = graft.TempDirs.scoped("graft_q190_cp")
+        val t = 0.7
+        val docs = sampleIds(s, d, SampleN)
+          .join(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), col("text"))
+        val ext = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (ilo, ihi) = (ext.getLong(0), ext.getLong(1))
+        val span = ihi - ilo + 1
+        val (dlo, dhi) = (ilo + span * 3 / 8, ilo + span * 4 / 8 - 1)
+        VersionedTable.commitMerge(s, docsBase,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", Seq("doc_id"),
+          statsCols = Seq("doc_id"))
+        graft.streaming.LshIndexPipeline.runAvailableNow(
+          s, docsBase, idxBase, cp)
+        VersionedTable.commitMerge(s, docsBase,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", Seq("doc_id"),
+          statsCols = Seq("doc_id"))
+        VersionedTable.commitDelete(s, docsBase,
+          col("doc_id").between(dlo, dhi), Seq(("doc_id", dlo, dhi)),
+          statsCols = Seq("doc_id"))
+        graft.streaming.LshIndexPipeline.runAvailableNow(
+          s, docsBase, idxBase, cp)
+        val live = s.read.format("graft").load(docsBase)
+          .select(col("doc_id"),
+            array_sort(transform(
+              array_distinct(TextAnalysis.wordNgrams(col("text"), 3)),
+              g => xxhash64(g))).as("grams"))
+          .filter(size(col("grams")) > 0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val idxDocs = s.read.format("graft").load(idxBase)
+          .agg(countDistinct(col("doc_id"))).head().getLong(0)
+        val cand = graft.streaming.LshIndexPipeline.candidates(s, idxBase)
+        val out = verifyPairs(cand, live, t)
+          .withColumn("idx_docs", lit(idxDocs))
+        live.unpersist()
+        out
+      },
+      Some(s"""
+        WITH ${sampledIdsSql(SampleN)}, g0 AS ($DGrams),
+        gs AS (SELECT g0.* FROM g0 JOIN ids USING (doc_id)),
+        b AS (SELECT MIN(doc_id) AS ilo, MAX(doc_id) AS ihi FROM ids),
+        pr AS (SELECT ilo + (ihi - ilo + 1) * 3 // 8 AS dlo,
+                      ilo + (ihi - ilo + 1) * 4 // 8 - 1 AS dhi
+               FROM b),
+        g AS (SELECT gs.* FROM gs, pr
+              WHERE doc_id NOT BETWEEN dlo AND dhi),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 a.sz AS la, b.sz AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(CAST(inter AS DOUBLE) / (la + lb - inter)
+                 * 10000) AS BIGINT) AS jac_e4,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS idx_docs
+        FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.7
+        ORDER BY doc_a, doc_b
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 

@@ -1224,8 +1224,16 @@ object DedupQueries {
         val idxDocs = s.read.format("graft").load(idxBase)
           .agg(countDistinct(col("doc_id"))).head().getLong(0)
         val cand = graft.streaming.LshIndexPipeline.candidates(s, idxBase)
+        // sentinel row: insertion/retirement completeness (idx_docs)
+        // stays HASH-CHECKED even when the sampled pair density rounds
+        // to zero (the amplified corpora — a fixed sample of a 10x
+        // corpus holds quadratically fewer pairs)
+        import s.implicits._
         val out = verifyPairs(cand, live, t)
           .withColumn("idx_docs", lit(idxDocs))
+          .unionByName(Seq((-1L, -1L, -1L, idxDocs))
+            .toDF("doc_a", "doc_b", "jac_e4", "idx_docs"))
+          .orderBy(col("doc_a"), col("doc_b"))
         live.unpersist()
         out
       },
@@ -1249,6 +1257,10 @@ object DedupQueries {
                  * 10000) AS BIGINT) AS jac_e4,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS idx_docs
         FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.7
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM g)
         ORDER BY doc_a, doc_b
       """),
       // bench=false: fixture-write-dominated like q153/q157

@@ -180,7 +180,26 @@ object VectorQueries {
     * cells through cross-cell edges (a node's 2nd-nearest-cell
     * neighbors) — the recall lever IVF's fixed nprobe doesn't have.
     */
+  private val graphMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The graph leg's ranked output is a SESSION-SHARED ARTIFACT like
+    * the PQ one ([[annPqRanked]]): q188 and q97's graph row both need
+    * it, and the k-NN graph build is the expensive part — production
+    * writes the edge table once (the q182 standing-index discipline)
+    * and every consumer serves from it.
+    */
   private[queries] def annGraph(s: SparkSession, d: String): DataFrame = {
+    val path = graphMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
+      graft.MemoTimings.timed("graph-artifact") {
+        val out = graft.TempDirs.scoped("graft-knngraph")
+        annGraphCompute(s, d).write.mode("overwrite").parquet(out)
+        out
+      })
+    s.read.parquet(path).orderBy(col("query_id"), col("rank"))
+  }
+
+  private def annGraphCompute(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{TopK, VectorIvf}
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), emb64(col("embedding")).as("emb"))
@@ -265,30 +284,35 @@ object VectorQueries {
     s"""gc AS (
        |          SELECT vec_id AS cid, emb AS cemb FROM e
        |          ORDER BY $modPrimeOrd, vec_id LIMIT $GraphCells
+       |        ), gcos AS MATERIALIZED (
+       |          -- project the cosine BEFORE any window: the rank sorts
+       |          -- 24-byte rows, never 0.5 KB array pairs (the q147
+       |          -- materialized-CTE spill fix; shared by ga1/ga2)
+       |          SELECT e2.vec_id, gc.cid,
+       |                 list_cosine_similarity(e2.emb, gc.cemb) AS cc
+       |          FROM e e2, gc
        |        ), ga1 AS (
        |          SELECT vec_id, cid FROM (
-       |            SELECT e2.vec_id, gc.cid, ROW_NUMBER() OVER (
-       |              PARTITION BY e2.vec_id
-       |              ORDER BY list_cosine_similarity(e2.emb, gc.cemb) DESC,
-       |                       gc.cid) AS rn
-       |            FROM e e2, gc) WHERE rn <= 1
+       |            SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |              PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |            FROM gcos) WHERE rn <= 1
        |        ), ga2 AS (
        |          SELECT vec_id, cid FROM (
-       |            SELECT e2.vec_id, gc.cid, ROW_NUMBER() OVER (
-       |              PARTITION BY e2.vec_id
-       |              ORDER BY list_cosine_similarity(e2.emb, gc.cemb) DESC,
-       |                       gc.cid) AS rn
-       |            FROM e e2, gc) WHERE rn <= 2
+       |            SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |              PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |            FROM gcos) WHERE rn <= 2
+       |        ), gep AS MATERIALIZED (
+       |          SELECT a2.vec_id AS src, a1.vec_id AS dst,
+       |                 list_cosine_similarity(es.emb, ed.emb) AS ecos
+       |          FROM ga2 a2 JOIN ga1 a1
+       |            ON a1.cid = a2.cid AND a1.vec_id <> a2.vec_id
+       |          JOIN e es ON es.vec_id = a2.vec_id
+       |          JOIN e ed ON ed.vec_id = a1.vec_id
        |        ), gedges AS (
        |          SELECT src, dst FROM (
-       |            SELECT a2.vec_id AS src, a1.vec_id AS dst,
-       |                   ROW_NUMBER() OVER (PARTITION BY a2.vec_id
-       |                     ORDER BY list_cosine_similarity(es.emb, ed.emb)
-       |                       DESC, a1.vec_id) AS rn
-       |            FROM ga2 a2 JOIN ga1 a1
-       |              ON a1.cid = a2.cid AND a1.vec_id <> a2.vec_id
-       |            JOIN e es ON es.vec_id = a2.vec_id
-       |            JOIN e ed ON ed.vec_id = a1.vec_id)
+       |            SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |              ORDER BY ecos DESC, dst) AS rn
+       |            FROM gep)
        |          WHERE rn <= $GraphDegree
        |        ), gq AS (
        |          SELECT vec_id AS query_id, emb AS qemb FROM e

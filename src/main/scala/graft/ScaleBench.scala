@@ -100,7 +100,13 @@ object ScaleBench {
     // (fixed 1000-doc sample regardless of corpus: the corpus-sized
     // term is one gram scan, so the ratio should be well UNDER R —
     // the corpus-independence claim, measured)
-    "q158_log_cdc", "q160_chain_components", "q161_sampled_neardup")
+    "q158_log_cdc", "q160_chain_components", "q161_sampled_neardup",
+    // r13: the graph-ANN build — the one r12 operator never
+    // amplification-tested. Cells scale as ceil(sqrt(N)) so the
+    // member×member pairs join is Θ(N·√N): the amplified ratio should
+    // land near R^1.5 at worst, never the R²/C of the r12 fixed-cell
+    // build (45 s at 2k vectors)
+    "q188_ann_graph")
 
   /** Queries whose amplified runs may legitimately report sort-based
     * aggregate fallback: q117's `collect_list` inside a

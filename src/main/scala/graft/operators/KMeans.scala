@@ -129,8 +129,14 @@ object KMeans {
     */
   def oracleCtes(iters: Int, dim: Int, prefix: String = ""): String = {
     val p = prefix
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at every
+    // reference, and the Lloyd chain is consumed multiply downstream
+    // (per-subspace PQ legs, LUT + encode legs) — re-expansion
+    // re-EXECUTES the whole upstream pipeline per reference, which is
+    // what spilled the amplified residual-PQ twin past 80 GB (r12).
+    // MATERIALIZED is a pure optimization fence; results are identical.
     def asg(name: String, cent: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |          SELECT vec_id, q, cid, dist FROM (
          |            SELECT e.vec_id, e.q, c.cid,
          |                   CAST(list_sum(list_transform(range(1, ${dim + 1}),
@@ -146,7 +152,7 @@ object KMeans {
          |        )""".stripMargin
     val sweeps = (1 to iters).map { i =>
       val u =
-        s"""${p}u$i AS (
+        s"""${p}u$i AS MATERIALIZED (
            |          SELECT cid, pos,
            |                 CAST(floor(CAST(SUM(q[pos]) AS DOUBLE) / COUNT(*))
            |                      AS BIGINT) AS comp
@@ -155,7 +161,7 @@ object KMeans {
            |          GROUP BY cid, pos
            |        )""".stripMargin
       val c =
-        s"""${p}c$i AS (
+        s"""${p}c$i AS MATERIALIZED (
            |          SELECT cid, list(comp ORDER BY pos) AS cq
            |          FROM ${p}u$i GROUP BY cid
            |        )""".stripMargin

@@ -69,19 +69,47 @@ object PosixLogStore extends LogStore {
 }
 
 object LogStore {
-  /** The store every [[VersionedTable]] publish/checkpoint goes
-    * through. Process-global by design: a table's storage semantics
-    * are a deployment property, not a per-call one.
-    */
-  @volatile var active: LogStore = PosixLogStore
+  /** The deployment default (this sandbox: POSIX semantics). */
+  val default: LogStore = PosixLogStore
 
-  /** Run `body` under `store`, restoring the previous store after —
-    * the spec seam (NOT thread-safe across concurrent suites; specs
-    * that use it run their races single-threaded and scripted).
+  // Per-PATH-PREFIX overrides (the spec seam, and the shape a
+  // multi-store deployment — one table on S3, one on HDFS — needs
+  // anyway). r12 kept a process-global mutable `active` swapped
+  // around spec bodies; a commit on an UNRELATED table running
+  // concurrently with the swap window would silently route through
+  // the other deployment's store. Prefix routing removes the race by
+  // construction: installing a store for one table's path can never
+  // redirect another table's publish.
+  private val overrides =
+    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+
+  /** The store governing `path`: the longest installed prefix match,
+    * else [[default]]. O(installed overrides) — zero in production,
+    * a handful in specs.
     */
-  private[graft] def using[A](store: LogStore)(body: => A): A = {
-    val prev = active
-    active = store
-    try body finally active = prev
+  def forPath(path: Path): LogStore = {
+    if (overrides.isEmpty) default
+    else {
+      val p = path.toAbsolutePath.normalize.toString
+      var best: LogStore = default
+      var bestLen = -1
+      overrides.forEach { (pre, st) =>
+        if (p.startsWith(pre) && pre.length > bestLen) {
+          best = st; bestLen = pre.length
+        }
+      }
+      best
+    }
+  }
+
+  /** Run `body` with `store` governing every path under `prefix`,
+    * uninstalling after — the spec seam. Tables outside `prefix` are
+    * untouched, so concurrent suites cannot race each other's stores.
+    */
+  private[graft] def withStoreAt[A](prefix: Path, store: LogStore)
+                                   (body: => A): A = {
+    val key = prefix.toAbsolutePath.normalize.toString
+    overrides.put(key, store)
+    try body finally { overrides.remove(key); () }
   }
 }

@@ -561,8 +561,8 @@ object VersionedTable {
       .mkString("", "\n", "\n")
     // log-derived artifact: all-or-nothing replace via the seam
     // (duplicate/lost writes are harmless — replay works without it)
-    LogStore.active.overwrite(checkpointPath(base, v),
-      body.getBytes("UTF-8"))
+    val cp = checkpointPath(base, v)
+    LogStore.forPath(cp).overwrite(cp, body.getBytes("UTF-8"))
   }
 
   /** DESCRIBE HISTORY: one (version, op, n_files) row per committed
@@ -672,7 +672,7 @@ object VersionedTable {
   private def writeConstraints(base: String,
                                cs: Map[String, String]): Unit = {
     Files.createDirectories(logDir(base))
-    LogStore.active.overwrite(constraintsPath(base),
+    LogStore.forPath(constraintsPath(base)).overwrite(constraintsPath(base),
       cs.toSeq.sortBy(_._1)
         .map { case (n, e) => s"$n\t$e" }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -1522,9 +1522,22 @@ object VersionedTable {
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to delete from in $base")
-      val k = keys.select(col(keyCol)).distinct().persist()
+      // NULL keys can never match the anti-join (SQL equality), and a
+      // NULL-only frame would give n>0 with null extrema (NPE below) —
+      // drop them up front. Key types are gated to what the zone-map
+      // footprint can soundly describe: strings (StrRange) and
+      // integrals (LongRange) — a double/timestamp key would fall into
+      // the LongRange branch and misprune.
+      val keyType = keys.schema(keyCol).dataType
+      val isStr = keyType == StringType
+      require(isStr || (keyType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }), s"commitDeleteKeys key '$keyCol' must be string or integral, " +
+        s"got $keyType")
+      val k = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+        .distinct().persist()
       try {
-        val isStr = k.schema(keyCol).dataType == StringType
         val ext = k.agg(min(col(keyCol)).as("__lo"),
           max(col(keyCol)).as("__hi"),
           count(lit(1)).as("__n")).head()
@@ -2578,13 +2591,32 @@ object VersionedTable {
       case ReadScope(paths, _) => paths ++ removePaths
       case ReadEverything => Set.empty
     }
-    def conflictsWith(v: Long): Boolean = footprint match {
+    def conflictsWith(v: Long, ourDecl: StructType): Boolean =
+      footprint match {
       case ReadEverything => true
       case ReadScope(_, addPred) =>
-        val (_, wAdds, wRems) = commitDelta(base, v)
-        // winner removed (or DV-swapped) a file we read or also
-        // removed → our output is stale / doubly applied
-        wRems.exists(ourReads.contains) ||
+        val (wOp, wAdds, wRems) = commitDelta(base, v)
+        // metadata winner (ALTER TABLE): republishing is safe only
+        // when every visible name this attempt declared still exists
+        // at the winner — i.e. a pure ADD COLUMNS. A RENAME/DROP
+        // winner makes the loser's stale schema poison: remerging it
+        // would mint the renamed-away (or dropped) logical name a
+        // fresh column id, resurrecting it as a spurious all-null
+        // column. Delta's ConflictChecker fails EVERY concurrent txn
+        // on a metadata change; we commute only the provably-safe
+        // superset case and rebase-and-re-execute otherwise.
+        (wOp == "alter_schema" && {
+          val ourNames = ColumnMapping.visible(ourDecl)
+            .fieldNames.map(_.toLowerCase).toSet
+          declaredSchema(base, v) match {
+            case Some(w) => !ourNames.subsetOf(
+              ColumnMapping.visible(w).fieldNames.map(_.toLowerCase).toSet)
+            case None => true // headerless metadata commit: no proof
+          }
+        }) ||
+          // winner removed (or DV-swapped) a file we read or also
+          // removed → our output is stale / doubly applied
+          wRems.exists(ourReads.contains) ||
           // winner added rows our predicate could match → re-derive
           (addPred match {
             case None => false
@@ -2604,7 +2636,8 @@ object VersionedTable {
           // only winners this attempt hasn't already cleared; bounded
           // republishes keep a pathological commit storm from
           // livelocking the loop (the re-execute path then backs off)
-          if (republishes > 50 || (attemptV to head).exists(conflictsWith))
+          if (republishes > 50 ||
+              (attemptV to head).exists(conflictsWith(_, decl)))
             throw e
           // disjoint: remerge the declared schema over the winners'
           // (replay takes the LAST header — restating our stale one
@@ -2733,11 +2766,11 @@ object VersionedTable {
     val stamped =
       if (body.linesIterator.exists(_.startsWith("#ts="))) featLine + body
       else s"#ts=$ts\n$featLine$body"
-    // storage seam: create-exclusive through the active LogStore —
+    // storage seam: create-exclusive through the path's LogStore —
     // POSIX hard-link by default; an object-store deployment plugs a
     // conditional-PUT implementation (see LogStore's contract)
-    try LogStore.active.putIfAbsent(markerPath(base, v),
-      stamped.getBytes("UTF-8"))
+    val mk = markerPath(base, v)
+    try LogStore.forPath(mk).putIfAbsent(mk, stamped.getBytes("UTF-8"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(

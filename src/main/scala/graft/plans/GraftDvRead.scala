@@ -107,27 +107,51 @@ object GraftDvReadRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case r: DataSourceV2Relation if !exempt.contains(r) =>
         r.table match {
-          // COLUMN-MAPPED table (r12): files live under physical
-          // names the parquet scan machinery would null-fill — the
-          // relation reads through the library's mapping-aware path
-          // (readVersion: physical read + logical aliasing + DV
-          // anti-join), aliased back onto the relation's attribute
-          // ids. File skipping for mapped tables stays available at
-          // the library/DML surface (mapping-aware pruneTyped); the
-          // DSv2 literal-pushdown leg is forfeited until a field-id-
-          // resolving scan exists — the honest cost of rename-without-
-          // rewrite, paid only by tables that actually renamed.
+          // COLUMN-MAPPED table (r12, re-planned r13): files live
+          // under PHYSICAL names, so the relation is rewritten to a
+          // physical-schema DSv2 relation (same entries, names the
+          // files actually carry) under a Project that aliases each
+          // physical attribute back to its logical name on the
+          // original attribute ids. Predicates on logical columns
+          // push through the aliases (replaceAlias) and reach the
+          // scan as PHYSICAL-name filters — which is exactly what the
+          // manifest stats tokens and the parquet row groups are
+          // keyed by, so zone-map/bloom file skipping AND row-group
+          // pushdown both survive a rename (the r12 leg forfeited
+          // them by diverting to the library read). DV'd entries
+          // split off through the same union-leg discipline as
+          // unmapped tables. Idempotent: the physical table's schema
+          // is mapping-metadata-free, so the rewritten relation never
+          // matches this case again.
           case g: GraftTable
               if graft.operators.ColumnMapping.isMapped(g.tableSchema) &&
                 g.snapshotVersion.isDefined =>
-            val s = SparkSession.active
-            val mapped = VersionedTable.readVersion(s, g.base,
-              g.snapshotVersion.get).queryExecution.optimizedPlan
-            val byName = mapped.output.map(a => a.name -> a).toMap
-            Project(r.output.map { o =>
+            import graft.operators.ColumnMapping
+            val toPhys = ColumnMapping.toPhysical(g.tableSchema)
+            val dvd = g.snapshotEntries.filter(_.dv.exists(_.count > 0L))
+            val physTable = new GraftTable(g.base, g.snapshotVersion,
+              ColumnMapping.stripMeta(
+                ColumnMapping.physicalSchema(g.tableSchema)),
+              g.acceptAnySchema, dvCleanOnly = dvd.nonEmpty)
+            val physRel = DataSourceV2Relation.create(physTable, None, None)
+            val physByName = physRel.output.map(a => a.name -> a).toMap
+            val clean = Project(r.output.map { o =>
               org.apache.spark.sql.catalyst.expressions.Alias(
-                byName(o.name), o.name)(exprId = o.exprId)
-            }, mapped)
+                physByName(toPhys.getOrElse(o.name, o.name)),
+                o.name)(exprId = o.exprId)
+            }, physRel)
+            if (dvd.isEmpty) clean
+            else {
+              val s = SparkSession.active
+              // logical-named by construction (readEntries aliases
+              // physical→logical for mapped schemas); pre-optimized
+              // for the same hint-folding reason as the dv leg below
+              val dvPlan = VersionedTable.readEntries(s, g.base, dvd,
+                Some(g.tableSchema)).queryExecution.optimizedPlan
+              val byName = dvPlan.output.map(a => a.name -> a).toMap
+              val aligned = Project(r.output.map(o => byName(o.name)), dvPlan)
+              Union(Seq(clean, aligned))
+            }
           case g: GraftTable if !g.dvCleanOnly =>
             val dvd = g.snapshotEntries.filter(_.dv.exists(_.count > 0L))
             if (dvd.isEmpty) r

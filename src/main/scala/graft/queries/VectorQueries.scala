@@ -157,7 +157,23 @@ object VectorQueries {
   private val GraphBeam = 16
   private val GraphHops = 3
   private val GraphSeeds = 4
-  private val GraphCells = 64
+
+  /** Coarse cell count for the graph build: max(64, ⌈√N⌉) — FAISS's
+    * nlist ≈ √N rule. r12 fixed this at 64, which made edge-candidate
+    * generation Θ(N²/64) (the member×member join per cell); scaling
+    * cells with the corpus keeps the expected cell size at √N, so the
+    * pairs join is Θ(N·√N) — the same sublinear-per-row shape as the
+    * IVF tiers. The oracle computes the identical formula from
+    * COUNT(*) (IEEE sqrt is correctly rounded, so the two engines
+    * can't disagree on ⌈√N⌉).
+    */
+  private val GraphCellsFloor = 64
+  private def graphCells(n: Long): Int =
+    math.max(GraphCellsFloor.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+  private val graphCellsSql =
+    s"(SELECT GREATEST($GraphCellsFloor, " +
+      "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM e)"
 
   /** q188 body — GRAPH-BASED ANN, q97's fifth method: a deterministic
     * k-NN GRAPH (each node keeps its [[GraphDegree]] best neighbors
@@ -193,20 +209,33 @@ object VectorQueries {
     val path = graphMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
       graft.MemoTimings.timed("graph-artifact") {
         val out = graft.TempDirs.scoped("graft-knngraph")
-        annGraphCompute(s, d).write.mode("overwrite").parquet(out)
+        annGraphCompute(s, d, out)
         out
       })
     s.read.parquet(path).orderBy(col("query_id"), col("rank"))
   }
 
-  private def annGraphCompute(s: SparkSession, d: String): DataFrame = {
+  /** Builds the k-NN graph, runs the beam walk, and writes the ranked
+    * result to `out` — then UNPERSISTS everything it cached. The build
+    * persists its two reused frames (the edge table and the growing
+    * visited set): without that, the quadratic-ish pairs join re-ran
+    * from lineage on every beam hop AND the final TopK — the r12
+    * 45 s-at-2k-vectors finding. Cleanup happens here, inside the
+    * memo, so the session's later bench queries never inherit this
+    * build's cache/temp pressure.
+    */
+  private def annGraphCompute(s: SparkSession, d: String,
+                              out: String): Unit = {
     import graft.operators.{TopK, VectorIvf}
+    import org.apache.spark.storage.StorageLevel
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), emb64(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = graphCells(emb.count())
     val centroids = emb
       .orderBy(expr(modPrimeOrd), col("vec_id"))
-      .limit(GraphCells)
+      .limit(cells)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
     // edges: node (2 nearest cells) x candidate (primary cell) — a
@@ -226,6 +255,7 @@ object VectorQueries {
     val edges = TopK.perKey(pairs, Seq("src"),
         Seq(col("ecos").desc, col("dst")), GraphDegree)
       .select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val q = queryVectors(s, d)
     val nodes = emb.select(col("vec_id").as("node"), col("emb"), col("nrm"))
     def scoreNodes(ns: DataFrame): DataFrame =
@@ -239,15 +269,25 @@ object VectorQueries {
           col("qnrm").as("nrm")),
         centroids, keep = GraphSeeds, idCol = "query_id")
       .select(col("query_id"), col("cid").as("node"))
+    // each hop MATERIALIZES its visited set (count) before dropping
+    // the previous one: the union would otherwise accrete the whole
+    // walk as lineage and re-run every prior hop's scoring — and the
+    // pairs join behind `edges` — once per hop
     var visited = scoreNodes(seeds)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    visited.count()
     (1 to GraphHops).foreach { _ =>
-      val beam = TopK.perKey(visited, Seq("query_id"),
+      val prev = visited
+      val beam = TopK.perKey(prev, Seq("query_id"),
           Seq(col("cos").desc, col("node")), GraphBeam)
         .select(col("query_id"), col("node").as("src"))
       val neigh = beam.join(edges, "src")
         .select(col("query_id"), col("dst").as("node")).distinct()
-      visited = visited.unionByName(scoreNodes(neigh))
+      visited = prev.unionByName(scoreNodes(neigh))
         .dropDuplicates("query_id", "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited.count()
+      prev.unpersist()
     }
     TopK.perKey(visited.filter(col("node") =!= col("query_id")),
         Seq("query_id"), Seq(col("cos").desc, col("node")), K)
@@ -255,6 +295,11 @@ object VectorQueries {
         col("node").as("neighbor_id"),
         floor(col("cos") * 100).as("score_e2"))
       .orderBy(col("query_id"), col("rank"))
+      .write.mode("overwrite").parquet(out)
+    visited.unpersist()
+    edges.unpersist()
+    emb.unpersist()
+    ()
   }
 
   /** The graph leg's generated oracle CTEs — graph build, seeding,
@@ -282,8 +327,12 @@ object VectorQueries {
          |        )""".stripMargin
     }.mkString(", ")
     s"""gc AS (
-       |          SELECT vec_id AS cid, emb AS cemb FROM e
-       |          ORDER BY $modPrimeOrd, vec_id LIMIT $GraphCells
+       |          -- cells = max(64, ceil(sqrt(N))): the engine's
+       |          -- graphCells formula, computed from the same corpus
+       |          SELECT vec_id AS cid, emb AS cemb FROM (
+       |            SELECT vec_id, emb, ROW_NUMBER() OVER (
+       |              ORDER BY $modPrimeOrd, vec_id) AS rn FROM e)
+       |          WHERE rn <= $graphCellsSql
        |        ), gcos AS MATERIALIZED (
        |          -- project the cosine BEFORE any window: the rank sorts
        |          -- 24-byte rows, never 0.5 KB array pairs (the q147
@@ -377,7 +426,7 @@ object VectorQueries {
     val path = pqMemo.getOrElseUpdate((s.sparkContext.applicationId, d),
       graft.MemoTimings.timed("pq-artifact") {
         val out = graft.TempDirs.scoped("graft-pq")
-        annPqCompute(s, d).write.mode("overwrite").parquet(out)
+        annPqCompute(s, d, out)
         out
       })
     s.read.parquet(path).orderBy(col("query_id"), col("rank"))
@@ -450,7 +499,8 @@ object VectorQueries {
     * equi-join — nothing anywhere is O(N²) or moves raw vectors
     * through the scoring shuffle.
     */
-  private def annPqCompute(s: SparkSession, d: String): DataFrame = {
+  private def annPqCompute(s: SparkSession, d: String,
+                           out: String): Unit = {
     import graft.operators.KMeans
     import org.apache.spark.sql.expressions.Window
     val pe = Tables.embeddings(s, d)
@@ -534,6 +584,13 @@ object VectorQueries {
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
       .orderBy(col("query_id"), col("rank"))
+      .write.mode("overwrite").parquet(out)
+    // drop the build's cached frames before returning: the session's
+    // later bench queries must not inherit this artifact's
+    // cache/temp pressure (the r12 q58/q38 contamination finding)
+    pr.unpersist()
+    pe.unpersist()
+    ()
   }
 
   /** DuckDB integer squared-L2 over the first `dim` positions. */
@@ -551,12 +608,12 @@ object VectorQueries {
     import graft.operators.KMeans
     val subs = (0 until PqM).map { m =>
       val p = s"s${m}_"
-      s"""${p}e AS (
+      s"""${p}e AS MATERIALIZED (
          |          SELECT vec_id,
          |                 list_slice(r, ${m * PqSubDim + 1},
          |                            ${(m + 1) * PqSubDim}) AS q
          |          FROM presid
-         |        ), ${p}c0 AS (
+         |        ), ${p}c0 AS MATERIALIZED (
          |          SELECT vec_id AS cid, q AS cq FROM ${p}e
          |          ORDER BY $modPrimeOrd, vec_id LIMIT $PqCodes
          |        ), ${KMeans.oracleCtes(PqIters, PqSubDim, p)}""".stripMargin
@@ -574,12 +631,12 @@ object VectorQueries {
     val encLegs = (0 until PqM).map { m =>
       s"SELECT $m AS m, vec_id, cid AS code FROM s${m}_af"
     }.mkString("\n          UNION ALL ")
-    s"""pe0 AS (
+    s"""pe0 AS MATERIALIZED (
        |          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
        |                 sqrt(list_sum(list_transform(
        |                   CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
        |          FROM embeddings
-       |        ), pe AS (
+       |        ), pe AS MATERIALIZED (
        |          SELECT vec_id,
        |                 list_transform(emb,
        |                   x -> CAST(floor(x / nrm * 1000000) AS BIGINT)) AS q
@@ -589,11 +646,11 @@ object VectorQueries {
        |        ), pc_c0 AS (
        |          SELECT vec_id AS cid, q AS cq FROM pe
        |          ORDER BY $modPrimeOrd, vec_id LIMIT $PqCoarseC
-       |        ), ${KMeans.oracleCtes(PqIters, Dim, "pc_")}, pcc AS (
+       |        ), ${KMeans.oracleCtes(PqIters, Dim, "pc_")}, pcc AS MATERIALIZED (
        |          SELECT cid, cq FROM pc_c$PqIters
-       |        ), pasg AS (
+       |        ), pasg AS MATERIALIZED (
        |          SELECT vec_id, cid AS ccid FROM pc_af
-       |        ), pprobes AS (
+       |        ), pprobes AS MATERIALIZED (
        |          SELECT query_id, ccid FROM (
        |            SELECT e.vec_id AS query_id, c.cid AS ccid,
        |                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -601,29 +658,29 @@ object VectorQueries {
        |            FROM pe e CROSS JOIN pcc c
        |            WHERE e.vec_id < $NumQueries
        |          ) WHERE rn <= $PqNProbe
-       |        ), pcand AS (
+       |        ), pcand AS MATERIALIZED (
        |          SELECT p.query_id, a.vec_id
        |          FROM pasg a JOIN pprobes p USING (ccid)
        |          WHERE a.vec_id <> p.query_id
-       |        ), presid AS (
+       |        ), presid AS MATERIALIZED (
        |          SELECT e.vec_id, a.ccid,
        |                 list_transform(range(1, ${Dim + 1}),
        |                   j -> e.q[j] - c.cq[j]) AS r
        |          FROM pe e
        |          JOIN pasg a USING (vec_id)
        |          JOIN pcc c ON c.cid = a.ccid
-       |        ), pqres AS (
+       |        ), pqres AS MATERIALIZED (
        |          SELECT p.query_id, p.ccid,
        |                 list_transform(range(1, ${Dim + 1}),
        |                   j -> e.q[j] - c.cq[j]) AS r
        |          FROM pprobes p
        |          JOIN pe e ON e.vec_id = p.query_id
        |          JOIN pcc c ON c.cid = p.ccid
-       |        ), $subs, plut AS (
+       |        ), $subs, plut AS MATERIALIZED (
        |          $lutLegs
-       |        ), penc AS (
+       |        ), penc AS MATERIALIZED (
        |          $encLegs
-       |        ), padist AS (
+       |        ), padist AS MATERIALIZED (
        |          SELECT pcand.query_id, pcand.vec_id,
        |                 CAST(SUM(l.d) AS BIGINT) AS adist
        |          FROM pcand

@@ -162,8 +162,12 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
   }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val ranges = filters.toSeq
-      .flatMap(f => GraftFilters.toRanges(f, schema))
+    // runtime predicates name LOGICAL columns; manifest stats tokens
+    // are PHYSICAL — translate like filterAttributes() does, or a
+    // renamed-then-readded logical name would match the OLD column's
+    // stats token and skip files that hold matches
+    val ranges = graft.operators.ColumnMapping.mapRanges(Some(schema),
+      filters.toSeq.flatMap(f => GraftFilters.toRanges(f, schema)))
       .filter {
         case KeyProbe(_, vs) => vs.size <= GraftRuntimeScan.MaxProbeValues
         case _ => true

@@ -166,6 +166,51 @@ class ColumnMappingSpec extends SparkSuite {
     }
   }
 
+  test("DSv2 read after RENAME: file skipping + physical-name pushdown survive") {
+    val base = TempDirs.scoped("cm_dsv2_prune")
+    binned(base) // 4 one-bin files, zone maps + blooms on k
+    VersionedTable.alterRenameColumn(base, "k", "key")
+    // r13: the mapped read is a PHYSICAL-schema DSv2 scan under a
+    // renaming Project, not the library leg — the logical predicate
+    // pushes through the alias and reaches the scan as a filter on
+    // the frozen physical name, which is what both the manifest
+    // tokens and the parquet row groups are keyed by
+    val df = spark.read.format("graft").load(base)
+      .filter(col("key") === 15L)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(15L))
+    // plan-time file skipping on the RENAMED column: 1 of 4 files
+    assert(graft.sources.GraftScanMetrics.lastPrune(base) === Some((1, 4)))
+    // DSv2 scan in the physical plan (not a library parquet read),
+    // with the literal pushed under the physical name `k`
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"))
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(k,15"))
+    // column pruning reaches the scan too: a 1-column projection
+    // reads a 1-column schema
+    val proj = spark.read.format("graft").load(base).select("key")
+    val pplan = proj.queryExecution.executedPlan.toString
+    assert(pplan.contains("ReadSchema") && !pplan.contains("ord"))
+  }
+
+  test("DSv2 read after RENAME with deletion vectors: union stays exact") {
+    val base = TempDirs.scoped("cm_dsv2_dv")
+    binned(base)
+    VersionedTable.alterRenameColumn(base, "v", "value")
+    VersionedTable.commitDeleteMoR(spark, base, col("k") === 15L,
+      pruneRanges = Seq(("k", 15L, 15L)))
+    val df = spark.read.format("graft").load(base)
+    assert(df.count() === 39L)
+    assert(df.agg(sum(col("value"))).head().getLong(0) ===
+      (0L until 4L).map(_ * 10).sum - 1L) // k=15 carried value=1
+    // predicate on the renamed column over the union: exact
+    assert(df.filter(col("value") === 1L).count() === 9L)
+    // the clean leg is still a DSv2 scan (3 clean files), the dv'd
+    // file reads through the anti-join leg
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") && plan.contains("Union"))
+  }
+
   test("mapped tables still answer count(*) from the manifest") {
     val base = TempDirs.scoped("cm_count")
     binned(base)

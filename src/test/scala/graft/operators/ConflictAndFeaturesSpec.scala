@@ -163,6 +163,53 @@ class ConflictAndFeaturesSpec extends SparkSuite {
       .filter(col("extra").isNull).count() === 70L)
   }
 
+  test("RENAME winner conflicts: loser re-executes, no resurrected column") {
+    val base = TempDirs.scoped("vt_rename_race")
+    binnedTable(base)
+    // winner RENAMES v→val while A's disjoint delete is mid-flight.
+    // A's stale declared schema still says `v` — a republish would
+    // remerge it and mint `v` a fresh column id, resurrecting the
+    // renamed-away name as a spurious all-null column (the r12 hole:
+    // a metadata winner has no adds/removes, so every DML 'commuted').
+    // The alter_schema conflict check forces the re-execute path.
+    val aVersion = VersionedTable.commitDeleteHooked(spark, base,
+      col("k") <= 9L, pruneRanges = Seq(("k", 0L, 9L)),
+      statsCols = Seq("k")) { () =>
+      if (VersionedTable.latestVersion(base).contains(8L))
+        VersionedTable.alterRenameColumn(base, "v", "val")
+    }
+    assert(aVersion === 10L)
+    val vis = ColumnMapping.visible(
+      VersionedTable.declaredSchema(base, aVersion).get).fieldNames.toSeq
+    assert(vis === Seq("k", "ord", "val"))
+    // re-execution left the pinned attempt dir stranded (8 base + A's
+    // abandoned v9 attempt + A's committed re-derive = 10); a republish
+    // would have left 9
+    assert(dataDirCount(base) === 10)
+    // the delete applied against the POST-RENAME table
+    assert(VersionedTable.readLatest(spark, base).count() === 70L)
+    assert(VersionedTable.readLatest(spark, base)
+      .filter(col("val").isNull).count() === 0L)
+  }
+
+  test("DROP winner conflicts: loser re-executes without the dropped column") {
+    val base = TempDirs.scoped("vt_drop_race")
+    binnedTable(base)
+    val aVersion = VersionedTable.commitDeleteHooked(spark, base,
+      col("k") <= 9L, pruneRanges = Seq(("k", 0L, 9L)),
+      statsCols = Seq("k")) { () =>
+      if (VersionedTable.latestVersion(base).contains(8L))
+        VersionedTable.alterDropColumn(base, "v")
+    }
+    assert(aVersion === 10L)
+    val vis = ColumnMapping.visible(
+      VersionedTable.declaredSchema(base, aVersion).get).fieldNames.toSeq
+    assert(vis === Seq("k", "ord"))
+    assert(VersionedTable.readLatest(spark, base).columns.toSeq ===
+      Seq("k", "ord"))
+    assert(VersionedTable.readLatest(spark, base).count() === 70L)
+  }
+
   // -----------------------------------------------------------------
   // protocol feature gate
 

@@ -62,8 +62,8 @@ class LogStoreSpec extends SparkSuite {
 
   test("non-atomic store honoring the contract: double publish fails loudly") {
     val store = new ConditionalPutStore
-    LogStore.using(store) {
-      val base = TempDirs.scoped("logstore_double")
+    val base = TempDirs.scoped("logstore_double")
+    LogStore.withStoreAt(Paths.get(base), store) {
       VersionedTable.commitAppend(spark, base, kv(Seq((1L, 1L, 1L))))
       // a second publish at the SAME version must surface as a commit
       // conflict — the loud failure the whole protocol rests on
@@ -78,8 +78,8 @@ class LogStoreSpec extends SparkSuite {
 
   test("lost race under the object-store mock resolves like POSIX") {
     val store = new ConditionalPutStore
-    LogStore.using(store) {
-      val base = TempDirs.scoped("logstore_race")
+    val base = TempDirs.scoped("logstore_race")
+    LogStore.withStoreAt(Paths.get(base), store) {
       (0L until 4L).foreach { bin =>
         VersionedTable.commitAppend(spark, base,
           kv(Seq.tabulate(10)(i => (bin * 10 + i, 1L, bin))).coalesce(1),
@@ -97,5 +97,22 @@ class LogStoreSpec extends SparkSuite {
       assert(bV === 5L && aV === 6L && store.conflicts === 1)
       assert(VersionedTable.readLatest(spark, base).count() === 20L)
     }
+  }
+
+  test("prefix routing: an unrelated table never routes through the mock") {
+    val store = new ConditionalPutStore
+    val mocked = TempDirs.scoped("logstore_scope_a")
+    val other = TempDirs.scoped("logstore_scope_b")
+    LogStore.withStoreAt(Paths.get(mocked), store) {
+      VersionedTable.commitAppend(spark, mocked, kv(Seq((1L, 1L, 1L))))
+      VersionedTable.commitAppend(spark, other, kv(Seq((2L, 1L, 1L))))
+      // only the scoped table's publish went through the mock — a
+      // concurrent commit elsewhere can no longer race a spec's store
+      assert(store.puts === 1)
+    }
+    // uninstalled after the body: back to POSIX everywhere
+    VersionedTable.commitAppend(spark, mocked, kv(Seq((3L, 1L, 1L))))
+    assert(store.puts === 1)
+    assert(VersionedTable.readLatest(spark, mocked).count() === 2L)
   }
 }

@@ -1629,6 +1629,16 @@ object VersionedTable {
           pruneProbes))
       if (touched.isEmpty) prevV.get
       else {
+        // shallow-cloned entries reference the SOURCE's files through
+        // relative traversal — DV position bookkeeping is keyed by the
+        // local dataDir/file suffix, so MoR on a cross-base entry
+        // would mis-key its sidecar. Copy-on-write delete (which
+        // rewrites to LOCAL files and localizes the entry) is always
+        // available; compaction localizes wholesale.
+        require(touched.forall(!_.path.startsWith("..")),
+          s"commitDeleteMoR touches shallow-cloned (cross-base) " +
+            s"file(s) in $base — use the copy-on-write commitDelete " +
+            "or OPTIMIZE to localize the clone first")
         val untouched = es.filterNot(touched.toSet)
         if (verifyFootprint && untouched.nonEmpty) {
           val leaked = readEntries(s, base, untouched, schema)
@@ -1954,7 +1964,19 @@ object VersionedTable {
     // before any marker below goes away
     if (!Files.exists(checkpointPath(base, retainFrom)))
       writeCheckpoint(base, retainFrom)
-    val referenced = (retainFrom to latest)
+    // NAMED REFS protect their snapshots from retention (the
+    // Iceberg expire-snapshots contract): a tagged version below the
+    // floor keeps its files, its marker, and gains a checkpoint so it
+    // replays without the markers vacuum is about to drop. Dropping
+    // the tag releases all of it to the next vacuum.
+    val taggedVs = tags(base).values.toSet
+      .filter(v => v <= latest && Files.exists(markerPath(base, v)))
+    taggedVs.filter(_ < retainFrom).foreach { v =>
+      if (!Files.exists(checkpointPath(base, v)))
+        try writeCheckpoint(base, v) catch { case _: Exception => () }
+    }
+    val referenced =
+      ((retainFrom to latest) ++ taggedVs.filter(_ < retainFrom))
       .filter(v => Files.exists(markerPath(base, v)))
       .flatMap(v => entries(base, v)
         .flatMap(e => e.path +: e.dv.map(_.path).toSeq)).toSet
@@ -2006,13 +2028,147 @@ object VersionedTable {
         victims.map(_._2)
       }
     }
-    val deletedMarkers = (1L until retainFrom).flatMap { v =>
+    val deletedMarkers =
+      (1L until retainFrom).filterNot(taggedVs.contains).flatMap { v =>
       val m = Files.deleteIfExists(markerPath(base, v))
       val c = Files.deleteIfExists(checkpointPath(base, v))
       (if (m) Seq(s"_log/${markerPath(base, v).getFileName}") else Nil) ++
         (if (c) Seq(s"_log/${checkpointPath(base, v).getFileName}") else Nil)
     }
     deletedFiles ++ deletedMarkers
+  }
+
+  // ===================================================================
+  // NAMED REFS — tags (immutable version pointers) and shallow clones
+  // (zero-copy branches). The Iceberg refs / Delta shallow-clone
+  // surface a shared 100 TB table's experiment workflows need: pin a
+  // release ("rc1" survives vacuum, reads by name), fork a writable
+  // branch that references the source's data files without copying a
+  // byte, diverge, and throw it away — the source never notices.
+  // ===================================================================
+
+  private def refsDir(base: String): Path = logDir(base).resolve("_refs")
+  private def tagPath(base: String, name: String): Path =
+    refsDir(base).resolve(s"tag.$name")
+
+  /** Create an IMMUTABLE named pointer at a committed version. Tags
+    * protect their snapshot from [[vacuum]] (files, marker, and an
+    * ensured checkpoint all survive retention) and resolve by name in
+    * reads (`option("ref", name)` / [[readRef]]). Create-exclusive
+    * through the [[LogStore]] seam: two racing creates admit one
+    * winner; re-tagging an existing name refuses (drop it first) —
+    * a silently moved tag is a silently moved reproducibility pin.
+    */
+  def createTag(base: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid tag name '$name' (letters, digits, _ - . only)")
+    val latest = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(s"no graft table at $base"))
+    require(version >= 1L && version <= latest &&
+      Files.exists(markerPath(base, version)),
+      s"cannot tag version $version of $base (latest: $latest)")
+    Files.createDirectories(refsDir(base))
+    val p = tagPath(base, name)
+    try LogStore.forPath(p).putIfAbsent(p, s"$version\n".getBytes("UTF-8"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists in $base at version " +
+            s"${tags(base).getOrElse(name, -1L)} — tags are immutable; " +
+            "dropTag first")
+    }
+  }
+
+  /** Drop a tag (no-op if absent). The snapshot it pinned becomes
+    * ordinary history: the next [[vacuum]] below it reclaims it.
+    */
+  def dropTag(base: String, name: String): Unit = {
+    Files.deleteIfExists(tagPath(base, name)); ()
+  }
+
+  /** All tags, name → version. Driver-plane: one tiny file per tag. */
+  def tags(base: String): Map[String, Long] = {
+    val d = refsDir(base)
+    if (!Files.exists(d)) return Map.empty
+    val st = Files.list(d)
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("tag."))
+      .map { p =>
+        p.getFileName.toString.stripPrefix("tag.") ->
+          new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+      }.toMap
+    finally st.close()
+  }
+
+  /** Resolve a tag name to its pinned version, loudly. */
+  def resolveRef(base: String, name: String): Long =
+    tags(base).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' in $base " +
+        s"(have: ${tags(base).keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Time-travel read BY NAME — [[readVersion]] at the tag's pin. */
+  def readRef(s: SparkSession, base: String, name: String): DataFrame =
+    readVersion(s, base, resolveRef(base, name))
+
+  /** SHALLOW CLONE — a zero-copy writable branch at `target`: one
+    * metadata-only commit (`#op=clone`) whose manifest references the
+    * SOURCE snapshot's data files through relative paths; schema,
+    * protocol features, and CHECK constraints travel with it. Cost on
+    * a 100 TB table: bytes ∝ manifest lines, zero data movement — the
+    * Delta CLONE / Iceberg-branch experiment shape. The clone then
+    * lives its own life: appends land locally, deletes/compaction
+    * rewrite TO LOCAL files and drop the cross-references (OPTIMIZE
+    * fully localizes it); the source is never written through a
+    * clone, and a clone's vacuum only ever lists its own directory.
+    *
+    * Source-side safety: the cloned version is auto-TAGGED on the
+    * source (`clone-v<version>-<fingerprint>`), so source vacuums
+    * retain the referenced files (the documented Delta shallow-clone
+    * hazard, closed by the refs retention contract). Dropping that
+    * tag severs the clone knowingly.
+    *
+    * Snapshots carrying live deletion vectors refuse to clone (their
+    * position sidecars resolve relative to the SOURCE'S read path —
+    * silently dropping them would resurrect deleted rows): compact
+    * first, which folds DVs away.
+    */
+  def shallowClone(s: SparkSession, source: String, target: String,
+                   version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(source).getOrElse(
+      throw new IllegalArgumentException(s"no graft table at $source")))
+    require(Files.exists(markerPath(source, v)),
+      s"version $v does not exist in $source")
+    require(latestVersion(target).isEmpty,
+      s"clone target $target already holds a graft table")
+    val (es, schemaOpt) = replay(source, v)
+    require(es.forall(_.dv.forall(_.count == 0L)),
+      s"cannot shallow-clone $source@$v: the snapshot carries live " +
+        "deletion vectors — compact/OPTIMIZE first to fold them away")
+    val srcAbs = Paths.get(source).toAbsolutePath.normalize
+    val tgtAbs = Paths.get(target).toAbsolutePath.normalize
+    require(srcAbs != tgtAbs && !srcAbs.startsWith(tgtAbs) &&
+      !tgtAbs.startsWith(srcAbs),
+      s"clone target must be disjoint from source ($source vs $target)")
+    val rel = tgtAbs.relativize(srcAbs).toString
+    // pin the cloned snapshot on the source (idempotent per target)
+    val fp = java.lang.Integer.toHexString(tgtAbs.toString.hashCode)
+    val tagName = s"clone-v$v-$fp"
+    if (!tags(source).contains(tagName)) createTag(source, tagName, v)
+    Files.createDirectories(tgtAbs)
+    val cloned = es.map(e => e.copy(path = s"$rel/${e.path}"))
+    val feats = featuresAsOf(source, v) ++
+      featuresOfBody(es.map(formatEntry).mkString("\n"))
+    val body = (Seq("#op=clone") ++
+      (if (feats.nonEmpty)
+         Seq(s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}")
+       else Seq.empty) ++
+      schemaOpt.map(schemaHeader).toSeq ++
+      cloned.map("+" + formatEntry(_))).mkString("", "\n", "\n")
+    publish(target, 1L, body)
+    val cs = constraints(source)
+    if (cs.nonEmpty) writeConstraints(target, cs)
+    1L
   }
 
   /** RESTORE TABLE TO VERSION — roll the table's LATEST state back to
@@ -2131,8 +2287,16 @@ object VersionedTable {
                 : Stat)
             }.toMap
           }.toMap
+        // `per` is keyed by the dataDir/file SUFFIX (relPathExpr);
+        // shallow-cloned entries carry a `../`-prefixed path — key by
+        // suffix so their stats enrich too (dataDir names embed a
+        // UUID fragment, so suffixes never collide)
+        def relKey(p: String): String = {
+          val i = p.lastIndexOf('/', math.max(p.lastIndexOf('/') - 1, 0))
+          if (i < 0) p else p.substring(i + 1)
+        }
         val restated = es.map(e =>
-          e.copy(stats = e.stats ++ per.getOrElse(e.path,
+          e.copy(stats = e.stats ++ per.getOrElse(relKey(e.path),
             Map.empty[String, Stat])))
         val next = latest + 1L
         val body = (Seq(s"#op=analyze") ++

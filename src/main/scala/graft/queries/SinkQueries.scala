@@ -3067,6 +3067,128 @@ object SinkQueries {
           'okey,qty_e2' AS cols_final
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q191: NAMED REFS + SHALLOW CLONE under the oracle gate (r13) —
+    // the experiment workflow a shared 100 TB table runs: tag a
+    // release mid-history ("rc" at v4), SHALLOW-CLONE the head into a
+    // writable zero-copy branch (one metadata commit referencing the
+    // source's files — clone-op asserted, zero local data dirs
+    // asserted), DIVERGE both sides (branch deletes a span + appends;
+    // source appends), then VACUUM THE SOURCE past everything — the
+    // tag and the clone's auto-tag must keep both old snapshots fully
+    // readable (every output row is computed AFTER the vacuum). The
+    // oracle recomputes tag/branch/source states from raw lineitem
+    // with the same eighth-bin/sixteenth-span arithmetic.
+    Q("q191_refs_clone",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val root = graft.TempDirs.scoped("graft_q191")
+        val src = s"$root/src"
+        val tgt = s"$root/branch"
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"),
+            col("l_linenumber"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, src,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("qty_e2"))
+                .coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        // release pin mid-history: bins 0-3
+        VersionedTable.createTag(src, "rc", 4L)
+        // zero-copy branch at the head
+        VersionedTable.shallowClone(s, src, tgt)
+        require(VersionedTable.commitDelta(tgt, 1L)._1 == "clone",
+          "branch history must open with the clone op")
+        require(VersionedTable.entries(tgt, 1L)
+          .forall(_.path.startsWith("..")),
+          "a shallow clone must reference the source's files")
+        // diverge: branch deletes a sixteenth-span slice (CoW rewrites
+        // land locally; the pruned footprint skips untouched bins),
+        // then appends its own rows
+        val (dlo, dhi) = (olo + (span * 12) / 16, olo + (span * 14) / 16 - 1)
+        VersionedTable.commitDelete(s, tgt,
+          col("l_orderkey").between(dlo, dhi),
+          pruneRanges = Seq(("l_orderkey", dlo, dhi)),
+          statsCols = Seq("l_orderkey"))
+        VersionedTable.commitAppend(s, tgt,
+          t.filter(col("l_linenumber") === 1)
+            .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+          statsCols = Seq("l_orderkey"))
+        // source diverges independently
+        VersionedTable.commitAppend(s, src,
+          t.filter(col("l_linenumber") === 2)
+            .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+          statsCols = Seq("l_orderkey"))
+        // the retention event: vacuum the source past everything —
+        // refs must protect the tagged release AND the cloned snapshot
+        VersionedTable.vacuum(src, retainFrom = 9L,
+          attemptRetentionMs = 0L)
+        require(VersionedTable.tags(src).size == 2,
+          "expected the release tag + the clone's auto-tag")
+        // every output reads POST-VACUUM
+        val tagR = VersionedTable.readRef(s, src, "rc")
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        val brR = VersionedTable.readLatest(s, tgt)
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        val srcR = VersionedTable.readLatest(s, src)
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        t.unpersist()
+        import s.implicits._
+        Seq((tagR.getLong(0), tagR.getLong(1), brR.getLong(0),
+          brR.getLong(1), srcR.getLong(0), srcR.getLong(1),
+          VersionedTable.tags(src).size.toLong))
+          .toDF("n_tag", "qty_tag", "n_branch", "qty_branch",
+            "n_src", "qty_src", "n_tags_src")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 l_linenumber
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), pr AS (
+          SELECT olo + (span * 12) // 16 AS dlo,
+                 olo + (span * 14) // 16 - 1 AS dhi
+          FROM b
+        ), br AS (
+          SELECT qty_e2 FROM t, pr
+          WHERE l_orderkey NOT BETWEEN dlo AND dhi
+          UNION ALL
+          SELECT qty_e2 FROM t WHERE l_linenumber = 1
+        ), srcnow AS (
+          SELECT qty_e2 FROM t
+          UNION ALL
+          SELECT qty_e2 FROM t WHERE l_linenumber = 2
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM t, b
+            WHERE (l_orderkey - olo) * 8 // span <= 3) AS n_tag,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM t, b
+            WHERE (l_orderkey - olo) * 8 // span <= 3) AS qty_tag,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM br) AS n_branch,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM br) AS qty_branch,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM srcnow) AS n_src,
+          (SELECT CAST(SUM(qty_e2) AS BIGINT) FROM srcnow) AS qty_src,
+          CAST(2 AS BIGINT) AS n_tags_src
+      """),
+      // bench=false: fixture-write-dominated like q153/q157
       bench = false)
   )
 }

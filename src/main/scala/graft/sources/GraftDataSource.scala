@@ -73,6 +73,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           .getOrElse(throw new IllegalArgumentException(
             s"$base did not exist yet at timestampAsOf=$t"))
       })
+      // time travel BY NAME: a tag created via VersionedTable.createTag
+      .orElse(Option(options.get("ref"))
+        .map(VersionedTable.resolveRef(base, _)))
       .orElse(VersionedTable.latestVersion(base))
     (base, version)
   }

@@ -84,7 +84,8 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
-      "zorder_by", "zorder_where", "analyze")
+      "zorder_by", "zorder_where", "analyze",
+      "create_tag", "drop_tag", "clone")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -182,6 +183,47 @@ private[sources] object GraftProcedures {
         in => Seq(VersionedTable.optimize(SparkSession.active, base(in),
           (in.getUTF8String(1).toString, in.getUTF8String(2).toString),
           in.getInt(3)))))
+      case "create_tag" => Some(new Proc("create_tag",
+        "pin an IMMUTABLE named ref at a committed version; tagged " +
+          "snapshots survive vacuum and read via option('ref', name)",
+        Seq(tableParam,
+          ("tag", StringType, "tag name (letters, digits, _ - .)"),
+          ("version", LongType, "committed version to pin")),
+        out("version" -> LongType),
+        in => {
+          val v = in.getLong(2)
+          VersionedTable.createTag(base(in),
+            in.getUTF8String(1).toString, v)
+          Seq(v)
+        }))
+      case "drop_tag" => Some(new Proc("drop_tag",
+        "drop a named ref; the snapshot it pinned becomes ordinary " +
+          "history the next vacuum may reclaim",
+        Seq(tableParam,
+          ("tag", StringType, "tag name to drop")),
+        out("dropped" -> LongType),
+        in => {
+          VersionedTable.dropTag(base(in), in.getUTF8String(1).toString)
+          Seq(1L)
+        }))
+      case "clone" => Some(new Proc("clone",
+        "SHALLOW CLONE: fork a zero-copy writable branch of source at " +
+          "a version (default: latest) into target (a fresh table " +
+          "name) -- one metadata commit referencing the source's " +
+          "files; the cloned snapshot is auto-tagged on the source so " +
+          "vacuum retains it",
+        Seq(("source", StringType,
+            "source table name inside this catalog, e.g. 'ns.t'"),
+          ("target", StringType,
+            "target table name (must not exist), e.g. 'ns.branch'"),
+          ("version", LongType, "source version to fork (0 = latest)")),
+        out("version" -> LongType),
+        in => {
+          val v = in.getLong(2)
+          Seq(VersionedTable.shallowClone(SparkSession.active,
+            base(in), tableBase(in.getUTF8String(1).toString),
+            if (v <= 0L) None else Some(v)))
+        }))
       case _ => None
     }
   }

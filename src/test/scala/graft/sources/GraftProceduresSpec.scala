@@ -122,4 +122,35 @@ class GraftProceduresSpec extends SparkSuite {
     intercept[Exception] { spark.sql(s"CALL graft.system.nope('$ns.t')") }
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("CALL graft.system.create_tag / drop_tag / clone from SQL") {
+    val ns = s"refns${System.nanoTime() % 1000000}"
+    val t = s"graft.$ns.t"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$ns/t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")
+    // pin the 2-row state and read it back BY NAME
+    assert(spark.sql(s"CALL graft.system.create_tag('$ns.t', 'rc1', 2)")
+      .head().getLong(0) === 2L)
+    assert(spark.read.format("graft").option("ref", "rc1")
+      .load(base).count() === 2L)
+    // fork a zero-copy branch from SQL and diverge it
+    val bv = spark.sql(
+      s"CALL graft.system.clone('$ns.t', '$ns.branch', 0)")
+      .head().getLong(0)
+    assert(bv === 1L)
+    val bt = s"graft.$ns.branch"
+    assert(spark.sql(s"SELECT count(*) FROM $bt").head().getLong(0) === 3L)
+    spark.sql(s"INSERT INTO $bt VALUES (4, 40)")
+    spark.sql(s"DELETE FROM $bt WHERE k = 1")
+    assert(spark.sql(s"SELECT sum(v) FROM $bt").head().getLong(0) === 90L)
+    // the source never noticed the branch's life
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head().getLong(0) === 60L)
+    // drop the release tag; the name frees up
+    spark.sql(s"CALL graft.system.drop_tag('$ns.t', 'rc1')")
+    assert(VersionedTable.tags(base).keys.forall(_.startsWith("clone-")))
+    spark.sql(s"DROP TABLE $bt")
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -56,6 +56,23 @@ class GraftRuntimeScanSpec extends SparkSuite {
     assert(GraftScanMetrics.lastRuntimePrune(base) === Some((1, 4)))
   }
 
+  test("dynamic file pruning survives a RENAME of the join key (r13)") {
+    val base = mkFact("cmdfp")
+    VersionedTable.alterRenameColumn(base, "k", "key")
+    val dim = spark.read.parquet(mkDim("cmdfp")).filter(col("grp") === 1L)
+    // the mapped read plans as a physical-schema DSv2 scan under a
+    // renaming Project; PartitionPruning traces the logical join key
+    // through the alias to the scan's physical attribute, so the
+    // runtime filter still reaches the manifest's physical tokens
+    val fact = spark.read.format("graft").load(base)
+      .withColumnRenamed("key", "k")
+    val out = fact.join(dim, "k").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("sv")).head()
+    assert(out.getLong(0) === 100L)
+    assert(out.getLong(1) === 7L * (10000L until 20000L by 100L).sum)
+    assert(GraftScanMetrics.lastRuntimePrune(base) === Some((1, 4)))
+  }
+
   test("the planned scan carries a dynamicpruning subquery") {
     val base = mkFact("plan")
     val dim = spark.read.parquet(mkDim("plan")).filter(col("grp") === 2L)

@@ -103,6 +103,46 @@ class ConcurrentWritersSpec extends SparkSuite {
     assert(ks === Seq(1L, 3L))
   }
 
+  test("readers during a live write storm see only committed snapshots") {
+    val base = TempDirs.scoped("vt_live_readers")
+    (0 until 10).foreach { i =>
+      VersionedTable.commitAppend(spark, base,
+        kv(Seq((i.toLong, 0L, 0L))).coalesce(1), statsCols = Seq("k"))
+    } // v1..v10, one row per version: rows-at-v == v, always
+    @volatile var writersDone = false
+    val results = inThreads(4) { t =>
+      if (t < 3) {
+        // 3 writers, 5 single-row appends each, racing live
+        (1 to 5).foreach { i =>
+          VersionedTable.commitAppend(spark, base,
+            kv(Seq((100L * t + i, t.toLong, i.toLong))).coalesce(1),
+            statsCols = Seq("k"), maxAttempts = 64)
+        }
+        if (t == 0) writersDone = true
+        Seq.empty[(Long, Long)]
+      } else {
+        // the reader: every observation must be SOME committed
+        // snapshot — rows-at-version == version, by construction.
+        // Torn reads (a manifest visible before its files, a replay
+        // mixing two commits) would break the equality.
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (!writersDone || seen.size < 10) {
+          val v = VersionedTable.latestVersion(base).get
+          seen += ((v, VersionedTable.readVersion(spark, base, v).count()))
+        }
+        seen.toSeq
+      }
+    }
+    val observed = results.flatten
+    assert(observed.nonEmpty)
+    observed.foreach { case (v, n) =>
+      assert(n === v, s"read at version $v saw $n rows — a torn snapshot")
+    }
+    // and the storm itself lost nothing
+    assert(VersionedTable.latestVersion(base) === Some(25L))
+    assert(VersionedTable.readLatest(spark, base).count() === 25L)
+  }
+
   test("append threads racing a live RENAME: schema never resurrects the old name") {
     val base = TempDirs.scoped("vt_live_rename")
     VersionedTable.commitAppend(spark, base,

@@ -69,22 +69,40 @@ class GraftStreamSource(spark: SparkSession, base: String,
   maxBytesPerTrigger.foreach(m => require(m >= 1L,
     s"maxBytesPerTrigger must be >= 1, got $m"))
 
-  // column-mapped tables whose physical names diverge from logical
-  // would null-fill through the raw per-file reads below — refuse
-  // loudly (read the change feed via the batch TVFs instead); a
-  // merely-ACTIVATED mapping (no rename yet) still streams fine
-  VersionedTable.latestVersion(base)
-    .flatMap(v => VersionedTable.declaredSchema(base, v)).foreach { st =>
-      val diverged = graft.operators.ColumnMapping.visible(st).fields
-        .filter(f => graft.operators.ColumnMapping.physical(f) != f.name)
-      require(diverged.isEmpty,
-        s"streaming from $base: renamed column(s) " +
-          s"${diverged.map(_.name).mkString(", ")} are not supported by " +
-          "the streaming source yet — use the batch change-feed TVFs")
-    }
-
   private val readSchema =
     StructType(sourceSchema.fields.map(_.copy(nullable = true)))
+
+  // COLUMN-MAPPED tables stream too (r13 — the r12 source refused
+  // them): data files live under frozen PHYSICAL names, so every
+  // per-file scan below reads the physical schema and aliases back to
+  // the logical names pinned at stream start. Physicals never change
+  // once assigned (renames are metadata-only), so a mid-stream rename
+  // cannot drift a running query's plan — the scan keys on names the
+  // files actually carry, which is MORE stable than logical ones.
+  private val physOf: Map[String, String] =
+    VersionedTable.latestVersion(base)
+      .flatMap(v => VersionedTable.declaredSchema(base, v))
+      .filter(graft.operators.ColumnMapping.isMapped)
+      .map(graft.operators.ColumnMapping.toPhysical)
+      .getOrElse(Map.empty)
+  private def phys(c: String): String = physOf.getOrElse(c, c)
+  // a pinned logical name that is no longer in the VISIBLE schema of a
+  // mapped table (renamed away or dropped since the checkpoint) has no
+  // resolvable physical — null-filling it would be the silent-wrong
+  // class; refuse loudly and name the cure
+  if (physOf.nonEmpty) {
+    val unresolved = readSchema.fieldNames.filterNot(physOf.contains)
+    require(unresolved.isEmpty,
+      s"streaming from $base: pinned column(s) " +
+        s"${unresolved.mkString(", ")} are not in the table's current " +
+        "visible schema (renamed or dropped since this stream's " +
+        "checkpoint) — restart the stream against the current schema")
+  }
+  private val scanSchema =
+    StructType(readSchema.fields.map(f => f.copy(name = phys(f.name))))
+  /** Project a physical-named frame onto the pinned logical schema. */
+  private def toLogical(df: DataFrame): DataFrame =
+    df.select(readSchema.fieldNames.map(n => col(phys(n)).as(n)).toSeq: _*)
 
   /** CHANGE-FEED shape (`readChangeFeed=true`): one row per
     * (commit, changed key) in [[VersionedTable.changesPerCommit]]'s
@@ -202,13 +220,13 @@ class GraftStreamSource(spark: SparkSession, base: String,
     if (es.isEmpty) GraftBridge.streamingEmpty(spark, readSchema)
     else {
       val scan = GraftBridge.streamingScan(spark,
-        es.map(e => s"$base/${e.path}"), readSchema)
+        es.map(e => s"$base/${e.path}"), scanSchema)
       // snapshot entries may carry deletion vectors (MoR deletes):
       // drop the soft-deleted positions via a stream-static broadcast
       // anti-join on (file, row_index) — the same shape the batch
       // reader uses, cost ∝ dv'd files' rows + deleted positions
       val dvd = es.filter(_.dv.exists(_.count > 0L))
-      if (dvd.isEmpty) scan
+      if (dvd.isEmpty) toLogical(scan)
       else {
         val withPos = scan
           .withColumn("__rel", regexp_extract(col("_metadata.file_path"),
@@ -216,10 +234,9 @@ class GraftStreamSource(spark: SparkSession, base: String,
           .withColumn("__pos", col("_metadata.row_index"))
         val dvF = org.apache.spark.sql.functions.broadcast(
           VersionedTable.dvPositionsFrame(spark, base, dvd))
-        withPos.join(dvF,
+        toLogical(withPos.join(dvF,
           withPos("__rel") === dvF("__dvrel") &&
-            withPos("__pos") === dvF("__dvpos"), "left_anti")
-          .select(readSchema.fieldNames.map(col).toSeq: _*)
+            withPos("__pos") === dvF("__dvpos"), "left_anti"))
       }
     }
   }
@@ -271,15 +288,15 @@ class GraftStreamSource(spark: SparkSession, base: String,
   private def insertLeg(paths: Vector[String], cs: StructType,
                         key: String): DataFrame = {
     val scan = GraftBridge.streamingScan(spark,
-      paths.map(p => s"$base/$p"), readSchema)
+      paths.map(p => s"$base/$p"), scanSchema)
     val vals = readSchema.fieldNames.filterNot(_ == key).toSeq
     scan.select(
       regexp_extract(input_file_name(), "/d([0-9]+)-[^/]*/[^/]*$", 1)
         .cast(LongType).as("version") +:
-        col(key) +:
+        col(phys(key)).as(key) +:
         (vals.map(c => lit(null).cast(readSchema(c).dataType)
           .as(s"${c}_old")) ++
-          vals.map(c => col(c).as(s"${c}_new"))) :+
+          vals.map(c => col(phys(c)).as(s"${c}_new"))) :+
         lit("insert").as("change_type"): _*)
   }
 

@@ -208,6 +208,95 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(sinkRows(dir2) === (0L until 40L))
   }
 
+  test("a RENAMED table streams: physical scan, logical output (r13)") {
+    val base = TempDirs.scoped("graft_stream_mapped")
+    val dir = TempDirs.scoped("graft_stream_mapped_sink")
+    appendDecade(base, 0L)
+    VersionedTable.alterRenameColumn(base, "v", "val")
+    // post-rename appends land under the frozen physical name
+    val s = spark
+    import s.implicits._
+    VersionedTable.commitAppend(spark, base,
+      (10L until 20L).map(k => (k, k * 2)).toDF("k", "val").coalesce(1),
+      statsCols = Seq("k"))
+    // snapshot + tail both read: files carry physical `v`, the stream
+    // emits the pinned logical `val`
+    val q = spark.readStream.format("graft").load(base)
+    assert(q.schema.fieldNames.toSeq === Seq("k", "val"))
+    q.writeStream.trigger(Trigger.AvailableNow()).format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start().awaitTermination()
+    val out = spark.read.schema(StructType(Seq(
+        StructField("k", LongType), StructField("val", LongType))))
+      .parquet(s"$dir/out")
+    assert(out.count() === 20L)
+    // VALUES under the logical name — a null-filled misread would sum 0
+    assert(out.agg(sum(col("val"))).head().getLong(0) ===
+      (0L until 20L).map(_ * 2).sum)
+    // a rename lands mid-stream: a resume pinned to the now
+    // renamed-away logical name must REFUSE loudly (its physical is
+    // no longer resolvable from the current mapping — null-filling
+    // would be the silent-wrong class), naming the cure
+    VersionedTable.alterRenameColumn(base, "val", "val2")
+    VersionedTable.commitAppend(spark, base,
+      (20L until 30L).map(k => (k, k * 2)).toDF("k", "val2").coalesce(1),
+      statsCols = Seq("k"))
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft")
+        .schema(out.schema) // the stale pinned schema still says `val`
+        .load(base)
+        .writeStream.trigger(Trigger.AvailableNow()).format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("restart the stream")),
+      s"expected the loud renamed-away refusal, got: ${msgs(ex)}")
+    // a fresh stream under the CURRENT names drains the whole history
+    val dir2 = TempDirs.scoped("graft_stream_mapped_sink2")
+    val q2 = spark.readStream.format("graft").load(base)
+    assert(q2.schema.fieldNames.toSeq === Seq("k", "val2"))
+    q2.writeStream.trigger(Trigger.AvailableNow()).format("parquet")
+      .option("path", s"$dir2/out")
+      .option("checkpointLocation", s"$dir2/ckpt").start().awaitTermination()
+    val out2 = spark.read.schema(StructType(Seq(
+        StructField("k", LongType), StructField("val2", LongType))))
+      .parquet(s"$dir2/out")
+    assert(out2.count() === 30L)
+    assert(out2.agg(sum(col("val2"))).head().getLong(0) ===
+      (0L until 30L).map(_ * 2).sum)
+  }
+
+  test("change feed over a RENAMED table emits logical names (r13)") {
+    val base = TempDirs.scoped("graft_stream_mapped_cdc")
+    val dir = TempDirs.scoped("graft_stream_mapped_cdc_sink")
+    appendDecade(base, 0L)
+    VersionedTable.alterRenameColumn(base, "v", "val")
+    VersionedTable.commitDelete(spark, base, col("k") === 3L,
+      pruneRanges = Seq(("k", 0L, 9L)), statsCols = Seq("k"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("cdcKey", "k")
+      .load(base)
+    assert(q.schema.fieldNames.toSeq ===
+      Seq("version", "k", "val_old", "val_new", "change_type"))
+    q.writeStream.trigger(Trigger.AvailableNow()).format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start().awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    // 10 inserts (physical files read under the frozen name) + 1 delete
+    assert(out.filter(col("change_type") === "insert").count() === 10L)
+    val del = out.filter(col("change_type") === "delete").collect()
+    assert(del.length === 1 && del.head.getAs[Long]("k") === 3L &&
+      del.head.getAs[Long]("val_old") === 6L)
+    // the insert rows carry real values under the logical name
+    assert(out.filter(col("change_type") === "insert")
+      .agg(sum(col("val_new"))).head().getLong(0) ===
+      (0L until 10L).map(_ * 2).sum)
+  }
+
   test("batches read through the stream-start schema; old files null-fill") {
     val base = TempDirs.scoped("graft_stream_evo")
     val s = spark

@@ -58,6 +58,23 @@ object GraftTableFunctions {
           strArg(args(3), "graft_changes key"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_refs"),
+      new ExpressionInfo(getClass.getCanonicalName, "graft_refs"),
+      (args: Seq[Expression]) => {
+        // SHOW REFS: one (name, version) row per tag — the named-ref
+        // discovery surface beside graft_history. Driver-plane: one
+        // tiny file per tag.
+        require(args.length == 1,
+          "graft_refs(table) takes the table path or ns.name")
+        val s = SparkSession.active
+        val base = resolveBase(s, strArg(args.head, "graft_refs"))
+        val rows = VersionedTable.tags(base).toSeq.sortBy(_._1)
+          .map { case (n, v) => org.apache.spark.sql.Row(n, v) }
+        s.createDataFrame(rows.asJava,
+          StructType(Seq(StructField("name", StringType),
+            StructField("version", LongType))))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_detail"),
       new ExpressionInfo(getClass.getCanonicalName, "graft_detail"),
       (args: Seq[Expression]) => {

@@ -146,6 +146,37 @@ class RefsAndCloneSpec extends SparkSuite {
     }
   }
 
+  test("write-audit-publish: curate on a branch, promote atomically") {
+    val root = TempDirs.scoped("refs_wap")
+    val src = s"$root/src"
+    val stage = s"$root/stage"
+    binned(src) // 40 rows, v1..v4
+    // WRITE: fork a zero-copy staging branch and apply the risky
+    // pipeline there — the source serves readers untouched throughout
+    VersionedTable.shallowClone(spark, src, stage)
+    VersionedTable.commitDelete(spark, stage,
+      col("v") === 0L, pruneRanges = Seq(("k", 0L, 9L)),
+      statsCols = Seq("k")) // drop a bad bin
+    VersionedTable.commitAppend(spark, stage,
+      kv(Seq((100L, 9L, 9L), (101L, 9L, 9L))).coalesce(1),
+      statsCols = Seq("k"))
+    // AUDIT: validate the staged state (the gate a production WAP
+    // pipeline runs — counts, constraints, quality checks)
+    val staged = VersionedTable.readLatest(spark, stage)
+    assert(staged.count() === 32L)
+    assert(staged.filter(col("v") === 0L).count() === 0L)
+    // PUBLISH: one atomic replace-commit promotes the audited state;
+    // readers flip from old to new in a single version step, and the
+    // pre-promote state stays time-travelable
+    val pv = VersionedTable.commitReplace(spark, src, staged,
+      statsCols = Seq("k"))
+    assert(pv === 5L)
+    val now = VersionedTable.readLatest(spark, src)
+    assert(now.count() === 32L &&
+      now.filter(col("k") >= 100L).count() === 2L)
+    assert(VersionedTable.readVersion(spark, src, 4L).count() === 40L)
+  }
+
   test("clone refusals: DV'd snapshots, nested targets, MoR on cross-base files") {
     val root = TempDirs.scoped("refs_clone_refuse")
     val src = s"$root/src"

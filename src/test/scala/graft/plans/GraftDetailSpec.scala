@@ -33,4 +33,25 @@ class GraftDetailSpec extends SparkSuite {
     assert(r.getString(6) === "v")
     assert(r.getString(7) === "k_nonneg CHECK (k >= 0)")
   }
+
+  test("graft_refs lists tags as (name, version) rows") {
+    val s = spark
+    import s.implicits._
+    val base = TempDirs.scoped("graft_refs")
+    VersionedTable.commitAppend(spark, base,
+      (0L until 10L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    VersionedTable.commitAppend(spark, base,
+      (10L until 20L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    assert(spark.sql(s"SELECT * FROM graft_refs('$base')").count() === 0L)
+    VersionedTable.createTag(base, "rc1", 1L)
+    VersionedTable.createTag(base, "rc2", 2L)
+    val rows = spark.sql(
+      s"SELECT name, version FROM graft_refs('$base') ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("rc1", 1L), ("rc2", 2L)))
+    // joinable like any FROM-clause citizen: read counts per ref
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_refs('$base') WHERE version = 2").head()
+    assert(n.getLong(0) === 1L)
+  }
 }

@@ -211,6 +211,25 @@ class ColumnMappingSpec extends SparkSuite {
     assert(plan.contains("BatchScan") && plan.contains("Union"))
   }
 
+  test("mapped tables report manifest-exact row counts to the optimizer") {
+    val base = TempDirs.scoped("cm_cbo")
+    binned(base)
+    VersionedTable.alterRenameColumn(base, "k", "key")
+    // r12 diverted mapped reads off the DSv2 scan, so scan-level stats
+    // never reached the planner; the r13 physical-relation re-plan
+    // restores the manifest's exact live count (what drives
+    // JoinSelection's broadcast decision)
+    val df = spark.read.format("graft").load(base)
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation => r
+    }.get
+    assert(rel.stats.rowCount.contains(BigInt(40)),
+      s"expected the manifest's exact 40-row count, got ${rel.stats}")
+  }
+
   test("mapped tables still answer count(*) from the manifest") {
     val base = TempDirs.scoped("cm_count")
     binned(base)

@@ -146,6 +146,36 @@ class RefsAndCloneSpec extends SparkSuite {
     }
   }
 
+  test("a COLUMN-MAPPED table clones: mapping + colmap feature travel") {
+    val root = TempDirs.scoped("refs_clone_mapped")
+    val src = s"$root/src"
+    val tgt = s"$root/branch"
+    binned(src)
+    VersionedTable.alterRenameColumn(src, "v", "val")
+    VersionedTable.shallowClone(spark, src, tgt)
+    // the branch reads under the LOGICAL names (files carry the
+    // frozen physical `v` — the mapping metadata traveled)
+    val df = VersionedTable.readLatest(spark, tgt)
+    assert(df.columns.toSeq === Seq("k", "ord", "val"))
+    assert(df.agg(sum(col("val"))).head().getLong(0) ===
+      (0L until 4L).map(_ * 10).sum)
+    // ...and declares the colmap protocol feature (a mapping-blind
+    // reader must refuse, not null-fill)
+    assert(VersionedTable.featuresAsOf(tgt, 1L).contains("colmap"))
+    // branch DML under the logical names: appends map to the frozen
+    // physical, deletes prune through the mapped ranges
+    VersionedTable.commitAppend(spark, tgt,
+      kv(Seq((100L, 9L, 9L))).toDF("k", "ord", "val").coalesce(1),
+      statsCols = Seq("k"))
+    VersionedTable.commitDelete(spark, tgt, col("k") <= 9L,
+      pruneRanges = Seq(("k", 0L, 9L)), statsCols = Seq("k"))
+    assert(VersionedTable.readLatest(spark, tgt).count() === 31L)
+    // the source never noticed, and still reads under its own names
+    assert(VersionedTable.readLatest(spark, src).count() === 40L)
+    assert(VersionedTable.readLatest(spark, src).columns.toSeq ===
+      Seq("k", "ord", "val"))
+  }
+
   test("write-audit-publish: curate on a branch, promote atomically") {
     val root = TempDirs.scoped("refs_wap")
     val src = s"$root/src"

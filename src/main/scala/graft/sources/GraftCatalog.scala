@@ -74,8 +74,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   /** `VERSION AS OF <v>` — Spark's time-travel resolution calls this
     * overload with the literal version string.
     */
+  /** `VERSION AS OF <v>` — a number pins that committed version; a
+    * non-numeric literal resolves as a NAMED REF (`VERSION AS OF
+    * 'rc1'`, the Iceberg tag-travel idiom) through
+    * [[VersionedTable.resolveRef]], loudly when unknown.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLong))
+    load(ident, Some(
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else VersionedTable.resolveRef(basePath(ident), version)))
 
   /** `TIMESTAMP AS OF <t>` — Spark hands the literal as epoch MICROS;
     * resolution is the latest version whose in-commit timestamp

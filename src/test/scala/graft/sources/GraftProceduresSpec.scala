@@ -147,6 +147,15 @@ class GraftProceduresSpec extends SparkSuite {
     assert(spark.sql(s"SELECT sum(v) FROM $bt").head().getLong(0) === 90L)
     // the source never noticed the branch's life
     assert(spark.sql(s"SELECT sum(v) FROM $t").head().getLong(0) === 60L)
+    // SQL time travel BY NAME (the Iceberg tag-travel idiom) and the
+    // refs TVF beside it
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'rc1'")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(s"SELECT version FROM graft_refs('$ns.t') " +
+      "WHERE name = 'rc1'").head().getLong(0) === 2L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 'nope'").collect()
+    }
     // drop the release tag; the name frees up
     spark.sql(s"CALL graft.system.drop_tag('$ns.t', 'rc1')")
     assert(VersionedTable.tags(base).keys.forall(_.startsWith("clone-")))

@@ -133,6 +133,8 @@ object ColumnMapping {
           r.copy(col = m.getOrElse(r.col, r.col))
         case r: VersionedTable.KeyProbe =>
           r.copy(col = m.getOrElse(r.col, r.col))
+        case r: VersionedTable.BucketProbe =>
+          r.copy(col = m.getOrElse(r.col, r.col))
       }
     case _ => ranges
   }

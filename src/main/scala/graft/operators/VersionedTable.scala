@@ -230,6 +230,24 @@ object VersionedTable {
     */
   final case class KmvStats(k: Int, hashes: Array[Long]) extends Stat
 
+  /** Hash-bucket membership of a data file (`bucketBy` at commit):
+    * every row in the file satisfies `pmod(murmur3(col), n) == id` —
+    * murmur3 with Spark's seed 42, i.e. exactly the partition index
+    * `df.repartition(n, col)` computes, which is how the layout is
+    * produced (one write shuffle; each task's output file holds one
+    * bucket by construction, VERIFIED per file at stats collection).
+    * Stored under `<col>#bucket`. Two consumers: (1) BUCKET PRUNING —
+    * an equality/IN predicate on the bucket column keeps only the
+    * 1/n of files whose id matches (O(1) per file, no bloom bits
+    * needed); (2) STORAGE-PARTITIONED JOINS — the DSv2 scan reports
+    * `KeyGroupedPartitioning(bucket(n, col))`, so two tables bucketed
+    * the same way join with ZERO shuffle on either side (the
+    * Iceberg/Spark SPJ contract; see [[graft.sources.GraftRuntimeScan]]).
+    * Advisory like zone maps: a reader ignoring the token degrades to
+    * shuffling/reading, never to wrong answers — so NOT feature-gated.
+    */
+  final case class BucketStat(n: Int, id: Int) extends Stat
+
   /** NDV sketch size: 128 mins ≈ ±9% relative error, ~1.4 KB base64
     * per column per manifest line (the bloom-scale budget).
     */
@@ -259,6 +277,15 @@ object VersionedTable {
     */
   final case class KeyProbe(col: String, values: Seq[Any])
     extends PruneRange
+  /** Bucket probe for equality/IN on a bucketed column: the file is
+    * kept iff ANY of `values` hashes into the file's bucket id
+    * ([[BucketStat]]; files without the token always keep). `dtype`
+    * pins the hash input type — murmur3 of int/long/string differ, so
+    * the probe only fires when the predicate value's runtime type
+    * matches the column's ([[GraftFilters.toRanges]] guarantees it).
+    */
+  final case class BucketProbe(col: String, values: Seq[Any],
+                               dtype: DataType) extends PruneRange
   object PruneRange {
     /** A date slice as a prune conjunct (dates are stored as epoch
       * days in the zone maps).
@@ -374,6 +401,7 @@ object VersionedTable {
   private val StrTag = "S:"
   private val BloomTag = "F:"
   private val KmvTag = "K:"
+  private val BktTag = "B:"
 
   private def hexEnc(s: String): String =
     s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
@@ -427,6 +455,9 @@ object VersionedTable {
           val bb = java.nio.ByteBuffer.wrap(bytes)
           c -> KmvStats(k.toInt,
             Array.fill(bytes.length / 8)(bb.getLong))
+        } else if (range.startsWith(BktTag)) {
+          val Array(n, id) = range.stripPrefix(BktTag).split(":", 2)
+          c -> BucketStat(n.toInt, id.toInt)
         } else {
           val Array(lo, hi) = range.split("\\.\\.", 2)
           c -> ColStats(lo.toLong, hi.toLong)
@@ -449,6 +480,7 @@ object VersionedTable {
           hs.foreach(bb.putLong)
           s"$c=$KmvTag$k:" +
             java.util.Base64.getEncoder.encodeToString(bb.array())
+        case (c, BucketStat(n, id)) => s"$c=$BktTag$n:$id"
       }).mkString("\t")
 
   private def schemaHeader(st: StructType): String = s"#schema=${st.json}"
@@ -779,6 +811,12 @@ object VersionedTable {
             values.exists(v => bloomMayContain(v, k, bits))
           case _ => true
         }
+      case BucketProbe(c, values, dt) =>
+        e.stats.get(s"$c#bucket") match {
+          case Some(BucketStat(n, id)) =>
+            values.exists(v => bucketId(v, dt, n) == id)
+          case _ => true
+        }
       case r => (e.stats.get(r.col), r) match {
         case (Some(ColStats(slo, shi)), LongRange(_, lo, hi)) =>
           shi >= lo && slo <= hi
@@ -795,6 +833,46 @@ object VersionedTable {
     * so the probe calls the SAME implementation the scan aggregated
     * with (no reimplementation to drift).
     */
+  /** The hash bucket a value falls in — EXACTLY the partition index
+    * `df.repartition(n, col)` computes: `pmod(murmur3(value, seed 42)
+    * .toInt, n)` (Spark's `HashPartitioning.partitionIdExpression`).
+    * This is the single definition every consumer shares: the write
+    * layout, the stats verifier, the driver-side [[BucketProbe]], and
+    * the catalog's SQL `bucket` function
+    * ([[graft.sources.GraftBucketFunction]]) — one implementation, no
+    * drift. `value` is external-form (String, not UTF8String).
+    */
+  def bucketId(value: Any, dt: DataType, n: Int): Int = {
+    val internal = value match {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => other
+    }
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(internal, dt, 42L).toInt
+    ((h % n) + n) % n
+  }
+
+  /** The snapshot's hash-bucket layout, when it provably has one:
+    * EVERY live entry carries exactly one `<col>#bucket` token and all
+    * agree on (column, n). One unbucketed file (a later plain append,
+    * a DML rewrite) makes the whole answer None — consumers then fall
+    * back to shuffling/reading, never to a wrong co-location claim.
+    * Column name is the manifest token's (physical on mapped tables).
+    */
+  def bucketSpecOf(es: Seq[ManifestEntry]): Option[(String, Int)] = {
+    if (es.isEmpty) return None
+    val specs = es.map { e =>
+      val bs = e.stats.collect {
+        case (k, BucketStat(n, _)) if k.endsWith("#bucket") =>
+          (k.stripSuffix("#bucket"), n)
+      }.toSeq
+      if (bs.size == 1) Some(bs.head) else None
+    }
+    if (specs.forall(_.isDefined) && specs.flatten.distinct.size == 1)
+      specs.head
+    else None
+  }
+
   def bloomMayContain(value: Any, k: Int, bits: Array[Byte]): Boolean = {
     val m = bits.length * 8
     bloomPositions(value, k, m).forall { pos =>
@@ -990,11 +1068,14 @@ object VersionedTable {
                    maxAttempts: Int = 5,
                    bloomCols: Seq[String] = Nil,
                    txn: Option[(String, Long)] = None,
-                   ndvCols: Seq[String] = Nil): Long =
+                   ndvCols: Seq[String] = Nil,
+                   bucketBy: Option[(String, Int)] = None,
+                   inheritBucket: Boolean = true): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       commitAt(s, base, df, "append", statsCols, prevV,
         bloomCols = bloomCols, txn = txn, ndvCols = ndvCols,
+        bucketBy = bucketBy, inheritBucket = inheritBucket,
         footprint = ReadNothing)(fresh => (fresh, Seq.empty))
     }
 
@@ -1019,7 +1100,8 @@ object VersionedTable {
     */
   def statsDiscipline(base: String): (Seq[String], Seq[String]) = {
     val (keys, logical) = disciplineKeys(base)
-    (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv"))
+    (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv") ||
+        k.endsWith("#bucket"))
        .flatMap(logical),
       keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom"))
         .flatMap(logical))
@@ -1391,14 +1473,80 @@ object VersionedTable {
                     maxAttempts: Int = 5,
                     bloomCols: Seq[String] = Nil,
                     txn: Option[(String, Long)] = None,
-                    ndvCols: Seq[String] = Nil): Long =
+                    ndvCols: Seq[String] = Nil,
+                    bucketBy: Option[(String, Int)] = None,
+                    inheritBucket: Boolean = true): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       val prevPaths = prevV.map(entries(base, _).map(_.path))
         .getOrElse(Seq.empty)
       commitAt(s, base, df, "replace", statsCols, prevV,
         bloomCols = bloomCols, txn = txn,
-        ndvCols = ndvCols)(fresh => (fresh, prevPaths))
+        ndvCols = ndvCols, bucketBy = bucketBy,
+        inheritBucket = inheritBucket)(fresh => (fresh, prevPaths))
+    }
+
+  /** REPLACE WHERE — predicate-scoped atomic overwrite (the Delta
+    * `replaceWhere` / SQL `INSERT INTO ... REPLACE WHERE` semantics):
+    * ONE commit that deletes every row matching `rowPred` and inserts
+    * `df`, whose rows must ALL satisfy `rowPred` (validated up front,
+    * loudly — otherwise the op would write rows outside the slice it
+    * claims to replace, and a re-run would not be idempotent). The
+    * backfill primitive: "recompute yesterday" on a 100 TB table is
+    * O(affected files) — `pruneRanges`/`pruneProbes` scope which files
+    * can hold matching rows (MUST be implied by `rowPred`, the
+    * [[commitDelete]] contract; `verifyFootprint` audits it); files
+    * outside the scope carry forward as implicit manifest lines, and
+    * touched files rewrite keeping only their non-matching rows,
+    * unioned with the incoming data. Readers never see a
+    * deleted-but-not-yet-replaced state — the swap is one manifest
+    * publish. NULL-pred rows are OUTSIDE the slice (SQL semantics:
+    * kept in remainder, refused in `df`).
+    */
+  def commitReplaceWhere(s: SparkSession, base: String, df: DataFrame,
+                         rowPred: Column,
+                         pruneRanges: Seq[(String, Long, Long)] = Nil,
+                         statsCols: Seq[String] = Nil,
+                         maxAttempts: Int = 5,
+                         verifyFootprint: Boolean = false,
+                         bloomCols: Seq[String] = Nil,
+                         pruneProbes: Seq[PruneRange] = Nil): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined,
+        s"nothing to replace in $base (first write is a plain append)")
+      val escaped = df.filter(!coalesce(rowPred, lit(false))).limit(1)
+        .collect()
+      require(escaped.isEmpty,
+        s"REPLACE WHERE data violates its own predicate: " +
+          s"e.g. ${escaped.headOption.getOrElse("")} does not satisfy " +
+          "the replaced slice — refusing (the Delta replaceWhere " +
+          "contract: incoming rows must all match)")
+      val (es, schema) = replay(base, prevV.get)
+      val mapped = ColumnMapping.mapRanges(schema,
+        pruneRanges.map { case (c, lo, hi) => LongRange(c, lo, hi) } ++
+          pruneProbes)
+      val touched = pruneTyped(es, mapped)
+      if (verifyFootprint) {
+        val untouched = es.filterNot(touched.toSet)
+        if (untouched.nonEmpty) {
+          val leaked = readEntries(s, base, untouched, schema)
+            .filter(rowPred).count()
+          require(leaked == 0L,
+            s"REPLACE WHERE footprint violation: $leaked matching row(s) " +
+              s"live in the ${untouched.size} file(s) the scope excluded " +
+              "— the replace would be silently incomplete")
+        }
+      }
+      val newState =
+        if (touched.isEmpty) df
+        else readEntries(s, base, touched, schema)
+          .filter(!coalesce(rowPred, lit(false)))
+          .unionByName(df, allowMissingColumns = true)
+      commitAt(s, base, newState, "replace_where", statsCols, prevV,
+        bloomCols = bloomCols,
+        footprint = ReadScope(touched.map(_.path).toSet, Some(mapped)))(
+        fresh => (fresh, touched.map(_.path)))
     }
 
   private def retrying(maxAttempts: Int)(attempt: => Long): Long = {
@@ -1898,7 +2046,11 @@ object VersionedTable {
         .sortWithinPartitions(z)
       val stats = (statsCols ++ zCols).distinct
       val prevPaths = entries(base, prevV.get).map(_.path)
+      // an EXPLICIT layout change: z-clustering replaces any bucket
+      // layout (the two shuffles contradict) — the claim voids with
+      // the rewritten files, readers fall back to shuffling
       commitAt(s, base, snap, "optimize", stats, prevV,
+        inheritBucket = false,
         footprint = ReadScope(prevPaths.toSet, None))(
         fresh => (fresh, prevPaths))
     }
@@ -1930,9 +2082,10 @@ object VersionedTable {
           .repartitionByRange(numFiles, z)
           .sortWithinPartitions(z)
         val (zc, bc) = statsDiscipline(base)
+        // explicit layout change, like optimizeN: no bucket inheritance
         commitAt(s, base, packed, "optimize",
           (statsCols ++ zCols ++ zc).distinct, prevV,
-          bloomCols = bc,
+          bloomCols = bc, inheritBucket = false,
           footprint = ReadScope(touched.map(_.path).toSet, None))(
           fresh => (fresh, touched.map(_.path)))
       }
@@ -2626,6 +2779,8 @@ object VersionedTable {
                        bloomCols: Seq[String] = Nil,
                        txn: Option[(String, Long)] = None,
                        ndvCols: Seq[String] = Nil,
+                       bucketBy: Option[(String, Int)] = None,
+                       inheritBucket: Boolean = true,
                        footprint: ReadFootprint = ReadEverything)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
     // the NDV discipline is TABLE-STICKY: once any live file carries a
@@ -2674,6 +2829,42 @@ object VersionedTable {
       require(ok, s"bloom column '$c' must be int, long or string, " +
         s"got ${df.schema(c).dataType}")
     }
+    // BUCKET DISCIPLINE is table-sticky like the NDV discipline: once
+    // the whole snapshot is hash-bucketed, every commit that adds or
+    // rewrites data re-buckets its delta with the same (col, n) — a
+    // DML rewrite, MERGE, compaction or streaming append must not
+    // silently void the co-location claim SPJ plans zero-shuffle
+    // joins on (cost: one shuffle of the DELTA, which rewrites were
+    // paying to write anyway). Explicit layout changes (OPTIMIZE
+    // ZORDER, clusterBy/zorderCols/numFiles writes) opt out via
+    // inheritBucket=false; a frame lacking the bucket column skips
+    // inheritance — in both cases bucketSpecOf goes None and readers
+    // fall back to shuffling, the safe degrade.
+    val effBucketBy: Option[(String, Int)] = bucketBy.orElse {
+      if (!inheritBucket) None
+      else prevV.flatMap { pv =>
+        val (pes, pschema) = replay(base, pv)
+        bucketSpecOf(pes).flatMap { case (physCol, n) =>
+          (pschema match {
+            case Some(st) if ColumnMapping.isMapped(st) =>
+              ColumnMapping.toLogical(st).get(physCol)
+            case _ => Some(physCol)
+          }).filter(df.columns.contains).map(c => (c, n))
+        }
+      }
+    }
+    effBucketBy.foreach { case (c, n) =>
+      require(n >= 1, s"bucketBy bucket count must be >= 1, got $n")
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
+        s"bucket column name '$c' would corrupt the manifest line format")
+      val ok = df.schema(c).dataType match {
+        case IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      require(ok, s"bucket column '$c' must be int, long or string " +
+        s"(murmur3 hash stability across engines/types), got " +
+        s"${df.schema(c).dataType}")
+    }
     val declared = mergeSchema(prevV.flatMap(declaredSchema(base, _)),
       df.schema)
     // mapped table: data files live under PHYSICAL names — rename the
@@ -2683,9 +2874,21 @@ object VersionedTable {
       if (ColumnMapping.isMapped(declared)) ColumnMapping.toPhysical(declared)
       else Map.empty[String, String]
     def phys(c: String): String = physMap.getOrElse(c, c)
-    val dfOut =
+    val dfRenamed =
       if (physMap.isEmpty) df
       else df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
+    // HASH-BUCKETED LAYOUT: one shuffle at write — partition index IS
+    // pmod(murmur3(col), n) (HashPartitioning's partitionIdExpression
+    // with Spark's seed 42), and each task writes one file, so every
+    // file holds exactly one bucket by construction. collectStats
+    // VERIFIES that (min == max of the bucket expr per file) rather
+    // than trusting it — a layout claim the SPJ planner will elide
+    // shuffles on must be checked, not assumed. The explicit partition
+    // count pins AQE (user-specified repartition is never coalesced).
+    val dfOut = effBucketBy match {
+      case Some((c, n)) => dfRenamed.repartition(n, col(phys(c)))
+      case None => dfRenamed
+    }
     val next = prevV.getOrElse(0L) + 1L
     // attempt-private dir: concurrent committers (and retries) can
     // never list or overwrite each other's unpublished files
@@ -2724,7 +2927,8 @@ object VersionedTable {
     val stats =
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
       else collectStats(s, s"$base/$dataDir", statsCols.map(phys),
-        bloomCols.map(phys), effNdvCols.map(phys))
+        bloomCols.map(phys), effNdvCols.map(phys),
+        effBucketBy.map { case (c, n) => (phys(c), n) })
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand
@@ -2831,7 +3035,8 @@ object VersionedTable {
   private def collectStats(s: SparkSession, dir: String,
       statsCols: Seq[String],
       bloomCols: Seq[String] = Nil,
-      ndvCols: Seq[String] = Nil)
+      ndvCols: Seq[String] = Nil,
+      bucketBy: Option[(String, Int)] = None)
       : Map[String, (Long, Map[String, Stat])] = {
     val df = s.read.parquet(dir)
     def proj(c: String): Column = df.schema(c).dataType match {
@@ -2855,7 +3060,14 @@ object VersionedTable {
         // NDV sketch: q146's cross-engine 56-bit md5 hash, O(NdvK)
         // aggregate state per file (never ∝ distinct values)
         ndvCols.map(c => graft.expressions.KmvAgg.kmv(
-          ndvHash56(col(c)), NdvK).as(s"__kmv_$c")))
+          ndvHash56(col(c)), NdvK).as(s"__kmv_$c")) ++
+        // bucket VERIFICATION: `functions.hash` is Murmur3 seed 42 —
+        // the exact hash the write's repartition partitioned on, so a
+        // single-bucket file has min == max here by construction
+        bucketBy.toSeq.flatMap { case (c, n) => Seq(
+          min(pmod(hash(col(c)), lit(n))).as("__bkt_lo"),
+          max(pmod(hash(col(c)), lit(n))).as("__bkt_hi"))
+        })
     df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2886,9 +3098,19 @@ object VersionedTable {
           s"$c#kmv" -> (KmvStats(NdvK,
             r.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toArray): Stat)
         }.toMap
+        val bkt = bucketBy.map { case (c, n) =>
+          val lo = r.getAs[Int]("__bkt_lo")
+          val hi = r.getAs[Int]("__bkt_hi")
+          require(lo == hi,
+            s"bucketed write produced a MULTI-BUCKET file " +
+              s"(${r.getAs[String]("__f")}: bucket ids $lo..$hi of $n on " +
+              s"'$c') — refusing to record a co-location claim the " +
+              "planner would elide shuffles on")
+          s"$c#bucket" -> (BucketStat(n, lo): Stat)
+        }.toMap
         r.getAs[String]("__f") ->
           ((r.getAs[Long]("__rows"),
-            per ++ blooms ++ kmvs: Map[String, Stat]))
+            per ++ blooms ++ kmvs ++ bkt: Map[String, Stat]))
       }.toMap
   }
 

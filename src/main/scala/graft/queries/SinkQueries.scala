@@ -3189,6 +3189,175 @@ object SinkQueries {
           CAST(2 AS BIGINT) AS n_tags_src
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // q192: STORAGE-PARTITIONED JOIN under the oracle gate (r13) —
+    // the zero-shuffle co-located join, the engine's answer to "a
+    // 100 TB fact ⋈ fact join where the EXCHANGE is the bottleneck":
+    // lineitem and orders written `bucketBy=16:<orderkey>` (one
+    // shuffle at ingest; every file verifiably holds ONE murmur3
+    // bucket), read back through the graft catalog whose scans report
+    // KeyGroupedPartitioning(bucket(16, key)) and whose FunctionCatalog
+    // resolves it — Spark's v2-bucketing planner then joins the two
+    // tables with ZERO Exchange on either side. The no-shuffle claim
+    // is emitted AS DATA (`exchanges`: occurrences of shuffle
+    // exchanges in the join's executed plan — oracle pins 0), so a
+    // silent fallback to shuffling fails the hash gate, not just a
+    // spec. The join aggregate itself hash-checks against the raw
+    // parquet twin. GraftSpjSpec adds the claim-voiding discipline
+    // (an unbucketed append ⟹ the co-location claim disappears).
+    Q("q192_bucketed_spj",
+      (s, d) => {
+        val ns = s"q192_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+          .write.format("graft").option("bucketBy", "16:l_orderkey")
+          .mode("append").save(s"$wh/$ns/li")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.format("graft").option("bucketBy", "16:o_orderkey")
+          .mode("append").save(s"$wh/$ns/ord")
+        val prevBkt = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          // the small side would broadcast at sf0.01 — force the
+          // shuffle-shaped plan the claim is ABOUT (at 100 TB neither
+          // side broadcasts; that regime is what's being verified)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.table(s"graft.$ns.li")
+            .join(s.table(s"graft.$ns.ord"),
+              col("l_orderkey") === col("o_orderkey"))
+          val exchanges = "Exchange hashpartitioning".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
+          j.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty_e2")).as("qty_e2"))
+            .withColumn("exchanges", lit(exchanges.toLong))
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          prevBkt match {
+            case Some(v) =>
+              s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None =>
+              s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_e2,
+               CAST(0 AS BIGINT) AS exchanges
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """),
+      // bench=false: fixture-write-dominated (two bucketed table
+      // builds per run); the no-shuffle property is plan-shaped, not
+      // time-shaped
+      bench = false),
+
+    // q193: REPLACE WHERE under the oracle gate (r13) — the backfill
+    // primitive: "recompute this slice" on a 100 TB table as ONE
+    // atomic commit (delete the slice + insert its replacement; no
+    // reader ever sees the gap), rewriting ONLY the files whose zone
+    // maps overlap the slice. Fixture: lineitem committed per
+    // eighth-bin (8 zone-mapped files); the exact key span of bins
+    // 2-3 is replaced with a recomputed dataset (linenumber-1 rows at
+    // 3x quantity). The O(affected-files) claim is emitted AS DATA:
+    // files_preserved = |pre-entries ∩ post-entries| — the oracle pins
+    // it to bins-2, so a silent full rewrite (or an over-wide
+    // footprint) fails the hash gate. Final per-bin aggregates
+    // hash-check against the raw-parquet UNION twin.
+    Q("q193_replace_where",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q193")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"),
+            col("l_linenumber"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        val bins = binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.foreach { bn =>
+          VersionedTable.commitAppend(s, base,
+            binned.filter(col("bin") === bn)
+              .select(col("l_orderkey"), col("qty_e2")).coalesce(1),
+            statsCols = Seq("l_orderkey"))
+        }
+        // the replaced slice: the EXACT key range of bins 2-3 (span
+        // arithmetic rounds; the data's own bin extrema don't)
+        val pr = binned.filter(col("bin").isin(2L, 3L))
+          .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (dlo, dhi) = (pr.getLong(0), pr.getLong(1))
+        val pre = VersionedTable.entries(base,
+          VersionedTable.latestVersion(base).get).map(_.path).toSet
+        val replacement = t
+          .filter(col("l_orderkey").between(dlo, dhi) &&
+            col("l_linenumber") === 1)
+          .select(col("l_orderkey"), (col("qty_e2") * 3).as("qty_e2"))
+        val v = VersionedTable.commitReplaceWhere(s, base, replacement,
+          col("l_orderkey").between(dlo, dhi),
+          pruneRanges = Seq(("l_orderkey", dlo, dhi)),
+          statsCols = Seq("l_orderkey"), verifyFootprint = true)
+        val post = VersionedTable.entries(base, v).map(_.path).toSet
+        val preserved = (pre intersect post).size.toLong
+        val out = VersionedTable.readLatest(s, base)
+          .withColumn("bin",
+            expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_e2")).as("qty_e2"))
+          .withColumn("files_preserved", lit(preserved))
+          .orderBy(col("bin"))
+        t.unpersist()
+        out
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 l_linenumber
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), binned AS (
+          SELECT l_orderkey, qty_e2, l_linenumber,
+                 (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        ), pr AS (
+          SELECT MIN(l_orderkey) AS dlo, MAX(l_orderkey) AS dhi
+          FROM binned WHERE bin IN (2, 3)
+        ), fin AS (
+          SELECT l_orderkey, qty_e2 FROM binned, pr
+          WHERE l_orderkey NOT BETWEEN dlo AND dhi
+          UNION ALL
+          SELECT l_orderkey, qty_e2 * 3 FROM binned, pr
+          WHERE l_orderkey BETWEEN dlo AND dhi AND l_linenumber = 1
+        )
+        SELECT (f.l_orderkey - b.olo) * 8 // b.span AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(f.qty_e2) AS BIGINT) AS qty_e2,
+               (SELECT CAST(COUNT(DISTINCT bin) - 2 AS BIGINT)
+                  FROM binned) AS files_preserved
+        FROM fin f, b
+        GROUP BY 1
+        ORDER BY 1
+      """),
+      // bench=false: fixture-write-dominated like q191
       bench = false)
   )
 }

@@ -39,7 +39,8 @@ import graft.operators.VersionedTable
   * identical between `format("graft").load(path)` and catalog names.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -278,6 +279,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       .toArray
     finally stream.close()
   }
+
+  // -------------------------------------------------------------------
+  // V2 functions ([[FunctionCatalog]]): `bucket` — what lets Spark
+  // resolve the KeyGroupedPartitioning a bucketed graft scan reports
+  // and plan storage-partitioned joins (see [[GraftBucketFunction]]).
+  // Resolution looks the function up in the READING relation's own
+  // catalog with an empty namespace, which is why it lives here.
+
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // -------------------------------------------------------------------
   // Maintenance procedures — `CALL graft.system.<proc>(...)` (see

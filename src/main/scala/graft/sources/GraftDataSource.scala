@@ -9,11 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.VersionedTable
@@ -375,9 +375,25 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
     * columns for the committed files.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var replace = false
+      // REPLACE WHERE: a non-trivial overwrite predicate (SQL `INSERT
+      // INTO t REPLACE WHERE pred SELECT ...`, DataFrameWriterV2
+      // `.overwrite(cond)`) routes to the predicate-scoped atomic
+      // overwrite ([[VersionedTable.commitReplaceWhere]]) — delete the
+      // slice + insert its replacement in ONE commit, rewriting only
+      // the files whose zone maps/blooms can hold matching rows
+      private var replaceFilters: Array[Filter] = Array.empty
       override def truncate(): WriteBuilder = { replace = true; this }
+      // admit exactly the predicates the row-filter translation covers
+      // (Spark rejects the rest at analysis — no silent full rewrite)
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(f => GraftFilters.toColumn(f).isDefined)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) replace = true
+        else replaceFilters = filters
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation
             : org.apache.spark.sql.sources.InsertableRelation =
@@ -447,6 +463,21 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               s"zorderCols takes two or more columns, got $zc")
             require(zc.isEmpty || cb.isEmpty,
               "zorderCols and clusterBy are mutually exclusive")
+            // HASH-BUCKETED layout: `bucketBy=<n>:<col>` — the
+            // co-location knob (storage-partitioned joins + bucket
+            // pruning); the bucket shuffle IS the layout, so the
+            // other layout knobs are mutually exclusive with it
+            val bucketBy = Option(info.options.get("bucketBy")).map { sp =>
+              val i = sp.indexOf(':')
+              require(i > 0 && i < sp.length - 1,
+                s"bucketBy takes <numBuckets>:<column>, got '$sp'")
+              (sp.substring(i + 1).trim, sp.substring(0, i).trim.toInt)
+            }
+            require(bucketBy.isEmpty ||
+              (zc.isEmpty && cb.isEmpty &&
+                Option(info.options.get("numFiles")).isEmpty),
+              "bucketBy is mutually exclusive with zorderCols/" +
+                "clusterBy/numFiles (the bucket shuffle is the layout)")
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
             import org.apache.spark.sql.functions.col
             val clustered =
@@ -463,12 +494,39 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                   .getOrElse(aligned.repartitionByRange(cols: _*))
                   .sortWithinPartitions(cols: _*)
               } else nf.map(aligned.repartition).getOrElse(aligned)
-            if (replace || overwrite)
+            // an explicit alternative layout (clusterBy/zorderCols/
+            // numFiles) overrides the sticky bucket discipline — the
+            // writer asked for THAT layout, and re-bucketing would
+            // destroy it; the co-location claim then voids safely
+            val inherit = zc.isEmpty && cb.isEmpty && nf.isEmpty
+            if (replaceFilters.nonEmpty) {
+              val rowPred = replaceFilters.flatMap(GraftFilters.toColumn)
+                .reduceOption(_ && _).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"untranslatable REPLACE WHERE predicate: " +
+                      replaceFilters.mkString(", ")))
+              val translated = replaceFilters
+                .flatMap(f => GraftFilters.toRanges(f, tableSchema))
+              val ranges = translated.collect {
+                case LongRange(c, lo, hi) => (c, lo, hi)
+              }
+              val probes = translated.filterNot(_.isInstanceOf[LongRange])
+              // rewritten files keep the table's own stats discipline
+              // (the deleteWhere rule: pruning never silently degrades)
+              val (sc, bc) = VersionedTable.statsDiscipline(base)
+              VersionedTable.commitReplaceWhere(data.sparkSession, base,
+                clustered, rowPred, ranges.toSeq,
+                (stats ++ sc).distinct,
+                bloomCols = (blooms ++ bc).distinct,
+                pruneProbes = probes.toSeq)
+            } else if (replace || overwrite)
               VersionedTable.commitReplace(data.sparkSession, base, clustered,
-                stats, bloomCols = blooms, ndvCols = ndvs)
+                stats, bloomCols = blooms, ndvCols = ndvs,
+                bucketBy = bucketBy, inheritBucket = inherit)
             else
               VersionedTable.commitAppend(data.sparkSession, base, clustered,
-                stats, bloomCols = blooms, ndvCols = ndvs)
+                stats, bloomCols = blooms, ndvCols = ndvs,
+                bucketBy = bucketBy, inheritBucket = inherit)
             ()
           }
       }
@@ -573,9 +631,10 @@ object GraftFilters {
     */
   def toRanges(f: Filter, schema: StructType): Seq[PruneRange] = f match {
     case And(l, r) => toRanges(l, schema) ++ toRanges(r, schema)
-    case EqualTo(c, v) => eqRange(c, v) ++ keyProbe(c, Seq(v))
+    case EqualTo(c, v) =>
+      eqRange(c, v) ++ keyProbe(c, Seq(v)) ++ bucketProbe(schema, c, Seq(v))
     case EqualNullSafe(c, v) if v != null =>
-      eqRange(c, v) ++ keyProbe(c, Seq(v))
+      eqRange(c, v) ++ keyProbe(c, Seq(v)) ++ bucketProbe(schema, c, Seq(v))
     case GreaterThanOrEqual(c, v) =>
       asLong(v).map(lo => LongRange(c, lo, Long.MaxValue)).toSeq
     case GreaterThan(c, v) =>
@@ -595,7 +654,7 @@ object GraftFilters {
         val ls = vs.toSeq.flatMap(asLong)
         if (ls.length != vs.length) Seq.empty
         else Seq(LongRange(c, ls.min, ls.max))
-      }) ++ keyProbe(c, vs.toSeq)
+      }) ++ keyProbe(c, vs.toSeq) ++ bucketProbe(schema, c, vs.toSeq)
     case _ => Seq.empty
   }
 
@@ -611,6 +670,26 @@ object GraftFilters {
       case _ => false
     }) Seq(VersionedTable.KeyProbe(c, vs))
     else Seq.empty
+
+  /** Bucket probe for equality/IN on a hash-bucketed column
+    * ([[VersionedTable.BucketStat]]): prunes to the 1/n of files whose
+    * bucket id any value hashes into. Murmur3 of int/long/string are
+    * DIFFERENT hashes, so the probe fires only when every value's
+    * runtime class matches the column's declared type exactly —
+    * a mistyped literal (Spark normally casts pushed-filter values to
+    * the column type, but belt-and-braces) probes nothing rather than
+    * pruning wrongly. Files without the token always keep.
+    */
+  private def bucketProbe(schema: StructType, c: String,
+                          vs: Seq[Any]): Seq[PruneRange] =
+    fieldOf(schema, c).map(_.dataType).toSeq.collect {
+      case dt @ IntegerType if vs.forall(_.isInstanceOf[java.lang.Integer]) =>
+        VersionedTable.BucketProbe(c, vs, dt)
+      case dt @ LongType if vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        VersionedTable.BucketProbe(c, vs, dt)
+      case dt @ StringType if vs.forall(_.isInstanceOf[String]) =>
+        VersionedTable.BucketProbe(c, vs, dt)
+    }
 
   private def eqRange(c: String, v: Any): Seq[PruneRange] = v match {
     case s: String => Seq(StrRange(c, s, s))

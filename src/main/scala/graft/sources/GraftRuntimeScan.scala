@@ -1,14 +1,18 @@
 package graft.sources
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.VersionedTable
-import graft.operators.VersionedTable.{KeyProbe, ManifestEntry}
+import graft.operators.VersionedTable.{BucketStat, KeyProbe, ManifestEntry}
 
 /** DYNAMIC FILE PRUNING: the graft scan as a runtime-filterable DSv2
   * scan. Plan-time zone-map skipping ([[GraftFileIndex]]) covers
@@ -49,6 +53,7 @@ import graft.operators.VersionedTable.{KeyProbe, ManifestEntry}
 class GraftRuntimeScan(initial: ParquetScan, val base: String,
                        entries: Seq[ManifestEntry], schema: StructType)
     extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   @volatile private var current: ParquetScan = initial
@@ -58,7 +63,45 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
   // ----- Scan surface: the delegate's machinery verbatim
 
   override def readSchema(): StructType = current.readSchema()
-  override def toBatch: Batch = current.toBatch
+  override def toBatch: Batch = bucketLayout match {
+    // bucketed snapshot: plan one key-grouped partition set — each
+    // input partition carries its bucket id ([[HasPartitionKey]]), so
+    // Spark can group them under the reported KeyGroupedPartitioning
+    // and elide the join shuffle. Reads `current` at call time:
+    // BatchScanExec re-plans partitions through a fresh toBatch after
+    // runtime filtering, and the grouping must see the pruned index.
+    case Some(_) => new GraftBucketedBatch(() => current, entries)
+    case None => current.toBatch
+  }
+
+  // ----- storage-partitioned joins ([[SupportsReportPartitioning]])
+
+  /** The snapshot's hash-bucket layout as THIS scan may claim it:
+    * every live entry carries the same `(col, n)` bucket token
+    * ([[VersionedTable.bucketSpecOf]] — one unbucketed file voids the
+    * claim), the token's column resolves to a logical name, and that
+    * name survived column pruning into the read schema (the transform
+    * reference resolves against the scan relation's output — and a
+    * join that could use SPJ projects its key anyway).
+    */
+  private lazy val bucketLayout: Option[(String, Int)] =
+    VersionedTable.bucketSpecOf(entries).flatMap { case (physCol, n) =>
+      val toLogical = graft.operators.ColumnMapping.toLogical(schema)
+      toLogical.get(physCol)
+        .orElse(if (graft.operators.ColumnMapping.isMapped(schema)) None
+                else Some(physCol))
+        .filter(c => current.readSchema().fieldNames.contains(c))
+        .map(c => (c, n))
+    }
+
+  override def outputPartitioning(): Partitioning = bucketLayout match {
+    case Some((c, n)) =>
+      val groups = entries.flatMap(_.stats.collectFirst {
+        case (k, BucketStat(_, id)) if k.endsWith("#bucket") => id
+      }).distinct.size
+      new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups)
+    case None => new UnknownPartitioning(0)
+  }
   override def description(): String = s"Graft ${current.description()}"
   override def supportedCustomMetrics(): Array[CustomMetric] =
     current.supportedCustomMetrics()
@@ -190,4 +233,70 @@ object GraftRuntimeScan {
     * instead of O(values) bloom lookups).
     */
   val MaxProbeValues: Int = 4096
+}
+
+/** The bucketed snapshot's Batch: the delegate parquet scan plans its
+  * (pruned, split, filter-pushed) file chunks exactly as always; this
+  * wrapper REGROUPS the chunks by their file's manifest bucket id and
+  * re-packs each bucket into [[FilePartition]]s that carry the id as
+  * their partition key — what `DataSourceV2ScanExecBase.groupPartitions`
+  * groups under the reported KeyGroupedPartitioning. Everything
+  * row-shaped (vectorized decode, row-group pushdown, codegen) is
+  * still the delegate's reader factory: the partitions ARE
+  * FilePartitions, just key-tagged and bucket-pure.
+  *
+  * Scale: at 100 TB a bucket spans many files and commits — packing
+  * stays split-size-bounded WITHIN each bucket (several tasks per
+  * bucket are fine: Spark groups same-key partitions into one join
+  * group), so SPJ never forces one-giant-task-per-bucket.
+  */
+private[sources] class GraftBucketedBatch(scan: () => ParquetScan,
+                                          entries: Seq[ManifestEntry])
+    extends Batch {
+
+  private def idOf: Map[String, Int] =
+    entries.flatMap(e => e.stats.collectFirst {
+      case (k, BucketStat(_, id)) if k.endsWith("#bucket") => e.path -> id
+    }).toMap
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val delegate = scan()
+    val ids = idOf
+    val chunks = delegate.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"parquet batch planned a non-file partition: $other")
+    }
+    val byBucket = chunks.groupBy { pf =>
+      val p = pf.filePath.toPath
+      val rel = s"${p.getParent.getName}/${p.getName}"
+      ids.getOrElse(rel, throw new IllegalStateException(
+        s"planned file $rel carries no bucket id — bucketLayout " +
+          "should have voided the key-grouped claim"))
+    }
+    val spark = delegate.sparkSession
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      chunks.map(_.length).sum)
+    var idx = -1
+    byBucket.toSeq.sortBy(_._1).flatMap { case (id, fs) =>
+      val key = new GenericInternalRow(Array[Any](id))
+      FilePartition.getFilePartitions(spark, fs.toSeq, maxSplit).map { fp =>
+        idx += 1
+        new GraftBucketedFilePartition(idx, fp.files, key)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan().toBatch.createReaderFactory()
+}
+
+/** A [[FilePartition]] of ONE bucket, keyed by its id — the
+  * [[HasPartitionKey]] leg of the SPJ contract. All files inside hash
+  * every row to `bucketId` (verified per file at commit).
+  */
+private[sources] class GraftBucketedFilePartition(
+    idx: Int, fs: Array[PartitionedFile], key: InternalRow)
+    extends FilePartition(idx, fs) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }

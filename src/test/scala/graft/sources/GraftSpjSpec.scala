@@ -1,0 +1,207 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.operators.VersionedTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** STORAGE-PARTITIONED JOINS on graft-native bucketed tables: two
+  * tables written `bucketBy=n:key` report
+  * `KeyGroupedPartitioning(bucket(n, key))` through the DSv2 scan and
+  * join with NO shuffle on either side — plus the bucket-prune and
+  * claim-voiding disciplines around the layout.
+  */
+class GraftSpjSpec extends SparkSuite {
+
+  private val ns = s"spj${System.nanoTime() % 1000000}"
+  private def warehouse =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  private def mkTable(name: String, rows: Seq[(Long, Long)],
+                      buckets: Int): String = {
+    val s = spark
+    import s.implicits._
+    val base = s"$warehouse/$ns/$name"
+    rows.toDF("k", "v").write.format("graft")
+      .option("bucketBy", s"$buckets:k").mode("append").save(base)
+    base
+  }
+
+  private def withSpj[A](body: => A): A = {
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed ⋈ bucketed joins with zero shuffle; rows exact") {
+    val left = (1L to 400L).map(k => (k, k * 10L))
+    val right = (200L to 600L).map(k => (k, k * 7L))
+    mkTable("a", left, 8)
+    mkTable("b", right, 8)
+    withSpj {
+      val j = spark.table(s"graft.$ns.a").as("a")
+        .join(spark.table(s"graft.$ns.b").as("b"), col("a.k") === col("b.k"))
+        .select(col("a.k"), col("a.v"), col("b.v").as("w"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not shuffle:\n$plan")
+      val got = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (200L to 400L).map(k => (k, k * 10L, k * 7L)).toSet
+      assert(got === want)
+    }
+    // negative control: same join with v2 bucketing explicitly OFF
+    // exchanges — otherwise the no-shuffle assert above is vacuous
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val j = spark.table(s"graft.$ns.a").as("a")
+        .join(spark.table(s"graft.$ns.b").as("b"), col("a.k") === col("b.k"))
+      assert(j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("equality on the bucket key prunes to that bucket's files") {
+    val base = mkTable("p", (1L to 512L).map(k => (k, k)), 8)
+    val es = VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get)
+    assert(es.size === 8, s"expected 8 one-bucket files, got ${es.size}")
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k", 8)))
+    // DSv2 read with an equality literal: the planned scan keeps only
+    // the one file whose bucket id matches — no zone maps, no blooms,
+    // pure O(1)-per-file hash arithmetic
+    val out = spark.read.format("graft").load(base)
+      .filter(col("k") === 137L).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(137L))
+    assert(GraftScanMetrics.lastPrune(base) === Some((1, 8)),
+      s"bucket probe should keep 1/8 files, got " +
+        s"${GraftScanMetrics.lastPrune(base)}")
+    // library-side probe agrees
+    val kept = VersionedTable.pruneTyped(es,
+      Seq(VersionedTable.BucketProbe("k", Seq(137L), LongType)))
+    assert(kept.size === 1)
+    assert(kept.head.stats("k#bucket") ===
+      VersionedTable.BucketStat(8, VersionedTable.bucketId(137L, LongType, 8)))
+  }
+
+  test("bucket discipline is sticky: appends and DML re-bucket; " +
+      "explicit layouts void the claim; join stays correct") {
+    val s = spark
+    import s.implicits._
+    val base = mkTable("void", (1L to 100L).map(k => (k, k)), 4)
+    mkTable("void2", (1L to 100L).map(k => (k, k * 2L)), 4)
+    def spec() = VersionedTable.bucketSpecOf(VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get))
+    // a PLAIN append inherits the table's bucket layout (the sticky
+    // discipline — streaming ingest must not void SPJ), and its fresh
+    // file carries a verified token
+    Seq((1000L, 1L)).toDF("k", "v").write.format("graft")
+      .mode("append").save(base)
+    assert(spec() === Some(("k", 4)))
+    // a DML rewrite re-buckets the files it rewrites — claim intact
+    VersionedTable.commitDelete(spark, base, col("k") === 50L,
+      pruneRanges = Seq(("k", 50L, 50L)))
+    assert(spec() === Some(("k", 4)))
+    withSpj {
+      val j = spark.table(s"graft.$ns.void").as("a")
+        .join(spark.table(s"graft.$ns.void2").as("b"),
+          col("a.k") === col("b.k"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "post-append+DML table should still join shuffle-free")
+      assert(j.count() === 99L) // k=50 deleted
+    }
+    // an EXPLICIT layout request (numFiles) opts out: the new file
+    // has no token, the claim voids, and the join falls back to
+    // shuffling — correctness first, co-location only when proven
+    Seq((2000L, 2L)).toDF("k", "v").write.format("graft")
+      .option("numFiles", "1").mode("append").save(base)
+    assert(spec() === None)
+    withSpj {
+      val j = spark.table(s"graft.$ns.void").as("a")
+        .join(spark.table(s"graft.$ns.void2").as("b"),
+          col("a.k") === col("b.k"))
+      assert(j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(j.count() === 99L)
+    }
+  }
+
+  test("one-side-shuffle SPJ: the unbucketed side shuffles INTO the " +
+      "bucket layout via the catalog's bucket function") {
+    val s = spark
+    import s.implicits._
+    val base = mkTable("oss", (1L to 300L).map(k => (k, k * 3L)), 8)
+    val plainBase = s"$warehouse/$ns/oss_plain"
+    (100L to 400L).map(k => (k, k * 5L)).toDF("k", "v").write
+      .format("graft").mode("append").save(plainBase)
+    withSpj {
+      val prev = spark.conf
+        .getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled",
+          "true")
+        val j = spark.table(s"graft.$ns.oss").as("a")
+          .join(spark.table(s"graft.$ns.oss_plain").as("b"),
+            col("a.k") === col("b.k"))
+          .select(col("a.k"), col("a.v"), col("b.v").as("w"))
+        val plan = j.queryExecution.executedPlan.toString
+        // exactly ONE exchange — the plain side repartitions to match
+        // the bucketed layout by EVALUATING GraftBoundBucket
+        // distributively; the bucketed side reads in place
+        val exchanges = "Exchange ".r.findAllIn(plan).size
+        assert(exchanges === 1, s"expected one exchange (plain side):\n$plan")
+        val got = j.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = (100L to 300L).map(k => (k, k * 3L, k * 5L)).toSet
+        // a wrong produceResult would route rows to the wrong bucket
+        // and silently DROP matches — equality here proves the
+        // function mirrors the write layout exactly
+        assert(got === want)
+      } finally prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      }
+    }
+  }
+
+  test("driver bucketId mirrors Spark's repartition hash for int/long/string") {
+    val s = spark
+    import s.implicits._
+    val n = 16
+    val longs = (1L to 50L).toDF("x")
+      .select(col("x"), pmod(hash(col("x")), lit(n)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    longs.foreach { case (v, b) =>
+      assert(VersionedTable.bucketId(v, LongType, n) === b, s"long $v") }
+    val ints = (1 to 50).toDF("x")
+      .select(col("x"), pmod(hash(col("x")), lit(n)).as("b"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    ints.foreach { case (v, b) =>
+      assert(VersionedTable.bucketId(v, IntegerType, n) === b, s"int $v") }
+    val strs = Seq("a", "bb", "ccc", "δδ", "", "part-00001").toDF("x")
+      .select(col("x"), pmod(hash(col("x")), lit(n)).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    strs.foreach { case (v, b) =>
+      assert(VersionedTable.bucketId(v, StringType, n) === b, s"str '$v'") }
+  }
+}

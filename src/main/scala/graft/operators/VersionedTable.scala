@@ -2056,6 +2056,29 @@ object VersionedTable {
     }
   }
 
+  /** OPTIMIZE REBUCKET: rewrite the latest snapshot hash-bucketed
+    * `n` ways on `bucketCol` — establishes (or re-establishes, after
+    * an explicit layout change voided it) the co-location claim
+    * storage-partitioned joins need (q192), and changes the bucket
+    * count when a table outgrows its original layout. One full
+    * rewrite, like [[optimizeN]]; from then on the sticky discipline
+    * keeps every commit's delta in the layout. Rewritten files keep
+    * the table's stats/bloom discipline (the maintenance rule).
+    */
+  def rebucket(s: SparkSession, base: String, bucketCol: String,
+               n: Int, statsCols: Seq[String] = Nil): Long =
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to rebucket in $base")
+      val snap = readVersion(s, base, prevV.get)
+      val (sc, bc) = statsDiscipline(base)
+      val prevPaths = entries(base, prevV.get).map(_.path)
+      commitAt(s, base, snap, "rebucket", (statsCols ++ sc).distinct,
+        prevV, bloomCols = bc, bucketBy = Some((bucketCol, n)),
+        footprint = ReadScope(prevPaths.toSet, None))(
+        fresh => (fresh, prevPaths))
+    }
+
   /** SCOPED re-clustering — incremental OPTIMIZE: z-order ONLY the
     * files whose zone maps overlap `scope` (the "recluster yesterday's
     * ingest" pattern), carrying everything else forward as implicit

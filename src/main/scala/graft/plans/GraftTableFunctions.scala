@@ -100,9 +100,14 @@ object GraftTableFunctions {
           .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
         val ndv = VersionedTable.ndvEstimates(base, v).toSeq.sortBy(_._1)
           .map { case (c, n) => s"$c≈$n" }.mkString("; ")
+        // the hash-bucket layout, when the snapshot provably has one
+        // (q192's SPJ claim) — '' when any file is unbucketed
+        val bkt = VersionedTable.bucketSpecOf(es)
+          .map { case (c, n) => s"$c:$n" }.getOrElse("")
         val row = org.apache.spark.sql.Row(v, es.size, rows, bytes,
           es.count(_.dv.exists(_.count > 0L)),
-          zc.sorted.mkString(","), bc.sorted.mkString(","), cons, ndv)
+          zc.sorted.mkString(","), bc.sorted.mkString(","), cons, ndv,
+          bkt)
         s.createDataFrame(Seq(row).asJava,
           StructType(Seq(
             StructField("version", LongType),
@@ -113,7 +118,8 @@ object GraftTableFunctions {
             StructField("stats_cols", StringType),
             StructField("bloom_cols", StringType),
             StructField("constraints", StringType),
-            StructField("ndv_estimates", StringType))))
+            StructField("ndv_estimates", StringType),
+            StructField("bucket_spec", StringType))))
           .queryExecution.logical
       }))
 

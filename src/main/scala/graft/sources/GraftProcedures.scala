@@ -85,7 +85,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
       "zorder_by", "zorder_where", "analyze",
-      "create_tag", "drop_tag", "clone")
+      "create_tag", "drop_tag", "clone", "rebucket")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -224,6 +224,18 @@ private[sources] object GraftProcedures {
             base(in), tableBase(in.getUTF8String(1).toString),
             if (v <= 0L) None else Some(v)))
         }))
+      case "rebucket" => Some(new Proc("rebucket",
+        "OPTIMIZE REBUCKET: rewrite the latest snapshot hash-bucketed " +
+          "num_buckets ways on column -- establishes (or changes) the " +
+          "co-location layout storage-partitioned joins elide " +
+          "shuffles on; the sticky discipline then keeps every " +
+          "commit's delta in the layout",
+        Seq(tableParam,
+          ("column", StringType, "int/long/string bucket key column"),
+          ("num_buckets", IntegerType, "bucket count (murmur3 mod n)")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.rebucket(SparkSession.active, base(in),
+          in.getUTF8String(1).toString, in.getInt(2)))))
       case _ => None
     }
   }

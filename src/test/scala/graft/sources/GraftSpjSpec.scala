@@ -144,6 +144,65 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("CALL graft.system.rebucket re-establishes a voided claim; " +
+      "graft_detail reports the layout") {
+    val s = spark
+    import s.implicits._
+    val base = mkTable("rb", (1L to 200L).map(k => (k, k)), 4)
+    assert(spark.sql(s"SELECT bucket_spec FROM graft_detail('$base')")
+      .head().getString(0) === "k:4")
+    // void via an explicit layout (numFiles opt-out)
+    Seq((999L, 9L)).toDF("k", "v").write.format("graft")
+      .option("numFiles", "1").mode("append").save(base)
+    assert(spark.sql(s"SELECT bucket_spec FROM graft_detail('$base')")
+      .head().getString(0) === "")
+    // maintenance re-establishes it — at a NEW bucket count
+    val v = spark.sql(
+      s"CALL graft.system.rebucket('$ns.rb', 'k', 8)").head().getLong(0)
+    assert(v === VersionedTable.latestVersion(base).get)
+    def spec() = VersionedTable.bucketSpecOf(VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get))
+    assert(spec() === Some(("k", 8)))
+    assert(spark.sql(s"SELECT bucket_spec FROM graft_detail('$base')")
+      .head().getString(0) === "k:8")
+    // the sticky discipline then holds the NEW layout through appends
+    Seq((1000L, 1L)).toDF("k", "v").write.format("graft")
+      .mode("append").save(base)
+    assert(spec() === Some(("k", 8)))
+    assert(VersionedTable.readLatest(spark, base).count() === 202L)
+  }
+
+  test("maxRecordsPerFile splits buckets into several files — all " +
+      "single-bucket, claim intact, join still shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val base = s"$warehouse/$ns/mrf"
+    // the file-size knob a 100 TB ingest needs: one bucket = one write
+    // task, so without a cap each bucket is ONE file — the session
+    // conf splits task output and composes with bucketing (each split
+    // is still single-bucket, commit-verified)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "40")
+    try {
+      (1L to 400L).map(k => (k, k)).toDF("k", "v").write.format("graft")
+        .option("bucketBy", "4:k") // ~100 rows/bucket → 3 files each
+        .mode("append").save(base)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    mkTable("mrf2", (1L to 400L).map(k => (k, k * 2L)), 4)
+    val es = VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get)
+    assert(es.size > 4, s"expected >4 files (split buckets), got ${es.size}")
+    // every file single-bucket (commit-verified), spec still provable
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k", 4)))
+    withSpj {
+      val j = spark.table(s"graft.$ns.mrf").as("a")
+        .join(spark.table(s"graft.$ns.mrf2").as("b"),
+          col("a.k") === col("b.k"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(j.count() === 400L)
+    }
+  }
+
   test("one-side-shuffle SPJ: the unbucketed side shuffles INTO the " +
       "bucket layout via the catalog's bucket function") {
     val s = spark

@@ -131,7 +131,7 @@ object VersionedTable {
     * stats degrade to reading when ignored, never to wrong answers.
     * Pre-gate tables (no header anywhere) read and write unchanged.
     */
-  val SupportedFeatures: Set[String] = Set("dv", "ndv", "colmap")
+  val SupportedFeatures: Set[String] = Set("dv", "ndv", "colmap", "rowid")
 
   private val FeaturesTag = "#features="
 
@@ -184,20 +184,56 @@ object VersionedTable {
     Set.empty
   }
 
+  /** The row-id HIGH-WATER MARK as of committed version `v`: the
+    * newest `#rowhwm=` header at or below `v` ([[featuresAsOf]]'s walk
+    * — sound for the same reason: [[publish]] restates the header
+    * STICKY on every later commit, and checkpoints restate it, so
+    * reaching a header-less checkpoint means row tracking was never
+    * enabled below). 0 when never enabled. Monotone by construction:
+    * allocating commits only ever emit prev + fresh rows, and
+    * non-allocating commits (restore, MoR, alter, clone) carry the
+    * previous value — ids are never reused.
+    */
+  private[graft] def rowHwmAsOf(base: String, v: Long): Long = {
+    var u = v
+    while (u >= 1L) {
+      val m = markerPath(base, u)
+      if (Files.exists(m)) {
+        val hit = Files.readAllLines(m).asScala
+          .find(_.startsWith(RowHwmTag))
+        if (hit.isDefined)
+          return hit.get.stripPrefix(RowHwmTag).trim.toLong
+      }
+      val cp = checkpointPath(base, u)
+      if (Files.exists(cp)) {
+        val it = Files.lines(cp)
+        try {
+          return it.iterator().asScala.takeWhile(_.startsWith("#"))
+            .find(_.startsWith(RowHwmTag))
+            .map(_.stripPrefix(RowHwmTag).trim.toLong).getOrElse(0L)
+        } finally it.close()
+      }
+      u -= 1L
+    }
+    0L
+  }
+
   /** Features a manifest body USES, derived from its own tokens — the
     * writer-side half of the gate can't be forgotten by a new commit
     * path because [[publish]] computes this centrally.
     */
   private def featuresOfBody(body: String): Set[String] = {
-    var dv = false; var ndv = false
+    var dv = false; var ndv = false; var rid = false
     body.linesIterator.foreach { l =>
       if (!l.startsWith("#")) {
         if (l.contains("\t" + DvTag)) dv = true
         if (l.contains("#kmv=")) ndv = true
+        if (l.contains("\t" + RowBaseTag)) rid = true
       }
     }
     (if (dv) Set("dv") else Set.empty[String]) ++
-      (if (ndv) Set("ndv") else Set.empty[String])
+      (if (ndv) Set("ndv") else Set.empty[String]) ++
+      (if (rid) Set("rowid") else Set.empty[String])
   }
 
   /** Per-file min/max of one stats column (inclusive). */
@@ -348,7 +384,8 @@ object VersionedTable {
     */
   final case class ManifestEntry(path: String, stats: Map[String, Stat],
                                  rows: Long = -1L,
-                                 dv: Option[DvRef] = None) {
+                                 dv: Option[DvRef] = None,
+                                 rowBase: Long = -1L) {
     /** Live (non-deleted) rows, when the physical count is known. */
     def liveRows: Long =
       if (rows < 0L) -1L else rows - dv.map(_.count).getOrElse(0L)
@@ -426,6 +463,31 @@ object VersionedTable {
 
   private val RowsTag = "#rows="
   private val DvTag = "#dv="
+  private val RowBaseTag = "#rowbase="
+  private val RowHwmTag = "#rowhwm="
+
+  /** ROW TRACKING (the Delta row-ids idea): every row of an enabled
+    * table has a STABLE long identity that survives rewrites.
+    *  - a file's rows get the implicit ids `rowBase + row_index`
+    *    (`#rowbase=` manifest token — metadata-only for fresh appends);
+    *  - a REWRITE (compact, CoW delete/update, OPTIMIZE, REPLACE
+    *    WHERE's remainder) MATERIALIZES surviving rows' ids into the
+    *    new files as a physical `_row_id` column (hidden from the
+    *    declared schema), and the id read rule is
+    *    `coalesce(materialized, rowBase + row_index)` — so brand-new
+    *    rows in the same file (a MERGE insert, REPLACE WHERE's
+    *    replacement) take fresh implicit ids from the file's base;
+    *  - the table-level HIGH-WATER MARK (`#rowhwm=` header, restated
+    *    sticky by [[publish]] and by checkpoints) advances by every
+    *    committed file's physical rows and NEVER goes backwards —
+    *    ids are never reused, even across RESTORE or vacuum.
+    * Feature-gated (`rowid`): a blind writer's rewrite would drop the
+    * materialized column and silently re-identify rows. MoR deletes
+    * preserve ids for free (positions don't move); the change feed and
+    * time travel read each version's own bases. Enable with
+    * [[enableRowIds]] (a metadata-only backfill commit).
+    */
+  val RowIdCol = "_row_id"
 
   private def parseEntry(line: String): ManifestEntry = {
     val toks = line.split('\t')
@@ -438,8 +500,11 @@ object VersionedTable {
       val Array(cnt, p) = t.stripPrefix(DvTag).split(":", 2)
       DvRef(p, cnt.toLong)
     }
+    val rowBase = toks.iterator.drop(1).find(_.startsWith(RowBaseTag))
+      .map(_.stripPrefix(RowBaseTag).toLong).getOrElse(-1L)
     val stats: Map[String, Stat] = toks.iterator.drop(1)
-      .filterNot(t => t.startsWith(RowsTag) || t.startsWith(DvTag))
+      .filterNot(t => t.startsWith(RowsTag) || t.startsWith(DvTag) ||
+        t.startsWith(RowBaseTag))
       .map { t =>
         val Array(c, range) = t.split("=", 2)
         if (range.startsWith(StrTag)) {
@@ -463,13 +528,15 @@ object VersionedTable {
           c -> ColStats(lo.toLong, hi.toLong)
         }
       }.toMap
-    ManifestEntry(toks.head, stats, rows, dv)
+    ManifestEntry(toks.head, stats, rows, dv, rowBase)
   }
 
   private def formatEntry(e: ManifestEntry): String =
     (e.path +:
       ((if (e.rows >= 0L) Seq(s"$RowsTag${e.rows}") else Seq.empty) ++
-        e.dv.map(d => s"$DvTag${d.count}:${d.path}").toSeq) ++:
+        e.dv.map(d => s"$DvTag${d.count}:${d.path}").toSeq ++
+        (if (e.rowBase >= 0L) Seq(s"$RowBaseTag${e.rowBase}")
+         else Seq.empty)) ++:
       e.stats.toSeq.sortBy(_._1).map {
         case (c, ColStats(lo, hi)) => s"$c=$lo..$hi"
         case (c, StrStats(lo, hi)) => s"$c=$StrTag${hexEnc(lo)}..${hexEnc(hi)}"
@@ -586,9 +653,14 @@ object VersionedTable {
     // on pre-gate tables thereby retro-declare their dv/ndv tokens
     val feats = featuresAsOf(base, v) ++
       featuresOfBody(entryLines.mkString("\n"))
+    // restate the row-id high-water mark: the truncated log must still
+    // answer rowHwmAsOf after vacuum drops the stamping markers
+    val hwm = if (feats.contains("rowid")) Some(rowHwmAsOf(base, v))
+              else None
     val body = ((if (feats.nonEmpty)
                    Seq(s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}")
                  else Seq.empty) ++
+      hwm.map(h => s"$RowHwmTag$h").toSeq ++
       schema.map(schemaHeader).toSeq ++ entryLines)
       .mkString("", "\n", "\n")
     // log-derived artifact: all-or-nothing replace via the seam
@@ -904,20 +976,30 @@ object VersionedTable {
   }
 
   private def readFiles(s: SparkSession, base: String, paths: Seq[String],
-                        schemaOpt: Option[StructType]): DataFrame = {
+                        schemaOpt: Option[StructType],
+                        withRowIdCol: Boolean = false): DataFrame = {
     val full = paths.map(p => s"$base/$p")
+    def plusId(st: StructType): StructType =
+      if (withRowIdCol) StructType(st.fields :+
+        StructField(RowIdCol, LongType, nullable = true))
+      else st
     schemaOpt match {
       // mapped table: files live under PHYSICAL names — read those
       // (renamed-away logicals would silently null-fill); callers
       // alias back to logical AFTER any _metadata derefs (metadata
       // columns resolve only on the file relation itself)
       case Some(st) if ColumnMapping.isMapped(st) =>
-        s.read.schema(forceNullable(ColumnMapping.physicalSchema(st)))
+        s.read.schema(forceNullable(plusId(ColumnMapping.physicalSchema(st))))
           .parquet(full: _*)
       // declared schema: old files null-fill evolved-in columns, and
       // nullability is relaxed (parquet writers vary on it)
-      case Some(st) => s.read.schema(forceNullable(st)).parquet(full: _*)
-      case None => s.read.parquet(full: _*)
+      case Some(st) =>
+        s.read.schema(forceNullable(plusId(st))).parquet(full: _*)
+      case None =>
+        val raw = s.read.parquet(full: _*)
+        if (withRowIdCol && !raw.columns.contains(RowIdCol))
+          raw.withColumn(RowIdCol, lit(null).cast("long"))
+        else raw
     }
   }
 
@@ -960,9 +1042,27 @@ object VersionedTable {
   private[graft] def readEntries(s: SparkSession, base: String,
                                  es: Seq[ManifestEntry],
                                  schemaOpt: Option[StructType],
-                                 withRel: Boolean = false): DataFrame = {
+                                 withRel: Boolean = false,
+                                 withRowIds: Boolean = false): DataFrame = {
+    if (withRowIds) {
+      val missing = es.filter(_.rowBase < 0L)
+      require(missing.isEmpty,
+        s"cannot read row ids from $base: ${missing.size} file(s) carry " +
+          s"no row-id base (e.g. ${missing.headOption.map(_.path)}) — " +
+          "enableRowIds backfills the snapshot")
+    }
     val (dvd, clean) = es.partition(_.dv.exists(_.count > 0L))
     val mapped = schemaOpt.exists(ColumnMapping.isMapped)
+    // per-file row-id bases, broadcast into the coalesce rule:
+    // id = coalesce(materialized _row_id, base + physical position)
+    lazy val basesDf = {
+      val sq = s; import sq.implicits._
+      es.map(e => (e.path, e.rowBase)).toDF("__rbrel", "__rbbase")
+    }
+    def withId(raw: DataFrame): DataFrame =
+      raw.join(broadcast(basesDf), raw("__rel") === col("__rbrel"))
+        .withColumn(RowIdCol,
+          coalesce(col(RowIdCol), col("__rbbase") + col("__pos")))
     // data columns, logical-named: identity for unmapped tables;
     // physical-as-logical aliases for mapped ones (tombstones gone)
     def dataCols(df: DataFrame): Seq[Column] = schemaOpt match {
@@ -971,29 +1071,37 @@ object VersionedTable {
           .map(f => col(ColumnMapping.physical(f)).as(f.name))
       case Some(st) => st.fieldNames.toSeq.map(col)
       case None => df.columns.toSeq
-        .filterNot(Seq("__rel", "__pos").contains).map(col)
+        .filterNot(Seq("__rel", "__pos", "__rbrel", "__rbbase",
+          RowIdCol).contains).map(col)
     }
     def projected(df: DataFrame): DataFrame =
       df.select((dataCols(df) ++
+        (if (withRowIds) Seq(col(RowIdCol)) else Nil) ++
         (if (withRel) Seq(col("__rel")) else Nil)): _*)
     val cleanDf =
       if (clean.isEmpty) None
       else {
-        val raw = readFiles(s, base, clean.map(_.path), schemaOpt)
-        Some(if (withRel) projected(raw.withColumn("__rel", relPathExpr))
-             else if (mapped) projected(raw)
-             else raw)
+        val raw = readFiles(s, base, clean.map(_.path), schemaOpt,
+          withRowIdCol = withRowIds)
+        Some(
+          if (withRowIds)
+            projected(withId(raw.withColumn("__rel", relPathExpr)
+              .withColumn("__pos", col("_metadata.row_index"))))
+          else if (withRel) projected(raw.withColumn("__rel", relPathExpr))
+          else if (mapped) projected(raw)
+          else raw)
       }
     val dvdDf =
       if (dvd.isEmpty) None
       else {
-        val raw = readFiles(s, base, dvd.map(_.path), schemaOpt)
+        val raw = readFiles(s, base, dvd.map(_.path), schemaOpt,
+          withRowIdCol = withRowIds)
           .withColumn("__rel", relPathExpr)
           .withColumn("__pos", col("_metadata.row_index"))
         val alive = raw.join(broadcast(dvPositionsFrame(s, base, dvd)),
           raw("__rel") === col("__dvrel") && raw("__pos") === col("__dvpos"),
           "left_anti")
-        Some(projected(alive))
+        Some(projected(if (withRowIds) withId(alive) else alive))
       }
     (cleanDf, dvdDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -1054,6 +1162,69 @@ object VersionedTable {
     val v = latestVersion(base).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $base"))
     readVersion(s, base, v)
+  }
+
+  /** [[readVersion]] with the stable `_row_id` column appended — the
+    * ROW TRACKING read surface (see [[RowIdCol]]). Each version reads
+    * its own bases, so time travel yields the ids rows had THEN (and a
+    * surviving row's id is identical across versions — the property
+    * incremental consumers join on).
+    */
+  def readVersionWithRowIds(s: SparkSession, base: String,
+                            v: Long): DataFrame = {
+    val (es, schema) = replay(base, v)
+    require(es.nonEmpty,
+      s"version $v of $base is empty — no rows to carry ids")
+    readEntries(s, base, es, schema, withRowIds = true)
+  }
+
+  def readLatestWithRowIds(s: SparkSession, base: String): DataFrame = {
+    val v = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $base"))
+    readVersionWithRowIds(s, base, v)
+  }
+
+  /** Enable ROW TRACKING: one METADATA-ONLY backfill commit that
+    * assigns every live file its implicit id span (`#rowbase=` token —
+    * zero data movement, O(files) manifest lines, the Delta
+    * backfill shape) and stamps the `rowid` protocol feature + the
+    * high-water mark. Idempotent when already fully enabled. Refuses
+    * tables whose files predate row counts (compact first) or that
+    * declare a column named `_row_id` (reserved). From then on every
+    * commit allocates spans automatically and every REWRITE preserves
+    * surviving rows' ids by materializing them.
+    */
+  def enableRowIds(base: String): Long = retrying(5) {
+    val latest = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $base"))
+    val (es, schema) = replay(base, latest)
+    schema.foreach(st => require(
+      !ColumnMapping.visible(st).fieldNames.contains(RowIdCol),
+      s"table declares a column named $RowIdCol — reserved for row " +
+        "tracking; rename it first"))
+    if (es.nonEmpty && es.forall(_.rowBase >= 0L) &&
+        featuresAsOf(base, latest).contains("rowid")) latest // idempotent
+    else {
+      require(es.forall(_.rows >= 0L),
+        s"cannot enable row ids on $base: some files predate row " +
+          "counts — compact (rewrite) first")
+      var h = rowHwmAsOf(base, latest)
+      val lines = es.map { e =>
+        if (e.rowBase >= 0L) formatEntry(e)
+        else { val b = h; h += e.rows; formatEntry(e.copy(rowBase = b)) }
+      }
+      val feats = (featuresAsOf(base, latest) + "rowid").toSeq.sorted
+      val body = (Seq("#op=enable_rowids",
+        s"$FeaturesTag${feats.mkString(",")}",
+        s"$RowHwmTag$h") ++
+        schema.map(schemaHeader).toSeq ++
+        lines.map("+" + _)).mkString("", "\n", "\n")
+      val v = latest + 1L
+      publish(base, v, body)
+      if (v % CheckpointEvery == 0)
+        try writeCheckpoint(base, v) catch { case _: Exception => () }
+      v
+    }
   }
 
   /** Append `df` as a new version: writes ONLY the delta's files and a
@@ -1538,9 +1709,12 @@ object VersionedTable {
               "— the replace would be silently incomplete")
         }
       }
+      // remainder rows keep their ids (materialized); the replacement
+      // frame has none and takes fresh implicit ids from its file base
+      val rid = featuresAsOf(base, prevV.get).contains("rowid")
       val newState =
         if (touched.isEmpty) df
-        else readEntries(s, base, touched, schema)
+        else readEntries(s, base, touched, schema, withRowIds = rid)
           .filter(!coalesce(rowPred, lit(false)))
           .unionByName(df, allowMissingColumns = true)
       commitAt(s, base, newState, "replace_where", statsCols, prevV,
@@ -1630,7 +1804,11 @@ object VersionedTable {
               s"rowPred live in the ${untouched.size} file(s) pruneRanges " +
               "excluded — the delete would be silently incomplete")
         }
-        val remaining = readEntries(s, base, touched, schema)
+        // row tracking: surviving rows keep their ids — read them and
+        // MATERIALIZE into the rewritten files (the rewrite contract)
+        val rid = featuresAsOf(base, prevV.get).contains("rowid")
+        val remaining = readEntries(s, base, touched, schema,
+          withRowIds = rid)
           .filter(!rowPred)
         commitAt(s, base, remaining, "delete", statsCols, prevV,
           beforePublish = beforePublish,
@@ -1707,7 +1885,9 @@ object VersionedTable {
           val touched = pruneTyped(es, mapped)
           if (touched.isEmpty) prevV.get
           else {
-            val rows = readEntries(s, base, touched, schema)
+            val rid = featuresAsOf(base, prevV.get).contains("rowid")
+            val rows = readEntries(s, base, touched, schema,
+              withRowIds = rid)
             val side = if (n <= probeLimit) broadcast(k) else k
             val remaining = rows.join(side,
               rows(keyCol) === side(keyCol), "left_anti")
@@ -1899,7 +2079,11 @@ object VersionedTable {
       val touched = pruneTyped(es, mapped)
       if (touched.isEmpty) prevV.get
       else {
-        val rows = readEntries(s, base, touched, schema)
+        // updated rows KEEP their identity (the row-tracking UPDATE
+        // contract: an update is a new version of the same row)
+        val rid = featuresAsOf(base, prevV.get).contains("rowid")
+        val rows = readEntries(s, base, touched, schema,
+          withRowIds = rid)
         val setMap = sets.toMap
         setMap.keys.foreach(c => require(rows.columns.contains(c),
           s"SET column '$c' is not a table column " +
@@ -1960,8 +2144,13 @@ object VersionedTable {
     retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to compact in $base")
-      val snap = readVersion(s, base, prevV.get).repartition(numFiles)
-      val prevPaths = entries(base, prevV.get).map(_.path)
+      val (es0, schema0) = replay(base, prevV.get)
+      val rid = es0.nonEmpty &&
+        featuresAsOf(base, prevV.get).contains("rowid")
+      val snap = (if (rid) readEntries(s, base, es0, schema0,
+        withRowIds = true) else readVersion(s, base, prevV.get))
+        .repartition(numFiles)
+      val prevPaths = es0.map(_.path)
       // file-local maintenance: reads exactly prevPaths, commutes with
       // concurrent appends (they stay live uncompacted)
       commitAt(s, base, snap, "compact", statsCols, prevV,
@@ -2004,7 +2193,9 @@ object VersionedTable {
         val totalSmall = small.map(_._2).sum
         val outFiles = math.max(1L,
           (totalSmall + targetBytes - 1L) / targetBytes).toInt
-        val packed = readEntries(s, base, small.map(_._1), schema)
+        val rid = featuresAsOf(base, prevV.get).contains("rowid")
+        val packed = readEntries(s, base, small.map(_._1), schema,
+          withRowIds = rid)
           .repartition(outFiles)
         // rewritten files keep the table's stats discipline, like
         // DML rewrites — pruning never silently degrades
@@ -2041,11 +2232,15 @@ object VersionedTable {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to optimize in $base")
       val z = zValueN(zCols.map(c => col(c).cast("long")))
-      val snap = readVersion(s, base, prevV.get)
+      val (es0, schema0) = replay(base, prevV.get)
+      val rid = es0.nonEmpty &&
+        featuresAsOf(base, prevV.get).contains("rowid")
+      val snap = (if (rid) readEntries(s, base, es0, schema0,
+        withRowIds = true) else readVersion(s, base, prevV.get))
         .repartitionByRange(numFiles, z)
         .sortWithinPartitions(z)
       val stats = (statsCols ++ zCols).distinct
-      val prevPaths = entries(base, prevV.get).map(_.path)
+      val prevPaths = es0.map(_.path)
       // an EXPLICIT layout change: z-clustering replaces any bucket
       // layout (the two shuffles contradict) — the claim voids with
       // the rewritten files, readers fall back to shuffling
@@ -2070,9 +2265,13 @@ object VersionedTable {
     retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to rebucket in $base")
-      val snap = readVersion(s, base, prevV.get)
+      val (es0, schema0) = replay(base, prevV.get)
+      val rid = es0.nonEmpty &&
+        featuresAsOf(base, prevV.get).contains("rowid")
+      val snap = if (rid) readEntries(s, base, es0, schema0,
+        withRowIds = true) else readVersion(s, base, prevV.get)
       val (sc, bc) = statsDiscipline(base)
-      val prevPaths = entries(base, prevV.get).map(_.path)
+      val prevPaths = es0.map(_.path)
       commitAt(s, base, snap, "rebucket", (statsCols ++ sc).distinct,
         prevV, bloomCols = bc, bucketBy = Some((bucketCol, n)),
         footprint = ReadScope(prevPaths.toSet, None))(
@@ -2101,7 +2300,9 @@ object VersionedTable {
       if (touched.isEmpty) prevV.get
       else {
         val z = zValueN(zCols.map(c => col(c).cast("long")))
-        val packed = readEntries(s, base, touched, schema)
+        val rid = featuresAsOf(base, prevV.get).contains("rowid")
+        val packed = readEntries(s, base, touched, schema,
+          withRowIds = rid)
           .repartitionByRange(numFiles, z)
           .sortWithinPartitions(z)
         val (zc, bc) = statsDiscipline(base)
@@ -2806,6 +3007,11 @@ object VersionedTable {
                        inheritBucket: Boolean = true,
                        footprint: ReadFootprint = ReadEverything)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
+    // ONE replay of the previous snapshot feeds both sticky
+    // disciplines below (NDV + bucket) — driver-plane, O(files +
+    // commits-since-checkpoint), paid once per commit
+    lazy val prevSnap: Option[(Seq[ManifestEntry], Option[StructType])] =
+      prevV.map(replay(base, _))
     // the NDV discipline is TABLE-STICKY: once any live file carries a
     // column's sketch, every later commit re-collects it (append, DML
     // rewrite, compaction alike) — declare ndvCols once at first
@@ -2815,8 +3021,17 @@ object VersionedTable {
     val effNdvCols = {
       val declared =
         if (ndvCols.nonEmpty) ndvCols
-        else if (prevV.isDefined) ndvDiscipline(base)
-        else Nil
+        else prevSnap.map { case (pes, pschema) =>
+          val logical = pschema match {
+            case Some(st) if ColumnMapping.isMapped(st) =>
+              val m = ColumnMapping.toLogical(st)
+              (k: String) => m.get(k)
+            case _ => (k: String) => Some(k)
+          }
+          pes.flatMap(_.stats.keys).distinct
+            .filter(_.endsWith("#kmv")).map(_.stripSuffix("#kmv"))
+            .flatMap(logical)
+        }.getOrElse(Nil)
       // a frame lacking the column (projection commits, evolving
       // merges) just skips its sketch — ndvEstimates then refuses
       // that column rather than understating (graceful degrade, the
@@ -2865,8 +3080,7 @@ object VersionedTable {
     // fall back to shuffling, the safe degrade.
     val effBucketBy: Option[(String, Int)] = bucketBy.orElse {
       if (!inheritBucket) None
-      else prevV.flatMap { pv =>
-        val (pes, pschema) = replay(base, pv)
+      else prevSnap.flatMap { case (pes, pschema) =>
         bucketSpecOf(pes).flatMap { case (physCol, n) =>
           (pschema match {
             case Some(st) if ColumnMapping.isMapped(st) =>
@@ -2888,8 +3102,18 @@ object VersionedTable {
         s"(murmur3 hash stability across engines/types), got " +
         s"${df.schema(c).dataType}")
     }
-    val declared = mergeSchema(prevV.flatMap(declaredSchema(base, _)),
-      df.schema)
+    // ROW TRACKING: on an enabled table every commit allocates a
+    // fresh [hwm, hwm + rows) id span per written file; a frame
+    // carrying the materialized `_row_id` column (a rewrite that read
+    // withRowIds) writes it into the files — hidden from the declared
+    // schema, read back through the coalesce rule. See [[RowIdCol]].
+    val rowIds = prevV.exists(v => featuresAsOf(base, v).contains("rowid"))
+    require(rowIds || !df.columns.contains(RowIdCol),
+      s"frame carries $RowIdCol but row tracking is not enabled on " +
+        s"$base (enableRowIds first, or rename the column — it is " +
+        "reserved for stable row identity)")
+    val declared = mergeSchema(prevSnap.flatMap(_._2),
+      StructType(df.schema.filterNot(_.name == RowIdCol)))
     // mapped table: data files live under PHYSICAL names — rename the
     // frame (and the stats/bloom/ndv token names) before writing, so
     // renames never touch data and stats tokens survive them
@@ -2958,14 +3182,28 @@ object VersionedTable {
     // unprunable zero-row entries (the scan always runs now: the row
     // count is a manifest column even without declared stats columns)
     val liveNames = freshNames.filter(stats.contains)
-    val freshLines = liveNames.map { n =>
-      val (rows, st) = stats(n)
-      formatEntry(ManifestEntry(s"$dataDir/$n", st, rows))
+    // entry lines as a function of the row-id watermark: a lost race
+    // must RE-ALLOCATE id spans at the new head (two winners from the
+    // same pinned hwm would mint duplicate identities) — bases are
+    // manifest-only, so reallocation is a line rewrite, never a data
+    // rewrite, and the disjoint-race republish stays cheap
+    def entryLinesAt(h0: Long): (Seq[String], Long) = {
+      var h = h0
+      val ls = liveNames.map { n =>
+        val (rows, st) = stats(n)
+        val rb = if (rowIds) { val b = h; h += rows; b } else -1L
+        formatEntry(ManifestEntry(s"$dataDir/$n", st, rows, rowBase = rb))
+      }
+      (ls, h)
     }
-    val (addLines, removePaths) = mkDelta(freshLines)
+    val (freshLines, hwm0) =
+      entryLinesAt(if (rowIds) rowHwmAsOf(base, prevV.get) else 0L)
+    var (addLines, removePaths) = mkDelta(freshLines)
+    var curHwm = hwm0
     beforePublish()
     def mkBody(decl: StructType): String =
       (Seq(s"#op=$op", schemaHeader(decl)) ++
+        (if (rowIds) Seq(s"$RowHwmTag$curHwm") else Seq.empty) ++
         txn.map { case (appId, tv) => s"#txn=$appId\t$tv" }.toSeq ++
         addLines.map("+" + _) ++ removePaths.map("-" + _))
         .mkString("", "\n", "\n")
@@ -3035,6 +3273,12 @@ object VersionedTable {
           // would drop columns a winner evolved in)
           decl = mergeSchema(declaredSchema(base, head), decl)
           attemptV = head + 1L
+          if (rowIds) {
+            // re-allocate id spans above the winners' watermark
+            val (ls, h) = entryLinesAt(rowHwmAsOf(base, head))
+            val d = mkDelta(ls)
+            addLines = d._1; removePaths = d._2; curHwm = h
+          }
       }
     }
     if (attemptV % CheckpointEvery == 0)
@@ -3166,6 +3410,15 @@ object VersionedTable {
           !body.linesIterator.exists(_.startsWith(FeaturesTag)))
         s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}\n"
       else ""
+    // row-id high-water mark is STICKY like features: a non-allocating
+    // commit (restore, MoR swap, alter, clone) restates the previous
+    // value so the reverse walk in rowHwmAsOf stays bounded and a
+    // RESTORE can never roll the mark back (id reuse = corruption)
+    val hwmLine =
+      if (v > 1L && feats.contains("rowid") &&
+          !body.linesIterator.exists(_.startsWith(RowHwmTag)))
+        s"$RowHwmTag${rowHwmAsOf(base, v - 1L)}\n"
+      else ""
     // in-commit timestamp, strictly increasing by version (see
     // commitTimestamp): rapid commits and backwards clocks both bump.
     // Stamped HERE so every commit path — append/replace/merge,
@@ -3173,8 +3426,9 @@ object VersionedTable {
     val ts = math.max(System.currentTimeMillis(),
       (if (v > 1L) commitTimestamp(base, v - 1L).getOrElse(0L) else 0L) + 1L)
     val stamped =
-      if (body.linesIterator.exists(_.startsWith("#ts="))) featLine + body
-      else s"#ts=$ts\n$featLine$body"
+      if (body.linesIterator.exists(_.startsWith("#ts=")))
+        featLine + hwmLine + body
+      else s"#ts=$ts\n$featLine$hwmLine$body"
     // storage seam: create-exclusive through the path's LogStore —
     // POSIX hard-link by default; an object-store deployment plugs a
     // conditional-PUT implementation (see LogStore's contract)

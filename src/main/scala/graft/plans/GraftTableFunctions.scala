@@ -75,6 +75,24 @@ object GraftTableFunctions {
             StructField("version", LongType))))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_with_row_ids"),
+      new ExpressionInfo(getClass.getCanonicalName, "graft_with_row_ids"),
+      (args: Seq[Expression]) => {
+        // ROW TRACKING in SQL: the table with its stable `_row_id`
+        // column appended — `SELECT * FROM graft_with_row_ids('t')`
+        // (optionally at a pinned version) joins across versions by
+        // identity, the incremental-consumer shape q194 pins.
+        require(args.length == 1 || args.length == 2,
+          "graft_with_row_ids(table[, version])")
+        val s = SparkSession.active
+        val base = resolveBase(s, strArg(args.head, "graft_with_row_ids"))
+        val v = if (args.length == 2) longArg(args(1))
+                else VersionedTable.latestVersion(base).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"no graft table at $base (never committed)"))
+        VersionedTable.readVersionWithRowIds(s, base, v)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_detail"),
       new ExpressionInfo(getClass.getCanonicalName, "graft_detail"),
       (args: Seq[Expression]) => {
@@ -104,10 +122,14 @@ object GraftTableFunctions {
         // (q192's SPJ claim) — '' when any file is unbucketed
         val bkt = VersionedTable.bucketSpecOf(es)
           .map { case (c, n) => s"$c:$n" }.getOrElse("")
+        // row tracking: the id high-water mark, -1 when not enabled
+        val hwm = if (VersionedTable.featuresAsOf(base, v)
+            .contains("rowid")) VersionedTable.rowHwmAsOf(base, v)
+          else -1L
         val row = org.apache.spark.sql.Row(v, es.size, rows, bytes,
           es.count(_.dv.exists(_.count > 0L)),
           zc.sorted.mkString(","), bc.sorted.mkString(","), cons, ndv,
-          bkt)
+          bkt, hwm)
         s.createDataFrame(Seq(row).asJava,
           StructType(Seq(
             StructField("version", LongType),
@@ -119,7 +141,8 @@ object GraftTableFunctions {
             StructField("bloom_cols", StringType),
             StructField("constraints", StringType),
             StructField("ndv_estimates", StringType),
-            StructField("bucket_spec", StringType))))
+            StructField("bucket_spec", StringType),
+            StructField("row_id_hwm", LongType))))
           .queryExecution.logical
       }))
 

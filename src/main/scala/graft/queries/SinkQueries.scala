@@ -3358,6 +3358,115 @@ object SinkQueries {
         ORDER BY 1
       """),
       // bench=false: fixture-write-dominated like q191
+      bench = false),
+
+    // q194: ROW TRACKING under the oracle gate (r13) — stable row
+    // identity across rewrites, verified the only way that can't lie:
+    // JOIN TWO VERSIONS ON _row_id. Fixture: lineitem per eighth-bin,
+    // enableRowIds (metadata-only backfill), then a CoW delete (bin
+    // 2), an UPDATE (bin 5, qty ×7) and a COMPACTION (full rewrite).
+    // The final state joins back to the pre-maintenance snapshot on
+    // _row_id: every surviving row must pair with ITSELF — the
+    // `mismatches` column (old key ≠ new key under the same id) is
+    // pinned 0 by the oracle, and the per-bin aggregates of the
+    // JOINED frame hash-check against raw-lineitem arithmetic. If
+    // compaction or the delete/update rewrites had re-identified rows
+    // (the failure row tracking exists to prevent), the id join would
+    // pair wrong rows and every downstream number would shift.
+    Q("q194_row_tracking",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q194")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"),
+            col("l_linenumber"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("qty_e2"),
+                  col("l_linenumber")).coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        VersionedTable.enableRowIds(base)
+        val v0 = VersionedTable.latestVersion(base).get
+        def ext(bn: Long): (Long, Long) = {
+          val r = binned.filter(col("bin") === bn)
+            .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (d2lo, d2hi) = ext(2L)
+        val (d5lo, d5hi) = ext(5L)
+        VersionedTable.commitDelete(s, base,
+          col("l_orderkey").between(d2lo, d2hi),
+          pruneRanges = Seq(("l_orderkey", d2lo, d2hi)),
+          statsCols = Seq("l_orderkey"))
+        VersionedTable.commitUpdate(s, base,
+          col("l_orderkey").between(d5lo, d5hi),
+          Seq("qty_e2" -> (col("qty_e2") * 7)),
+          pruneRanges = Seq(("l_orderkey", d5lo, d5hi)),
+          statsCols = Seq("l_orderkey"))
+        VersionedTable.compact(s, base, numFiles = 4,
+          statsCols = Seq("l_orderkey"))
+        val old = VersionedTable.readVersionWithRowIds(s, base, v0)
+          .select(col("l_orderkey").as("okey0"),
+            col("l_linenumber").as("ln0"),
+            col(VersionedTable.RowIdCol).as("rid0"))
+        val neu = VersionedTable.readLatestWithRowIds(s, base)
+        val out = neu.join(old,
+            neu(VersionedTable.RowIdCol) === old("rid0"))
+          .withColumn("bin",
+            expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty_e2")).as("qty_e2"),
+            sum(when(col("okey0") =!= col("l_orderkey") ||
+              col("ln0") =!= col("l_linenumber"), 1L)
+              .otherwise(0L)).as("mismatches"))
+          .orderBy(col("bin"))
+        val res = out.collect()
+        t.unpersist()
+        val sq = s
+        import sq.implicits._
+        res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+          .toDF("bin", "n_rows", "qty_e2", "mismatches")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 l_linenumber
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), binned AS (
+          SELECT l_orderkey, qty_e2,
+                 (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty_e2 *
+                 (CASE WHEN bin = 5 THEN 7 ELSE 1 END)) AS BIGINT)
+                 AS qty_e2,
+               CAST(0 AS BIGINT) AS mismatches
+        FROM binned
+        WHERE bin <> 2
+        GROUP BY bin
+        ORDER BY bin
+      """),
+      // bench=false: fixture-write-dominated like q191/q193
       bench = false)
   )
 }

@@ -399,6 +399,13 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             : org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            overwrite: Boolean) => {
+            // _row_id is the engine's stable row identity (row
+            // tracking): only the commit protocol's own rewrites may
+            // write it — user-supplied values would mint duplicate or
+            // colliding identities
+            require(!data.columns.contains(VersionedTable.RowIdCol),
+              s"column ${VersionedTable.RowIdCol} is reserved for row " +
+                "tracking (engine-assigned); drop or rename it")
             // ACCEPT_ANY_SCHEMA means Spark hands the source frame over
             // unaligned: match it to the declared schema BY NAME when
             // every declared column is present (extra columns EVOLVE the

@@ -85,7 +85,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
       "zorder_by", "zorder_where", "analyze",
-      "create_tag", "drop_tag", "clone", "rebucket")
+      "create_tag", "drop_tag", "clone", "rebucket", "enable_row_ids")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -224,6 +224,14 @@ private[sources] object GraftProcedures {
             base(in), tableBase(in.getUTF8String(1).toString),
             if (v <= 0L) None else Some(v)))
         }))
+      case "enable_row_ids" => Some(new Proc("enable_row_ids",
+        "enable ROW TRACKING: one metadata-only backfill commit " +
+          "assigns every live file its implicit id span; rewrites " +
+          "preserve surviving rows' ids from then on (read them via " +
+          "graft_with_row_ids(t) or the library surface)",
+        Seq(tableParam),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.enableRowIds(base(in)))))
       case "rebucket" => Some(new Proc("rebucket",
         "OPTIMIZE REBUCKET: rewrite the latest snapshot hash-bucketed " +
           "num_buckets ways on column -- establishes (or changes) the " +

@@ -2892,18 +2892,46 @@ object VersionedTable {
     * precondition Delta's CDF-by-file read has).
     */
   def changesPerCommit(s: SparkSession, base: String, fromV: Long, toV: Long,
-                       keyCol: String): DataFrame = {
+                       keyCol: String): DataFrame =
+    changesPerCommitBy(s, base, fromV, toV, keyCol, withRowIds = false)
+
+  /** [[changesPerCommit]] keyed by the STABLE ROW ID instead of a user
+    * key column — the exact-CDC surface row tracking buys: updates
+    * pair pre/post-image by IDENTITY (no uniqueness assumption on any
+    * data column), a pure rewrite (compaction, OPTIMIZE, REBUCKET)
+    * emits NOTHING by construction (same ids, same values — where
+    * key-based CDC needs the key to be unique to get that), and a MoR
+    * delete emits exactly the newly soft-deleted rows. Requires the
+    * table's range to be row-tracking enabled.
+    */
+  def changesByRowId(s: SparkSession, base: String, fromV: Long,
+                     toV: Long): DataFrame =
+    changesPerCommitBy(s, base, fromV, toV, RowIdCol, withRowIds = true)
+
+  private def changesPerCommitBy(s: SparkSession, base: String,
+                                 fromV: Long, toV: Long, keyCol: String,
+                                 withRowIds: Boolean): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     val frames = ((fromV + 1) to toV).map { v =>
       val (_, adds, removes) = commitDelta(base, v)
       val schemaOpt = replay(base, v)._2
       def readSet(set: Seq[ManifestEntry]): DataFrame =
-        if (set.isEmpty) emptyFrame(s, base, v, schemaOpt)
-        else readEntries(s, base, set, schemaOpt)
-      val after = readSet(adds)
+        if (set.isEmpty) {
+          val e = emptyFrame(s, base, v, schemaOpt)
+          if (withRowIds) e.withColumn(RowIdCol, lit(null).cast("long"))
+          else e
+        } else readEntries(s, base, set, schemaOpt,
+          withRowIds = withRowIds)
       val tagged =
         if (removes.isEmpty) {
-          // pure append: the added files' rows ARE the inserts
+          // pure append — but a RESTATEMENT commit (enable_rowids
+          // republishes every live entry under the same path) adds
+          // paths that were ALREADY live: those rows are not changes.
+          // Only never-before-live paths are inserts.
+          val live = if (v == 1L) Set.empty[String]
+                     else entries(base, v - 1L).map(_.path).toSet
+          val freshAdds = adds.filterNot(e => live.contains(e.path))
+          val after = readSet(freshAdds)
           val valCols = after.columns.filterNot(_ == keyCol).toSeq
           after.select((col(keyCol) +:
             (valCols.map(c => lit(null).cast(after.schema(c).dataType)
@@ -2916,7 +2944,7 @@ object VersionedTable {
           // commit (a MoR delete swaps the dv token, so before/after
           // diff exactly the newly soft-deleted rows)
           val prevByPath = entries(base, v - 1L).map(e => e.path -> e).toMap
-          diffFrames(readSet(removes.map(prevByPath)), after, keyCol)
+          diffFrames(readSet(removes.map(prevByPath)), readSet(adds), keyCol)
         }
       tagged.select(lit(v).as("version") +: tagged.columns.map(col): _*)
     }

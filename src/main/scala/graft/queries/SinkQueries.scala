@@ -3467,6 +3467,119 @@ object SinkQueries {
         ORDER BY bin
       """),
       // bench=false: fixture-write-dominated like q191/q193
+      bench = false),
+
+    // q195: CDC BY IDENTITY under the oracle gate (r13) — the change
+    // feed keyed by the stable _row_id instead of a user key: updates
+    // pair pre/post-image by IDENTITY (no uniqueness assumption on
+    // any data column — lineitem's orderkey is NOT unique, exactly
+    // the table where key-based CDC degrades), and a pure rewrite
+    // emits NOTHING by construction. Fixture: per-bin lineitem,
+    // enableRowIds, then UPDATE (bin 5, qty ×7), COMPACTION (the
+    // silence test — with a non-unique key a compaction would pair
+    // wrong rows; by id it cancels exactly), CoW DELETE (bin 2), and
+    // an append (linenumber-2 rows). The whole feed aggregates per
+    // change_type and hash-checks against raw-lineitem arithmetic —
+    // one spurious compaction row, one mispaired update, one dropped
+    // delete and the totals shift.
+    Q("q195_cdc_by_rowid",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val base = graft.TempDirs.scoped("graft_q195")
+        val t = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"),
+            col("l_linenumber"))
+          .persist()
+        val b = t.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val (olo, ohi) = (b.getLong(0), b.getLong(1))
+        val span = ohi - olo + 1
+        val binned = t.withColumn("bin",
+          expr(s"(l_orderkey - ${olo}L) * 8 div ${span}L"))
+        binned.select(col("bin")).distinct()
+          .collect().map(_.getLong(0)).sorted.foreach { bn =>
+            VersionedTable.commitAppend(s, base,
+              binned.filter(col("bin") === bn)
+                .select(col("l_orderkey"), col("qty_e2"),
+                  col("l_linenumber")).coalesce(1),
+              statsCols = Seq("l_orderkey"))
+          }
+        val v0 = VersionedTable.enableRowIds(base)
+        def ext(bn: Long): (Long, Long) = {
+          val r = binned.filter(col("bin") === bn)
+            .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (u5lo, u5hi) = ext(5L)
+        val (d2lo, d2hi) = ext(2L)
+        VersionedTable.commitUpdate(s, base,
+          col("l_orderkey").between(u5lo, u5hi),
+          Seq("qty_e2" -> (col("qty_e2") * 7)),
+          pruneRanges = Seq(("l_orderkey", u5lo, u5hi)),
+          statsCols = Seq("l_orderkey"))
+        VersionedTable.compact(s, base, numFiles = 3,
+          statsCols = Seq("l_orderkey"))
+        VersionedTable.commitDelete(s, base,
+          col("l_orderkey").between(d2lo, d2hi),
+          pruneRanges = Seq(("l_orderkey", d2lo, d2hi)),
+          statsCols = Seq("l_orderkey"))
+        VersionedTable.commitAppend(s, base,
+          t.filter(col("l_linenumber") === 2)
+            .select(col("l_orderkey"), col("qty_e2"),
+              col("l_linenumber")).coalesce(1),
+          statsCols = Seq("l_orderkey"))
+        val head = VersionedTable.latestVersion(base).get
+        val out = VersionedTable.changesByRowId(s, base, v0, head)
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("qty_e2_old")), lit(-1L)).as("qty_old"),
+            coalesce(sum(col("qty_e2_new")), lit(-1L)).as("qty_new"))
+          .orderBy(col("change_type"))
+        val res = out.collect()
+        t.unpersist()
+        val sq = s
+        import sq.implicits._
+        res.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+          .toDF("change_type", "n_rows", "qty_old", "qty_new")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qty_e2,
+                 l_linenumber
+          FROM lineitem
+        ), b AS (
+          SELECT MIN(l_orderkey) AS olo,
+                 MAX(l_orderkey) - MIN(l_orderkey) + 1 AS span
+          FROM t
+        ), binned AS (
+          SELECT l_orderkey, qty_e2, l_linenumber,
+                 (l_orderkey - olo) * 8 // span AS bin
+          FROM t, b
+        )
+        SELECT * FROM (
+          SELECT 'delete' AS change_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(qty_e2) AS BIGINT) AS qty_old,
+                 CAST(-1 AS BIGINT) AS qty_new
+          FROM binned WHERE bin = 2
+          UNION ALL
+          SELECT 'insert',
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(-1 AS BIGINT),
+                 CAST(SUM(qty_e2) AS BIGINT)
+          FROM binned WHERE l_linenumber = 2
+          UNION ALL
+          SELECT 'update',
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(qty_e2) AS BIGINT),
+                 CAST(SUM(qty_e2) * 7 AS BIGINT)
+          FROM binned WHERE bin = 5
+        ) ORDER BY change_type
+      """),
+      // bench=false: fixture-write-dominated like q194
       bench = false)
   )
 }

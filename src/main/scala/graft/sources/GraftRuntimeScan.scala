@@ -148,14 +148,61 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
         .flatMap { case (c, est) => toLogical.get(c).orElse(
           if (graft.operators.ColumnMapping.isMapped(schema)) None
           else Some(c)).map(_ -> est) }
+      // zone-map extrema folded table-level → CBO min/max: what lets
+      // FilterEstimation scale a range predicate's selectivity (and
+      // every broadcast decision downstream of it) without an ANALYZE
+      // scan. A column reports only when EVERY live file carries its
+      // map; values are catalyst-internal per the declared type. DV'd
+      // files make extrema upper bounds — fine for an ESTIMATE (the
+      // exact-answer surface, aggregate pushdown, still refuses).
+      val minMax: Map[String, (Any, Any)] = {
+        val tokenCols = entries.head.stats.collect {
+          case (k, _: VersionedTable.ColStats) => k }.toSeq
+        tokenCols.flatMap { k =>
+          val per = entries.map(_.stats.get(k))
+          val all = per.collect {
+            case Some(VersionedTable.ColStats(lo, hi)) => (lo, hi) }
+          if (all.size != entries.size) None
+          else {
+            val toLogical2 = graft.operators.ColumnMapping.toLogical(schema)
+            toLogical2.get(k).orElse(
+              if (graft.operators.ColumnMapping.isMapped(schema)) None
+              else Some(k))
+            .flatMap { c =>
+              schema.fields.find(_.name == c).map(_.dataType).collect {
+                case org.apache.spark.sql.types.ByteType =>
+                  c -> ((all.map(_._1).min.toByte: Any),
+                    (all.map(_._2).max.toByte: Any))
+                case org.apache.spark.sql.types.ShortType =>
+                  c -> (all.map(_._1).min.toShort, all.map(_._2).max.toShort)
+                case org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.DateType =>
+                  c -> (all.map(_._1).min.toInt, all.map(_._2).max.toInt)
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.TimestampType =>
+                  c -> (all.map(_._1).min, all.map(_._2).max)
+              }
+            }
+          }
+        }.toMap
+      }
       val colStats = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      ndv.foreach { case (c, est) =>
+      (ndv.keySet ++ minMax.keySet).foreach { c =>
         colStats.put(Expressions.column(c),
           new org.apache.spark.sql.connector.read.colstats
             .ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(est)
+              ndv.get(c).map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              minMax.get(c).map(p => java.util.Optional.of(
+                p._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              minMax.get(c).map(p => java.util.Optional.of(
+                p._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
           })
       }
       new Statistics {

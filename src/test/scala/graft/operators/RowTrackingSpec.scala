@@ -133,6 +133,47 @@ class RowTrackingSpec extends SparkSuite {
           ON n._row_id = o._row_id""").head().getLong(0) === 25L)
   }
 
+  test("CDC by identity: updates pair by id, rewrites emit NOTHING, " +
+      "MoR deletes emit exactly the soft-deleted rows") {
+    val base = TempDirs.scoped("vt_rowids_cdc")
+    VersionedTable.commitAppend(spark, base,
+      kv((0L until 40L).map(k => (k, k))).coalesce(2), statsCols = Seq("k"))
+    val v0 = VersionedTable.enableRowIds(base) // v2
+    VersionedTable.commitUpdate(spark, base, col("k") < 5L,
+      Seq("v" -> (col("v") + 1000L)),
+      pruneRanges = Seq(("k", Long.MinValue, 4L)), statsCols = Seq("k")) // v3
+    VersionedTable.compact(spark, base, 1, statsCols = Seq("k")) // v4
+    VersionedTable.commitDeleteMoR(spark, base, col("k") === 7L,
+      Seq(("k", 7L, 7L))) // v5
+    VersionedTable.commitAppend(spark, base, kv(Seq((100L, 1L)))) // v6
+    val head = VersionedTable.latestVersion(base).get
+    assert(head === 6L)
+    val feed = VersionedTable.changesByRowId(spark, base, v0, head)
+      .select(col("version"), col(RowIdCol), col("k_old"), col("k_new"),
+        col("v_old"), col("v_new"), col("change_type"))
+      .collect()
+    // the UPDATE: 5 update rows pairing old/new values under one id
+    val ups = feed.filter(r => r.getLong(0) == 3L)
+    assert(ups.length === 5)
+    assert(ups.forall(r => r.getString(6) == "update" &&
+      r.getLong(2) == r.getLong(3) && // same key under the same id
+      r.getLong(5) == r.getLong(4) + 1000L))
+    // the COMPACTION: a pure rewrite is NOT a change — zero rows
+    assert(!feed.exists(_.getLong(0) == 4L),
+      "compaction must emit nothing in the identity feed")
+    // the MoR delete: exactly the soft-deleted row
+    val dels = feed.filter(r => r.getLong(0) == 5L)
+    assert(dels.length === 1 && dels.head.getString(6) == "delete" &&
+      dels.head.getLong(2) === 7L)
+    // the append: one insert
+    val ins = feed.filter(r => r.getLong(0) == 6L)
+    assert(ins.length === 1 && ins.head.getString(6) == "insert" &&
+      ins.head.getLong(3) === 100L)
+    // and the enable_rowids restatement itself emits nothing
+    assert(VersionedTable.changesByRowId(spark, base, v0 - 1L, v0)
+      .count() === 0L)
+  }
+
   test("reserved column refusals") {
     val s = spark
     import s.implicits._

@@ -135,6 +135,52 @@ class GraftRuntimeScanSpec extends SparkSuite {
     }
   }
 
+  test("zone-map extrema surface as CBO column min/max and reach " +
+      "catalyst attribute stats") {
+    val base = mkFact("cbomm")
+    val df = spark.read.format("graft").load(base)
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation =>
+        val st = r.scan
+          .asInstanceOf[org.apache.spark.sql.connector.read
+            .SupportsReportStatistics].estimateStatistics()
+        val cs = st.columnStats()
+        val kStats = cs.entrySet().iterator()
+        var found = false
+        while (kStats.hasNext) {
+          val e = kStats.next()
+          if (e.getKey.toString == "k") {
+            found = true
+            assert(e.getValue.min().isPresent &&
+              e.getValue.max().isPresent)
+            assert(e.getValue.min().get() === 0L)
+            assert(e.getValue.max().get() === 39999L)
+          }
+        }
+        assert(found, s"no column stats for k in $cs")
+    }.ensuring(_.nonEmpty, "expected a DSv2 scan relation in the plan")
+    // with CBO on, the extrema land in the optimizer's per-attribute
+    // ColumnStat — the join-cardinality / selectivity input (a pushed
+    // range filter's scan keeps REFUSING numRows: exactness and
+    // estimation stay separate claims, the r11 discipline)
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val st = spark.read.format("graft").load(base)
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(_.toLong === 40000L))
+      val kStat = st.attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == "k" => cs }
+      assert(kStat.isDefined, s"no attribute stats for k: $st")
+      assert(kStat.get.min === Some(0L) && kStat.get.max === Some(39999L),
+        s"zone-map extrema must reach catalyst ColumnStat: ${kStat.get}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("runtime pruning never loses rows: join equals parquet twin") {
     val base = mkFact("twin")
     val s = spark

@@ -75,6 +75,21 @@ object GraftTableFunctions {
             StructField("version", LongType))))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_changes_by_rowid"),
+      new ExpressionInfo(getClass.getCanonicalName,
+        "graft_changes_by_rowid"),
+      (args: Seq[Expression]) => {
+        // CDC BY IDENTITY in SQL: the change feed keyed by _row_id —
+        // no key column argument, no uniqueness assumption (q195)
+        require(args.length == 3,
+          "graft_changes_by_rowid(table, fromVersion, toVersion)")
+        val s = SparkSession.active
+        val base = resolveBase(s,
+          strArg(args.head, "graft_changes_by_rowid"))
+        VersionedTable.changesByRowId(s, base,
+          longArg(args(1)), longArg(args(2)))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_with_row_ids"),
       new ExpressionInfo(getClass.getCanonicalName, "graft_with_row_ids"),
       (args: Seq[Expression]) => {

@@ -131,6 +131,13 @@ class RowTrackingSpec extends SparkSuite {
       s"""SELECT count(*) FROM graft_with_row_ids('$base') n
           JOIN graft_with_row_ids('$base', 2) o
           ON n._row_id = o._row_id""").head().getLong(0) === 25L)
+    // the identity feed as a FROM-clause citizen
+    val cdc = spark.sql(
+      s"""SELECT change_type, count(*) AS n
+          FROM graft_changes_by_rowid('$base', 2, 3)
+          GROUP BY change_type""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdc === Map("delete" -> 15L))
   }
 
   test("CDC by identity: updates pair by id, rewrites emit NOTHING, " +

@@ -260,40 +260,71 @@ class GraftStreamSource(spark: SparkSession, base: String,
   private def cdcBatch(start: Option[Offset], endV: Long,
                        cs: StructType): DataFrame = {
     val key = cdcKey.get
+    val byId = key == VersionedTable.RowIdCol
     val spool = spoolDir.getOrElse(throw new IllegalStateException(
       "CDC stream needs a spool dir — create the source through " +
         "readStream.format(\"graft\") so the checkpoint provides one"))
     val lo = start.map(ver(_) + 1L).getOrElse(fromVersion)
-    var appendPaths = Vector.empty[String]
+    var appendAdds = Vector.empty[VersionedTable.ManifestEntry]
     var spoolPaths = Vector.empty[String]
     (lo to endV).foreach { v =>
       val (_, adds, removes) = VersionedTable.commitDelta(base, v)
-      if (removes.isEmpty) appendPaths ++= adds.map(_.path)
+      if (removes.isEmpty) appendAdds ++= adds
       else {
         val dir = s"$spool/v$v"
-        align(VersionedTable.changesPerCommit(spark, base, v - 1, v, key),
+        align(
+          if (byId) VersionedTable.changesByRowId(spark, base, v - 1, v)
+          else VersionedTable.changesPerCommit(spark, base, v - 1, v, key),
           cs).write.mode("overwrite").parquet(dir)
         spoolPaths :+= dir
       }
     }
     val legs = Seq(
-      if (appendPaths.isEmpty) None else Some(insertLeg(appendPaths, cs, key)),
+      if (appendAdds.isEmpty) None else Some(insertLeg(appendAdds, cs, key)),
       if (spoolPaths.isEmpty) None
       else Some(GraftBridge.streamingScan(spark, spoolPaths, cs))).flatten
     legs.reduceOption(_.unionByName(_))
       .getOrElse(GraftBridge.streamingEmpty(spark, cs))
   }
 
-  /** Append commits as CDC `insert` rows, straight off the data files. */
-  private def insertLeg(paths: Vector[String], cs: StructType,
-                        key: String): DataFrame = {
+  /** Append commits as CDC `insert` rows, straight off the data files.
+    * Under `cdcKey=_row_id` the key is computed, not read: a pure
+    * append's ids are its files' implicit `rowBase + row_index` (the
+    * manifest carries the bases; a stream-static broadcast join maps
+    * each scanned row's file to its base — appended files never carry
+    * materialized ids, those only come from rewrites, which are
+    * change commits and take the spool leg).
+    */
+  private def insertLeg(adds: Vector[VersionedTable.ManifestEntry],
+                        cs: StructType, key: String): DataFrame = {
+    val byId = key == VersionedTable.RowIdCol
     val scan = GraftBridge.streamingScan(spark,
-      paths.map(p => s"$base/$p"), scanSchema)
+      adds.map(e => s"$base/${e.path}"), scanSchema)
     val vals = readSchema.fieldNames.filterNot(_ == key).toSeq
-    scan.select(
+    def verCol: Column =
       regexp_extract(input_file_name(), "/d([0-9]+)-[^/]*/[^/]*$", 1)
-        .cast(LongType).as("version") +:
-        col(phys(key)).as(key) +:
+        .cast(LongType).as("version")
+    val keyed =
+      if (byId) {
+        val missing = adds.filter(_.rowBase < 0L)
+        require(missing.isEmpty,
+          s"cdcKey=${VersionedTable.RowIdCol} needs row tracking on " +
+            s"every streamed file — ${missing.size} appended file(s) " +
+            s"carry no row-id base (enableRowIds on $base first)")
+        val sq = spark
+        import sq.implicits._
+        val bases = org.apache.spark.sql.functions.broadcast(
+          adds.map(e => (e.path, e.rowBase)).toDF("__rbrel", "__rbbase"))
+        scan
+          .withColumn("__rel", regexp_extract(col("_metadata.file_path"),
+            "/(d[0-9]+-[^/]+/[^/]+)$", 1))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(bases, col("__rel") === col("__rbrel"))
+          .withColumn(key, col("__rbbase") + col("__pos"))
+      } else scan.withColumn(key, col(phys(key)))
+    keyed.select(
+      verCol +:
+        col(key) +:
         (vals.map(c => lit(null).cast(readSchema(c).dataType)
           .as(s"${c}_old")) ++
           vals.map(c => col(phys(c)).as(s"${c}_new"))) :+
@@ -324,12 +355,19 @@ object GraftStreamSource {
     val nullable =
       StructType(rowSchema.fields.map(_.copy(nullable = true)))
     val vals = nullable.fields.filterNot(_.name == key)
+    // cdcKey=_row_id: CDC BY IDENTITY (q195 as a live stream) — the
+    // key is the engine-assigned stable row id, not a data column, so
+    // every data column becomes an _old/_new pair
+    val keyField =
+      if (key == VersionedTable.RowIdCol)
+        StructField(key, LongType, nullable = false)
+      else nullable.fields.find(_.name == key).getOrElse(
+        throw new IllegalArgumentException(
+          s"cdcKey '$key' is not a column " +
+            s"(${rowSchema.fieldNames.mkString(", ")})"))
     StructType(
       StructField("version", LongType, nullable = false) +:
-        nullable.fields.find(_.name == key).getOrElse(
-          throw new IllegalArgumentException(
-            s"cdcKey '$key' is not a column " +
-              s"(${rowSchema.fieldNames.mkString(", ")})")) +:
+        keyField +:
         (vals.map(f => f.copy(name = s"${f.name}_old")) ++
           vals.map(f => f.copy(name = s"${f.name}_new"))).toSeq :+
         StructField("change_type", StringType, nullable = true))

@@ -243,6 +243,23 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("aggregation on the bucket key runs shuffle-free too " +
+      "(KeyGroupedPartitioning satisfies the aggregate's distribution)") {
+    val s = spark
+    import s.implicits._
+    mkTable("agg", (1L to 400L).map(k => (k % 50L, k)), 8)
+    withSpj {
+      val a = spark.table(s"graft.$ns.agg")
+        .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+      val plan = a.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"groupBy on the bucket key must not shuffle:\n$plan")
+      val got = a.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (1L to 400L).groupBy(_ % 50L).view.mapValues(_.sum).toMap
+      assert(got === want)
+    }
+  }
+
   test("driver bucketId mirrors Spark's repartition hash for int/long/string") {
     val s = spark
     import s.implicits._

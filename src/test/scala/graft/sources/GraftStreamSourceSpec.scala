@@ -166,6 +166,63 @@ class GraftStreamSourceSpec extends SparkSuite {
       (10L until 20L).map(k => (4L, k, None, Some(k * 2), "insert")))
   }
 
+  test("change feed BY IDENTITY: cdcKey=_row_id streams id-paired " +
+      "updates; rewrites feed zero rows; live feed equals the batch") {
+    val base = TempDirs.scoped("graft_cdc_rid")
+    val dir = TempDirs.scoped("graft_cdc_rid_sink")
+    val s = spark
+    import s.implicits._
+    appendDecade(base, 0L) // v1
+    val v0 = VersionedTable.enableRowIds(base) // v2 (restatement)
+    VersionedTable.commitUpdate(spark, base, col("k") === 3L, // v3
+      Seq("v" -> lit(777L)), pruneRanges = Seq(("k", 3L, 3L)))
+    VersionedTable.compact(spark, base, 1) // v4: must feed NOTHING
+    appendDecade(base, 10L) // v5: inserts with computed implicit ids
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("cdcKey", VersionedTable.RowIdCol)
+      .option("startingVersion", (v0 + 1L).toString)
+      .load(base).writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+    val ridSchema = StructType(Seq(
+      StructField("version", LongType), StructField("_row_id", LongType),
+      StructField("k_old", LongType), StructField("k_new", LongType),
+      StructField("v_old", LongType), StructField("v_new", LongType),
+      StructField("change_type", StringType)))
+    val got = spark.read.schema(ridSchema).parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getString(6))).toSet
+    // the update pairs by id; the compaction (v4) feeds zero rows
+    assert(!got.exists(_._1 == 4L), "compaction must feed nothing")
+    val ups = got.filter(_._1 == 3L)
+    assert(ups.size === 1 && ups.head._5 == "update" &&
+      ups.head._3 == 3L && ups.head._4 == 777L)
+    // appended rows carry their computed implicit ids — they must
+    // MATCH what the batch id read reports for those keys
+    val ids = VersionedTable.readLatestWithRowIds(spark, base)
+      .filter(col("k") >= 10L).select(col("k"), col("_row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ins = got.filter(_._1 == 5L)
+      .map(t => (t._3, t._2)) // (k_new, _row_id)
+    assert(ins === ids, s"streamed insert ids must equal batch ids")
+    // and the live feed equals the batch identity feed, row for row
+    val batch = VersionedTable.changesByRowId(spark, base, v0, 5L)
+      .select(col("version"), col("_row_id"),
+        col("k_new"), col("v_new"), col("change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === batch)
+  }
+
   test("change feed: a compaction feeds zero rows (no false changes)") {
     val base = TempDirs.scoped("graft_cdc_compact")
     val dir = TempDirs.scoped("graft_cdc_compact_sink")

@@ -260,6 +260,41 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("SPJ lifecycle under MoR deletes: correct fallback while DV'd, " +
+      "compaction folds the DV away and restores the zero-shuffle join") {
+    val s = spark
+    import s.implicits._
+    val base = mkTable("dvlc", (1L to 200L).map(k => (k, k)), 4)
+    mkTable("dvlc2", (1L to 200L).map(k => (k, k * 2L)), 4)
+    // MoR point delete: the DV'd file reroutes reads through the
+    // union leg — the co-location claim must NOT produce a wrong plan
+    VersionedTable.commitDeleteMoR(spark, base, col("k") === 42L,
+      Seq(("k", 42L, 42L)))
+    withSpj {
+      val j = spark.table(s"graft.$ns.dvlc").as("a")
+        .join(spark.table(s"graft.$ns.dvlc2").as("b"),
+          col("a.k") === col("b.k"))
+      // correctness first: the deleted row is gone, everything else is
+      assert(j.count() === 199L)
+    }
+    // compaction folds the DV away AND re-buckets (sticky discipline):
+    // the claim — and the zero-shuffle join — come back
+    VersionedTable.compact(spark, base, numFiles = 4)
+    val es = VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get)
+    assert(es.forall(_.dv.isEmpty))
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k", 4)))
+    withSpj {
+      val j = spark.table(s"graft.$ns.dvlc").as("a")
+        .join(spark.table(s"graft.$ns.dvlc2").as("b"),
+          col("a.k") === col("b.k"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "post-compaction the SPJ claim must be restored")
+      assert(j.count() === 199L)
+    }
+  }
+
   test("driver bucketId mirrors Spark's repartition hash for int/long/string") {
     val s = spark
     import s.implicits._

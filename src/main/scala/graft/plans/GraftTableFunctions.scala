@@ -90,6 +90,49 @@ object GraftTableFunctions {
           longArg(args(1)), longArg(args(2)))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_files"),
+      new ExpressionInfo(getClass.getCanonicalName, "graft_files"),
+      (args: Seq[Expression]) => {
+        // DESCRIBE FILES: one row per live data file of a snapshot —
+        // rows/live-rows/bytes, DV positions, bucket id, row-id base
+        // and the zone-mapped columns. The per-file half of
+        // graft_detail: what an operator reads before deciding WHICH
+        // maintenance to run (skew? small files? DV debt? layout?).
+        // Driver-plane manifest arithmetic; one Files.size per entry.
+        require(args.length == 1 || args.length == 2,
+          "graft_files(table[, version])")
+        val s = SparkSession.active
+        val base = resolveBase(s, strArg(args.head, "graft_files"))
+        val v = if (args.length == 2) longArg(args(1))
+                else VersionedTable.latestVersion(base).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"no graft table at $base (never committed)"))
+        val rows = VersionedTable.entries(base, v).map { e =>
+          val p = java.nio.file.Paths.get(base, e.path)
+          val bytes = if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.size(p) else -1L
+          val bucket = e.stats.collectFirst {
+            case (k, VersionedTable.BucketStat(n, id))
+              if k.endsWith("#bucket") =>
+              s"${k.stripSuffix("#bucket")}:$n:$id"
+          }.getOrElse("")
+          val zoneCols = e.stats.keys.filterNot(_.contains("#"))
+            .toSeq.sorted.mkString(",")
+          org.apache.spark.sql.Row(e.path, e.rows, e.liveRows, bytes,
+            e.dv.map(_.count).getOrElse(0L), bucket, e.rowBase, zoneCols)
+        }
+        s.createDataFrame(rows.asJava,
+          StructType(Seq(
+            StructField("path", StringType),
+            StructField("rows", LongType),
+            StructField("live_rows", LongType),
+            StructField("size_bytes", LongType),
+            StructField("dv_positions", LongType),
+            StructField("bucket", StringType),
+            StructField("row_base", LongType),
+            StructField("stats_cols", StringType))))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_with_row_ids"),
       new ExpressionInfo(getClass.getCanonicalName, "graft_with_row_ids"),
       (args: Seq[Expression]) => {

@@ -181,6 +181,43 @@ class RowTrackingSpec extends SparkSuite {
       .count() === 0L)
   }
 
+  test("LIVE concurrent appends on a row-tracked table: ids never " +
+      "collide — lost races re-allocate their spans at the new head") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val base = TempDirs.scoped("vt_rowids_race")
+    VersionedTable.commitAppend(spark, base,
+      kv(Seq((0L, 0L))).coalesce(1), statsCols = Seq("k"))
+    VersionedTable.enableRowIds(base)
+    // 6 threads x 3 appends of 10 rows each, genuinely racing: losers
+    // take the disjoint-race REPUBLISH path, which must re-allocate
+    // id spans above the winners' watermark (two winners from one
+    // pinned hwm would mint duplicate identities)
+    val pool = Executors.newFixedThreadPool(6)
+    try {
+      (0 until 6).map { t =>
+        pool.submit(new Callable[Unit] {
+          override def call(): Unit =
+            (1 to 3).foreach { i =>
+              VersionedTable.commitAppend(spark, base,
+                kv((0L until 10L).map(j =>
+                  (t * 1000L + i * 100L + j, j))).coalesce(1),
+                statsCols = Seq("k"), maxAttempts = 64)
+            }
+        })
+      }.foreach(_.get(300, TimeUnit.SECONDS))
+    } finally { pool.shutdownNow(); () }
+    val idsAll = VersionedTable.readLatestWithRowIds(spark, base)
+      .select(col(RowIdCol)).collect().map(_.getLong(0))
+    assert(idsAll.length === 181) // 1 seed + 180 raced rows
+    assert(idsAll.distinct.length === 181,
+      s"row ids collided under live races: " +
+        s"${idsAll.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
+    // the watermark covers every allocation
+    val head = VersionedTable.latestVersion(base).get
+    assert(VersionedTable.rowHwmAsOf(base, head) === 181L)
+    assert(idsAll.max < 181L)
+  }
+
   test("reserved column refusals") {
     val s = spark
     import s.implicits._

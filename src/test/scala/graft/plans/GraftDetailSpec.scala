@@ -34,6 +34,31 @@ class GraftDetailSpec extends SparkSuite {
     assert(r.getString(7) === "k_nonneg CHECK (k >= 0)")
   }
 
+  test("graft_files lists per-file rows/bytes/dv/bucket/row-base") {
+    val s = spark
+    import s.implicits._
+    val base = TempDirs.scoped("graft_files_tvf")
+    (1L to 80L).map(k => (k, k)).toDF("k", "v").write.format("graft")
+      .option("bucketBy", "4:k").option("statsCols", "k")
+      .mode("append").save(base)
+    VersionedTable.enableRowIds(base)
+    VersionedTable.commitDeleteMoR(spark, base, col("k") === 5L,
+      Seq(("k", 5L, 5L)))
+    val rows = spark.sql(s"SELECT * FROM graft_files('$base')").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("rows")).sum === 80L)
+    assert(rows.map(_.getAs[Long]("live_rows")).sum === 79L)
+    assert(rows.map(_.getAs[Long]("dv_positions")).sum === 1L)
+    assert(rows.forall(_.getAs[String]("bucket").startsWith("k:4:")))
+    assert(rows.map(_.getAs[Long]("row_base")).sorted.head === 0L)
+    assert(rows.forall(_.getAs[String]("stats_cols") == "k"))
+    assert(rows.forall(_.getAs[Long]("size_bytes") > 0L))
+    // version pin: the pre-delete snapshot has no DV positions
+    val pre = spark.sql(s"SELECT sum(dv_positions) FROM " +
+      s"graft_files('$base', 2)").head().getLong(0)
+    assert(pre === 0L)
+  }
+
   test("graft_refs lists tags as (name, version) rows") {
     val s = spark
     import s.implicits._

@@ -43,6 +43,36 @@ class GraftSinkSpec extends SparkSuite {
     assert(GraftScanMetrics.lastPrune(base).exists(_._1 <= 1))
   }
 
+  test("streaming ingest into a BUCKETED table keeps the SPJ claim " +
+      "(sticky discipline through the sink's commits)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = TempDirs.scoped("graft_sink_bucketed")
+    val cp = TempDirs.scoped("graft_sink_bucketed_cp")
+    // seed the layout: one bucketed batch write
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").write.format("graft")
+      .option("bucketBy", "4:k").mode("append").save(base)
+    // then stream into it — each micro-batch commit must RE-BUCKET
+    // its delta (a streaming consumer must not void the co-location
+    // claim every trigger)
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .format("graft").option("path", base)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+    in.addData((101L, 1L), (102L, 2L), (103L, 3L))
+    q.start().awaitTermination()
+    in.addData((104L, 4L))
+    q.start().awaitTermination()
+    val es = VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get)
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k", 4)),
+      s"streaming appends must inherit the bucket layout")
+    assert(spark.read.format("graft").load(base).count() === 104L)
+  }
+
   test("a replayed batchId is a no-op (crash-replay dedup)") {
     val s = spark
     import s.implicits._

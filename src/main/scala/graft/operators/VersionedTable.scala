@@ -2331,15 +2331,21 @@ object VersionedTable {
     * immediately). Returns the deleted paths (relative), for the audit
     * log a production vacuum writes. Append-only histories delete no
     * data (every later version references every earlier file).
+    * `dryRun=true` computes and returns the would-delete list as a
+    * PURE READ — no files, markers or even checkpoints are written;
+    * the audit a production retention job runs before committing to
+    * an irreversible sweep (Delta's VACUUM DRY RUN).
     */
   def vacuum(base: String, retainFrom: Long,
-             attemptRetentionMs: Long = 3600000L): Seq[String] = {
+             attemptRetentionMs: Long = 3600000L,
+             dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion(base).getOrElse(return Seq.empty)
     require(retainFrom <= latest,
       s"retainFrom $retainFrom is beyond latest committed version $latest")
     // the truncated log must still replay at retainFrom: checkpoint it
-    // before any marker below goes away
-    if (!Files.exists(checkpointPath(base, retainFrom)))
+    // before any marker below goes away (DRY RUN touches NOTHING —
+    // not even checkpoints: the audit must be a pure read)
+    if (!dryRun && !Files.exists(checkpointPath(base, retainFrom)))
       writeCheckpoint(base, retainFrom)
     // NAMED REFS protect their snapshots from retention (the
     // Iceberg expire-snapshots contract): a tagged version below the
@@ -2348,7 +2354,7 @@ object VersionedTable {
     // the tag releases all of it to the next vacuum.
     val taggedVs = tags(base).values.toSet
       .filter(v => v <= latest && Files.exists(markerPath(base, v)))
-    taggedVs.filter(_ < retainFrom).foreach { v =>
+    if (!dryRun) taggedVs.filter(_ < retainFrom).foreach { v =>
       if (!Files.exists(checkpointPath(base, v)))
         try writeCheckpoint(base, v) catch { case _: Exception => () }
     }
@@ -2387,6 +2393,7 @@ object VersionedTable {
           .forall(_ > latest)
         val ageMs = now - Files.getLastModifiedTime(dir).toMillis
         if (aheadOfLog && ageMs < attemptRetentionMs) Seq.empty
+        else if (dryRun) rels
         else {
           files.foreach(f => Files.deleteIfExists(f))
           try Files.deleteIfExists(dir) catch { case _: Exception => }
@@ -2401,14 +2408,17 @@ object VersionedTable {
             !f.getFileName.toString.startsWith(".") &&
             !referenced.contains(rel)
         }
-        victims.foreach { case (f, _) => Files.deleteIfExists(f) }
+        if (!dryRun) victims.foreach { case (f, _) =>
+          Files.deleteIfExists(f) }
         victims.map(_._2)
       }
     }
     val deletedMarkers =
       (1L until retainFrom).filterNot(taggedVs.contains).flatMap { v =>
-      val m = Files.deleteIfExists(markerPath(base, v))
-      val c = Files.deleteIfExists(checkpointPath(base, v))
+      val m = if (dryRun) Files.exists(markerPath(base, v))
+              else Files.deleteIfExists(markerPath(base, v))
+      val c = if (dryRun) Files.exists(checkpointPath(base, v))
+              else Files.deleteIfExists(checkpointPath(base, v))
       (if (m) Seq(s"_log/${markerPath(base, v).getFileName}") else Nil) ++
         (if (c) Seq(s"_log/${checkpointPath(base, v).getFileName}") else Nil)
     }

@@ -85,7 +85,8 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
       "zorder_by", "zorder_where", "analyze",
-      "create_tag", "drop_tag", "clone", "rebucket", "enable_row_ids")
+      "create_tag", "drop_tag", "clone", "rebucket", "enable_row_ids",
+      "vacuum_dry_run")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -108,6 +109,15 @@ private[sources] object GraftProcedures {
           val toV = in.getLong(1)
           Seq(toV, VersionedTable.restore(base(in), toV))
         }))
+      case "vacuum_dry_run" => Some(new Proc("vacuum_dry_run",
+        "PURE-READ audit of vacuum(retain_from): how many files and " +
+          "log entries the sweep WOULD delete — nothing is written, " +
+          "not even checkpoints (run before the irreversible sweep)",
+        Seq(tableParam,
+          ("retain_from", LongType, "oldest version the sweep would keep")),
+        out("files_would_delete" -> LongType),
+        in => Seq(VersionedTable.vacuum(base(in), in.getLong(1),
+          dryRun = true).size.toLong)))
       case "vacuum" => Some(new Proc("vacuum",
         "physically delete files unreferenced by any version >= " +
           "retain_from (checkpoints the truncation point first)",

@@ -162,4 +162,41 @@ class GraftProceduresSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $bt")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("vacuum dry run is a pure read and predicts the sweep exactly") {
+    val base = TempDirs.scoped("vt_vacuum_dry")
+    VersionedTable.commitAppend(spark, base, kv(Seq((1L, 10L))).coalesce(1))
+    VersionedTable.commitReplace(spark, base, kv(Seq((2L, 20L))).coalesce(1))
+    VersionedTable.commitAppend(spark, base, kv(Seq((3L, 30L))).coalesce(1))
+    def fileCount: Long = {
+      val st = Files.walk(Paths.get(base))
+      try st.filter(p => !Files.isDirectory(p)).count()
+      finally st.close()
+    }
+    val before = fileCount
+    val predicted = VersionedTable.vacuum(base, retainFrom = 3L,
+      attemptRetentionMs = 0L, dryRun = true)
+    // pure read: nothing changed — not even a checkpoint was written
+    assert(fileCount === before,
+      "dry run must not write anything, checkpoints included")
+    assert(predicted.nonEmpty) // v1's replaced file + old markers
+    val swept = VersionedTable.vacuum(base, retainFrom = 3L,
+      attemptRetentionMs = 0L)
+    assert(swept.toSet === predicted.toSet,
+      s"dry run must predict the sweep exactly: $predicted vs $swept")
+    // and the table still reads
+    assert(VersionedTable.readLatest(spark, base).count() === 2L)
+    // the SQL surface
+    val base2 = TempDirs.scoped("vt_vacuum_dry2")
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val ns = s"vdr${System.nanoTime() % 1000000}"
+    kv(Seq((1L, 1L))).write.format("graft").mode("append")
+      .save(s"$wh/$ns/t")
+    kv(Seq((2L, 2L))).write.format("graft").mode("overwrite")
+      .save(s"$wh/$ns/t")
+    val n = spark.sql(
+      s"CALL graft.system.vacuum_dry_run('$ns.t', 2)").head().getLong(0)
+    assert(n >= 1L)
+    assert(VersionedTable.readLatest(spark, s"$wh/$ns/t").count() === 1L)
+  }
 }

@@ -295,6 +295,40 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("LIVE concurrent appends keep the bucket layout: racing " +
+      "writers all inherit, the claim and the rows survive") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val s = spark
+    import s.implicits._
+    val base = mkTable("race", (1L to 40L).map(k => (k, k)), 4)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      (0 until 4).map { t =>
+        pool.submit(new Callable[Unit] {
+          override def call(): Unit =
+            (1 to 2).foreach { i =>
+              (0L until 10L).map(j => (1000L * t + 100L * i + j, j))
+                .toDF("k", "v").write.format("graft")
+                .mode("append").save(base)
+            }
+        })
+      }.foreach(_.get(300, TimeUnit.SECONDS))
+    } finally { pool.shutdownNow(); () }
+    val es = VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get)
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k", 4)),
+      "every racing append must inherit the layout (sticky discipline)")
+    assert(spark.read.format("graft").load(base).count() === 120L)
+    withSpj {
+      val j = spark.table(s"graft.$ns.race").as("a")
+        .join(spark.table(s"graft.$ns.race").as("b"),
+          col("a.k") === col("b.k"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(j.count() === 120L) // keys unique → self-join 1:1
+    }
+  }
+
   test("driver bucketId mirrors Spark's repartition hash for int/long/string") {
     val s = spark
     import s.implicits._

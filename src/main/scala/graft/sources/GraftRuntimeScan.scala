@@ -186,6 +186,67 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
           }
         }.toMap
       }
+      // HISTOGRAMS from the manifest, when they are provably GOOD:
+      // on a clustered layout (clusterBy/zorder ingest, compaction)
+      // the files' zone-map ranges are pairwise DISJOINT, so the
+      // per-file (lo, hi, rows, ndv-from-KMV) tuples ARE an exact
+      // variable-width histogram of the column — the skew-aware
+      // selectivity input ANALYZE ... FOR COLUMNS computes with a
+      // full scan, folded here from manifest lines. Reported only
+      // when every live file carries the column's zone map AND its
+      // KMV sketch (per-bin ndv must be grounded, not guessed) and
+      // the ranges don't overlap (an interleaved layout's overlapping
+      // ranges would make bin populations fictitious — refuse).
+      // Height is the mean bin population (catalyst's equi-height
+      // assumption; the engine's numFiles/compaction discipline keeps
+      // file populations even, bounding the distortion).
+      val histos: Map[String, org.apache.spark.sql.connector.read
+          .colstats.Histogram] =
+        if (entries.size < 2 || entries.exists(_.rows < 0L)) Map.empty
+        else minMax.keySet.flatMap { c =>
+          val toPhys: String => String = { cc =>
+            val m = graft.operators.ColumnMapping.toLogical(schema)
+              .map(_.swap)
+            m.getOrElse(cc, cc)
+          }
+          val pc = toPhys(c)
+          val per = entries.map { e =>
+            for {
+              VersionedTable.ColStats(lo, hi) <- e.stats.get(pc)
+              kmv <- e.stats.get(s"$pc#kmv").collect {
+                case k: VersionedTable.KmvStats => k }
+            } yield (lo, hi, e.rows,
+              math.min(e.rows, VersionedTable.ndvEstimatesOf(
+                Seq(e.copy(stats = Map(s"$pc#kmv" -> kmv))))
+                .getOrElse(pc, e.rows)))
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val bins = per.flatten.sortBy(_._1)
+            val disjoint = bins.sliding(2).forall {
+              case Seq((_, h1, _, _), (l2, _, _, _)) => l2 > h1
+              case _ => true
+            }
+            if (!disjoint) None
+            else {
+              val mean = bins.map(_._3).sum.toDouble / bins.size
+              Some(c -> new org.apache.spark.sql.connector.read
+                  .colstats.Histogram {
+                override def height(): Double = mean
+                override def bins(): Array[org.apache.spark.sql
+                    .connector.read.colstats.HistogramBin] =
+                  per.flatten.sortBy(_._1).map { case (blo, bhi, _, bnd) =>
+                    new org.apache.spark.sql.connector.read.colstats
+                        .HistogramBin {
+                      override def lo(): Double = blo.toDouble
+                      override def hi(): Double = bhi.toDouble
+                      override def ndv(): Long = math.max(1L, bnd)
+                    }
+                  }.toArray
+              })
+            }
+          }
+        }.toMap
       val colStats = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       (ndv.keySet ++ minMax.keySet).foreach { c =>
@@ -203,6 +264,10 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
               minMax.get(c).map(p => java.util.Optional.of(
                 p._2.asInstanceOf[Object]))
                 .getOrElse(java.util.Optional.empty[Object]())
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              histos.get(c).map(java.util.Optional.of(_))
+                .getOrElse(java.util.Optional.empty())
           })
       }
       new Statistics {

@@ -181,6 +181,81 @@ class GraftRuntimeScanSpec extends SparkSuite {
     }
   }
 
+  test("disjoint-range files with NDV sketches surface as an exact " +
+      "variable-width histogram; overlapping or sketch-less layouts refuse") {
+    val s = spark
+    import s.implicits._
+    def scanStats(base: String) = {
+      var out: Option[org.apache.spark.sql.connector.read.Statistics] = None
+      spark.read.format("graft").load(base)
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation =>
+            out = Some(r.scan.asInstanceOf[org.apache.spark.sql.connector
+              .read.SupportsReportStatistics].estimateStatistics())
+        }
+      out.get
+    }
+    def histoOf(base: String) = {
+      val cs = scanStats(base).columnStats()
+      val it = cs.entrySet().iterator()
+      var h: Option[org.apache.spark.sql.connector.read.colstats
+        .Histogram] = None
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.toString == "k" && e.getValue.histogram().isPresent)
+          h = Some(e.getValue.histogram().get())
+      }
+      h
+    }
+    // clustered layout + ndv sketches: per-file ranges ARE the bins
+    val base = TempDirs.scoped("graft_histo")
+    Seq(0L, 1000L, 2000L, 3000L).foreach(lo =>
+      VersionedTable.commitAppend(spark, base,
+        (lo until lo + 1000L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+        statsCols = Seq("k"), ndvCols = Seq("k")))
+    val h = histoOf(base)
+    assert(h.isDefined, "disjoint sketched layout must report a histogram")
+    val bins = h.get.bins()
+    assert(bins.length === 4)
+    assert(bins.head.lo() === 0.0 && bins.head.hi() === 999.0)
+    assert(bins.last.lo() === 3000.0 && bins.last.hi() === 3999.0)
+    assert(bins.forall(b => b.ndv() > 500L && b.ndv() <= 1000L),
+      s"per-bin ndv must come from the KMV sketch: " +
+        s"${bins.map(_.ndv()).toSeq}")
+    assert(h.get.height() === 1000.0)
+    // and it reaches catalyst under CBO
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val st = spark.read.format("graft").load(base)
+        .queryExecution.optimizedPlan.stats
+      val kStat = st.attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == "k" => cs }
+      assert(kStat.exists(_.histogram.isDefined),
+        s"histogram must reach catalyst ColumnStat: $kStat")
+      assert(kStat.get.histogram.get.bins.length === 4)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    // OVERLAPPING ranges refuse (bin populations would be fictitious)
+    val base2 = TempDirs.scoped("graft_histo_ovl")
+    Seq(0L, 1L).foreach(r =>
+      VersionedTable.commitAppend(spark, base2,
+        (0L until 100L).map(i => (i * 2 + r, i)).toDF("k", "v").coalesce(1),
+        statsCols = Seq("k"), ndvCols = Seq("k")))
+    assert(histoOf(base2).isEmpty,
+      "interleaved ranges must refuse the histogram claim")
+    // sketch-less files refuse (per-bin ndv must be grounded)
+    val base3 = TempDirs.scoped("graft_histo_nosketch")
+    Seq(0L, 1000L).foreach(lo =>
+      VersionedTable.commitAppend(spark, base3,
+        (lo until lo + 1000L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+        statsCols = Seq("k")))
+    assert(histoOf(base3).isEmpty)
+  }
+
   test("runtime pruning never loses rows: join equals parquet twin") {
     val base = mkFact("twin")
     val s = spark

@@ -200,9 +200,14 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       // Height is the mean bin population (catalyst's equi-height
       // assumption; the engine's numFiles/compaction discipline keeps
       // file populations even, bounding the distortion).
+      // Bounded driver cost: the per-bin KMV fold is O(files × k) at
+      // PLAN time — capped at 1024 files (≫ catalyst's own histogram
+      // bin budget; a 100k-file table skips the histogram and keeps
+      // min/max + ndv, which fold in O(files))
       val histos: Map[String, org.apache.spark.sql.connector.read
           .colstats.Histogram] =
-        if (entries.size < 2 || entries.exists(_.rows < 0L)) Map.empty
+        if (entries.size < 2 || entries.size > 1024 ||
+            entries.exists(_.rows < 0L)) Map.empty
         else minMax.keySet.flatMap { c =>
           val toPhys: String => String = { cc =>
             val m = graft.operators.ColumnMapping.toLogical(schema)

@@ -1173,9 +1173,12 @@ object VersionedTable {
   def readVersionWithRowIds(s: SparkSession, base: String,
                             v: Long): DataFrame = {
     val (es, schema) = replay(base, v)
-    require(es.nonEmpty,
-      s"version $v of $base is empty — no rows to carry ids")
-    readEntries(s, base, es, schema, withRowIds = true)
+    // a legitimately empty version (all rows deleted) reads as a
+    // zero-row frame with the id column appended, like readVersion does
+    if (es.isEmpty)
+      emptyFrame(s, base, v, schema)
+        .withColumn(RowIdCol, lit(null).cast("long"))
+    else readEntries(s, base, es, schema, withRowIds = true)
   }
 
   def readLatestWithRowIds(s: SparkSession, base: String): DataFrame = {
@@ -1681,7 +1684,10 @@ object VersionedTable {
                          maxAttempts: Int = 5,
                          verifyFootprint: Boolean = false,
                          bloomCols: Seq[String] = Nil,
-                         pruneProbes: Seq[PruneRange] = Nil): Long =
+                         pruneProbes: Seq[PruneRange] = Nil,
+                         ndvCols: Seq[String] = Nil,
+                         bucketBy: Option[(String, Int)] = None,
+                         inheritBucket: Boolean = true): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       require(prevV.isDefined,
@@ -1718,7 +1724,8 @@ object VersionedTable {
           .filter(!coalesce(rowPred, lit(false)))
           .unionByName(df, allowMissingColumns = true)
       commitAt(s, base, newState, "replace_where", statsCols, prevV,
-        bloomCols = bloomCols,
+        bloomCols = bloomCols, ndvCols = ndvCols,
+        bucketBy = bucketBy, inheritBucket = inheritBucket,
         footprint = ReadScope(touched.map(_.path).toSet, Some(mapped)))(
         fresh => (fresh, touched.map(_.path)))
     }
@@ -3145,7 +3152,12 @@ object VersionedTable {
     // carrying the materialized `_row_id` column (a rewrite that read
     // withRowIds) writes it into the files — hidden from the declared
     // schema, read back through the coalesce rule. See [[RowIdCol]].
-    val rowIds = prevV.exists(v => featuresAsOf(base, v).contains("rowid"))
+    // var, not val: a concurrent enableRowIds can win the publish race
+    // — the retry branch below re-reads the feature at the new head and
+    // allocates spans when it flipped, so a racing append can never
+    // publish span-less files onto a now-rowid-enabled table (which
+    // would poison every subsequent withRowIds read)
+    var rowIds = prevV.exists(v => featuresAsOf(base, v).contains("rowid"))
     require(rowIds || !df.columns.contains(RowIdCol),
       s"frame carries $RowIdCol but row tracking is not enabled on " +
         s"$base (enableRowIds first, or rename the column — it is " +
@@ -3311,6 +3323,10 @@ object VersionedTable {
           // would drop columns a winner evolved in)
           decl = mergeSchema(declaredSchema(base, head), decl)
           attemptV = head + 1L
+          // a winner may have ENABLED row tracking (enable_rowids
+          // commutes with an append) — refresh the flag from the head,
+          // never unset (features are sticky)
+          rowIds = rowIds || featuresAsOf(base, head).contains("rowid")
           if (rowIds) {
             // re-allocate id spans above the winners' watermark
             val (ls, h) = entryLinesAt(rowHwmAsOf(base, head))

@@ -525,7 +525,12 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                 clustered, rowPred, ranges.toSeq,
                 (stats ++ sc).distinct,
                 bloomCols = (blooms ++ bc).distinct,
-                pruneProbes = probes.toSeq)
+                pruneProbes = probes.toSeq,
+                // r13 advice: an explicit bucketBy/ndvCols alongside
+                // overwrite(cond) was silently dropped — pass through
+                // like the append/replace branches
+                ndvCols = ndvs, bucketBy = bucketBy,
+                inheritBucket = inherit)
             } else if (replace || overwrite)
               VersionedTable.commitReplace(data.sparkSession, base, clustered,
                 stats, bloomCols = blooms, ndvCols = ndvs,

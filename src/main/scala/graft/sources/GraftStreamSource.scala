@@ -206,8 +206,16 @@ class GraftStreamSource(spark: SparkSession, base: String,
         val lo = start.map(ver(_) + 1L).getOrElse(fromVersion)
         (lo to endV).flatMap { v =>
           val (op, adds, removes) = VersionedTable.commitDelta(base, v)
+          // enable_rowids is a pure RESTATEMENT: it republishes every
+          // live entry as '+' lines (no removes) to stamp id bases —
+          // zero new rows. Streaming it as appends would re-emit the
+          // ENTIRE table as duplicate inserts (the batch feed filters
+          // these via never-before-live paths; the stream skips by op,
+          // O(1) — an enable_rowids commit adds only already-live paths
+          // by construction, see VersionedTable.enableRowIds).
+          if (op == "enable_rowids") Seq.empty
           // appended files never carry a deletion vector at birth
-          if (removes.isEmpty) adds
+          else if (removes.isEmpty) adds
           else if (skipChangeCommits) Seq.empty
           else throw new IllegalStateException(
             s"graft stream over $base hit change commit v$v (op=$op): a " +
@@ -268,8 +276,11 @@ class GraftStreamSource(spark: SparkSession, base: String,
     var appendAdds = Vector.empty[VersionedTable.ManifestEntry]
     var spoolPaths = Vector.empty[String]
     (lo to endV).foreach { v =>
-      val (_, adds, removes) = VersionedTable.commitDelta(base, v)
-      if (removes.isEmpty) appendAdds ++= adds
+      val (op, adds, removes) = VersionedTable.commitDelta(base, v)
+      // metadata-only restatement (see rowBatch): no rows changed, so
+      // the change feed emits nothing for it
+      if (op == "enable_rowids") ()
+      else if (removes.isEmpty) appendAdds ++= adds
       else {
         val dir = s"$spool/v$v"
         align(

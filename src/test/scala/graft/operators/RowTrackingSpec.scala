@@ -218,6 +218,38 @@ class RowTrackingSpec extends SparkSuite {
     assert(idsAll.max < 181L)
   }
 
+  test("append racing a concurrent enableRowIds republishes WITH id " +
+      "spans (r13 advice: the retry loop must refresh the feature)") {
+    val base = TempDirs.scoped("vt_rowids_race_enable")
+    VersionedTable.commitAppend(spark, base,
+      kv((0L until 10L).map(k => (k, k))).coalesce(1), statsCols = Seq("k"))
+    // the appender pins v1 (row ids OFF); enableRowIds wins the race
+    // between the appender's span decision and its publish
+    VersionedTable.commitAppendHooked(spark, base,
+      kv((10L until 20L).map(k => (k, k))).coalesce(1), Seq("k")) { () =>
+      VersionedTable.enableRowIds(base)
+    }
+    // every row must carry a distinct id: the losing append's files
+    // allocated spans when it republished at the new head
+    val all = ids(base)
+    assert(all.size === 20)
+    assert(all.values.toSet.size === 20, "ids must be distinct")
+    val head = VersionedTable.latestVersion(base).get
+    assert(VersionedTable.rowHwmAsOf(base, head) === 20L)
+  }
+
+  test("an EMPTY version reads with ids as a zero-row frame " +
+      "(r13 advice: it used to throw)") {
+    val base = TempDirs.scoped("vt_rowids_empty")
+    VersionedTable.commitAppend(spark, base,
+      kv(Seq((1L, 1L), (2L, 2L))).coalesce(1), statsCols = Seq("k"))
+    VersionedTable.enableRowIds(base)
+    VersionedTable.commitDelete(spark, base, lit(true))
+    val out = VersionedTable.readLatestWithRowIds(spark, base)
+    assert(out.columns.toSeq === Seq("k", "v", RowIdCol))
+    assert(out.count() === 0L)
+  }
+
   test("reserved column refusals") {
     val s = spark
     import s.implicits._

@@ -85,4 +85,37 @@ class GraftReplaceWhereSpec extends SparkSuite {
     assert(e.getMessage.contains("violates its own predicate"),
       e.getMessage)
   }
+
+  test("explicit bucketBy rides REPLACE WHERE (r13 advice: it was " +
+      "silently dropped) — library param and writeTo option") {
+    val s = spark
+    import s.implicits._
+    // library surface: a full-slice replace with bucketBy lands a
+    // bucketed snapshot the SPJ planner can claim
+    val base = TempDirs.scoped("vt_rw_bucket")
+    VersionedTable.commitAppend(spark, base,
+      kv((0L until 20L).map(k => (k, k))).coalesce(1), statsCols = Seq("k"))
+    VersionedTable.commitReplaceWhere(spark, base,
+      kv((0L until 20L).map(k => (k, -k))), col("k") >= 0L,
+      pruneRanges = Seq(("k", 0L, 19L)), statsCols = Seq("k"),
+      bucketBy = Some(("k", 4)))
+    val es = VersionedTable.entries(base,
+      VersionedTable.latestVersion(base).get)
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k", 4)),
+      "replace-where must apply the explicit bucket layout")
+    // DSv2 surface: .option("bucketBy").overwrite(cond) must not be
+    // silently ignored
+    val ns = s"rwb${System.nanoTime() % 1000000}"
+    val t = s"graft.$ns.t"
+    val tBase = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse" +
+      s"/$ns/t"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    (0L until 20L).map(k => (k, k)).toDF("k", "v")
+      .writeTo(t).option("bucketBy", "4:k").overwrite(col("k") >= 0L)
+    val es2 = VersionedTable.entries(tBase,
+      VersionedTable.latestVersion(tBase).get)
+    assert(VersionedTable.bucketSpecOf(es2) === Some(("k", 4)))
+    assert(spark.table(t).count() === 20L)
+  }
 }

@@ -371,4 +371,25 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(out.filter(col("tag").isNull).count() === 10L)
     assert(out.filter(col("k") >= 10L && col("tag").isNotNull).count() === 10L)
   }
+
+  test("enable_rowids mid-stream feeds ZERO rows — row mode and change " +
+      "feed (r13 advice: the restatement must not re-emit the table)") {
+    val base = TempDirs.scoped("graft_stream_erid")
+    val dir = TempDirs.scoped("graft_stream_erid_sink")
+    val cdir = TempDirs.scoped("graft_stream_erid_cdc")
+    appendDecade(base, 0L) // v1
+    drain(base, dir) // both streams are now tailing past v1
+    drainCdc(base, cdir)
+    // v2: enable_rowids republishes EVERY live entry as '+' lines with
+    // no removes — a pure metadata restatement, zero new rows
+    VersionedTable.enableRowIds(base)
+    appendDecade(base, 10L) // v3: real inserts
+    drain(base, dir)
+    // no duplicate re-emission of v1's rows via the v2 restatement
+    assert(sinkRows(dir) === (0L until 20L))
+    drainCdc(base, cdir)
+    val got = cdcRows(cdir)
+    assert(got.size === 20 && got.forall(_._5 == "insert"))
+    assert(got.map(_._1) === Set(1L, 3L), "nothing attributed to v2")
+  }
 }

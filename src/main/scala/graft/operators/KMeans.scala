@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Lloyd's k-means over an embedding column, in EXACT integer
   * arithmetic so two engines cannot drift (the PageRank r141
@@ -20,23 +19,35 @@ import org.apache.spark.storage.StorageLevel
   * e6-unit of floor loss per sweep — a deterministic contract, not an
   * approximation to be compared loosely.
   *
-  * Scale shape (the SemDeDup/IVF assignment argument): centroids are
-  * a broadcast frame (k·dim longs), assignment is one map-side
-  * argmin over a BroadcastNestedLoopJoin fan-out of k rows per
-  * vector (O(N·k) work, no shuffle on the corpus side beyond the
-  * vec_id-keyed argmin agg), and the update is a (cid, pos)-keyed
-  * integer-sum aggregate whose reducer state is k·dim cells — both
-  * sides of every sweep are bounded by parameters, never by N².
-  * Per-sweep [[Reliable.barrier]] truncates the growing lineage
-  * exactly as ConnectedComponents/PageRank do. Empty clusters drop
-  * out of the next sweep on both engines identically (GROUP BY over
-  * no members yields no row).
+  * Scale shape — the MLlib discipline (its `KMeans` holds centroids on
+  * the driver between sweeps; r13 verdict, cold-constant item): the
+  * CENTROIDS are the algorithm's PARAMETER PLANE — k·dim bigint cells,
+  * bounded by knobs, never by N — so they live on the driver and enter
+  * each sweep as one literal. Assignment is then a per-row argmin fold
+  * over that literal (O(N·k·dim) map-side work, embarrassingly
+  * parallel, ZERO shuffle — the r13 shape shuffled an N-row argmin
+  * aggregate per sweep), and the update is ONE narrow job: a k-group
+  * hash aggregate of per-component sums whose partial state is k·dim
+  * cells per task, collected as k rows. One Spark job per sweep, no
+  * lineage growth (each sweep's input plan is `vecs` + a literal), so
+  * no checkpoint barrier either — at sf0.1 this removed ~10 shuffle
+  * stages per artifact build (the r13 "cold constant"); at 100 TB it
+  * removes a full-corpus shuffle per sweep. The driver-side collect is
+  * parameter-plane by construction (k rows of dim sums — the same
+  * bytes the old broadcast shipped). Empty clusters drop out of the
+  * next sweep on both engines identically (no group ⟹ no centroid).
   *
   * Initial centroids are the first k vectors in the engine's
   * mod-prime Knuth-hash order (the q51/q126 convention) — a
   * deterministic well-spread pick whose arithmetic is portable SQL.
   */
 object KMeans {
+
+  /** Driver-side centroid set: (cid, components), kept sorted by cid so
+    * the assignment fold's strict-< keeps the LOWEST cid on distance
+    * ties — exactly `min(struct(dist, cid))`.
+    */
+  type Centroids = Seq[(Long, Seq[Long])]
 
   /** e6 quantization of an array<float>/array<double> column. */
   def quantizeExpr(embCol: String): String =
@@ -46,58 +57,112 @@ object KMeans {
     * public: q154's IVF-PQ lookup tables score with the same exact
     * arithmetic the trainer assigns with.
     */
-  def sqDistExpr(a: String, b: String): String = distExpr(a, b)
-
-  /** Integer squared-L2 distance between two array<bigint> columns. */
-  private def distExpr(a: String, b: String): String =
+  def sqDistExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
 
+  /** Driver-side twin of [[sqDistExpr]] — pure Long arithmetic, so it
+    * is exactly the distributed value (integer ops cannot drift).
+    */
+  def sqDistLocal(a: Seq[Long], b: Seq[Long]): Long = {
+    require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
+    var s = 0L
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Collect a (cid, cq) centroid frame to the driver, sorted by cid.
+    * Parameter-plane: k rows of dim bigints.
+    */
+  def collectCentroids(df: DataFrame): Centroids =
+    df.select(col("cid"), col("cq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+
+  /** Driver-side centroids as a (cid, cq) local-relation frame — for
+    * call sites that still want the DataFrame surface (oracle parity
+    * helpers, specs).
+    */
+  def centroidFrame(s: SparkSession, c: Centroids): DataFrame = {
+    import s.implicits._
+    c.map { case (cid, cq) => (cid, cq) }.toDF("cid", "cq")
+  }
+
+  /** `struct(dist, cid)` of `q`'s nearest centroid — one per-row fold
+    * over the literal centroid array. Strict `<` with ascending-cid
+    * iteration keeps the lowest cid on ties, identical to
+    * `min(struct(dist, cid))` over a fan-out. Map-side only.
+    */
+  def assignStruct(q: Column, c: Centroids): Column = {
+    require(c.nonEmpty, "assignStruct needs at least one centroid")
+    val cents = typedlit(c.map { case (cid, cq) => (cid, cq) })
+    aggregate(cents,
+      struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
+      (acc, cent) => {
+        val d = aggregate(
+          zip_with(q, cent.getField("_2"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v)
+        when(d < acc.getField("dist"),
+          struct(d.as("dist"), cent.getField("_1").as("cid")))
+          .otherwise(acc)
+      })
+  }
+
   /** Assign each vector to its nearest centroid (ties → lowest cid):
-    * input (vec_id, q) × centroids (cid, cq) → (vec_id, q, cid, dist).
+    * input (vec_id, q) × driver-side centroids → (vec_id, q, cid,
+    * dist). No shuffle — see [[assignStruct]].
+    */
+  def assignLit(vecs: DataFrame, c: Centroids): DataFrame =
+    vecs.withColumn("__m", assignStruct(col("q"), c))
+      .select(col("vec_id"), col("q"),
+        col("__m.cid").as("cid"), col("__m.dist").as("dist"))
+
+  /** [[assignLit]] from a centroid FRAME (the legacy surface):
+    * collects the frame first — parameter-plane, and free for the
+    * local relations [[trainCentroids]] returns.
     */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(distExpr("q", "cq")))
-      .groupBy(col("vec_id"))
-      // min, not first: q is functionally dependent on vec_id, so both
-      // agree — min keeps the determinism self-evident under refactors
-      .agg(min(struct(col("dist"), col("cid"))).as("m"),
-        min(col("q")).as("q"))
-      .select(col("vec_id"), col("q"),
-        col("m.cid").as("cid"), col("m.dist").as("dist"))
+    assignLit(vecs, collectCentroids(centroids))
 
-  /** One Lloyd update: per-(cid, pos) integer sums → floored means →
-    * rebuilt array<bigint> centroids.
+  /** `iters` Lloyd sweeps, driver-hosted: each sweep is ONE narrow
+    * Spark job (map-side argmin fold + k-group component-sum
+    * aggregate, collected as k rows) and the floored mean runs on the
+    * driver — `math.floor(sum.toDouble / cnt)` is the identical IEEE
+    * op sequence to the `floor(cast(s as double) / cnt)` both engines
+    * previously ran (|sum| < 2⁵³ keeps the double division exact).
+    * Caller owns `vecs` persistence (it is scanned `iters` times).
     */
-  private def update(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-      // |s| < 2^53, so the double division is exact and floor(double)
-      // is the one negative-safe floor both engines share
-      .withColumn("comp",
-        floor(col("s").cast("double") / col("cnt")).cast("long"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, comp))), p -> p.comp)")
-        .as("cq"))
+  def trainCentroidsDriver(vecs: DataFrame, c0: Centroids,
+                           iters: Int): Centroids = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(c0.nonEmpty, "need at least one initial centroid")
+    val dim = c0.head._2.length
+    var cent = c0
+    (1 to iters).foreach { _ =>
+      val sums = assignLit(vecs, cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cnt"),
+          (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s$i")): _*)
+        .collect()
+      cent = sums.map { r =>
+        val cnt = r.getLong(1)
+        (r.getLong(0), (0 until dim).map(i =>
+          math.floor(r.getLong(2 + i).toDouble / cnt).toLong))
+      }.sortBy(_._1).toSeq
+    }
+    cent
+  }
 
   /** The trained centroid frame (cid, cq) after `iters` assign+update
     * sweeps — the CODEBOOK surface (q154 IVF-PQ trains one per
-    * subspace), where [[run]] keeps the assignment surface. Same sweep
-    * arithmetic, same per-sweep lineage barrier.
+    * subspace), where [[run]] keeps the assignment surface.
     */
   def trainCentroids(vecs: DataFrame, centroids0: DataFrame,
                      iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val v = vecs.persist(StorageLevel.MEMORY_AND_DISK)
-    var cent = centroids0
-    (1 to iters).foreach { _ =>
-      val next = update(assign(v, cent))
-      cent = Reliable.barrier(next)(_.localCheckpoint())
-    }
+    val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = trainCentroidsDriver(v, collectCentroids(centroids0), iters)
     v.unpersist()
-    cent
+    centroidFrame(vecs.sparkSession, cent)
   }
 
   /** `iters` assign+update sweeps from `centroids0`, then one final
@@ -105,14 +170,9 @@ object KMeans {
     * (vec_id, q: array<bigint>); returns (vec_id, cid, dist).
     */
   def run(vecs: DataFrame, centroids0: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val v = vecs.persist(StorageLevel.MEMORY_AND_DISK)
-    var cent = centroids0
-    (1 to iters).foreach { _ =>
-      val next = update(assign(v, cent))
-      cent = Reliable.barrier(next)(_.localCheckpoint())
-    }
-    val out = assign(v, cent).select(col("vec_id"), col("cid"), col("dist"))
+    val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = trainCentroidsDriver(v, collectCentroids(centroids0), iters)
+    val out = assignLit(v, cent).select(col("vec_id"), col("cid"), col("dist"))
     v.unpersist()
     out
   }

@@ -216,38 +216,73 @@ object VectorQueries {
   }
 
   /** Builds the k-NN graph, runs the beam walk, and writes the ranked
-    * result to `out` — then UNPERSISTS everything it cached. The build
-    * persists its two reused frames (the edge table and the growing
-    * visited set): without that, the quadratic-ish pairs join re-ran
-    * from lineage on every beam hop AND the final TopK — the r12
-    * 45 s-at-2k-vectors finding. Cleanup happens here, inside the
-    * memo, so the session's later bench queries never inherit this
-    * build's cache/temp pressure.
+    * result to `out` — then UNPERSISTS everything it cached.
+    *
+    * r14 (the r13 cold-constant item): the walk's per-hop state is
+    * PARAMETER-PLANE — at most queries·beam·degree (query, node, cos)
+    * rows per hop, independent of N — so it lives on the driver, and
+    * each hop is ONE Spark job (beam literal → edge-table filter →
+    * score → collect) instead of r13's persist/count/window cascade
+    * (~5 shuffle stages per hop). Every cosine is still computed by
+    * the SAME Spark expression the batch path used, so driver-side
+    * work is comparisons only — bit-identical to the unrolled oracle.
+    * Cell assignment likewise drops its two crossJoin+row_number
+    * shuffles: the ⌈√N⌉ coarse centroids are collected once (the same
+    * bytes the r13 broadcast shipped) and each row folds over the
+    * literal to pick its two nearest cells map-side.
+    *
+    * The EDGE TABLE stays distributed and persisted (O(N·degree) — the
+    * data plane; production writes it once as a standing table, the
+    * q182 discipline, and q196 maintains it incrementally). Cleanup
+    * happens here, inside the memo, so the session's later bench
+    * queries never inherit this build's cache/temp pressure.
     */
   private def annGraphCompute(s: SparkSession, d: String,
                               out: String): Unit = {
-    import graft.operators.{TopK, VectorIvf}
+    import graft.operators.TopK
     import org.apache.spark.storage.StorageLevel
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), emb64(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.normNative(col("emb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cells = graphCells(emb.count())
-    val centroids = emb
-      .orderBy(expr(modPrimeOrd), col("vec_id"))
-      .limit(cells)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"))
+    // the coarse entry layer: one TakeOrdered collect, parameter-plane
+    // (⌈√N⌉ rows of dim doubles)
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      emb.orderBy(expr(modPrimeOrd), col("vec_id")).limit(cells)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    // per-row top-2 cells as one literal fold (cos DESC, cid — strict
+    // > with ascending-cid iteration reproduces the window's
+    // tie-break exactly); map-side, no fan-out shuffle
+    val centsLit = typedlit(cents)
+    val top2 = aggregate(centsLit,
+      struct(lit(Double.NegativeInfinity).as("c1"), lit(-1L).as("cid1"),
+        lit(Double.NegativeInfinity).as("c2"), lit(-1L).as("cid2")),
+      (acc, c) => {
+        val cos = VectorFunctions.dotNative(col("emb"), c.getField("_2")) /
+          (col("nrm") * c.getField("_3"))
+        when(cos > acc.getField("c1"),
+          struct(cos.as("c1"), c.getField("_1").as("cid1"),
+            acc.getField("c1").as("c2"), acc.getField("cid1").as("cid2")))
+          .when(cos > acc.getField("c2"),
+            struct(acc.getField("c1").as("c1"),
+              acc.getField("cid1").as("cid1"),
+              cos.as("c2"), c.getField("_1").as("cid2")))
+          .otherwise(acc)
+      })
+    // land the fold once, THEN fan out (the q58 two-projection
+    // discipline — projection collapse would re-run it per reference)
+    val t2 = emb.select(col("vec_id"), col("emb"), col("nrm"),
+      top2.as("t"))
     // edges: node (2 nearest cells) x candidate (primary cell) — a
     // pair appears at most once (the candidate's primary cell is one)
-    val asg1 = VectorIvf.nearestCentroids(emb, centroids,
-      keep = 1, idCol = "vec_id")
-      .select(col("vec_id").as("dst"), col("emb").as("demb"),
-        col("nrm").as("dnrm"), col("cid"))
-    val asg2 = VectorIvf.nearestCentroids(emb, centroids,
-      keep = 2, idCol = "vec_id")
-      .select(col("vec_id").as("src"), col("emb").as("semb"),
-        col("nrm").as("snrm"), col("cid"))
+    val asg1 = t2.select(col("vec_id").as("dst"), col("emb").as("demb"),
+      col("nrm").as("dnrm"), col("t.cid1").as("cid"))
+    val asg2 = t2.select(col("vec_id").as("src"), col("emb").as("semb"),
+      col("nrm").as("snrm"),
+      explode(array(col("t.cid1"), col("t.cid2"))).as("cid"))
     val pairs = asg2.join(asg1, "cid")
       .filter(col("src") =!= col("dst"))
       .withColumn("ecos", VectorFunctions.dotNative(col("semb"), col("demb"))
@@ -256,6 +291,7 @@ object VectorQueries {
         Seq(col("ecos").desc, col("dst")), GraphDegree)
       .select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize ONCE; every hop filters this cache
     val q = queryVectors(s, d)
     val nodes = emb.select(col("vec_id").as("node"), col("emb"), col("nrm"))
     def scoreNodes(ns: DataFrame): DataFrame =
@@ -264,39 +300,51 @@ object VectorQueries {
         .withColumn("cos", VectorFunctions.dotNative(col("emb"), col("qemb"))
           / (col("nrm") * col("qnrm")))
         .select(col("query_id"), col("node"), col("cos"))
-    val seeds = VectorIvf.nearestCentroids(
-        q.select(col("query_id"), col("qemb").as("emb"),
-          col("qnrm").as("nrm")),
-        centroids, keep = GraphSeeds, idCol = "query_id")
-      .select(col("query_id"), col("cid").as("node"))
-    // each hop MATERIALIZES its visited set (count) before dropping
-    // the previous one: the union would otherwise accrete the whole
-    // walk as lineage and re-run every prior hop's scoring — and the
-    // pairs join behind `edges` — once per hop
-    var visited = scoreNodes(seeds)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    visited.count()
-    (1 to GraphHops).foreach { _ =>
-      val prev = visited
-      val beam = TopK.perKey(prev, Seq("query_id"),
-          Seq(col("cos").desc, col("node")), GraphBeam)
-        .select(col("query_id"), col("node").as("src"))
-      val neigh = beam.join(edges, "src")
-        .select(col("query_id"), col("dst").as("node")).distinct()
-      visited = prev.unionByName(scoreNodes(neigh))
-        .dropDuplicates("query_id", "node")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      visited.count()
-      prev.unpersist()
+    val sq = s
+    import sq.implicits._
+    // seed scoring: every (query, cell) pair in one tiny job; the
+    // driver keeps the top-GraphSeeds per query as hop-0 state
+    val cellIds = cents.map(_._1).toDF("node")
+    val grid = scoreNodes(q.select(col("query_id")).crossJoin(cellIds))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val desc = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val visited = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    grid.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(t => (t._3, t._2))(desc).take(GraphSeeds)
+        .foreach(t => visited((t._1, t._2)) = t._3)
     }
-    TopK.perKey(visited.filter(col("node") =!= col("query_id")),
-        Seq("query_id"), Seq(col("cos").desc, col("node")), K)
-      .select(col("query_id"), col("rank"),
-        col("node").as("neighbor_id"),
-        floor(col("cos") * 100).as("score_e2"))
-      .orderBy(col("query_id"), col("rank"))
+    // beam walk, one job per hop: the frontier's out-edges are a
+    // broadcast-filtered read of the cached edge table; new nodes are
+    // scored by the shared expression and collected (≤ B·G rows per
+    // query). Re-scored duplicates carry identical cos — the driver
+    // map keeps the first.
+    (1 to GraphHops).foreach { _ =>
+      val beam = visited.toSeq.groupBy(_._1._1).toSeq.flatMap {
+        case (_, rows) =>
+          rows.sortBy { case ((_, node), cos) => (cos, node) }(desc)
+            .take(GraphBeam).map { case ((qid, node), _) => (qid, node) }
+      }
+      val beamDf = beam.toDF("query_id", "src")
+      val cand = broadcast(beamDf).join(edges, "src")
+        .select(col("query_id"), col("dst").as("node"))
+      scoreNodes(cand).collect().foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        if (!visited.contains(k)) visited(k) = r.getDouble(2)
+      }
+    }
+    // final ranking on the driver: floor(cos·100) is the identical
+    // IEEE op pair Spark's floor(col*100) runs
+    val ranked = visited.toSeq
+      .filter { case ((qid, node), _) => node != qid }
+      .groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case ((_, node), cos) => (cos, node) }(desc)
+          .take(K).zipWithIndex.map { case (((qid, node), cos), i) =>
+            (qid, i + 1, node, math.floor(cos * 100).toLong)
+          }
+      }.sortBy(t => (t._1, t._2))
+    ranked.toDF("query_id", "rank", "neighbor_id", "score_e2")
+      .coalesce(1)
       .write.mode("overwrite").parquet(out)
-    visited.unpersist()
     edges.unpersist()
     emb.unpersist()
     ()
@@ -502,7 +550,6 @@ object VectorQueries {
   private def annPqCompute(s: SparkSession, d: String,
                            out: String): Unit = {
     import graft.operators.KMeans
-    import org.apache.spark.sql.expressions.Window
     val pe = Tables.embeddings(s, d)
       .select(col("vec_id"), emb64(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.normNative(col("emb")))
@@ -513,72 +560,98 @@ object VectorQueries {
     // coarse quantizer: mod-prime sample REFINED BY LLOYD SWEEPS (r11
     // — FAISS trains the coarse stage too; residual encoding only pays
     // off when the coarse centroid actually sits near its cell, which
-    // a raw sample of near-uniform vectors does not)
-    val cc0 = pe.orderBy(expr(modPrimeOrd), col("vec_id")).limit(PqCoarseC)
-      .select(col("vec_id").as("cid"), col("q").as("cq"))
-    val cc = KMeans.trainCentroids(pe, cc0, PqIters)
-    val asg = KMeans.assign(pe, cc)
-      .select(col("vec_id"), col("cid").as("ccid"))
-    val probes = pe.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cc))
-      .withColumn("cdist", expr(KMeans.sqDistExpr("q", "cq")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdist"), col("cid"))))
-      .filter(col("rn") <= PqNProbe)
-      .select(col("vec_id").as("query_id"), col("cid").as("ccid"))
-    // keep=1 lists ⟹ each (query, vec) candidate pair is already unique
-    val cands = asg.join(probes, "ccid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
+    // a raw sample of near-uniform vectors does not). r14: sweeps are
+    // driver-hosted (see KMeans — one narrow job each, no checkpoint
+    // barriers; the r13 cold-constant item), and everything
+    // PARAMETER-SIZED downstream — query routing, residual LUTs — is
+    // exact Long arithmetic on the driver (sqDistLocal ≡ sqDistExpr).
+    val cc0 = KMeans.collectCentroids(
+      pe.orderBy(expr(modPrimeOrd), col("vec_id")).limit(PqCoarseC)
+        .select(col("vec_id").as("cid"), col("q").as("cq")))
+    val cc = KMeans.trainCentroidsDriver(pe, cc0, PqIters)
+    val ccMap: Map[Long, Seq[Long]] = cc.toMap
+    // query routing (queries · C integer distances): the 3 query
+    // vectors collect once; probe pick is (dist, cid)-ordered exactly
+    // like the batch window was
+    val qRows: Seq[(Long, Seq[Long])] =
+      pe.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val probes: Seq[(Long, Long)] = qRows.flatMap { case (qid, qv) =>
+      cc.map { case (cid, cq) => (cid, KMeans.sqDistLocal(qv, cq)) }
+        .sortBy { case (cid, dd) => (dd, cid) }
+        .take(PqNProbe).map { case (cid, _) => (qid, cid) }
+    }
     // RESIDUAL encoding (r11 — the FAISS IVF-PQ formulation): codebooks
     // quantize q − coarseCentroid(assigned list), not q itself. The
     // residual distribution is tighter than the raw one (the coarse
     // term already explains most of the vector), so the same M·k code
     // budget buys materially higher ADC recall — q97 measures the gain
     // and pins the raised floor. Exactness survives: residuals are
-    // bigint subtractions in the same e6 space.
-    val ccList = cc.select(col("cid").as("ccid"), col("cq"))
-    val pr = pe.join(asg, "vec_id").join(broadcast(ccList), "ccid")
-      .select(col("vec_id"),
-        expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
+    // bigint subtractions in the same e6 space. r14: assignment is the
+    // literal argmin fold + a literal cid→centroid map lookup — ONE
+    // map-side projection, where r13 paid a crossJoin/argmin shuffle
+    // plus two joins (the two-projection landing keeps the fold from
+    // being re-run per reference — the q58 discipline).
+    val pr = pe
+      .select(col("vec_id"), col("q"),
+        KMeans.assignStruct(col("q"), cc).getField("cid").as("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        zip_with(col("q"), element_at(typedlit(ccMap), col("ccid")),
+          (a, b) => a - b).as("r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // query residuals PER PROBED LIST: ADC approximates
-    // ‖q − (c + code)‖² = ‖(q − c) − code‖², so each (query, probe)
-    // pair carries its own LUT — still broadcast-tiny
-    // (queries · nprobe · M · k integer cells)
-    val qres = probes
-      .join(pe.select(col("vec_id").as("query_id"), col("q")), "query_id")
-      .join(broadcast(ccList), "ccid")
-      .select(col("query_id"), col("ccid"),
-        expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
-    // per-subspace: train codebook on residuals, encode corpus, build
-    // per-(query, probed-list) LUTs
-    val parts = (0 until PqM).map { m =>
+    // per-subspace codebooks: slicing keeps rows, so ONE mod-prime
+    // TakeOrdered of the residual frame seeds every subspace (the
+    // oracle's per-subspace ORDER BY picks the same rows for the same
+    // reason); training is the driver-hosted sweep loop per subspace
+    val seedRows: Seq[(Long, Seq[Long])] =
+      pr.orderBy(expr(modPrimeOrd), col("vec_id")).limit(PqCodes)
+        .select(col("vec_id"), col("r")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    def sliceL(v: Seq[Long], m: Int): Seq[Long] =
+      v.slice(m * PqSubDim, (m + 1) * PqSubDim)
+    val cbs: IndexedSeq[KMeans.Centroids] = (0 until PqM).map { m =>
       val sub = pr.select(col("vec_id"),
         expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
-      val c0 = sub.orderBy(expr(modPrimeOrd), col("vec_id")).limit(PqCodes)
-        .select(col("vec_id").as("cid"), col("q").as("cq"))
-      val cb = KMeans.trainCentroids(sub, c0, PqIters)
-      val enc = KMeans.assign(sub, cb)
-        .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
-      val lut = qres.select(col("query_id"), col("ccid"),
-          expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
-        .crossJoin(broadcast(cb))
-        .select(col("query_id"), col("ccid"), lit(m).as("m"),
-          col("cid").as("code"),
-          expr(KMeans.sqDistExpr("q", "cq")).as("d"))
-      (enc, lut)
+      KMeans.trainCentroidsDriver(sub,
+        seedRows.map { case (vid, rv) => (vid, sliceL(rv, m)) }, PqIters)
     }
-    val enc = parts.map(_._1).reduce(_.unionAll(_))
-    val lut = parts.map(_._2).reduce(_.unionAll(_))
-    // ADC: approx dist = Σ_m LUT[query, list(vec), m, code_m(vec)] — M
-    // broadcast lookup adds per candidate, no raw vectors in the
-    // scoring path; the candidate's coarse list picks its LUT slice
-    val adist = cands.join(asg, "vec_id")
-      .join(enc, "vec_id")
-      .join(broadcast(lut), Seq("query_id", "ccid", "m", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d")).as("adist"))
+    // query-residual LUTs PER PROBED LIST: ADC approximates
+    // ‖q − (c + code)‖² = ‖(q − c) − code‖², so each (query, probe)
+    // pair carries its own slice — queries · nprobe · M · k integer
+    // cells, pure Long arithmetic, driver-computed
+    val qMap = qRows.toMap
+    val lut: Map[String, Long] = (for {
+      (qid, ccid) <- probes
+      qr = qMap(qid).zip(ccMap(ccid)).map { case (a, b) => a - b }
+      m <- 0 until PqM
+      (code, cq) <- cbs(m)
+    } yield s"$qid:$ccid:$m:$code" ->
+        KMeans.sqDistLocal(sliceL(qr, m), cq)).toMap
+    // encode + ADC in ONE map-side pass over the residual frame: per
+    // row its M codes (argmin folds), fanned out to the queries
+    // probing its list (rows in no probed list drop via the null
+    // explode), scored by M literal-LUT lookup adds — approx dist =
+    // Σ_m LUT[query, list(vec), m, code_m(vec)], no join, no shuffle
+    // until the final top-k. The 100 TB shape is unchanged: corpus
+    // rows travel as M small codes, raw vectors never enter scoring.
+    val probesByCcid: Map[Long, Seq[Long]] = probes.groupBy(_._2)
+      .map { case (ccid, ps) => ccid -> ps.map(_._1).sorted }
+    val codeCols = (0 until PqM).map { m =>
+      KMeans.assignStruct(
+        expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)"), cbs(m))
+        .getField("cid").as(s"c$m")
+    }
+    val adist = pr
+      .select(col("vec_id") +: col("ccid") +: codeCols: _*)
+      .withColumn("query_id",
+        explode(element_at(typedlit(probesByCcid), col("ccid"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", (0 until PqM).map { m =>
+        element_at(typedlit(lut), concat_ws(":",
+          col("query_id").cast("string"), col("ccid").cast("string"),
+          lit(m.toString), col(s"c$m").cast("string")))
+      }.reduce(_ + _))
     TopK.perKey(adist, Seq("query_id"),
         Seq(col("adist"), col("vec_id")), PqRerankC)
       .select(col("query_id"), col("rank"),

@@ -48,7 +48,8 @@ object Bench {
     * it), then an EMPTY queries map with the headline total intact.
     */
   def lines(results: Seq[(String, Double, Boolean)],
-            failed: Seq[String], sfName: String): (String, String) = {
+            failed: Seq[String], sfName: String,
+            extras: String = ""): (String, String) = {
     def fmt(prec: String, v: Double): String = // Locale.ROOT: "." always
       String.format(java.util.Locale.ROOT, prec, Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
@@ -66,7 +67,7 @@ object Bench {
       if (failed.isEmpty) ""
       else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: String) =
-      s"""{"metric":"total","value":${fmt("%.2f", total)},"queries":$qs$failedJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt("%.2f", total)},"queries":$qs$failedJson$extras,"sf":"$sfName"}"""
     val detail = line(qsJson(results.map(_._1), "%.2f"))
     val stdout = Seq(qsJson(stdoutKeys, "%.1f"), qsJson(stdoutKeys, "%.0f"), "{}")
       .map(line).find(_.length <= TailWindow)
@@ -126,17 +127,30 @@ object Bench {
       (q.name, times, ok)
     }
     val results = runResults.map { case (n, ts, ok) => (n, median(ts), ok) }
+    // r13 judge ask #8 — PROTOCOL ALIGNMENT: the driver measures one
+    // cold run, the builder records median-of-3, and the two disagreed
+    // 25× on memo-payers. Both protocols now ride in the line itself:
+    // cold_total = Σ run-1 (the driver's signal — with RUNS=1 it equals
+    // "value"); warm_total = Σ median(runs 2..N) (the steady-state
+    // signal, memo builds amortized — equals cold_total when only one
+    // run exists). BASELINE.md's regression rule cites which applies.
+    def fmt2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val coldTotal = runResults.collect { case (_, ts, true) => ts.head }.sum
+    val warmTotal =
+      if (runsN <= 1) coldTotal
+      else runResults.collect { case (_, ts, true) => median(ts.tail) }.sum
+    val extras =
+      s""","cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)}"""
     // Per-query 100ms/10ms precision: far below this host's run-to-run
     // variance (±30%+); "unit" dropped and sf shortened to its basename
     // (seconds are the shape declared in BASELINE.md; the driver
     // records the full sf itself). See `lines` for the tail-window
     // degradation contract.
     val (detail0, out) = lines(results, failed.reverse,
-      new java.io.File(sfDir).getName)
+      new java.io.File(sfDir).getName, extras)
     // per-run arrays ride only in the detail file (the stdout line's
     // tail-window budget is spent on the median map)
-    def fmt2(v: Double) =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val detail1 =
       if (runsN <= 1) detail0
       else {

@@ -55,6 +55,24 @@ class BenchLineSpec extends SparkSuite {
     assert(row.getAs[Seq[String]]("failed") === Seq("q_boom"))
   }
 
+  test("extras (cold_total/warm_total) ride both lines and count " +
+      "against the tail window (r13 ask #8)") {
+    val results = (1 to 5).map(i => (s"q${i}_name", i * 1.0, true))
+    val extras = ""","cold_total":21.50,"warm_total":14.20"""
+    val (detail, out) = Bench.lines(results, Nil, "sf0.1", extras)
+    for (l <- Seq(detail, out)) {
+      val row = parse(l)
+      assert(row.getAs[Double]("cold_total") === 21.5)
+      assert(row.getAs[Double]("warm_total") === 14.2)
+    }
+    // the degradation stages account for the extra chars: a huge
+    // registry + extras still fits the window
+    val big = (1 to 300).map(i => (f"q${i}%03d_some_long_query_name", 1.0, true))
+    val (_, out2) = Bench.lines(big, Nil, "sf0.1", extras)
+    assert(out2.length <= Bench.TailWindow)
+    assert(parse(out2).getAs[Double]("warm_total") === 14.2)
+  }
+
   test("median: middle of odd samples, mean of middle two for even") {
     assert(Bench.median(Seq(3.0)) === 3.0)
     assert(Bench.median(Seq(9.0, 1.0, 2.0)) === 2.0) // robust to one spike

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VersionedTable
+import graft.streaming.GraphIndexPipeline
+
+/** BENCH record for the standing graph-ANN index (r13 judge ask #2's
+  * "per-batch cost ∝ delta" proof): bootstrap the index over the
+  * corpus minus a held-out delta, then fold the delta in through the
+  * change feed, and report both drains' wall seconds plus how much of
+  * the edge table the delta batch actually rewrote. The claim being
+  * recorded: maintenance touches O(delta · cell) candidate pairs and
+  * rewrites O(affected srcs · G) adjacency rows — never the corpus.
+  * Emits one JSON line (BENCH_graphidx_r{N}.json).
+  */
+object GraphIndexBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val deltaN = sys.env.getOrElse("SPARK_GRAFT_GRAPHIDX_DELTA", "50").toLong
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val vb = TempDirs.scoped("gixb_vecs")
+    val eb = TempDirs.scoped("gixb_edges")
+    val rb = TempDirs.scoped("gixb_route")
+    val cb = TempDirs.scoped("gixb_cent")
+    val cp = TempDirs.scoped("gixb_cp")
+    val delta2N = 5L
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = vecs.agg(max(col("vec_id"))).head().getLong(0)
+    val cut2 = maxId - delta2N + 1 // the second, smaller delta
+    val cut1 = cut2 - deltaN       // the first delta
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // adjacency the drain's MERGE republished: distinct srcs in the
+    // APPEND commit's files (the ∝-delta signal — affected srcs ×
+    // G rows). The tombstone/rewrite commits' file adds are geometry
+    // noise at 32 files and ride separately as files_touched.
+    def rewriteStats(fromV: Long): (Long, Long) = {
+      val toV = VersionedTable.latestVersion(eb).get
+      var srcs = 0L
+      var files = 0L
+      ((fromV + 1) to toV).foreach { v =>
+        val (op, adds, _) = VersionedTable.commitDelta(eb, v)
+        files += adds.size
+        if (op == "append" && adds.nonEmpty)
+          srcs = math.max(srcs,
+            spark.read.parquet(adds.map(e => s"$eb/${e.path}"): _*)
+              .agg(countDistinct(col("src"))).head().getLong(0))
+      }
+      (srcs, files)
+    }
+    VersionedTable.commitMerge(spark, vb,
+      vecs.filter(col("vec_id") < cut1), "vec_id", Seq("vec_id"),
+      statsCols = Seq("vec_id"))
+    val bootstrapSec = timed {
+      GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    }
+    val v0 = VersionedTable.latestVersion(eb).get
+    VersionedTable.commitMerge(spark, vb,
+      vecs.filter(col("vec_id") >= cut1 && col("vec_id") < cut2),
+      "vec_id", Seq("vec_id"), statsCols = Seq("vec_id"))
+    val delta1Sec = timed {
+      GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    }
+    val (srcs1, files1) = rewriteStats(v0)
+    val v1 = VersionedTable.latestVersion(eb).get
+    VersionedTable.commitMerge(spark, vb,
+      vecs.filter(col("vec_id") >= cut2), "vec_id", Seq("vec_id"),
+      statsCols = Seq("vec_id"))
+    val delta2Sec = timed {
+      GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    }
+    val (srcs2, files2) = rewriteStats(v1)
+    val edgesTotal = spark.read.format("graft").load(eb).count()
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // the ∝-delta proof is srcs_rewritten scaling with the delta (each
+    // delta row touches ~2·cellsize candidates — the batch build's own
+    // per-row width), while bootstrap_sec carries the full O(N·√N) build
+    println(s"""{"metric":"graphidx","bootstrap_sec":${f(bootstrapSec)},""" +
+      s""""n_bootstrap":${cut1},""" +
+      s""""delta1_sec":${f(delta1Sec)},"n_delta1":$deltaN,""" +
+      s""""srcs_rewritten1":$srcs1,"files_touched1":$files1,""" +
+      s""""delta2_sec":${f(delta2Sec)},"n_delta2":$delta2N,""" +
+      s""""srcs_rewritten2":$srcs2,"files_touched2":$files2,""" +
+      s""""edges_total":$edgesTotal,"sf":"${new java.io.File(sfDir).getName}"}""")
+    spark.stop()
+  }
+}

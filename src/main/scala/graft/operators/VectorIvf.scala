@@ -35,4 +35,23 @@ object VectorIvf {
       .filter(col("__crn") <= keep)
       .drop("cemb", "cnrm", "__ccos", "__crn")
   }
+
+  /** Each row's TWO nearest centroids WITH their rank — the routing
+    * surface the standing graph index persists (`crank` 1 = primary;
+    * q188's cells2 contract: a node's edge candidates are the
+    * primary-cell members of its two cells). Same ordering and
+    * tie-break as [[nearestCentroids]].
+    */
+  def nearestCentroids2(df: DataFrame, centroids: DataFrame,
+                        idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col("cid"))
+    df.join(broadcast(centroids))
+      .withColumn("__ccos",
+        VectorFunctions.dotNative(col("emb"), col("cemb"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 2)
+      .select(col(idCol), col("crank"), col("cid"))
+  }
 }

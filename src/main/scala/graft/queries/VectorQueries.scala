@@ -771,6 +771,164 @@ object VectorQueries {
        |        )""".stripMargin
   }
 
+  /** q196's generated twin — the STANDING graph index's maintenance
+    * semantics unrolled (the q37/q43 generated-oracle discipline):
+    * entry layer elected from the bootstrap corpus (evens), routing
+    * time-invariant (fixed cells), bootstrap adjacency = top-G over
+    * the evens' candidate pairs, the delta batch tombstones the band
+    * FIRST (slots not refilled) and then merges the odd arrivals'
+    * candidate edges, and the beam walk runs over the final edge set
+    * seeded at the LIVE entry points. idx_edges pins the edge count.
+    */
+  private def q196OracleSql: String = {
+    import graft.streaming.GraphIndexPipeline.{Beam, CFloor, Degree, Hops, Seeds}
+    val rounds = (1 to Hops).map { r =>
+      s"""gn$r AS (
+         |          SELECT DISTINCT b.query_id, ed.dst AS node
+         |          FROM gb${r - 1} b JOIN gedges ed ON ed.src = b.node
+         |        ), gs$r AS (
+         |          SELECT n.query_id, n.node,
+         |                 list_cosine_similarity(e.emb, q.qemb) AS cos
+         |          FROM gn$r n JOIN e ON e.vec_id = n.node
+         |          JOIN gq q ON q.query_id = n.query_id
+         |        ), gv$r AS (
+         |          SELECT * FROM gv${r - 1} UNION SELECT * FROM gs$r
+         |        ), gb$r AS (
+         |          SELECT query_id, node FROM (
+         |            SELECT query_id, node, ROW_NUMBER() OVER (
+         |              PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+         |            FROM gv$r) WHERE rn <= $Beam
+         |        )""".stripMargin
+    }.mkString(", ")
+    s"""
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), ids AS (
+          SELECT MIN(vec_id) AS ilo, MAX(vec_id) AS ihi FROM e0
+        ), pr AS (
+          SELECT ilo + (ihi - ilo + 1) * 3 // 8 AS dlo,
+                 ilo + (ihi - ilo + 1) * 4 // 8 - 1 AS dhi
+          FROM ids
+        ), e AS (
+          SELECT e0.* FROM e0, pr WHERE vec_id NOT BETWEEN dlo AND dhi
+        ), gc AS (
+          -- entry layer: fixed at bootstrap, elected from the evens —
+          -- max(floor, ceil(sqrt(N_bootstrap))) cells, the engine's
+          -- bootstrap formula from the same corpus
+          SELECT vec_id AS cid, emb AS cemb FROM e0 WHERE vec_id % 2 = 0
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT (SELECT GREATEST($CFloor, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                 FROM e0 WHERE vec_id % 2 = 0)
+        ), gcos AS MATERIALIZED (
+          -- routing is time-invariant (emb x fixed cells), so one
+          -- assignment over the ever-live corpus serves every batch
+          SELECT e2.vec_id, gc.cid,
+                 list_cosine_similarity(e2.emb, gc.cemb) AS cc
+          FROM e0 e2, gc
+        ), ga1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+            FROM gcos) WHERE rn <= 1
+        ), ga2 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+            FROM gcos) WHERE rn <= 2
+        ), ev AS (
+          SELECT vec_id FROM e0 WHERE vec_id % 2 = 0
+        ), evl AS (
+          SELECT vec_id FROM e WHERE vec_id % 2 = 0
+        ), odl AS (
+          SELECT vec_id FROM e WHERE vec_id % 2 = 1
+        ), bp AS MATERIALIZED (
+          -- bootstrap candidate pairs: among ALL evens (the band was
+          -- still live when they arrived)
+          SELECT a2.vec_id AS src, a1.vec_id AS dst,
+                 list_cosine_similarity(es.emb, ed.emb) AS ecos
+          FROM ga2 a2 JOIN ga1 a1
+            ON a1.cid = a2.cid AND a1.vec_id <> a2.vec_id
+          JOIN ev s2 ON s2.vec_id = a2.vec_id
+          JOIN ev d2 ON d2.vec_id = a1.vec_id
+          JOIN e0 es ON es.vec_id = a2.vec_id
+          JOIN e0 ed ON ed.vec_id = a1.vec_id
+        ), adj1 AS (
+          SELECT src, dst, ecos FROM (
+            SELECT src, dst, ecos, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY ecos DESC, dst) AS rn
+            FROM bp) WHERE rn <= $Degree
+        ), adj1f AS (
+          -- TOMBSTONING: the delta batch retires banded endpoints
+          -- before merging; vacated slots are NOT refilled from bp's
+          -- discarded tail
+          SELECT a.src, a.dst, a.ecos FROM adj1 a, pr
+          WHERE a.src NOT BETWEEN pr.dlo AND pr.dhi
+            AND a.dst NOT BETWEEN pr.dlo AND pr.dhi
+        ), np AS MATERIALIZED (
+          -- the delta batch's candidate edges: fwd (new odd src x any
+          -- live dst) and rev (live even src x new odd dst)
+          SELECT p.src, p.dst,
+                 list_cosine_similarity(es.emb, ed.emb) AS ecos
+          FROM (
+            SELECT a2.vec_id AS src, a1.vec_id AS dst
+            FROM ga2 a2 JOIN ga1 a1
+              ON a1.cid = a2.cid AND a1.vec_id <> a2.vec_id
+            JOIN odl so ON so.vec_id = a2.vec_id
+            JOIN e dl ON dl.vec_id = a1.vec_id
+            UNION
+            SELECT a2.vec_id, a1.vec_id
+            FROM ga2 a2 JOIN ga1 a1
+              ON a1.cid = a2.cid AND a1.vec_id <> a2.vec_id
+            JOIN evl se ON se.vec_id = a2.vec_id
+            JOIN odl do2 ON do2.vec_id = a1.vec_id
+          ) p
+          JOIN e0 es ON es.vec_id = p.src
+          JOIN e0 ed ON ed.vec_id = p.dst
+        ), gedges AS MATERIALIZED (
+          -- per-src top-G merge: top-G(top-G(A) ∪ B) = top-G(A ∪ B),
+          -- so batch boundaries don't show
+          SELECT src, dst FROM (
+            SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY ecos DESC, dst) AS rn
+            FROM (SELECT * FROM adj1f UNION SELECT * FROM np))
+          WHERE rn <= $Degree
+        ), gclive AS (
+          -- a deleted centroid NODE stops matching the live corpus:
+          -- seeding uses the surviving entry points
+          SELECT gc.cid, gc.cemb FROM gc JOIN e el ON el.vec_id = gc.cid
+        ), gq AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e
+          WHERE vec_id < $NumQueries
+        ), gseed AS (
+          SELECT query_id, cid AS node FROM (
+            SELECT q.query_id, c.cid, ROW_NUMBER() OVER (
+              PARTITION BY q.query_id
+              ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC,
+                       c.cid) AS rn
+            FROM gq q, gclive c) WHERE rn <= $Seeds
+        ), gv0 AS (
+          SELECT n.query_id, n.node,
+                 list_cosine_similarity(e.emb, q.qemb) AS cos
+          FROM gseed n JOIN e ON e.vec_id = n.node
+          JOIN gq q ON q.query_id = n.query_id
+        ), gb0 AS (
+          SELECT query_id, node FROM (
+            SELECT query_id, node, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+            FROM gv0) WHERE rn <= $Beam
+        ), $rounds, granked AS (
+          SELECT query_id, node, cos, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+          FROM gv$Hops WHERE node <> query_id
+        )
+        SELECT query_id, rank, node AS neighbor_id,
+               CAST(floor(cos * 100) AS BIGINT) AS score_e2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gedges) AS idx_edges
+        FROM granked WHERE rank <= $K
+        ORDER BY query_id, rank
+      """
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -1614,6 +1772,69 @@ object VectorQueries {
         ORDER BY query_id, rank
       """),
       // bench=false: fixture-write-dominated like q153/q157
+      bench = false),
+
+    // ---------------------------------------------------------------
+    // q196: INCREMENTALLY-MAINTAINED GRAPH-ANN INDEX (r14, judge ask
+    // #2) — closes the index-tier asymmetry: q181 (LSH) and q182 (IVF)
+    // maintain off the change feed; the graph method now does too. The
+    // q182 lifecycle: evens commit → drain (entry layer elected from
+    // evens, adjacency built), odds merge in → a vec_id band DELETEd →
+    // drain (insertion repair = local NN-descent merge, deletion =
+    // tombstoning). Serving walks the STANDING edge table from the
+    // stored entry points. The oracle regenerates the maintenance
+    // semantics exactly: bootstrap adjacency = top-G over the evens'
+    // candidate pairs; the delta batch FIRST tombstones the band
+    // (vacated slots are NOT refilled from the discarded tail — the
+    // documented HNSW-family behavior), THEN merges the odd arrivals'
+    // candidate edges; idx_edges pins the final edge count so a stale
+    // routing, an unretired tombstone, or a lost repair all hash-fail.
+    Q("q196_incremental_graph_index",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        import graft.streaming.GraphIndexPipeline
+        val vecsBase = graft.TempDirs.scoped("graft_q196_vecs")
+        val edgesBase = graft.TempDirs.scoped("graft_q196_edges")
+        val routeBase = graft.TempDirs.scoped("graft_q196_route")
+        val centBase = graft.TempDirs.scoped("graft_q196_cent")
+        val cp = graft.TempDirs.scoped("graft_q196_cp")
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val ext = vecs.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        val (ilo, ihi) = (ext.getLong(0), ext.getLong(1))
+        val span = ihi - ilo + 1
+        val (dlo, dhi) = (ilo + span * 3 / 8, ilo + span * 4 / 8 - 1)
+        VersionedTable.commitMerge(s, vecsBase,
+          vecs.filter(col("vec_id") % 2 === 0), "vec_id", Seq("vec_id"),
+          statsCols = Seq("vec_id"))
+        GraphIndexPipeline.runAvailableNow(
+          s, vecsBase, edgesBase, routeBase, centBase, cp)
+        VersionedTable.commitMerge(s, vecsBase,
+          vecs.filter(col("vec_id") % 2 === 1), "vec_id", Seq("vec_id"),
+          statsCols = Seq("vec_id"))
+        VersionedTable.commitDelete(s, vecsBase,
+          col("vec_id").between(dlo, dhi), Seq(("vec_id", dlo, dhi)),
+          statsCols = Seq("vec_id"))
+        GraphIndexPipeline.runAvailableNow(
+          s, vecsBase, edgesBase, routeBase, centBase, cp)
+        // serve off the standing index against the LIVE corpus
+        val live = s.read.format("graft").load(vecsBase)
+          .select(col("vec_id"), emb64(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFunctions.normNative(col("emb")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = live.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val idxEdges = s.read.format("graft").load(edgesBase).count()
+        val out = GraphIndexPipeline.topK(
+            s, edgesBase, centBase, live, queries, K)
+          .withColumn("idx_edges", lit(idxEdges))
+          .orderBy(col("query_id"), col("rank"))
+        live.unpersist()
+        out
+      },
+      Some(q196OracleSql),
+      // bench=false: fixture-write-dominated like q182
       bench = false),
 
     // ---------------------------------------------------------------

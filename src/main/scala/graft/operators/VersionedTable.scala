@@ -284,6 +284,33 @@ object VersionedTable {
     */
   final case class BucketStat(n: Int, id: Int) extends Stat
 
+  /** Day-partition membership of a data file (`daysBy` at commit):
+    * every row's timestamp falls on UTC epoch day `day` —
+    * floorDiv(micros, 86 400 000 000), the Iceberg `days(ts)`
+    * transform (VERIFIED per file at stats collection, exactly like
+    * [[BucketStat]]'s min==max discipline). Stored under `<col>#days`.
+    * Consumer: STORAGE-PARTITIONED JOINS — the DSv2 scan reports
+    * `KeyGroupedPartitioning(days(col))`, so two date-partitioned fact
+    * tables joining on the timestamp key shuffle NEITHER side.
+    * Advisory like the bucket token: ignoring it degrades to
+    * shuffling, never to wrong answers.
+    */
+  final case class DaysStat(day: Int) extends Stat
+
+  /** UTC epoch day of a timestamp-micros value — THE days(ts)
+    * definition every consumer shares (write layout, stats verifier,
+    * the catalog's `days` function): floorDiv is negative-safe, and
+    * the session is pinned UTC so there is no zone ambiguity.
+    */
+  def epochDay(micros: Long): Int =
+    Math.floorDiv(micros, 86400000000L).toInt
+
+  /** [[epochDay]] as a column over a TimestampType column — exact:
+    * |unix_micros| < 2⁵³ keeps the double division's floor exact.
+    */
+  def epochDayCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(unix_micros(c).cast("double") / 86400000000L).cast("int")
+
   /** NDV sketch size: 128 mins ≈ ±9% relative error, ~1.4 KB base64
     * per column per manifest line (the bloom-scale budget).
     */
@@ -439,6 +466,7 @@ object VersionedTable {
   private val BloomTag = "F:"
   private val KmvTag = "K:"
   private val BktTag = "B:"
+  private val DayTag = "D:"
 
   private def hexEnc(s: String): String =
     s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
@@ -523,6 +551,8 @@ object VersionedTable {
         } else if (range.startsWith(BktTag)) {
           val Array(n, id) = range.stripPrefix(BktTag).split(":", 2)
           c -> BucketStat(n.toInt, id.toInt)
+        } else if (range.startsWith(DayTag)) {
+          c -> DaysStat(range.stripPrefix(DayTag).toInt)
         } else {
           val Array(lo, hi) = range.split("\\.\\.", 2)
           c -> ColStats(lo.toLong, hi.toLong)
@@ -548,6 +578,7 @@ object VersionedTable {
           s"$c=$KmvTag$k:" +
             java.util.Base64.getEncoder.encodeToString(bb.array())
         case (c, BucketStat(n, id)) => s"$c=$BktTag$n:$id"
+        case (c, DaysStat(day)) => s"$c=$DayTag$day"
       }).mkString("\t")
 
   private def schemaHeader(st: StructType): String = s"#schema=${st.json}"
@@ -924,21 +955,54 @@ object VersionedTable {
     ((h % n) + n) % n
   }
 
+  /** Split a bucket column SPEC ("c1" or "c1,c2" — comma-joined for
+    * multi-key co-location) into its column names. One definition
+    * shared by the write layout, the verifier, the inherit path and
+    * the SPJ reporter, so the join-key arity can never drift.
+    */
+  def splitBucketCols(cs: String): Seq[String] =
+    cs.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** The snapshot's hash-bucket layout, when it provably has one:
-    * EVERY live entry carries exactly one `<col>#bucket` token and all
-    * agree on (column, n). One unbucketed file (a later plain append,
+    * EVERY live entry carries exactly one `<cols>#bucket` token and all
+    * agree on (columns, n). One unbucketed file (a later plain append,
     * a DML rewrite) makes the whole answer None — consumers then fall
     * back to shuffling/reading, never to a wrong co-location claim.
-    * Column name is the manifest token's (physical on mapped tables).
+    * Column names are the manifest token's (physical on mapped
+    * tables), comma-joined for a multi-key layout ([[splitBucketCols]]).
     */
   def bucketSpecOf(es: Seq[ManifestEntry]): Option[(String, Int)] = {
     if (es.isEmpty) return None
     val specs = es.map { e =>
+      // a grid-bucketed file carries one token PER KEY COLUMN, all
+      // sharing the per-dimension bucket count; the spec canonicalizes
+      // column order by name so both sides of a join agree
       val bs = e.stats.collect {
         case (k, BucketStat(n, _)) if k.endsWith("#bucket") =>
           (k.stripSuffix("#bucket"), n)
+      }.toSeq.sortBy(_._1)
+      if (bs.nonEmpty && bs.map(_._2).distinct.size == 1)
+        Some((bs.map(_._1).mkString(","), bs.head._2))
+      else None
+    }
+    if (specs.forall(_.isDefined) && specs.flatten.distinct.size == 1)
+      specs.head
+    else None
+  }
+
+  /** The snapshot's day-partition layout, when it provably has one —
+    * the [[bucketSpecOf]] discipline for the `days(ts)` transform:
+    * EVERY live entry carries exactly one `<col>#days` token and all
+    * agree on the column. Returns the (physical) timestamp column.
+    */
+  def daysSpecOf(es: Seq[ManifestEntry]): Option[String] = {
+    if (es.isEmpty) return None
+    val specs = es.map { e =>
+      val ds = e.stats.collect {
+        case (k, DaysStat(_)) if k.endsWith("#days") =>
+          k.stripSuffix("#days")
       }.toSeq
-      if (bs.size == 1) Some(bs.head) else None
+      if (ds.size == 1) Some(ds.head) else None
     }
     if (specs.forall(_.isDefined) && specs.flatten.distinct.size == 1)
       specs.head
@@ -1244,12 +1308,14 @@ object VersionedTable {
                    txn: Option[(String, Long)] = None,
                    ndvCols: Seq[String] = Nil,
                    bucketBy: Option[(String, Int)] = None,
-                   inheritBucket: Boolean = true): Long =
+                   inheritBucket: Boolean = true,
+                   daysBy: Option[String] = None): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       commitAt(s, base, df, "append", statsCols, prevV,
         bloomCols = bloomCols, txn = txn, ndvCols = ndvCols,
         bucketBy = bucketBy, inheritBucket = inheritBucket,
+        daysBy = daysBy,
         footprint = ReadNothing)(fresh => (fresh, Seq.empty))
     }
 
@@ -1275,7 +1341,7 @@ object VersionedTable {
   def statsDiscipline(base: String): (Seq[String], Seq[String]) = {
     val (keys, logical) = disciplineKeys(base)
     (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv") ||
-        k.endsWith("#bucket"))
+        k.endsWith("#bucket") || k.endsWith("#days"))
        .flatMap(logical),
       keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom"))
         .flatMap(logical))
@@ -1649,13 +1715,14 @@ object VersionedTable {
                     txn: Option[(String, Long)] = None,
                     ndvCols: Seq[String] = Nil,
                     bucketBy: Option[(String, Int)] = None,
-                    inheritBucket: Boolean = true): Long =
+                    inheritBucket: Boolean = true,
+                    daysBy: Option[String] = None): Long =
     retrying(maxAttempts) {
       val prevV = latestVersion(base)
       val prevPaths = prevV.map(entries(base, _).map(_.path))
         .getOrElse(Seq.empty)
       commitAt(s, base, df, "replace", statsCols, prevV,
-        bloomCols = bloomCols, txn = txn,
+        bloomCols = bloomCols, txn = txn, daysBy = daysBy,
         ndvCols = ndvCols, bucketBy = bucketBy,
         inheritBucket = inheritBucket)(fresh => (fresh, prevPaths))
     }
@@ -3050,6 +3117,7 @@ object VersionedTable {
                        ndvCols: Seq[String] = Nil,
                        bucketBy: Option[(String, Int)] = None,
                        inheritBucket: Boolean = true,
+                       daysBy: Option[String] = None,
                        footprint: ReadFootprint = ReadEverything)(
       mkDelta: Seq[String] => (Seq[String], Seq[String])): Long = {
     // ONE replay of the previous snapshot feeds both sticky
@@ -3124,28 +3192,67 @@ object VersionedTable {
     // inheritance — in both cases bucketSpecOf goes None and readers
     // fall back to shuffling, the safe degrade.
     val effBucketBy: Option[(String, Int)] = bucketBy.orElse {
-      if (!inheritBucket) None
+      // an explicit daysBy is a LAYOUT CHANGE — it overrides the
+      // sticky bucket claim rather than conflicting with it
+      if (!inheritBucket || daysBy.isDefined) None
       else prevSnap.flatMap { case (pes, pschema) =>
-        bucketSpecOf(pes).flatMap { case (physCol, n) =>
-          (pschema match {
-            case Some(st) if ColumnMapping.isMapped(st) =>
-              ColumnMapping.toLogical(st).get(physCol)
-            case _ => Some(physCol)
-          }).filter(df.columns.contains).map(c => (c, n))
+        bucketSpecOf(pes).flatMap { case (physCols, n) =>
+          val logical = splitBucketCols(physCols).map { pc =>
+            (pschema match {
+              case Some(st) if ColumnMapping.isMapped(st) =>
+                ColumnMapping.toLogical(st).get(pc)
+              case _ => Some(pc)
+            }).filter(df.columns.contains)
+          }
+          if (logical.forall(_.isDefined))
+            Some((logical.flatten.mkString(","), n))
+          else None
         }
       }
     }
-    effBucketBy.foreach { case (c, n) =>
-      require(n >= 1, s"bucketBy bucket count must be >= 1, got $n")
-      require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
-        s"bucket column name '$c' would corrupt the manifest line format")
-      val ok = df.schema(c).dataType match {
-        case IntegerType | LongType | StringType => true
-        case _ => false
+    // DAY-PARTITIONED layout (`days(ts)`): sticky exactly like the
+    // bucket discipline — once the snapshot is day-partitioned, every
+    // data-adding commit re-partitions its delta by UTC epoch day
+    // unless an explicit alternative layout opts out (inheritBucket
+    // gates both layout claims).
+    val effDaysBy: Option[String] = daysBy.orElse {
+      if (!inheritBucket || bucketBy.isDefined) None
+      else prevSnap.flatMap { case (pes, pschema) =>
+        daysSpecOf(pes).flatMap { pc =>
+          (pschema match {
+            case Some(st) if ColumnMapping.isMapped(st) =>
+              ColumnMapping.toLogical(st).get(pc)
+            case _ => Some(pc)
+          }).filter(df.columns.contains)
+        }
       }
-      require(ok, s"bucket column '$c' must be int, long or string " +
-        s"(murmur3 hash stability across engines/types), got " +
-        s"${df.schema(c).dataType}")
+    }
+    effDaysBy.foreach { c =>
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('#') &&
+        !c.contains(','),
+        s"days column name '$c' would corrupt the manifest line format")
+      require(df.schema(c).dataType == TimestampType,
+        s"daysBy column '$c' must be timestamp, got ${df.schema(c).dataType}")
+      require(bucketBy.isEmpty,
+        "daysBy and bucketBy are mutually exclusive layouts")
+    }
+    effBucketBy.foreach { case (cs, n) =>
+      require(effDaysBy.isEmpty,
+        "daysBy and bucketBy are mutually exclusive layouts")
+      require(n >= 1, s"bucketBy bucket count must be >= 1, got $n")
+      val bcols = splitBucketCols(cs)
+      require(bcols.nonEmpty, "bucketBy needs at least one column")
+      bcols.foreach { c =>
+        require(!c.contains('=') && !c.contains('\t') && !c.contains('#'),
+          s"bucket column name '$c' would corrupt the manifest line format")
+        val ok = df.schema(c).dataType match {
+          case IntegerType | LongType | StringType => true
+          case _ => false
+        }
+        require(ok, s"bucket column '$c' must be int, long or string " +
+          s"(murmur3 hash stability across engines/types), got " +
+          s"${df.schema(c).dataType}")
+      }
     }
     // ROW TRACKING: on an enabled table every commit allocates a
     // fresh [hwm, hwm + rows) id span per written file; a frame
@@ -3183,14 +3290,56 @@ object VersionedTable {
     // shuffles on must be checked, not assumed. The explicit partition
     // count pins AQE (user-specified repartition is never coalesced).
     val dfOut = effBucketBy match {
-      case Some((c, n)) => dfRenamed.repartition(n, col(phys(c)))
+      case Some((cs, n)) if splitBucketCols(cs).size == 1 =>
+        dfRenamed.repartition(n, col(phys(splitBucketCols(cs).head)))
+      // MULTI-KEY = GRID bucketing: n buckets PER KEY COLUMN, each
+      // file pure in EVERY per-key bucket id. This is the shape
+      // vanilla Spark's SPJ can actually match (KeyGroupedPartitioning
+      // requires single-leaf transforms — one bucket(n, cᵢ) per key);
+      // a tuple-hash layout would co-locate but never elide the
+      // shuffle. The one write shuffle clusters grid cells; file
+      // purity comes from the writer's partitionBy split (derived
+      // bucket columns never land in the files), flattened back to the
+      // one-level layout like the days transform.
+      case Some((cs, n)) =>
+        val bcols = splitBucketCols(cs).map(phys)
+        val idCols = bcols.map(c => pmod(hash(col(c)), lit(n)))
+        var w = dfRenamed
+        bcols.indices.foreach { i =>
+          w = w.withColumn(s"__graft_b$i", idCols(i))
+        }
+        w.repartition(bcols.indices.map(i => col(s"__graft_b$i")): _*)
       case None => dfRenamed
     }
     val next = prevV.getOrElse(0L) + 1L
     // attempt-private dir: concurrent committers (and retries) can
     // never list or overwrite each other's unpublished files
     val dataDir = f"d$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    dfOut.write.parquet(s"$base/$dataDir")
+    val gridCols = effBucketBy.map(b => splitBucketCols(b._1)) match {
+      case Some(bs) if bs.size > 1 => bs.indices.map(i => s"__graft_b$i")
+      case _ => Seq.empty
+    }
+    if (effDaysBy.isDefined) {
+      // DAY-PARTITIONED write: one shuffle clusters each day, the
+      // parquet writer's partitionBy splits files one-day-pure (the
+      // derived day column never lands in the files — the timestamp
+      // does, and the verifier recomputes the day from it), then the
+      // day dirs FLATTEN into the manifest's flat layout (driver
+      // renames, O(files)) so every path invariant (d{v}-{nonce}/
+      // file, stream regexes, bucket-id lookups) holds unchanged.
+      val c = effDaysBy.get
+      dfOut
+        .withColumn("__graft_day", epochDayCol(col(phys(c))))
+        .repartition(col("__graft_day"))
+        .write.partitionBy("__graft_day").parquet(s"$base/$dataDir")
+      flattenPartDirs(Paths.get(base, dataDir))
+    } else if (gridCols.nonEmpty) {
+      // GRID-bucketed write: same partitionBy-then-flatten discipline
+      dfOut.write.partitionBy(gridCols: _*).parquet(s"$base/$dataDir")
+      flattenPartDirs(Paths.get(base, dataDir))
+    } else {
+      dfOut.write.parquet(s"$base/$dataDir")
+    }
     val dirStream = Files.list(Paths.get(base, dataDir))
     val freshNames =
       try dirStream.iterator().asScala
@@ -3225,7 +3374,9 @@ object VersionedTable {
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
       else collectStats(s, s"$base/$dataDir", statsCols.map(phys),
         bloomCols.map(phys), effNdvCols.map(phys),
-        effBucketBy.map { case (c, n) => (phys(c), n) })
+        effBucketBy.map { case (cs, n) =>
+          (splitBucketCols(cs).map(phys).mkString(","), n) },
+        effDaysBy.map(phys))
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand
@@ -3353,11 +3504,42 @@ object VersionedTable {
     * column-less count scan when no stats columns are declared): it is
     * what lets `SELECT count(*)` answer from the manifest alone.
     */
+  /** Flatten a `partitionBy(__graft_*)` output tree into the flat
+    * one-level layout every manifest path invariant assumes: each
+    * `__graft_x=<v>[/__graft_y=<w>...]/part-*.parquet` moves up with
+    * the partition values folded into the file name (unique — the
+    * prefixes disambiguate same-named parts across leaves). Driver
+    * renames, O(files); arbitrary nesting depth (the grid layout
+    * writes one level per key column).
+    */
+  private def flattenPartDirs(dir: java.nio.file.Path): Unit = {
+    def walk(d: java.nio.file.Path, prefix: String): Unit = {
+      val children = {
+        val st = Files.list(d)
+        try st.iterator().asScala.toList finally st.close()
+      }
+      children.foreach { p =>
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p) && name.startsWith("__graft_")) {
+          val v = name.substring(name.indexOf('=') + 1)
+          walk(p, s"$prefix$v-")
+          Files.delete(p)
+        } else if (prefix.nonEmpty) {
+          if (name.endsWith(".parquet") && !name.startsWith("."))
+            Files.move(p, dir.resolve(s"p$prefix$name"))
+          else Files.delete(p) // stray markers/CRCs inside leaf dirs
+        }
+      }
+    }
+    walk(dir, "")
+  }
+
   private def collectStats(s: SparkSession, dir: String,
       statsCols: Seq[String],
       bloomCols: Seq[String] = Nil,
       ndvCols: Seq[String] = Nil,
-      bucketBy: Option[(String, Int)] = None)
+      bucketBy: Option[(String, Int)] = None,
+      daysBy: Option[String] = None)
       : Map[String, (Long, Map[String, Stat])] = {
     val df = s.read.parquet(dir)
     def proj(c: String): Column = df.schema(c).dataType match {
@@ -3382,12 +3564,22 @@ object VersionedTable {
         // aggregate state per file (never ∝ distinct values)
         ndvCols.map(c => graft.expressions.KmvAgg.kmv(
           ndvHash56(col(c)), NdvK).as(s"__kmv_$c")) ++
-        // bucket VERIFICATION: `functions.hash` is Murmur3 seed 42 —
-        // the exact hash the write's repartition partitioned on, so a
-        // single-bucket file has min == max here by construction
-        bucketBy.toSeq.flatMap { case (c, n) => Seq(
-          min(pmod(hash(col(c)), lit(n))).as("__bkt_lo"),
-          max(pmod(hash(col(c)), lit(n))).as("__bkt_hi"))
+        // bucket VERIFICATION per key column: `functions.hash` is
+        // Murmur3 seed 42 — the hash the write partitioned on — so a
+        // bucket-pure file has min == max PER KEY here by construction
+        // (the grid layout verifies every dimension independently)
+        bucketBy.toSeq.flatMap { case (cs, n) =>
+          splitBucketCols(cs).flatMap { c => Seq(
+            min(pmod(hash(col(c)), lit(n))).as(s"__bkt_lo_$c"),
+            max(pmod(hash(col(c)), lit(n))).as(s"__bkt_hi_$c"))
+          }
+        } ++
+        // day VERIFICATION: recomputed from the timestamp itself (the
+        // derived partition column never lands in files), min == max
+        // per file by the partitionBy construction
+        daysBy.toSeq.flatMap { c => Seq(
+          min(epochDayCol(col(c))).as("__day_lo"),
+          max(epochDayCol(col(c))).as("__day_hi"))
         })
     df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -3419,19 +3611,31 @@ object VersionedTable {
           s"$c#kmv" -> (KmvStats(NdvK,
             r.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toArray): Stat)
         }.toMap
-        val bkt = bucketBy.map { case (c, n) =>
-          val lo = r.getAs[Int]("__bkt_lo")
-          val hi = r.getAs[Int]("__bkt_hi")
+        val bkt = bucketBy.toSeq.flatMap { case (cs, n) =>
+          splitBucketCols(cs).map { c =>
+            val lo = r.getAs[Int](s"__bkt_lo_$c")
+            val hi = r.getAs[Int](s"__bkt_hi_$c")
+            require(lo == hi,
+              s"bucketed write produced a MULTI-BUCKET file " +
+                s"(${r.getAs[String]("__f")}: bucket ids $lo..$hi of $n " +
+                s"on '$c') — refusing to record a co-location claim the " +
+                "planner would elide shuffles on")
+            s"$c#bucket" -> (BucketStat(n, lo): Stat)
+          }
+        }.toMap
+        val dayTok = daysBy.map { c =>
+          val lo = r.getAs[Int]("__day_lo")
+          val hi = r.getAs[Int]("__day_hi")
           require(lo == hi,
-            s"bucketed write produced a MULTI-BUCKET file " +
-              s"(${r.getAs[String]("__f")}: bucket ids $lo..$hi of $n on " +
-              s"'$c') — refusing to record a co-location claim the " +
-              "planner would elide shuffles on")
-          s"$c#bucket" -> (BucketStat(n, lo): Stat)
+            s"day-partitioned write produced a MULTI-DAY file " +
+              s"(${r.getAs[String]("__f")}: days $lo..$hi on '$c') — " +
+              "refusing to record a co-location claim the planner " +
+              "would elide shuffles on")
+          s"$c#days" -> (DaysStat(lo): Stat)
         }.toMap
         r.getAs[String]("__f") ->
           ((r.getAs[Long]("__rows"),
-            per ++ blooms ++ kmvs ++ bkt: Map[String, Stat]))
+            per ++ blooms ++ kmvs ++ bkt ++ dayTok: Map[String, Stat]))
       }.toMap
   }
 

@@ -290,12 +290,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listFunctions(
       namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(namespace, "bucket"))
+      Array(Identifier.of(namespace, "bucket"),
+        Identifier.of(namespace, "days"))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
+    else if (ident.name() == "days") GraftDaysFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -485,6 +485,16 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                 Option(info.options.get("numFiles")).isEmpty),
               "bucketBy is mutually exclusive with zorderCols/" +
                 "clusterBy/numFiles (the bucket shuffle is the layout)")
+            // DAY-PARTITIONED layout: `daysBy=<tsCol>` — the Iceberg
+            // days(ts) transform (one-day-pure files, verified; SPJ on
+            // the timestamp key); a layout like bucketBy, so the same
+            // exclusions apply
+            val daysBy = Option(info.options.get("daysBy")).map(_.trim)
+            require(daysBy.isEmpty ||
+              (bucketBy.isEmpty && zc.isEmpty && cb.isEmpty &&
+                Option(info.options.get("numFiles")).isEmpty),
+              "daysBy is mutually exclusive with bucketBy/zorderCols/" +
+                "clusterBy/numFiles (the day split is the layout)")
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
             import org.apache.spark.sql.functions.col
             val clustered =
@@ -534,11 +544,13 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             } else if (replace || overwrite)
               VersionedTable.commitReplace(data.sparkSession, base, clustered,
                 stats, bloomCols = blooms, ndvCols = ndvs,
-                bucketBy = bucketBy, inheritBucket = inherit)
+                bucketBy = bucketBy, inheritBucket = inherit,
+                daysBy = daysBy)
             else
               VersionedTable.commitAppend(data.sparkSession, base, clustered,
                 stats, bloomCols = blooms, ndvCols = ndvs,
-                bucketBy = bucketBy, inheritBucket = inherit)
+                bucketBy = bucketBy, inheritBucket = inherit,
+                daysBy = daysBy)
             ()
           }
       }

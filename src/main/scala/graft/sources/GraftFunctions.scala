@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampType}
 
 import graft.operators.VersionedTable
 
@@ -36,51 +36,100 @@ object GraftBucketFunction extends UnboundFunction {
       "the graft hash-bucket layout function (int/long/string keys)"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.length == 2,
-      s"bucket takes (numBuckets, col), got ${inputType.length} args")
+    require(inputType.length >= 2,
+      s"bucket takes (numBuckets, key, ...), got ${inputType.length} args")
     require(inputType(0).dataType == IntegerType,
       s"bucket's first argument is the INT bucket count, got " +
         s"${inputType(0).dataType.catalogString}")
-    val keyType = inputType(1).dataType
-    keyType match {
+    val keyTypes = inputType.drop(1).map(_.dataType).toSeq
+    keyTypes.foreach {
       case IntegerType | LongType | StringType =>
       case other => throw new UnsupportedOperationException(
         s"bucket supports int/long/string keys, got ${other.catalogString}")
     }
-    new GraftBoundBucket(keyType)
+    new GraftBoundBucket(keyTypes)
   }
 }
 
-/** `bucket` bound to a concrete key type. Stateless and serializable —
-  * it ships into tasks when Spark evaluates the transform.
+/** `bucket` bound to concrete key types (one or several — the
+  * multi-key co-location layout hashes the tuple). Stateless and
+  * serializable — it ships into tasks when Spark evaluates the
+  * transform.
   */
-final class GraftBoundBucket(keyType: DataType)
+final class GraftBoundBucket(keyTypes: Seq[DataType])
     extends ScalarFunction[Integer] {
 
-  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def inputTypes(): Array[DataType] =
+    (IntegerType +: keyTypes).toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def isResultNullable: Boolean = false
 
   /** Type-qualified: murmur3(int) ≠ murmur3(long) ≠ murmur3(string),
-    * so only same-key-type scans may claim the same function.
+    * so only same-key-type scans may claim the same function; the
+    * arity rides in the type list.
     */
   override def canonicalName(): String =
-    s"graft.bucket(${keyType.catalogString})"
+    s"graft.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
 
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
-    if (input.isNullAt(1)) {
-      // a null key leaves the murmur3 seed untouched — the same
-      // partition index the write's HashPartitioning assigned nulls
-      ((42 % n) + n) % n
-    } else {
-      val v: Any = keyType match {
-        case IntegerType => input.getInt(1)
-        case LongType => input.getLong(1)
-        case StringType => input.getUTF8String(1)
+    // the chained-seed fold `functions.hash(c1, c2, ...)` computes
+    // (Murmur3Hash children left-to-right, initial seed 42); a null
+    // key leaves the running seed untouched — the same partition
+    // index the write's HashPartitioning assigned nulls
+    var h = 42L
+    keyTypes.indices.foreach { i =>
+      if (!input.isNullAt(i + 1)) {
+        val v: Any = keyTypes(i) match {
+          case IntegerType => input.getInt(i + 1)
+          case LongType => input.getLong(i + 1)
+          case StringType => input.getUTF8String(i + 1)
+        }
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(v, keyTypes(i), h)
       }
-      VersionedTable.bucketId(v, keyType, n)
+    }
+    val hi = h.toInt
+    ((hi % n) + n) % n
+  }
+}
+
+/** The catalog's `days` function — the date-partition-transform half
+  * of SPJ: a day-partitioned graft scan reports
+  * `KeyGroupedPartitioning(days(ts))`, Spark resolves the transform
+  * against THIS function, and two tables day-partitioned on their join
+  * timestamp join with no shuffle on either side. Semantics are
+  * [[VersionedTable.epochDay]] — UTC epoch day via floorDiv(micros,
+  * 86 400 000 000), the Iceberg `days` transform (the engine pins the
+  * session to UTC, so there is no zone ambiguity).
+  */
+object GraftDaysFunction extends UnboundFunction {
+
+  override def name(): String = "days"
+
+  override def description(): String =
+    "days(ts) — UTC epoch day (floorDiv(unix_micros, 86400000000)); " +
+      "the graft day-partition layout function"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"days takes (timestamp), got ${inputType.length} args")
+    inputType(0).dataType match {
+      case TimestampType => GraftBoundDays
+      case other => throw new UnsupportedOperationException(
+        s"days supports timestamp keys, got ${other.catalogString}")
     }
   }
+}
+
+/** `days` bound to timestamp-micros. Stateless and serializable. */
+object GraftBoundDays extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(TimestampType)
+  override def resultType(): DataType = DateType
+  override def name(): String = "days"
+  override def isResultNullable: Boolean = false
+  override def canonicalName(): String = "graft.days(timestamp)"
+  override def produceResult(input: InternalRow): Integer =
+    VersionedTable.epochDay(input.getLong(0))
 }

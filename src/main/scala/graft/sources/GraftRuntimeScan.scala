@@ -63,16 +63,38 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
   // ----- Scan surface: the delegate's machinery verbatim
 
   override def readSchema(): StructType = current.readSchema()
-  override def toBatch: Batch = bucketLayout match {
-    // bucketed snapshot: plan one key-grouped partition set — each
-    // input partition carries its bucket id ([[HasPartitionKey]]), so
-    // Spark can group them under the reported KeyGroupedPartitioning
-    // and elide the join shuffle. Reads `current` at call time:
-    // BatchScanExec re-plans partitions through a fresh toBatch after
-    // runtime filtering, and the grouping must see the pruned index.
-    case Some(_) => new GraftBucketedBatch(() => current, entries)
-    case None => current.toBatch
+  override def toBatch: Batch = {
+    // key-grouped snapshot (bucketed or day-partitioned): plan one
+    // key-grouped partition set — each input partition carries its
+    // bucket id / epoch day ([[HasPartitionKey]]), so Spark can group
+    // them under the reported KeyGroupedPartitioning and elide the
+    // join shuffle. Reads `current` at call time: BatchScanExec
+    // re-plans partitions through a fresh toBatch after runtime
+    // filtering, and the grouping must see the pruned index.
+    if (bucketLayout.isDefined)
+      new GraftKeyedBatch(() => current, bucketKeyOf)
+    else if (daysLayout.isDefined)
+      new GraftKeyedBatch(() => current, dayKeyOf)
+    else current.toBatch
   }
+
+  /** Per-file partition key (one id per key column, canonical col
+    * order — the same order [[outputPartitioning]] lists transforms).
+    */
+  private def bucketKeyOf: Map[String, Seq[Int]] =
+    VersionedTable.bucketSpecOf(entries).map { case (physCols, _) =>
+      val cols = VersionedTable.splitBucketCols(physCols)
+      entries.map { e =>
+        e.path -> cols.map(pc =>
+          e.stats(s"$pc#bucket").asInstanceOf[BucketStat].id)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def dayKeyOf: Map[String, Seq[Int]] =
+    entries.flatMap(e => e.stats.collectFirst {
+      case (k, VersionedTable.DaysStat(d)) if k.endsWith("#days") =>
+        e.path -> Seq(d)
+    }).toMap
 
   // ----- storage-partitioned joins ([[SupportsReportPartitioning]])
 
@@ -84,23 +106,46 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
     * reference resolves against the scan relation's output — and a
     * join that could use SPJ projects its key anyway).
     */
-  private lazy val bucketLayout: Option[(String, Int)] =
-    VersionedTable.bucketSpecOf(entries).flatMap { case (physCol, n) =>
+  private lazy val bucketLayout: Option[(Seq[String], Int)] =
+    VersionedTable.bucketSpecOf(entries).flatMap { case (physCols, n) =>
       val toLogical = graft.operators.ColumnMapping.toLogical(schema)
-      toLogical.get(physCol)
+      val isMapped = graft.operators.ColumnMapping.isMapped(schema)
+      val cols = VersionedTable.splitBucketCols(physCols).map { pc =>
+        toLogical.get(pc)
+          .orElse(if (isMapped) None else Some(pc))
+          .filter(c => current.readSchema().fieldNames.contains(c))
+      }
+      if (cols.forall(_.isDefined)) Some((cols.flatten, n)) else None
+    }
+
+  /** The snapshot's day-partition layout, claimable by THIS scan —
+    * the [[bucketLayout]] discipline for the `days(ts)` transform.
+    */
+  private lazy val daysLayout: Option[String] =
+    VersionedTable.daysSpecOf(entries).flatMap { pc =>
+      val toLogical = graft.operators.ColumnMapping.toLogical(schema)
+      toLogical.get(pc)
         .orElse(if (graft.operators.ColumnMapping.isMapped(schema)) None
-                else Some(physCol))
+                else Some(pc))
         .filter(c => current.readSchema().fieldNames.contains(c))
-        .map(c => (c, n))
     }
 
   override def outputPartitioning(): Partitioning = bucketLayout match {
-    case Some((c, n)) =>
-      val groups = entries.flatMap(_.stats.collectFirst {
-        case (k, BucketStat(_, id)) if k.endsWith("#bucket") => id
-      }).distinct.size
-      new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups)
-    case None => new UnknownPartitioning(0)
+    case Some((cols, n)) =>
+      val groups = bucketKeyOf.values.toSeq.distinct.size
+      // GRID layout: ONE single-leaf bucket(n, cᵢ) transform PER KEY —
+      // the only shape Spark's KeyGroupedPartitioning.satisfies0
+      // matches (each partition expression must have exactly one
+      // leaf); a two-key equi-join covers every transform's reference
+      // and EnsureRequirements elides the shuffle on both sides
+      new KeyGroupedPartitioning(
+        cols.map(c => Expressions.bucket(n, c)).toArray, groups)
+    case None => daysLayout match {
+      case Some(c) =>
+        new KeyGroupedPartitioning(Array(Expressions.days(c)),
+          dayKeyOf.values.toSeq.distinct.size)
+      case None => new UnknownPartitioning(0)
+    }
   }
   override def description(): String = s"Graft ${current.description()}"
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -352,33 +397,28 @@ object GraftRuntimeScan {
   val MaxProbeValues: Int = 4096
 }
 
-/** The bucketed snapshot's Batch: the delegate parquet scan plans its
-  * (pruned, split, filter-pushed) file chunks exactly as always; this
-  * wrapper REGROUPS the chunks by their file's manifest bucket id and
-  * re-packs each bucket into [[FilePartition]]s that carry the id as
-  * their partition key — what `DataSourceV2ScanExecBase.groupPartitions`
-  * groups under the reported KeyGroupedPartitioning. Everything
-  * row-shaped (vectorized decode, row-group pushdown, codegen) is
-  * still the delegate's reader factory: the partitions ARE
-  * FilePartitions, just key-tagged and bucket-pure.
+/** A key-grouped snapshot's Batch (hash-bucketed or day-partitioned):
+  * the delegate parquet scan plans its (pruned, split, filter-pushed)
+  * file chunks exactly as always; this wrapper REGROUPS the chunks by
+  * their file's manifest partition key (bucket id / epoch day) and
+  * re-packs each group into [[FilePartition]]s that carry the key —
+  * what `DataSourceV2ScanExecBase.groupPartitions` groups under the
+  * reported KeyGroupedPartitioning. Everything row-shaped (vectorized
+  * decode, row-group pushdown, codegen) is still the delegate's reader
+  * factory: the partitions ARE FilePartitions, just key-tagged and
+  * key-pure.
   *
-  * Scale: at 100 TB a bucket spans many files and commits — packing
-  * stays split-size-bounded WITHIN each bucket (several tasks per
-  * bucket are fine: Spark groups same-key partitions into one join
-  * group), so SPJ never forces one-giant-task-per-bucket.
+  * Scale: at 100 TB a key group spans many files and commits — packing
+  * stays split-size-bounded WITHIN each group (several tasks per group
+  * are fine: Spark groups same-key partitions into one join group), so
+  * SPJ never forces one-giant-task-per-group.
   */
-private[sources] class GraftBucketedBatch(scan: () => ParquetScan,
-                                          entries: Seq[ManifestEntry])
+private[sources] class GraftKeyedBatch(scan: () => ParquetScan,
+                                       ids: Map[String, Seq[Int]])
     extends Batch {
-
-  private def idOf: Map[String, Int] =
-    entries.flatMap(e => e.stats.collectFirst {
-      case (k, BucketStat(_, id)) if k.endsWith("#bucket") => e.path -> id
-    }).toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
     val delegate = scan()
-    val ids = idOf
     val chunks = delegate.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
@@ -388,15 +428,16 @@ private[sources] class GraftBucketedBatch(scan: () => ParquetScan,
       val p = pf.filePath.toPath
       val rel = s"${p.getParent.getName}/${p.getName}"
       ids.getOrElse(rel, throw new IllegalStateException(
-        s"planned file $rel carries no bucket id — bucketLayout " +
-          "should have voided the key-grouped claim"))
+        s"planned file $rel carries no partition key — the layout " +
+          "claim should have been voided"))
     }
     val spark = delegate.sparkSession
     val maxSplit = FilePartition.maxSplitBytes(spark,
       chunks.map(_.length).sum)
     var idx = -1
+    import scala.math.Ordering.Implicits.seqOrdering
     byBucket.toSeq.sortBy(_._1).flatMap { case (id, fs) =>
-      val key = new GenericInternalRow(Array[Any](id))
+      val key = new GenericInternalRow(id.map(i => i: Any).toArray)
       FilePartition.getFilePartitions(spark, fs.toSeq, maxSplit).map { fp =>
         idx += 1
         new GraftBucketedFilePartition(idx, fp.files, key)

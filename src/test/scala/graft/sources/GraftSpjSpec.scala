@@ -349,4 +349,109 @@ class GraftSpjSpec extends SparkSuite {
     strs.foreach { case (v, b) =>
       assert(VersionedTable.bucketId(v, StringType, n) === b, s"str '$v'") }
   }
+
+  test("MULTI-KEY bucket (r14): bucketBy=n:k1,k2 joins the pair with " +
+      "zero shuffle; a one-key join does NOT claim co-partitioning") {
+    val s = spark
+    import s.implicits._
+    def rows(vs: Range) =
+      vs.map(i => (i.toLong % 20L, i.toLong / 20L, i.toLong)).toDF("k1", "k2", "v")
+    val aBase = s"$warehouse/$ns/mk_a"
+    val bBase = s"$warehouse/$ns/mk_b"
+    rows(0 until 400).write.format("graft")
+      .option("bucketBy", "8:k1,k2").mode("append").save(aBase)
+    rows(100 until 500).write.format("graft")
+      .option("bucketBy", "8:k1,k2").mode("append").save(bBase)
+    // every file holds exactly one TUPLE bucket (the verifier's claim)
+    val es = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get)
+    assert(VersionedTable.bucketSpecOf(es) === Some(("k1,k2", 8)))
+    withSpj {
+      val j = spark.table(s"graft.$ns.mk_a").as("a")
+        .join(spark.table(s"graft.$ns.mk_b").as("b"),
+          col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2"))
+        .select(col("a.k1"), col("a.k2"), col("a.v"), col("b.v").as("w"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"two-key storage-partitioned join must not shuffle:\n$plan")
+      val got = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = (100 until 400).map(i =>
+        (i.toLong % 20L, i.toLong / 20L, i.toLong, i.toLong)).toSet
+      assert(got === want)
+      // joining on ONE of the two keys covers only half the partition
+      // transform's references — co-partitioning must NOT be claimed
+      val j1 = spark.table(s"graft.$ns.mk_a").as("a")
+        .join(spark.table(s"graft.$ns.mk_b").as("b"),
+          col("a.k1") === col("b.k1"))
+      assert(j1.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "a one-key join over a two-key layout must shuffle")
+    }
+  }
+
+  test("days(ts) transform (r14): daysBy tables join on the timestamp " +
+      "with zero shuffle; files are one-day-pure and sticky") {
+    val s = spark
+    import s.implicits._
+    def rows(days: Range, perDay: Int) = days.flatMap { d =>
+      (0 until perDay).map { i =>
+        (new java.sql.Timestamp(d.toLong * 86400000L + i * 3600000L),
+          d.toLong * 100 + i)
+      }
+    }.toDF("ts", "v")
+    val aBase = s"$warehouse/$ns/dy_a"
+    val bBase = s"$warehouse/$ns/dy_b"
+    rows(0 until 8, 6).write.format("graft")
+      .option("daysBy", "ts").option("statsCols", "ts")
+      .mode("append").save(aBase)
+    rows(4 until 12, 6).write.format("graft")
+      .option("daysBy", "ts").option("statsCols", "ts")
+      .mode("append").save(bBase)
+    // every file carries exactly one #days token; the layout is sticky
+    // across a later plain append
+    val es = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get)
+    assert(VersionedTable.daysSpecOf(es) === Some("ts"))
+    rows(8 until 10, 3).write.format("graft")
+      .mode("append").save(aBase)
+    val es2 = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get)
+    assert(VersionedTable.daysSpecOf(es2) === Some("ts"),
+      "a plain append on a day-partitioned table must inherit the layout")
+    withSpj {
+      val j = spark.table(s"graft.$ns.dy_a").as("a")
+        .join(spark.table(s"graft.$ns.dy_b").as("b"),
+          col("a.ts") === col("b.ts"))
+        .select(col("a.ts"), col("a.v"), col("b.v").as("w"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"day-partitioned join on the timestamp must not shuffle:\n$plan")
+      val got = j.collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSet
+      // days 4..7 fully overlap (6 rows/day); the appended days 8..9
+      // carry only 3 rows each on the a side
+      val want = ((4 until 8).flatMap(d => (0 until 6).map((d, _))) ++
+        (8 until 10).flatMap(d => (0 until 3).map((d, _)))).map {
+        case (d, i) =>
+          (d.toLong * 86400000L + i * 3600000L,
+            d.toLong * 100 + i, d.toLong * 100 + i)
+      }.toSet
+      assert(got === want)
+    }
+    // negative control: v2 bucketing off exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val j = spark.table(s"graft.$ns.dy_a").as("a")
+        .join(spark.table(s"graft.$ns.dy_b").as("b"),
+          col("a.ts") === col("b.ts"))
+      assert(j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
 }

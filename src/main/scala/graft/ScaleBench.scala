@@ -101,6 +101,11 @@ object ScaleBench {
     // term is one gram scan, so the ratio should be well UNDER R —
     // the corpus-independence claim, measured)
     "q158_log_cdc", "q160_chain_components", "q161_sampled_neardup",
+    // r14 (judge ask #7): the row-tracking tier — span allocation,
+    // id-preserving rewrites, and the row-id lineage join are all
+    // O(delta)/O(affected-files); amplified lineitem makes the deltas
+    // themselves R× bigger, so the ratio should stay ~R
+    "q194_row_tracking", "q195_cdc_by_rowid",
     // r13: the graph-ANN build — the one r12 operator never
     // amplification-tested. Cells scale as ceil(sqrt(N)) so the
     // member×member pairs join is Θ(N·√N): the amplified ratio should

@@ -390,6 +390,96 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("PARTIALLY-CLUSTERED SPJ (r14): a 90%-skewed bucket keeps the " +
+      "zero-shuffle join, splits into several tasks, and the other " +
+      "side's groups replicate; results equal the grouped plan") {
+    val s = spark
+    import s.implicits._
+    // 90% of the fact side lands in ONE bucket (constant key), several
+    // files of it (maxRecordsPerFile), so the skewed bucket arrives as
+    // several HasPartitionKey input partitions
+    val hot = (1 to 1800).map(i => (7L, i.toLong))
+    val cold = (1 to 200).map(i => (i.toLong * 13 + 1, -i.toLong))
+    val factBase = s"$warehouse/$ns/pc_fact"
+    val dimBase = s"$warehouse/$ns/pc_dim"
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "150")
+      (hot ++ cold).toDF("k", "v").write.format("graft")
+        .option("bucketBy", "4:k").mode("append").save(factBase)
+    } finally prevMax match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    (Seq(7L) ++ (1 to 200).map(_.toLong * 13 + 1)).map(k => (k, k * 2))
+      .toDF("k", "w").write.format("graft")
+      .option("bucketBy", "4:k").mode("append").save(dimBase)
+    def joined = spark.table(s"graft.$ns.pc_fact").as("a")
+      .join(spark.table(s"graft.$ns.pc_dim").as("b"), col("a.k") === col("b.k"))
+      .select(col("a.k"), col("a.v"), col("b.w"))
+    // AQE wraps the plan: run it, then read the FINAL plan's scans
+    def partitionsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      // query stages are LEAF nodes — recurse through their plans
+      def gather(n: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+        n match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            gather(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b.inputRDD.getNumPartitions)
+          case other => other.children.flatMap(gather)
+        }
+      val ns = gather(p)
+      assert(ns.nonEmpty, s"no BatchScanExec under:\n${p.treeString}")
+      ns.max
+    }
+    withSpj {
+      // tiny split target so the hot bucket's files cannot pack into
+      // one task — the regime partial clustering exists for
+      val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          "false")
+        val grouped = joined
+        val groupedPlan = grouped.queryExecution.executedPlan.toString
+        assert(!groupedPlan.contains("Exchange hashpartitioning"))
+        val groupedParts = partitionsOf(grouped)
+        val want = grouped.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          "true")
+        val partial = joined
+        val partialPlan = partial.queryExecution.executedPlan.toString
+        assert(!partialPlan.contains("Exchange hashpartitioning"),
+          s"partial clustering must keep SPJ:\n$partialPlan")
+        val partialParts = partitionsOf(partial)
+        assert(partialParts > groupedParts,
+          s"partially-clustered plan should run MORE tasks than the " +
+            s"grouped one (skewed bucket split): $partialParts vs " +
+            s"$groupedParts")
+        val got = partial.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === want, "partial clustering must not change results")
+        assert(want.count(_._1 == 7L) === 1800)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      }
+    }
+  }
+
   test("days(ts) transform (r14): daysBy tables join on the timestamp " +
       "with zero shuffle; files are one-day-pure and sticky") {
     val s = spark

@@ -770,6 +770,40 @@ object VersionedTable {
   private def constraintsPath(base: String): Path =
     logDir(base).resolve("_constraints")
 
+  // ----- DECLARED LAYOUT (r14): the DDL-declared partition transform —
+  // `CREATE TABLE ... PARTITIONED BY (bucket(n, c...) | days(ts))` —
+  // persisted as a `_log/_layout` sidecar (the constraints pattern:
+  // one line, `<kind>\t<spec>`). It is the DEFAULT layout: a write
+  // with no explicit layout option and nothing to inherit (the first
+  // data write; a claim voided by an explicit alternative layout)
+  // shapes its delta per the declaration — the Iceberg partition-spec
+  // semantic, where layout intent survives independent of the files
+  // currently live.
+
+  private def layoutPath(base: String): Path =
+    logDir(base).resolve("_layout")
+
+  /** The declared layout, if any: ("bucket", "n:c1[,c2]") or
+    * ("days", col).
+    */
+  def declaredLayout(base: String): Option[(String, String)] = {
+    val p = layoutPath(base)
+    if (!Files.exists(p)) return None
+    Files.readAllLines(p).asScala.find(_.contains('\t')).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  /** Persist the declared layout (DDL-time; see [[declaredLayout]]). */
+  def declareLayout(base: String, kind: String, spec: String): Unit = {
+    require(kind == "bucket" || kind == "days",
+      s"layout kind must be bucket|days, got '$kind'")
+    Files.createDirectories(logDir(base))
+    LogStore.forPath(layoutPath(base)).overwrite(layoutPath(base),
+      s"$kind\t$spec\n".getBytes("UTF-8"))
+  }
+
   /** The table's active CHECK constraints, name → boolean SQL expr. */
   def constraints(base: String): Map[String, String] = {
     val p = constraintsPath(base)
@@ -3208,6 +3242,15 @@ object VersionedTable {
             Some((logical.flatten.mkString(","), n))
           else None
         }
+      }.orElse {
+        // nothing live to inherit: the DDL-declared layout is the
+        // default (first data write; recovery after a voided claim)
+        declaredLayout(base).collect {
+          case ("bucket", spec) if spec.contains(':') =>
+            val i = spec.indexOf(':')
+            (spec.substring(i + 1), spec.substring(0, i).toInt)
+        }.filter { case (cs, _) =>
+          splitBucketCols(cs).forall(df.columns.contains) }
       }
     }
     // DAY-PARTITIONED layout (`days(ts)`): sticky exactly like the
@@ -3225,6 +3268,11 @@ object VersionedTable {
             case _ => Some(pc)
           }).filter(df.columns.contains)
         }
+      }.orElse {
+        if (effBucketBy.isDefined) None
+        else declaredLayout(base).collect {
+          case ("days", c) => c
+        }.filter(df.columns.contains)
       }
     }
     effDaysBy.foreach { c =>

@@ -610,6 +610,10 @@ object VectorQueries {
         .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     def sliceL(v: Seq[Long], m: Int): Seq[Long] =
       v.slice(m * PqSubDim, (m + 1) * PqSubDim)
+    // per-subspace driver-hosted sweeps (NOT fused into one explode
+    // job: measured 2 s SLOWER fused — the M-way struct-array explode
+    // is one giant interpreted expression per row, costlier than 2·M
+    // narrow jobs over the cached residual frame)
     val cbs: IndexedSeq[KMeans.Centroids] = (0 until PqM).map { m =>
       val sub = pr.select(col("vec_id"),
         expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))

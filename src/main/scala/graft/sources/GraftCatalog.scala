@@ -104,14 +104,47 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def tableExists(ident: Identifier): Boolean =
     VersionedTable.latestVersion(basePath(ident)).isDefined
 
+  /** `PARTITIONED BY` transforms the DDL accepts: `bucket(n, c...)`
+    * (the hash/grid layout — one or several keys) and `days(ts)` (the
+    * date transform). Identity partitioning and the year/month/hour
+    * family are refused with the cure named; the declared layout
+    * persists as the table's DEFAULT (`VersionedTable.declareLayout`)
+    * so the first data write — and any write after a voided claim —
+    * shapes its delta per the declaration (the Iceberg partition-spec
+    * semantic).
+    */
+  private def layoutOf(partitions: Array[Transform])
+      : Option[(String, String)] = {
+    if (partitions.isEmpty) return None
+    require(partitions.length == 1,
+      "graft tables take ONE layout transform: bucket(n, col...) or days(ts)")
+    val t = partitions.head
+    def cols = t.references().map(_.fieldNames().mkString(".")).mkString(",")
+    t.name() match {
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          "bucket(n, col...) needs a literal bucket count"))
+        Some(("bucket", s"$n:$cols"))
+      case "days" => Some(("days", cols))
+      case other => throw new UnsupportedOperationException(
+        s"graft supports PARTITIONED BY (bucket(n, col...)) and " +
+          s"(days(ts)); got '$other' — range layouts go through " +
+          "clusterBy/OPTIMIZE ZORDER instead")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via OPTIMIZE ZORDER, not PARTITIONED BY")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val base = basePath(ident)
     val s = SparkSession.active
+    layoutOf(partitions).foreach { case (kind, spec) =>
+      VersionedTable.declareLayout(base, kind, spec)
+    }
     // an empty v1 whose manifest carries the declared schema header —
     // the table reads as zero rows of that shape until the first write
     VersionedTable.commitAppend(s,
@@ -229,8 +262,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private def stage(ident: Identifier, schema: StructType,
                     partitions: Array[Transform], replace: Boolean,
                     orCreate: Boolean): StagedTable = {
-    require(partitions.isEmpty,
-      "graft tables cluster via OPTIMIZE ZORDER, not PARTITIONED BY")
     if (!replace && tableExists(ident))
       throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !tableExists(ident))
@@ -240,6 +271,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val stageDir = base.resolveSibling(
       s".${base.getFileName}.stage-${java.util.UUID.randomUUID().toString.take(8)}")
     val s = SparkSession.active
+    // the declared layout rides the stage dir: the CTAS data commit
+    // lands in it pre-publish, so the first write is already shaped
+    layoutOf(partitions).foreach { case (kind, spec) =>
+      VersionedTable.declareLayout(stageDir.toString, kind, spec)
+    }
     VersionedTable.commitAppend(s, stageDir.toString, s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
     new GraftStagedTable(stageDir, base, schema, replace, ident,

@@ -480,6 +480,40 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("DDL layouts (r14): PARTITIONED BY (bucket/days) declares the " +
+      "default; the first INSERT is shaped; identity is refused") {
+    spark.sql(s"CREATE TABLE graft.$ns.ddl_a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO graft.$ns.ddl_a SELECT id, id * 2 FROM range(0, 400)")
+    val aBase = s"$warehouse/$ns/ddl_a"
+    assert(VersionedTable.bucketSpecOf(VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get)) === Some(("k", 4)))
+    // two-key grid via DDL
+    spark.sql(s"CREATE TABLE graft.$ns.ddl_g (k1 BIGINT, k2 BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k1, k2))")
+    spark.sql(s"INSERT INTO graft.$ns.ddl_g " +
+      "SELECT id % 20, id / 20, id FROM range(0, 400)")
+    val gBase = s"$warehouse/$ns/ddl_g"
+    assert(VersionedTable.bucketSpecOf(VersionedTable.entries(gBase,
+      VersionedTable.latestVersion(gBase).get)) === Some(("k1,k2", 4)))
+    // days via DDL
+    spark.sql(s"CREATE TABLE graft.$ns.ddl_d (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO graft.$ns.ddl_d " +
+      "SELECT timestamp_micros(CAST(id * 43200000000 AS BIGINT)), id " +
+      "FROM range(0, 20)")
+    val dBase = s"$warehouse/$ns/ddl_d"
+    assert(VersionedTable.daysSpecOf(VersionedTable.entries(dBase,
+      VersionedTable.latestVersion(dBase).get)) === Some("ts"))
+    assert(spark.table(s"graft.$ns.ddl_d").count() === 20L)
+    // identity partitioning names the cure
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.$ns.ddl_bad (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (v)")
+    }
+    assert(e.getMessage.contains("bucket(n, col...)"), e.getMessage)
+  }
+
   test("days(ts) transform (r14): daysBy tables join on the timestamp " +
       "with zero shuffle; files are one-day-pure and sticky") {
     val s = spark

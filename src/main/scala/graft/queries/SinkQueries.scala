@@ -3762,6 +3762,75 @@ object SinkQueries {
         FROM agg
       """),
       // bench=false: fixture-write-dominated like q192/q197
+      bench = false),
+
+    // q199: days(ts) STORAGE-PARTITIONED JOIN under the oracle gate
+    // (r14) — the date-transform leg of the q192/q197 discipline: two
+    // daily rollups of the events table written `daysBy=tsd` (one
+    // UTC-epoch-day-pure file per day, verified; `<col>#days` tokens),
+    // read through the catalog whose scans report
+    // KeyGroupedPartitioning(days(tsd)) resolved by the `days`
+    // function — the timestamp-keyed join then plans with ZERO
+    // exchanges on either side, pinned as data; the per-day join
+    // values hash-check against the raw-events DuckDB twin.
+    Q("q199_days_spj",
+      (s, d) => {
+        val ns = s"q199_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        val ev = Tables.events(s, d)
+          .select(date_trunc("day", col("ts")).as("tsd"), col("value"))
+        ev.groupBy(col("tsd"))
+          .agg(count(lit(1)).as("n_events"))
+          .write.format("graft").option("daysBy", "tsd")
+          .option("statsCols", "tsd")
+          .mode("append").save(s"$wh/$ns/cnt")
+        ev.groupBy(col("tsd"))
+          .agg(sum(graft.functions.ColumnOps.e2(col("value"))).as("val_e2"))
+          .write.format("graft").option("daysBy", "tsd")
+          .option("statsCols", "tsd")
+          .mode("append").save(s"$wh/$ns/vals")
+        val prevBkt = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.table(s"graft.$ns.cnt")
+            .join(s.table(s"graft.$ns.vals"), "tsd")
+          val exchanges = "Exchange hashpartitioning".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
+          j.select(to_date(col("tsd")).as("day"), col("n_events"),
+              col("val_e2"))
+            .withColumn("exchanges", lit(exchanges.toLong))
+            .orderBy(col("day"))
+        } finally {
+          prevBkt match {
+            case Some(v) =>
+              s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None =>
+              s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""
+        WITH d1 AS (
+          SELECT date_trunc('day', ts) AS tsd, CAST(COUNT(*) AS BIGINT)
+                   AS n_events
+          FROM events GROUP BY 1
+        ), d2 AS (
+          SELECT date_trunc('day', ts) AS tsd,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS val_e2
+          FROM events GROUP BY 1
+        )
+        SELECT CAST(d1.tsd AS DATE) AS day, n_events, val_e2,
+               CAST(0 AS BIGINT) AS exchanges
+        FROM d1 JOIN d2 USING (tsd)
+        ORDER BY day
+      """),
+      // bench=false: fixture-write-dominated like q192/q197
       bench = false)
   )
 }

@@ -2663,6 +2663,11 @@ object VersionedTable {
     publish(target, 1L, body)
     val cs = constraints(source)
     if (cs.nonEmpty) writeConstraints(target, cs)
+    // the DDL-declared layout travels like constraints do: the branch
+    // keeps shaping its writes per the declaration
+    declaredLayout(source).foreach { case (kind, spec) =>
+      declareLayout(target, kind, spec)
+    }
     1L
   }
 

@@ -305,11 +305,23 @@ object VersionedTable {
   def epochDay(micros: Long): Int =
     Math.floorDiv(micros, 86400000000L).toInt
 
-  /** [[epochDay]] as a column over a TimestampType column — exact:
-    * |unix_micros| < 2⁵³ keeps the double division's floor exact.
+  /** [[epochDay]] as a column over a TimestampType column — exact over
+    * the FULL long range (r14 advice): subtracting pmod leaves an
+    * exactly-divisible numerator, and the division runs in decimal, so
+    * no double rounding can ever shift a row's day off what
+    * [[epochDay]]/floorDiv computes (a |micros| ≥ 2⁵³ timestamp under
+    * the old double floor could land the stored partition key one day
+    * off the `days()` function SPJ evaluates).
     */
-  def epochDayCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(unix_micros(c).cast("double") / 86400000000L).cast("int")
+  def epochDayCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // all-decimal: long arithmetic would wrap for micros within one
+    // day of Long.MinValue (m - pmod underflows), and plain decimal
+    // division would scale-round quotients within 43 ms of a boundary
+    // — subtracting the decimal pmod first makes the division exact
+    val m = unix_micros(c).cast("decimal(38,0)")
+    val d = lit(86400000000L)
+    ((m - pmod(m, d)) / d).cast("int")
+  }
 
   /** NDV sketch size: 128 mins ≈ ±9% relative error, ~1.4 KB base64
     * per column per manifest line (the bloom-scale budget).
@@ -2009,6 +2021,95 @@ object VersionedTable {
       } finally { k.unpersist(); () }
     }
 
+  /** KEYED REPLACE in ONE publish (r14 advice): the new snapshot is
+    * (previous state minus rows whose `keyCol` ∈ `keys`) ∪
+    * `replacement`, committed atomically — the two-commit
+    * delete-then-append shape leaves a crash window where the old rows
+    * are already manifest-deleted but their replacements never landed,
+    * and a txn-gated replay then reads the truncated state as "prior"
+    * (exactly the GraphIndexPipeline adjacency-merge bug this method
+    * closes). Footprint, key-type gating, zone-map/bloom pruning and
+    * the rebase-or-republish discipline are [[commitDeleteKeys]]'s;
+    * only files that can hold a matching key are rewritten, and the
+    * replacement files land in the same manifest publish.
+    *
+    * `reshape` runs over (remaining ∪ replacement) before the write —
+    * the layout seam (e.g. re-clustering by range) since the union
+    * otherwise interleaves survivors with new rows arbitrarily.
+    *
+    * Row-tracking tables are refused: survivors of the anti-join would
+    * need their ids carried while replacement rows mint fresh ones,
+    * and a half-and-half frame isn't expressible through the span
+    * allocator — use delete + append there and accept the two-commit
+    * window, or disable row ids on maintenance tables (the index
+    * pipelines' shape).
+    */
+  def commitReplaceKeys(s: SparkSession, base: String,
+                        keyCol: String, keys: DataFrame,
+                        replacement: DataFrame,
+                        statsCols: Seq[String] = Nil,
+                        maxAttempts: Int = 5,
+                        bloomCols: Seq[String] = Nil,
+                        probeLimit: Int = 10000,
+                        txn: Option[(String, Long)] = None,
+                        reshape: DataFrame => DataFrame = identity): Long =
+    retrying(maxAttempts) {
+      val prevV = latestVersion(base)
+      if (prevV.isEmpty) {
+        // first commit: nothing to replace — the replacement IS the table
+        commitAt(s, base, reshape(replacement), "replace_keys", statsCols,
+          prevV, bloomCols = bloomCols, txn = txn,
+          footprint = ReadNothing)(fresh => (fresh, Seq.empty))
+      } else {
+        require(!featuresAsOf(base, prevV.get).contains("rowid"),
+          s"commitReplaceKeys does not support row-tracking tables ($base)")
+        val keyType = keys.schema(keyCol).dataType
+        val isStr = keyType == StringType
+        require(isStr || (keyType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }), s"commitReplaceKeys key '$keyCol' must be string or integral, " +
+          s"got $keyType")
+        val k = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+          .distinct().persist()
+        try {
+          val ext = k.agg(min(col(keyCol)).as("__lo"),
+            max(col(keyCol)).as("__hi"),
+            count(lit(1)).as("__n")).head()
+          val n = ext.getAs[Long]("__n")
+          val ranges: Seq[PruneRange] =
+            if (n == 0L) Seq.empty
+            else if (isStr) Seq(StrRange(keyCol, ext.getAs[String]("__lo"),
+              ext.getAs[String]("__hi")))
+            else Seq(LongRange(keyCol,
+              ext.getAs[Number]("__lo").longValue,
+              ext.getAs[Number]("__hi").longValue))
+          val probes: Seq[PruneRange] =
+            if (n > 0L && n <= probeLimit)
+              Seq(KeyProbe(keyCol, k.collect().map(_.get(0)).toIndexedSeq))
+            else Seq.empty
+          val (es, schema) = replay(base, prevV.get)
+          val mapped = ColumnMapping.mapRanges(schema, ranges ++ probes)
+          val touched = if (n == 0L) Seq.empty else pruneTyped(es, mapped)
+          val out =
+            if (touched.isEmpty) reshape(replacement)
+            else {
+              val rows = readEntries(s, base, touched, schema,
+                withRowIds = false)
+              val side = if (n <= probeLimit) broadcast(k) else k
+              val remaining = rows.join(side,
+                rows(keyCol) === side(keyCol), "left_anti")
+              reshape(remaining.unionByName(replacement))
+            }
+          val fp = if (n == 0L) ReadNothing
+            else ReadScope(touched.map(_.path).toSet, Some(mapped))
+          commitAt(s, base, out, "replace_keys", statsCols, prevV,
+            bloomCols = bloomCols, txn = txn, footprint = fp)(
+            fresh => (fresh, touched.map(_.path)))
+        } finally { k.unpersist(); () }
+      }
+    }
+
   /** The deleted positions of one sidecar, driver-side (sidecars are
     * ∝ deleted rows — metadata-plane by the MoR size contract below).
     */
@@ -3322,6 +3423,16 @@ object VersionedTable {
       s"frame carries $RowIdCol but row tracking is not enabled on " +
         s"$base (enableRowIds first, or rename the column — it is " +
         "reserved for stable row identity)")
+    // the day/grid write paths derive __graft_day / __graft_b<i>
+    // columns via withColumn and strip them through partitionBy; a
+    // user column wearing one of those names would be silently
+    // overwritten and dropped from the written files (r14 advice) —
+    // the prefix is reserved, mirroring the RowIdCol check above
+    df.columns.filter(_.startsWith("__graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' uses the reserved __graft_ prefix (internal " +
+          "layout-derivation columns); rename it before committing")
+    }
     val declared = mergeSchema(prevSnap.flatMap(_._2),
       StructType(df.schema.filterNot(_.name == RowIdCol)))
     // mapped table: data files live under PHYSICAL names — rename the
@@ -3677,6 +3788,18 @@ object VersionedTable {
           }
         }.toMap
         val dayTok = daysBy.map { c =>
+          // NULL timestamps land in their own default-partition file
+          // whose day extrema are null; getAs[Int] would unbox that to
+          // 0 and record a FALSE verified day-0 claim SPJ would group
+          // on (r14 advice) — refuse the commit instead: a days(ts)
+          // layout requires the partition column non-null, exactly
+          // like Iceberg's identity/days source-column contract
+          require(r.getAs[Any]("__day_lo") != null &&
+            r.getAs[Any]("__day_hi") != null,
+            s"day-partitioned write has NULL '$c' timestamps " +
+              s"(${r.getAs[String]("__f")}) — the days($c) layout " +
+              "requires a non-null partition column; filter or fill " +
+              "nulls before committing")
           val lo = r.getAs[Int]("__day_lo")
           val hi = r.getAs[Int]("__day_hi")
           require(lo == hi,

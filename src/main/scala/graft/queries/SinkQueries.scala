@@ -3790,6 +3790,8 @@ object SinkQueries {
           .option("statsCols", "tsd")
           .mode("append").save(s"$wh/$ns/vals")
         val prevBkt = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevPpv = s.conf.getOption(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
         val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try {
           s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -3805,12 +3807,13 @@ object SinkQueries {
             .withColumn("exchanges", lit(exchanges.toLong))
             .orderBy(col("day"))
         } finally {
-          prevBkt match {
-            case Some(v) =>
-              s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-            case None =>
-              s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          def restore(k: String, prev: Option[String]): Unit = prev match {
+            case Some(v) => s.conf.set(k, v)
+            case None => s.conf.unset(k)
           }
+          restore("spark.sql.sources.v2.bucketing.enabled", prevBkt)
+          restore("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            prevPpv)
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
         }
       },

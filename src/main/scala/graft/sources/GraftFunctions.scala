@@ -123,13 +123,21 @@ object GraftDaysFunction extends UnboundFunction {
   }
 }
 
-/** `days` bound to timestamp-micros. Stateless and serializable. */
+/** `days` bound to timestamp-micros. Stateless and serializable.
+  * Nullable result with an explicit null guard (r14 advice): committed
+  * day-partitioned data is non-null by the collectStats contract, but
+  * Spark may still evaluate `days(null)` on the OTHER side of a
+  * one-side-shuffle SPJ (pushPartValues hash-partitioning an
+  * unpartitioned frame to match the layout) — `getLong(0)` on a null
+  * slot returns an arbitrary value, so propagate SQL null instead.
+  */
 object GraftBoundDays extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(TimestampType)
   override def resultType(): DataType = DateType
   override def name(): String = "days"
-  override def isResultNullable: Boolean = false
+  override def isResultNullable: Boolean = true
   override def canonicalName(): String = "graft.days(timestamp)"
   override def produceResult(input: InternalRow): Integer =
-    VersionedTable.epochDay(input.getLong(0))
+    if (input.isNullAt(0)) null
+    else VersionedTable.epochDay(input.getLong(0))
 }

@@ -216,8 +216,6 @@ object GraphIndexPipeline {
         .select(col("src"), col("dst"), col("ecos"))
         .join(cellOf, "src")
         .select(col("cell"), col("src"), col("dst"), col("ecos"))
-        .repartitionByRange(col("cell"), col("src"))
-        .sortWithinPartitions(col("cell"), col("src"))
       // routing lands FIRST with its own txn stamp: a crash replay
       // that already routed re-reads routedNew as "prior" rows — the
       // pair joins dedup, so the candidate SET is unchanged — and the
@@ -228,14 +226,17 @@ object GraphIndexPipeline {
           statsCols = Seq("vec_id", "cid"), bloomCols = Seq("vec_id"),
           txn = Some(TxnApp -> id))
       }
-      if (VersionedTable.latestVersion(edgesBase).isDefined) {
-        VersionedTable.commitDeleteKeys(s, edgesBase, "src",
-          affected, statsCols = Seq("src", "cell"),
-          bloomCols = Seq("src", "dst"))
-      }
-      VersionedTable.commitAppend(s, edgesBase, merged,
-        statsCols = Seq("src", "cell"), bloomCols = Seq("src", "dst"),
-        txn = Some(TxnApp -> id))
+      // the adjacency rewrite is ONE atomic keyed replace (r14 advice):
+      // the affected srcs' old rows retire and their merged top-G lands
+      // in the same manifest publish, so no crash point exists where
+      // the historical adjacency is deleted but its replacement never
+      // arrived (the two-commit delete-then-append shape broke the
+      // edges(u)=top-G-over-ever-arrived invariant on replay)
+      VersionedTable.commitReplaceKeys(s, edgesBase, "src", affected,
+        merged, statsCols = Seq("src", "cell"),
+        bloomCols = Seq("src", "dst"), txn = Some(TxnApp -> id),
+        reshape = _.repartitionByRange(col("cell"), col("src"))
+          .sortWithinPartitions(col("cell"), col("src")))
       routedNew.unpersist()
       fresh.unpersist()
       ()

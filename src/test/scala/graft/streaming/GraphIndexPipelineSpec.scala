@@ -72,6 +72,10 @@ class GraphIndexPipelineSpec extends SparkSuite {
     val cents = VersionedTable.readLatest(spark, cb)
     val expected = batchEdges(withNorm(vecs), cents)
     assert(edgeSet(eb) === expected)
+    // each batch's adjacency rewrite is ONE atomic replace commit
+    // (r14 advice: no delete-then-append crash window) — two drained
+    // batches ⟹ exactly two edge-table versions
+    assert(VersionedTable.latestVersion(eb) === Some(2L))
     // replay with the same checkpoint: nothing new to drain — the
     // edges table's version must not move
     val vBefore = VersionedTable.latestVersion(eb)

@@ -29,8 +29,11 @@ object Receipts {
 
   /** Shared CTEs: response → positioned SummaryFields rows (P1's
     * posexplode twin — generate_subscripts zips with unnest, 1-based).
+    * `private[queries]`: q48's watch-pipeline oracle reuses the
+    * summary twin (the sink state is this summary keyed by the
+    * fixture's distinct blobs).
     */
-  private val FlatCtes = s"""
+  private[queries] val FlatCtes = s"""
     resp AS (SELECT * FROM read_json_auto('$FixturePath')),
     docs AS (
       SELECT 'output1' AS img_id,
@@ -78,7 +81,7 @@ object Receipts {
          FILTER (WHERE ($cond) AND sf.ValueDetection.Text IS NOT NULL)"""
 
   /** A1 CTEs on top of [[FlatCtes]]: per-receipt pivot + OTHER map. */
-  private val SummaryCtes = s"""
+  private[queries] val SummaryCtes = s"""
     lastv AS (
       SELECT img_id,
         ${lastMatchSql("sf.Type.Text = 'VENDOR_NAME'")} AS vendor_raw,

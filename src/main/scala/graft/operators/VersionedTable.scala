@@ -795,25 +795,69 @@ object VersionedTable {
   private def layoutPath(base: String): Path =
     logDir(base).resolve("_layout")
 
-  /** The declared layout, if any: ("bucket", "n:c1[,c2]") or
-    * ("days", col).
-    */
-  def declaredLayout(base: String): Option[(String, String)] = {
+  private def layoutLines(base: String): Seq[(String, String)] = {
     val p = layoutPath(base)
-    if (!Files.exists(p)) return None
-    Files.readAllLines(p).asScala.find(_.contains('\t')).map { l =>
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p).asScala.toSeq.filter(_.contains('\t')).map { l =>
       val i = l.indexOf('\t')
       (l.substring(0, i), l.substring(i + 1))
     }
   }
 
-  /** Persist the declared layout (DDL-time; see [[declaredLayout]]). */
+  private def writeLayoutLines(base: String,
+                               lines: Seq[(String, String)]): Unit = {
+    Files.createDirectories(logDir(base))
+    LogStore.forPath(layoutPath(base)).overwrite(layoutPath(base),
+      lines.map { case (k, v) => s"$k\t$v\n" }.mkString
+        .getBytes("UTF-8"))
+  }
+
+  /** The declared layout, if any: ("bucket", "n:c1[,c2]") or
+    * ("days", col).
+    */
+  def declaredLayout(base: String): Option[(String, String)] =
+    layoutLines(base).find(l => l._1 == "bucket" || l._1 == "days")
+
+  /** Persist the declared layout (DDL-time; see [[declaredLayout]]).
+    * Preserves a declared within-layout sort order, the other sidecar
+    * line.
+    */
   def declareLayout(base: String, kind: String, spec: String): Unit = {
     require(kind == "bucket" || kind == "days",
       s"layout kind must be bucket|days, got '$kind'")
-    Files.createDirectories(logDir(base))
-    LogStore.forPath(layoutPath(base)).overwrite(layoutPath(base),
-      s"$kind\t$spec\n".getBytes("UTF-8"))
+    writeLayoutLines(base, (kind, spec) +:
+      layoutLines(base).filterNot(l => l._1 == "bucket" || l._1 == "days"))
+  }
+
+  /** WITHIN-LAYOUT SORT ORDER (r15 — the Iceberg bucket+sort-order
+    * shape, the standard 100 TB fact layout: bucket by the join key,
+    * sort each bucket's files by a second column so the table carries
+    * zone-map locality on BOTH): the declared secondary sort columns,
+    * applied by every data-adding commit whenever a bucket/days layout
+    * is active — each write task sorts its (single-bucket / single-day)
+    * output before landing files, so per-file zone maps on the sort
+    * columns are tight while every file stays layout-pure. Sticky like
+    * the bucket discipline (appends, DML rewrites, compaction all pass
+    * through [[commitAt]], which consults this declaration); advisory
+    * like zone maps — losing the sort loosens pruning, never answers.
+    */
+  def declaredSortWithin(base: String): Seq[String] =
+    layoutLines(base).find(_._1 == "sortwithin")
+      .map(_._2.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** Persist the within-layout sort order (see [[declaredSortWithin]]);
+    * preserves the declared layout line.
+    */
+  def declareSortWithin(base: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "sortWithin needs at least one column")
+    cols.foreach { c =>
+      require(!c.contains('\t') && !c.contains(',') && !c.contains('\n'),
+        s"sort column name '$c' would corrupt the layout sidecar")
+    }
+    writeLayoutLines(base, layoutLines(base)
+      .filterNot(_._1 == "sortwithin") :+
+      ("sortwithin" -> cols.mkString(",")))
   }
 
   /** The table's active CHECK constraints, name → boolean SQL expr. */
@@ -1547,7 +1591,7 @@ object VersionedTable {
         val rangeable = keys.map(_._1).filter(c =>
           schema.fields.find(_.name == c).exists(_.dataType match {
             case ByteType | ShortType | IntegerType | LongType | DateType |
-                 TimestampType => true
+                 TimestampType | TimestampNTZType => true
             case _ => false
           }))
         val ranges =
@@ -1738,11 +1782,13 @@ object VersionedTable {
 
   /** A key value flattened to the long domain zone maps store (the
     * collectStats convention: dates → epoch days, timestamps → epoch
-    * micros).
+    * micros; NTZ timestamps are wall-clock micros — identical to the
+    * LTZ instant under the engine's pinned-UTC session convention).
     */
   private def flatLong(c: Column, dt: DataType): Column = dt match {
     case DateType => unix_date(c).cast("long")
     case TimestampType => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
     case _ => c.cast("long")
   }
 
@@ -2769,6 +2815,8 @@ object VersionedTable {
     declaredLayout(source).foreach { case (kind, spec) =>
       declareLayout(target, kind, spec)
     }
+    val sw = declaredSortWithin(source)
+    if (sw.nonEmpty) declareSortWithin(target, sw)
     1L
   }
 
@@ -3304,7 +3352,7 @@ object VersionedTable {
         s"stats column name '$c' would corrupt the manifest line format")
       val ok = df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType |
-             TimestampType | StringType => true
+             TimestampType | TimestampNTZType | StringType => true
         case _ => false
       }
       require(ok, s"stats column '$c' must be integral, date, timestamp " +
@@ -3445,6 +3493,17 @@ object VersionedTable {
     val dfRenamed =
       if (physMap.isEmpty) df
       else df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
+    // WITHIN-LAYOUT SORT ORDER ([[declaredSortWithin]] — Iceberg's
+    // bucket + sort-order): with a bucket/days layout active, each
+    // write task sorts by the declared secondary columns before
+    // landing its (layout-pure) files, so their zone maps are tight on
+    // a SECOND key (join key + time, the 100 TB fact shape). Columns
+    // absent from this frame just skip (the sticky-inheritance degrade
+    // rule); the sort columns join the zone-map stats set below so the
+    // locality is actually readable.
+    val sortPhys: Seq[String] =
+      if (effBucketBy.isEmpty && effDaysBy.isEmpty) Seq.empty
+      else declaredSortWithin(base).filter(df.columns.contains).map(phys)
     // HASH-BUCKETED LAYOUT: one shuffle at write — partition index IS
     // pmod(murmur3(col), n) (HashPartitioning's partitionIdExpression
     // with Spark's seed 42), and each task writes one file, so every
@@ -3455,7 +3514,11 @@ object VersionedTable {
     // count pins AQE (user-specified repartition is never coalesced).
     val dfOut = effBucketBy match {
       case Some((cs, n)) if splitBucketCols(cs).size == 1 =>
-        dfRenamed.repartition(n, col(phys(splitBucketCols(cs).head)))
+        val r = dfRenamed.repartition(n, col(phys(splitBucketCols(cs).head)))
+        // one bucket per task ⟹ sorting by the secondary alone sorts
+        // the file
+        if (sortPhys.isEmpty) r
+        else r.sortWithinPartitions(sortPhys.map(col): _*)
       // MULTI-KEY = GRID bucketing: n buckets PER KEY COLUMN, each
       // file pure in EVERY per-key bucket id. This is the shape
       // vanilla Spark's SPJ can actually match (KeyGroupedPartitioning
@@ -3472,7 +3535,15 @@ object VersionedTable {
         bcols.indices.foreach { i =>
           w = w.withColumn(s"__graft_b$i", idCols(i))
         }
-        w.repartition(bcols.indices.map(i => col(s"__graft_b$i")): _*)
+        val r = w.repartition(bcols.indices.map(i => col(s"__graft_b$i")): _*)
+        // grid-cell prefix first: the writer's partitionBy requires
+        // ordering on the derived cells — providing it as our prefix
+        // keeps the secondary suffix intact instead of being re-sorted
+        // away by FileFormatWriter
+        if (sortPhys.isEmpty) r
+        else r.sortWithinPartitions(
+          (bcols.indices.map(i => s"__graft_b$i") ++ sortPhys)
+            .map(col): _*)
       case None => dfRenamed
     }
     val next = prevV.getOrElse(0L) + 1L
@@ -3492,10 +3563,14 @@ object VersionedTable {
       // renames, O(files)) so every path invariant (d{v}-{nonce}/
       // file, stream regexes, bucket-id lookups) holds unchanged.
       val c = effDaysBy.get
-      dfOut
+      val dayed = dfOut
         .withColumn("__graft_day", epochDayCol(col(phys(c))))
         .repartition(col("__graft_day"))
-        .write.partitionBy("__graft_day").parquet(s"$base/$dataDir")
+      val daySorted =
+        if (sortPhys.isEmpty) dayed
+        else dayed.sortWithinPartitions(
+          ("__graft_day" +: sortPhys).map(col): _*)
+      daySorted.write.partitionBy("__graft_day").parquet(s"$base/$dataDir")
       flattenPartDirs(Paths.get(base, dataDir))
     } else if (gridCols.nonEmpty) {
       // GRID-bucketed write: same partitionBy-then-flatten discipline
@@ -3534,9 +3609,20 @@ object VersionedTable {
     }
     // a rewrite that empties the table writes NO part files — nothing
     // to scan (and parquet schema inference over zero files would err)
+    // zone maps ride the sort: a sorted-within-layout column is only
+    // useful if its per-file extrema are readable, so type-eligible
+    // sort columns join the stats set automatically
+    val sortStatsPhys = sortPhys.filter { c =>
+      dfRenamed.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType | StringType => true
+        case _ => false
+      }
+    }
     val stats =
       if (freshNames.isEmpty) Map.empty[String, (Long, Map[String, Stat])]
-      else collectStats(s, s"$base/$dataDir", statsCols.map(phys),
+      else collectStats(s, s"$base/$dataDir",
+        (statsCols.map(phys) ++ sortStatsPhys).distinct,
         bloomCols.map(phys), effNdvCols.map(phys),
         effBucketBy.map { case (cs, n) =>
           (splitBucketCols(cs).map(phys).mkString(","), n) },
@@ -3709,6 +3795,9 @@ object VersionedTable {
     def proj(c: String): Column = df.schema(c).dataType match {
       case DateType => unix_date(col(c)).cast("long")
       case TimestampType => unix_micros(col(c))
+      // NTZ wall-clock micros == the LTZ instant under the pinned-UTC
+      // session convention (the cast is wall-clock-preserving)
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case StringType => col(c)
       case _ => col(c).cast("long")
     }

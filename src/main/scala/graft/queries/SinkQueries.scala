@@ -3834,6 +3834,107 @@ object SinkQueries {
         ORDER BY day
       """),
       // bench=false: fixture-write-dominated like q192/q197
+      bench = false),
+
+    // q200: BUCKET + SORT ORDER under the oracle gate (r15 — the
+    // standard 100 TB fact layout: bucket by the join key, sort each
+    // bucket's files by time). lineitem lands `bucketBy=8:l_orderkey,
+    // sortWithinBuckets=l_shipdate` (each bucket's write task sorts by
+    // ship date; maxRecordsPerFile splits it into several files whose
+    // l_shipdate zone maps are tight and disjoint), so the SAME table
+    // serves BOTH access paths and both claims ride the hash gate as
+    // data: the orderkey join plans zero exchanges (`exchanges`), and
+    // a six-month ship-date slice opens fewer files than live
+    // (`slice_pruned`) — under the old bucketBy ⊥ clusterBy exclusion
+    // that slice scanned every bucket's files. The slice's own
+    // aggregates hash-check against the raw-parquet twin, so pruning
+    // can never silently drop rows.
+    Q("q200_bucket_sortorder",
+      (s, d) => {
+        val ns = s"q200_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        val liBase = s"$wh/$ns/li"
+        val prevMax = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+        try {
+          s.conf.set("spark.sql.files.maxRecordsPerFile", "2000")
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_shipdate"),
+              graft.functions.ColumnOps.e2(col("l_quantity")).as("qty_e2"))
+            .write.format("graft").option("bucketBy", "8:l_orderkey")
+            .option("sortWithinBuckets", "l_shipdate")
+            .option("statsCols", "l_orderkey")
+            .mode("append").save(liBase)
+        } finally prevMax match {
+          case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+          case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+        }
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.format("graft").option("bucketBy", "8:o_orderkey")
+          .mode("append").save(s"$wh/$ns/ord")
+        // the secondary-column slice: run it, then read the prune audit
+        // literals in the column's own type (TIMESTAMP_NTZ from the
+        // parquet encoding) — a mistyped literal would cast the COLUMN
+        // and lose the pushdown the prune audit measures
+        val sdt = s.read.format("graft").load(liBase)
+          .schema("l_shipdate").dataType
+        val slice = s.read.format("graft").load(liBase)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(sdt) &&
+            col("l_shipdate") < lit("1996-07-01").cast(sdt))
+          .agg(count(lit(1)).as("n"), sum(col("qty_e2")).as("q")).head()
+        val (kept, total) =
+          graft.sources.GraftScanMetrics.lastPrune(liBase).get
+        val slicePruned = if (kept < total) 1L else 0L
+        val prevBkt = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.table(s"graft.$ns.li")
+            .join(s.table(s"graft.$ns.ord"),
+              col("l_orderkey") === col("o_orderkey"))
+          val exchanges = "Exchange hashpartitioning".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
+          j.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty_e2")).as("qty_e2"))
+            .withColumn("exchanges", lit(exchanges.toLong))
+            .withColumn("slice_pruned", lit(slicePruned))
+            .withColumn("slice_rows", lit(slice.getAs[Long]("n")))
+            .withColumn("slice_qty_e2", lit(slice.getAs[Long]("q")))
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          prevBkt match {
+            case Some(v) =>
+              s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None =>
+              s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""
+        WITH sl AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS slice_rows,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS slice_qty_e2
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-07-01'
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_e2,
+               CAST(0 AS BIGINT) AS exchanges,
+               CAST(1 AS BIGINT) AS slice_pruned,
+               sl.slice_rows, sl.slice_qty_e2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        CROSS JOIN sl
+        GROUP BY o_orderpriority, sl.slice_rows, sl.slice_qty_e2
+        ORDER BY o_orderpriority
+      """),
+      // bench=false: fixture-write-dominated like q192/q197/q199
       bench = false)
   )
 }

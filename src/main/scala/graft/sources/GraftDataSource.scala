@@ -485,6 +485,20 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                 Option(info.options.get("numFiles")).isEmpty),
               "bucketBy is mutually exclusive with zorderCols/" +
                 "clusterBy/numFiles (the bucket shuffle is the layout)")
+            // WITHIN-LAYOUT SORT ORDER (r15 — Iceberg bucket + sort
+            // order, the standard 100 TB fact layout: join key + time):
+            // `sortWithinBuckets=<c1[,c2]>` declares secondary sort
+            // columns each layout-pure write task orders its files by,
+            // so a bucketed (or day-partitioned) table carries tight
+            // zone maps on a SECOND key. Sticky like the bucket
+            // discipline (persisted to the layout sidecar; every
+            // commit path re-applies it); composes with bucketBy and
+            // daysBy, excluded with the competing global sorts.
+            val swb = colsOpt("sortWithinBuckets")
+            require(swb.isEmpty || (zc.isEmpty && cb.isEmpty),
+              "sortWithinBuckets composes with bucketBy/daysBy; it is " +
+                "mutually exclusive with zorderCols/clusterBy (those " +
+                "ARE the sort)")
             // DAY-PARTITIONED layout: `daysBy=<tsCol>` — the Iceberg
             // days(ts) transform (one-day-pure files, verified; SPJ on
             // the timestamp key); a layout like bucketBy, so the same
@@ -496,6 +510,15 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               "daysBy is mutually exclusive with bucketBy/zorderCols/" +
                 "clusterBy/numFiles (the day split is the layout)")
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
+            if (swb.nonEmpty) {
+              require(bucketBy.isDefined || daysBy.isDefined ||
+                VersionedTable.declaredLayout(base).isDefined ||
+                VersionedTable.latestVersion(base).isDefined,
+                "sortWithinBuckets needs a bucket/days layout to sort " +
+                  "within — pass bucketBy/daysBy, or declare the layout " +
+                  "first")
+              VersionedTable.declareSortWithin(base, swb)
+            }
             import org.apache.spark.sql.functions.col
             val clustered =
               if (zc.length >= 2) {
@@ -638,6 +661,11 @@ object GraftFilters {
         1000000L + t.getNanos / 1000L)
     case t: java.time.Instant =>
       Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    // TIMESTAMP_NTZ filter values: wall-clock micros, the same long
+    // the stats writer stores under the pinned-UTC session convention
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
   }
 

@@ -514,6 +514,100 @@ class GraftSpjSpec extends SparkSuite {
     assert(e.getMessage.contains("bucket(n, col...)"), e.getMessage)
   }
 
+  test("WITHIN-BUCKET SORT ORDER (r15): bucketBy + sortWithinBuckets " +
+      "keeps the zero-shuffle join AND prunes a secondary-column " +
+      "slice; files are sorted; sticky across appends and DML") {
+    val s = spark
+    import s.implicits._
+    val factBase = s"$warehouse/$ns/so_fact"
+    val dimBase = s"$warehouse/$ns/so_dim"
+    // 4 buckets × ~1000 rows; maxRecordsPerFile splits each bucket's
+    // sorted task output into several files → consecutive disjoint ts
+    // ranges per bucket (the Iceberg bucket+sort-order file shape)
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+      (0 until 4000).map(i => (i.toLong % 16L, i.toLong, i.toLong * 3L))
+        .toDF("k", "ts", "v").write.format("graft")
+        .option("bucketBy", "4:k").option("sortWithinBuckets", "ts")
+        .option("statsCols", "k")
+        .mode("append").save(factBase)
+    } finally prevMax match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    (0L until 16L).map(k => (k, k * 2L)).toDF("k", "w").write.format("graft")
+      .option("bucketBy", "4:k").mode("append").save(dimBase)
+    def entries() = VersionedTable.entries(factBase,
+      VersionedTable.latestVersion(factBase).get)
+    // claim 1: the bucket layout is intact (the sort must not break
+    // single-bucket purity) — zero-exchange join on the key
+    assert(VersionedTable.bucketSpecOf(entries()) === Some(("k", 4)))
+    assert(entries().size > 4, "expected several files per bucket")
+    withSpj {
+      val j = spark.table(s"graft.$ns.so_fact").as("a")
+        .join(spark.table(s"graft.$ns.so_dim").as("b"),
+          col("a.k") === col("b.k"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "bucket+sort table must still join shuffle-free")
+      assert(j.count() === 4000L)
+    }
+    // claim 2: every file is internally sorted by ts and files carry
+    // tight disjoint ts zone maps WITHIN each bucket
+    entries().groupBy(_.stats("k#bucket")).foreach { case (_, fs) =>
+      val ranges = fs.map { e =>
+        e.stats("ts") match {
+          case VersionedTable.ColStats(lo, hi) => (lo, hi)
+          case other => fail(s"no ts zone map: $other")
+        }
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) =>
+          assert(l2 > h1, s"bucket files' ts ranges overlap: $ranges")
+        case _ =>
+      }
+    }
+    entries().foreach { e =>
+      val ts = spark.read.parquet(s"$factBase/${e.path}")
+        .select(col("ts")).as[Long].collect().toSeq
+      assert(ts === ts.sorted, s"file ${e.path} not ts-sorted")
+    }
+    // claim 3: a secondary-column slice prunes files (the locality the
+    // sort exists for)
+    val sliced = spark.read.format("graft").load(factBase)
+      .filter(col("ts").between(100L, 200L))
+    assert(sliced.count() === 101L)
+    val (kept, total) = GraftScanMetrics.lastPrune(factBase).get
+    assert(kept < total,
+      s"ts slice should prune bucket files, kept $kept of $total")
+    // sticky: a PLAIN append inherits bucket AND sort (sidecar)
+    (4000 until 4400).map(i => (i.toLong % 16L, i.toLong, i.toLong * 3L))
+      .toDF("k", "ts", "v").write.format("graft")
+      .mode("append").save(factBase)
+    assert(VersionedTable.bucketSpecOf(entries()) === Some(("k", 4)))
+    val fresh = entries().filter(_.stats.get("ts").isEmpty)
+    assert(fresh.isEmpty, "appended files must carry the ts zone map " +
+      "(sticky sort discipline re-collects the sort column's stats)")
+    // DML rewrite keeps both claims
+    VersionedTable.commitDelete(spark, factBase, col("ts") === 123L,
+      pruneRanges = Seq(("ts", 123L, 123L)))
+    assert(VersionedTable.bucketSpecOf(entries()) === Some(("k", 4)))
+    entries().foreach { e =>
+      val ts = spark.read.parquet(s"$factBase/${e.path}")
+        .select(col("ts")).as[Long].collect().toSeq
+      assert(ts === ts.sorted, s"post-DML file ${e.path} not ts-sorted")
+    }
+    withSpj {
+      val j = spark.table(s"graft.$ns.so_fact").as("a")
+        .join(spark.table(s"graft.$ns.so_dim").as("b"),
+          col("a.k") === col("b.k"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(j.count() === 4399L)
+    }
+  }
+
   test("days(ts) transform (r14): daysBy tables join on the timestamp " +
       "with zero shuffle; files are one-day-pure and sticky") {
     val s = spark

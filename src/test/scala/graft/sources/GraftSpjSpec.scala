@@ -390,6 +390,81 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("SPJ with join keys SUBSET of partition keys (r15): under " +
+      "allowJoinKeysSubsetOfPartitionKeys a one-key join over the " +
+      "two-key grid plans zero exchanges; off, it shuffles; results " +
+      "equal either way") {
+    val s = spark
+    import s.implicits._
+    // distinct (k1, k2) pairs per side so the one-key join's result is
+    // predictable: a.k1 == b.k1 matches each a-row to every b-row of
+    // the same k1
+    def rows(r: Range) =
+      r.map(i => (i.toLong % 10L, i.toLong / 10L, i.toLong)).toDF("k1", "k2", "v")
+    val aBase = s"$warehouse/$ns/sub_a"
+    val bBase = s"$warehouse/$ns/sub_b"
+    rows(0 until 200).write.format("graft")
+      .option("bucketBy", "4:k1,k2").mode("append").save(aBase)
+    rows(0 until 300).write.format("graft")
+      .option("bucketBy", "4:k1,k2").mode("append").save(bBase)
+    // BOTH sides keep their k2 in the projection: a partition
+    // transform only resolves against the scan's OUTPUT (the
+    // readSchema gate in GraftRuntimeScan.bucketLayout — and Spark's
+    // own V2ScanPartitioningAndOrdering), so a plan that prunes a
+    // partition key away forfeits the claim; same contract as Iceberg
+    def joined = spark.table(s"graft.$ns.sub_a").as("a")
+      .join(spark.table(s"graft.$ns.sub_b").as("b"),
+        col("a.k1") === col("b.k1"))
+      .select(col("a.k1"), col("a.k2"), col("b.k2"), col("a.v"),
+        col("b.v").as("w"))
+    val want = (0 until 200).flatMap { i =>
+      (0 until 300).filter(j => j % 10 == i % 10)
+        .map(j => (i.toLong % 10L, i.toLong / 10L, j.toLong / 10L,
+          i.toLong, j.toLong))
+    }.toSet
+    withSpj {
+      // negative control INSIDE the SPJ confs: without the subset
+      // grant the one-key join must shuffle (the r14-pinned refusal)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      val subsetConfs = Seq(
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+        // the co-partition check short-circuits to ALL-keys matching
+        // by default (KeyGroupedPartitioning.satisfies0's
+        // requireAllClusterKeys branch) — the subset grant only
+        // engages with it relaxed, exactly as Spark's own
+        // KeyGroupedPartitioningSuite runs these
+        "spark.sql.requireAllClusterKeysForCoPartition")
+      val prev = subsetConfs.map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+          "true")
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+          "false")
+        val j = joined
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"subset-keys SPJ must group partitions by k1 and elide the " +
+            s"shuffle:\n$plan")
+        assert(j.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSet === want)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // and the shuffled plan agrees on the rows (result-equality control)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(joined.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet === want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+  }
+
   test("PARTIALLY-CLUSTERED SPJ (r14): a 90%-skewed bucket keeps the " +
       "zero-shuffle join, splits into several tasks, and the other " +
       "side's groups replicate; results equal the grouped plan") {

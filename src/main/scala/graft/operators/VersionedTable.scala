@@ -2516,7 +2516,12 @@ object VersionedTable {
     * the table's stats/bloom discipline (the maintenance rule).
     */
   def rebucket(s: SparkSession, base: String, bucketCol: String,
-               n: Int, statsCols: Seq[String] = Nil): Long =
+               n: Int, statsCols: Seq[String] = Nil): Long = {
+    // keep the declared generation in sync — with declaration-first
+    // inheritance a stale sidecar would silently revert later appends
+    // to the pre-rebucket layout
+    if (declaredLayout(base).isDefined)
+      declareLayout(base, "bucket", s"$n:$bucketCol")
     retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to rebucket in $base")
@@ -2532,6 +2537,55 @@ object VersionedTable {
         footprint = ReadScope(prevPaths.toSet, None))(
         fresh => (fresh, prevPaths))
     }
+  }
+
+  /** LAYOUT EVOLUTION, the scoped leg (r15 — Iceberg partition
+    * evolution as the model: each file's verified `#bucket` token IS
+    * its layout generation, the declared layout is the CURRENT one,
+    * and they need not agree): rewrite ONLY the files whose token
+    * differs from `(bucketCol, n)` — O(stale-generation files), the
+    * [[compactSmall]] footprint discipline — so a bucket-count change
+    * on a 100 TB table costs the stale data, not the table. Also
+    * declares `(bucketCol, n)` as the current generation, so from this
+    * call on every append/DML delta lands in the new layout
+    * (declaration-first inheritance). Mid-transition reads stay
+    * CORRECT by construction: [[bucketSpecOf]] refuses a mixed
+    * snapshot, so joins shuffle until the last stale file retires,
+    * then the zero-exchange claim returns. Returns the new version
+    * (unchanged when nothing is stale).
+    */
+  def rebucketStale(s: SparkSession, base: String, bucketCol: String,
+                    n: Int, statsCols: Seq[String] = Nil): Long = {
+    declareLayout(base, "bucket", s"$n:$bucketCol")
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to rebucket in $base")
+      val (es0, schema0) = replay(base, prevV.get)
+      // token names are PHYSICAL on mapped tables
+      val physMap = schema0.filter(ColumnMapping.isMapped)
+        .map(ColumnMapping.toPhysical).getOrElse(Map.empty[String, String])
+      val wantCols = splitBucketCols(bucketCol)
+        .map(c => physMap.getOrElse(c, c)).sorted
+      def isCurrent(e: ManifestEntry): Boolean = {
+        val bs = e.stats.collect {
+          case (k, BucketStat(bn, _)) if k.endsWith("#bucket") =>
+            (k.stripSuffix("#bucket"), bn)
+        }.toSeq.sortBy(_._1)
+        bs.map(_._1) == wantCols && bs.forall(_._2 == n)
+      }
+      val stale = es0.filterNot(isCurrent)
+      if (stale.isEmpty) prevV.get
+      else {
+        val rid = featuresAsOf(base, prevV.get).contains("rowid")
+        val rows = readEntries(s, base, stale, schema0, withRowIds = rid)
+        val (sc, bc) = statsDiscipline(base)
+        commitAt(s, base, rows, "rebucket", (statsCols ++ sc).distinct,
+          prevV, bloomCols = bc, bucketBy = Some((bucketCol, n)),
+          footprint = ReadScope(stale.map(_.path).toSet, None))(
+          fresh => (fresh, stale.map(_.path)))
+      }
+    }
+  }
 
   /** SCOPED re-clustering — incremental OPTIMIZE: z-order ONLY the
     * files whose zone maps overlap `scope` (the "recluster yesterday's
@@ -3379,54 +3433,62 @@ object VersionedTable {
     // inheritBucket=false; a frame lacking the bucket column skips
     // inheritance — in both cases bucketSpecOf goes None and readers
     // fall back to shuffling, the safe degrade.
+    // the DECLARED layout is the table's CURRENT GENERATION — it wins
+    // over live-file inheritance (r15, the Iceberg partition-evolution
+    // model: switching the declaration makes NEW data take the new
+    // spec while old files keep theirs; the co-location claim stays
+    // voided until a scoped rewrite retires the stale generation —
+    // see [[rebucketStale]]). A declaration whose columns are absent
+    // from this frame skips, the graceful-degrade rule.
+    lazy val declaredBucket: Option[(String, Int)] =
+      declaredLayout(base).collect {
+        case ("bucket", spec) if spec.contains(':') =>
+          val i = spec.indexOf(':')
+          (spec.substring(i + 1), spec.substring(0, i).toInt)
+      }.filter { case (cs, _) =>
+        splitBucketCols(cs).forall(df.columns.contains) }
+    lazy val declaredDays: Option[String] =
+      declaredLayout(base).collect { case ("days", c) => c }
+        .filter(df.columns.contains)
     val effBucketBy: Option[(String, Int)] = bucketBy.orElse {
       // an explicit daysBy is a LAYOUT CHANGE — it overrides the
       // sticky bucket claim rather than conflicting with it
       if (!inheritBucket || daysBy.isDefined) None
-      else prevSnap.flatMap { case (pes, pschema) =>
-        bucketSpecOf(pes).flatMap { case (physCols, n) =>
-          val logical = splitBucketCols(physCols).map { pc =>
-            (pschema match {
-              case Some(st) if ColumnMapping.isMapped(st) =>
-                ColumnMapping.toLogical(st).get(pc)
-              case _ => Some(pc)
-            }).filter(df.columns.contains)
+      else declaredBucket.orElse {
+        if (declaredDays.isDefined) None
+        else prevSnap.flatMap { case (pes, pschema) =>
+          bucketSpecOf(pes).flatMap { case (physCols, n) =>
+            val logical = splitBucketCols(physCols).map { pc =>
+              (pschema match {
+                case Some(st) if ColumnMapping.isMapped(st) =>
+                  ColumnMapping.toLogical(st).get(pc)
+                case _ => Some(pc)
+              }).filter(df.columns.contains)
+            }
+            if (logical.forall(_.isDefined))
+              Some((logical.flatten.mkString(","), n))
+            else None
           }
-          if (logical.forall(_.isDefined))
-            Some((logical.flatten.mkString(","), n))
-          else None
         }
-      }.orElse {
-        // nothing live to inherit: the DDL-declared layout is the
-        // default (first data write; recovery after a voided claim)
-        declaredLayout(base).collect {
-          case ("bucket", spec) if spec.contains(':') =>
-            val i = spec.indexOf(':')
-            (spec.substring(i + 1), spec.substring(0, i).toInt)
-        }.filter { case (cs, _) =>
-          splitBucketCols(cs).forall(df.columns.contains) }
       }
     }
     // DAY-PARTITIONED layout (`days(ts)`): sticky exactly like the
     // bucket discipline — once the snapshot is day-partitioned, every
     // data-adding commit re-partitions its delta by UTC epoch day
     // unless an explicit alternative layout opts out (inheritBucket
-    // gates both layout claims).
+    // gates both layout claims). Declaration-first like the bucket leg.
     val effDaysBy: Option[String] = daysBy.orElse {
-      if (!inheritBucket || bucketBy.isDefined) None
-      else prevSnap.flatMap { case (pes, pschema) =>
-        daysSpecOf(pes).flatMap { pc =>
-          (pschema match {
-            case Some(st) if ColumnMapping.isMapped(st) =>
-              ColumnMapping.toLogical(st).get(pc)
-            case _ => Some(pc)
-          }).filter(df.columns.contains)
+      if (!inheritBucket || effBucketBy.isDefined) None
+      else declaredDays.orElse {
+        prevSnap.flatMap { case (pes, pschema) =>
+          daysSpecOf(pes).flatMap { pc =>
+            (pschema match {
+              case Some(st) if ColumnMapping.isMapped(st) =>
+                ColumnMapping.toLogical(st).get(pc)
+              case _ => Some(pc)
+            }).filter(df.columns.contains)
+          }
         }
-      }.orElse {
-        if (effBucketBy.isDefined) None
-        else declaredLayout(base).collect {
-          case ("days", c) => c
-        }.filter(df.columns.contains)
       }
     }
     effDaysBy.foreach { c =>

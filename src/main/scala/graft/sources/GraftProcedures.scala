@@ -86,7 +86,7 @@ private[sources] object GraftProcedures {
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
       "zorder_by", "zorder_where", "analyze",
       "create_tag", "drop_tag", "clone", "rebucket", "enable_row_ids",
-      "vacuum_dry_run")
+      "vacuum_dry_run", "set_layout", "rebucket_stale")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -242,6 +242,33 @@ private[sources] object GraftProcedures {
         Seq(tableParam),
         out("version" -> LongType),
         in => Seq(VersionedTable.enableRowIds(base(in)))))
+      case "set_layout" => Some(new Proc("set_layout",
+        "LAYOUT EVOLUTION, step 1 (Iceberg partition-evolution model): " +
+          "declare a NEW current layout generation -- every append/DML " +
+          "delta from now on takes it, old files keep theirs, the " +
+          "co-location claim stays voided (joins shuffle, correctly) " +
+          "until rebucket_stale retires the stale generation",
+        Seq(tableParam,
+          ("kind", StringType, "'bucket' or 'days'"),
+          ("spec", StringType,
+            "bucket: '<numBuckets>:<col>[,col2]'; days: '<tsCol>'")),
+        out("declared" -> LongType),
+        in => {
+          VersionedTable.declareLayout(base(in),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          Seq(1L)
+        }))
+      case "rebucket_stale" => Some(new Proc("rebucket_stale",
+        "LAYOUT EVOLUTION, step 2: rewrite ONLY the files whose bucket " +
+          "token differs from (column, num_buckets) -- O(stale files), " +
+          "not O(table) -- declaring that layout current; once the last " +
+          "stale file retires the zero-shuffle SPJ claim returns",
+        Seq(tableParam,
+          ("column", StringType, "int/long/string bucket key column(s)"),
+          ("num_buckets", IntegerType, "bucket count (murmur3 mod n)")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.rebucketStale(SparkSession.active,
+          base(in), in.getUTF8String(1).toString, in.getInt(2)))))
       case "rebucket" => Some(new Proc("rebucket",
         "OPTIMIZE REBUCKET: rewrite the latest snapshot hash-bucketed " +
           "num_buckets ways on column -- establishes (or changes) the " +

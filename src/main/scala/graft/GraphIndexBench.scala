@@ -76,6 +76,25 @@ object GraphIndexBench {
     }
     val (srcs2, files2) = rewriteStats(v1)
     val edgesTotal = spark.read.format("graft").load(eb).count()
+    // REPAIR cost ∝ degraded srcs (r15): two delete rounds of very
+    // different size, each followed by repair — the repaired-src count
+    // and wall seconds must scale with the churn, not the corpus
+    var repaired1 = 0L; var repaired2 = 0L
+    val del1 = math.max(1L, cut1 / 100L) // ~1% of the corpus
+    val repair1Sec = timed {
+      VersionedTable.commitDelete(spark, vb,
+        col("vec_id") < del1, Seq(("vec_id", 0L, del1 - 1)),
+        statsCols = Seq("vec_id"))
+      GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+      repaired1 = GraphIndexPipeline.repair(spark, vb, eb, rb)
+    }
+    val repair2Sec = timed {
+      VersionedTable.commitDelete(spark, vb,
+        col("vec_id") >= del1 && col("vec_id") < del1 + 3L,
+        Seq(("vec_id", del1, del1 + 2L)), statsCols = Seq("vec_id"))
+      GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+      repaired2 = GraphIndexPipeline.repair(spark, vb, eb, rb)
+    }
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // the ∝-delta proof is srcs_rewritten scaling with the delta (each
@@ -87,6 +106,10 @@ object GraphIndexBench {
       s""""srcs_rewritten1":$srcs1,"files_touched1":$files1,""" +
       s""""delta2_sec":${f(delta2Sec)},"n_delta2":$delta2N,""" +
       s""""srcs_rewritten2":$srcs2,"files_touched2":$files2,""" +
+      s""""n_deleted1":$del1,"repair1_sec":${f(repair1Sec)},""" +
+      s""""srcs_repaired1":$repaired1,""" +
+      s""""n_deleted2":3,"repair2_sec":${f(repair2Sec)},""" +
+      s""""srcs_repaired2":$repaired2,""" +
       s""""edges_total":$edgesTotal,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }

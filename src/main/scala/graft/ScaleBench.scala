@@ -111,7 +111,14 @@ object ScaleBench {
     // member×member pairs join is Θ(N·√N): the amplified ratio should
     // land near R^1.5 at worst, never the R²/C of the r12 fixed-cell
     // build (45 s at 2k vectors)
-    "q188_ann_graph")
+    "q188_ann_graph",
+    // r15 (judge ask #7): the STANDING graph index — bootstrap + one
+    // delta + probe off the stored adjacency, under the same
+    // sublinearity gate as the q181/q182 standing indexes. The
+    // bootstrap term is the q188 Θ(N·√N) build; the delta repair is
+    // ∝ delta × cell (√N), so the amplified ratio should track the
+    // bootstrap's, never R²
+    "q196_incremental_graph_index")
 
   /** Queries whose amplified runs may legitimately report sort-based
     * aggregate fallback: q117's `collect_list` inside a

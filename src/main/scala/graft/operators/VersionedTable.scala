@@ -700,10 +700,36 @@ object VersionedTable {
     // answer rowHwmAsOf after vacuum drops the stamping markers
     val hwm = if (feats.contains("rowid")) Some(rowHwmAsOf(base, v))
               else None
+    // restate per-app TXN WATERMARKS (r15): an exactly-once sink whose
+    // last stamped marker falls below the vacuum horizon must not
+    // re-apply its batch on replay — fold the prior checkpoint's
+    // restated stamps with the delta suffix since it (bounded like
+    // replay, never an O(history) walk)
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    def foldTxns(lines: Seq[String]): Unit = lines.foreach { l =>
+      if (l.startsWith("#txn=")) {
+        val bodyL = l.stripPrefix("#txn=")
+        val i = bodyL.indexOf('\t')
+        if (i > 0) {
+          val app = bodyL.substring(0, i)
+          val tv = bodyL.substring(i + 1).trim.toLong
+          if (txns.getOrElse(app, Long.MinValue) < tv) txns(app) = tv
+        }
+      }
+    }
+    val cpPrior = latestCheckpointAtOrBefore(base, v)
+    cpPrior.foreach(c => foldTxns(
+      Files.readAllLines(checkpointPath(base, c)).asScala.toSeq))
+    ((cpPrior.getOrElse(0L) + 1L) to v).foreach { u =>
+      val m = markerPath(base, u)
+      if (Files.exists(m))
+        foldTxns(Files.readAllLines(m).asScala.toSeq)
+    }
     val body = ((if (feats.nonEmpty)
                    Seq(s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}")
                  else Seq.empty) ++
       hwm.map(h => s"$RowHwmTag$h").toSeq ++
+      txns.toSeq.sortBy(_._1).map { case (a, t) => s"#txn=$a\t$t" } ++
       schema.map(schemaHeader).toSeq ++ entryLines)
       .mkString("", "\n", "\n")
     // log-derived artifact: all-or-nothing replace via the seam
@@ -763,6 +789,14 @@ object VersionedTable {
           .map(_.stripPrefix(prefix).trim.toLong)
       }
       .nextOption()
+      // vacuumed history: the stamping marker may be gone, but every
+      // checkpoint restates per-app watermarks (r15) — consult the
+      // newest one before concluding the app never wrote
+      .orElse(latestCheckpointAtOrBefore(base, latest).flatMap { c =>
+        Files.readAllLines(checkpointPath(base, c)).asScala
+          .find(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix).trim.toLong)
+      })
   }
 
   // -------------------------------------------------------------------

@@ -73,10 +73,15 @@ object GraphIndexPipeline {
     df.withColumn("emb", col(embCol).cast("array<double>"))
       .withColumn("nrm", VectorFunctions.normNative(col("emb")))
 
-  /** Drain all pending embedding-table commits into the index. */
+  /** Drain all pending embedding-table commits into the index.
+    * `maintain` (default ON — the steady-state discipline) runs
+    * [[IndexMaintenance.boundedHistory]] over the three index tables
+    * after each batch: small-file debt folds away and commit history
+    * stays bounded by retention instead of growing with batch count.
+    */
   def runAvailableNow(s: SparkSession, vecsBase: String, edgesBase: String,
                       routingBase: String, centroidsBase: String,
-                      checkpoint: String): Unit = {
+                      checkpoint: String, maintain: Boolean = true): Unit = {
     val q = s.readStream.format("graft")
       .option("readChangeFeed", "true").option("cdcKey", "vec_id")
       .load(vecsBase)
@@ -85,6 +90,10 @@ object GraphIndexPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(s, vecsBase, edgesBase, routingBase, centroidsBase,
           batch, id)
+        if (maintain)
+          IndexMaintenance.boundedHistory(s,
+            Seq(edgesBase, routingBase, centroidsBase))
+        ()
       }
       .start()
     q.awaitTermination()
@@ -241,6 +250,98 @@ object GraphIndexPipeline {
       fresh.unpersist()
       ()
     } finally { b.unpersist(); () }
+  }
+
+  /** TOMBSTONE-DEBT REPAIR (r15 — the maintenance step deletes
+    * otherwise defer to an offline rebuild): deletion tombstones
+    * retire edges but never refill the vacated top-G slots, so recall
+    * decays monotonically under churn. This call restores EXACTNESS,
+    * not just a floor: a live src whose out-degree fell below
+    * [[Degree]] lost some of its top-G to deletes — recomputing its
+    * adjacency over the CURRENT live members of its two cells yields
+    * exactly the fresh-build answer (every live member was merged in
+    * when it arrived, so the live candidate set equals the
+    * ever-arrived set minus tombstones) — while a src still at full
+    * degree provably equals the fresh build already (none of its
+    * top-G died). After repair the standing index IS the batch
+    * formula over the live corpus.
+    *
+    * Cost ∝ degraded srcs × their cells' size (the candidate rule):
+    * candidate generation is two bounded equi-joins against the
+    * routing table scoped to the degraded srcs, embeddings are
+    * fetched for candidate rows only, and the adjacency rewrite is
+    * ONE atomic keyed replace touching only their cells' files.
+    * Returns the number of repaired srcs (0 = nothing degraded).
+    */
+  def repair(s: SparkSession, vecsBase: String, edgesBase: String,
+             routingBase: String): Long = {
+    if (VersionedTable.latestVersion(routingBase).isEmpty) return 0L
+    val routing = VersionedTable.readLatest(s, routingBase)
+    val edges =
+      if (VersionedTable.latestVersion(edgesBase).isEmpty)
+        routing.limit(0).select(col("vec_id").as("src"))
+      else VersionedTable.readLatest(s, edgesBase).select(col("src"))
+    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // low-degree srcs are only CANDIDATES for repair: a src with fewer
+    // cell-mates than G legitimately sits below full degree (its edges
+    // already equal its whole candidate set) — the repairable set is
+    // srcs with MORE live candidates than live edges, which makes a
+    // second repair call a provable no-op (idempotent to zero)
+    val degLow = routing.filter(col("crank") === 1)
+      .select(col("vec_id").as("src"))
+      .join(degrees, Seq("src"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .filter(col("deg") < Degree)
+      .select(col("src"), col("deg")).persist()
+    try {
+      if (degLow.isEmpty) return 0L
+      val uCells = routing
+        .join(degLow.select(col("src")),
+          routing("vec_id") === col("src"))
+        .select(col("src"), col("cid"))
+      val lr1 = routing.filter(col("crank") === 1)
+        .select(col("vec_id").as("dst"), col("cid"))
+      val cand = uCells.join(lr1, "cid")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .dropDuplicates("src", "dst")
+        .persist()
+      val repairable = degLow
+        .join(cand.groupBy(col("src")).agg(count(lit(1)).as("nc")),
+          Seq("src"), "left")
+        .filter(coalesce(col("nc"), lit(0L)) > col("deg"))
+        .select(col("src")).persist()
+      val n = repairable.count()
+      if (n == 0L) { cand.unpersist(); repairable.unpersist(); return 0L }
+      val live = withNorm(s.read.format("graft").load(vecsBase)
+        .select(col("vec_id"), col("embedding")), "embedding")
+        .select(col("vec_id"), col("emb"), col("nrm"))
+      val scored = cand.join(repairable, "src")
+        .join(live.select(col("vec_id").as("src"), col("emb").as("semb"),
+          col("nrm").as("snrm")), "src")
+        .join(live.select(col("vec_id").as("dst"), col("emb").as("demb"),
+          col("nrm").as("dnrm")), "dst")
+        .withColumn("ecos",
+          VectorFunctions.dotNative(col("semb"), col("demb"))
+            / (col("snrm") * col("dnrm")))
+        .select(col("src"), col("dst"), col("ecos"))
+      val cellOf = routing.filter(col("crank") === 1)
+        .select(col("vec_id").as("src"), col("cid").as("cell"))
+        .dropDuplicates("src")
+      val repaired = TopK.perKey(scored,
+          Seq("src"), Seq(col("ecos").desc, col("dst")), Degree)
+        .select(col("src"), col("dst"), col("ecos"))
+        .join(cellOf, "src")
+        .select(col("cell"), col("src"), col("dst"), col("ecos"))
+      VersionedTable.commitReplaceKeys(s, edgesBase, "src", repairable,
+        repaired, statsCols = Seq("src", "cell"),
+        bloomCols = Seq("src", "dst"),
+        reshape = _.repartitionByRange(col("cell"), col("src"))
+          .sortWithinPartitions(col("cell"), col("src")))
+      cand.unpersist()
+      repairable.unpersist()
+      n
+    } finally { degLow.unpersist(); () }
   }
 
   /** Serve top-`k` ANN for `queries(query_id, qemb, qnrm)` off the

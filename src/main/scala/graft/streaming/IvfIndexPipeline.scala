@@ -45,7 +45,8 @@ object IvfIndexPipeline {
 
   /** Drain all pending embedding-table commits into the index. */
   def runAvailableNow(s: SparkSession, vecsBase: String, idxBase: String,
-                      centroidsBase: String, checkpoint: String): Unit = {
+                      centroidsBase: String, checkpoint: String,
+                      maintain: Boolean = true): Unit = {
     val q = s.readStream.format("graft")
       .option("readChangeFeed", "true").option("cdcKey", "vec_id")
       .load(vecsBase)
@@ -53,6 +54,11 @@ object IvfIndexPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(s, idxBase, centroidsBase, batch, id)
+        // steady-state discipline (r15): small-file debt folds away,
+        // history stays bounded by retention, not batch count
+        if (maintain)
+          IndexMaintenance.boundedHistory(s, Seq(idxBase, centroidsBase))
+        ()
       }
       .start()
     q.awaitTermination()

@@ -64,7 +64,7 @@ object LshIndexPipeline {
     * shape for the always-on service).
     */
   def runAvailableNow(s: SparkSession, docsBase: String, idxBase: String,
-                      checkpoint: String): Unit = {
+                      checkpoint: String, maintain: Boolean = true): Unit = {
     val q = s.readStream.format("graft")
       .option("readChangeFeed", "true").option("cdcKey", "doc_id")
       .load(docsBase)
@@ -72,6 +72,10 @@ object LshIndexPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(s, idxBase, batch, id)
+        // steady-state discipline (r15): small-file debt folds away,
+        // history stays bounded by retention, not batch count
+        if (maintain) IndexMaintenance.boundedHistory(s, Seq(idxBase))
+        ()
       }
       .start()
     q.awaitTermination()

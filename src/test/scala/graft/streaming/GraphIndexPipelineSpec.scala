@@ -61,11 +61,15 @@ class GraphIndexPipelineSpec extends SparkSuite {
     VersionedTable.commitMerge(spark, vb,
       vecs.filter(col("vec_id") % 2 === 0), "vec_id", Seq("vec_id"),
       statsCols = Seq("vec_id"))
-    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    // maintain=false: this test pins EXACT commit counts (compaction
+    // would add versions); bounded history has its own test below
+    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp,
+      maintain = false)
     VersionedTable.commitMerge(spark, vb,
       vecs.filter(col("vec_id") % 2 === 1), "vec_id", Seq("vec_id"),
       statsCols = Seq("vec_id"))
-    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp,
+      maintain = false)
     // expected: the batch formula over the FULL corpus with the
     // bootstrap-elected cells (no deletes → exactness, batch
     // boundaries invisible)
@@ -78,6 +82,93 @@ class GraphIndexPipelineSpec extends SparkSuite {
     assert(VersionedTable.latestVersion(eb) === Some(2L))
     // replay with the same checkpoint: nothing new to drain — the
     // edges table's version must not move
+    val vBefore = VersionedTable.latestVersion(eb)
+    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp,
+      maintain = false)
+    assert(VersionedTable.latestVersion(eb) === vBefore)
+  }
+
+  test("REPAIR (r15) restores exactness after delete churn: degraded " +
+      "srcs recompute over their cells' live members, so the standing " +
+      "index equals the fresh batch formula again; cost ∝ degraded") {
+    val (vb, eb, rb, cb, cp) = bases()
+    VersionedTable.commitMerge(spark, vb, vecs, "vec_id", Seq("vec_id"),
+      statsCols = Seq("vec_id"))
+    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    // delete-heavy churn: retire a third of the corpus
+    VersionedTable.commitDelete(spark, vb,
+      col("vec_id") % 3 === 0, statsCols = Seq("vec_id"))
+    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    val live = withNorm(spark.read.format("graft").load(vb)
+      .select(col("vec_id"), col("embedding")))
+    val cents = VersionedTable.readLatest(spark, cb)
+    val freshFormula = batchEdges(live, cents)
+    // tombstone debt exists: the standing adjacency lost edges the
+    // fresh build would have (vacated slots never refilled)
+    val before = edgeSet(eb)
+    assert(before.subsetOf(freshFormula))
+    assert(before !== freshFormula,
+      "churn fixture should actually degrade some srcs")
+    // repair: recompute exactly the degraded srcs — afterwards the
+    // standing index IS the fresh-build adjacency (recall floor == the
+    // fresh build's, the strongest possible bound)
+    val repaired = GraphIndexPipeline.repair(spark, vb, eb, rb)
+    assert(repaired > 0L)
+    assert(edgeSet(eb) === freshFormula)
+    // cost ∝ degraded: a second call finds nothing to do and commits
+    // nothing
+    val v0 = VersionedTable.latestVersion(eb)
+    assert(GraphIndexPipeline.repair(spark, vb, eb, rb) === 0L)
+    assert(VersionedTable.latestVersion(eb) === v0)
+  }
+
+  test("BOUNDED HISTORY (r15): steady-state maintenance keeps live " +
+      "file count and commit log bounded across many batches; reads " +
+      "and the exactly-once gate survive retention") {
+    val (vb, eb, rb, cb, cp) = bases()
+    val all = vecs.persist()
+    val maxId = all.agg(max(col("vec_id"))).head().getLong(0)
+    // bootstrap then many small deltas, each drained with maintenance
+    VersionedTable.commitMerge(spark, vb,
+      all.filter(col("vec_id") <= maxId - 20), "vec_id", Seq("vec_id"),
+      statsCols = Seq("vec_id"))
+    GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    (1L to 20L).foreach { i =>
+      VersionedTable.commitMerge(spark, vb,
+        all.filter(col("vec_id") === maxId - 20 + i), "vec_id",
+        Seq("vec_id"), statsCols = Seq("vec_id"))
+      GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
+    }
+    all.unpersist()
+    // live files bounded by data volume, not batch count: 20 batches
+    // of 1 row each must not leave ~20+ routing files behind
+    val routeFiles = VersionedTable.entries(rb,
+      VersionedTable.latestVersion(rb).get).size
+    assert(routeFiles < 12,
+      s"routing small-file debt should fold away, got $routeFiles files")
+    // commit log bounded by retention: markers below the vacuum floor
+    // are physically gone
+    val head = VersionedTable.latestVersion(rb).get
+    assert(head > 20L, "fixture should have accrued history")
+    val logDir = java.nio.file.Paths.get(rb, "_log")
+    val markers = java.nio.file.Files.list(logDir).iterator()
+    val nMarkers =
+      try {
+        var n = 0
+        while (markers.hasNext) {
+          if (markers.next().getFileName.toString.endsWith(".commit")) n += 1
+        }
+        n
+      } finally ()
+    assert(nMarkers <= 16 + 1,
+      s"history should be vacuumed to retention, got $nMarkers markers")
+    // reads within retention intact; the index state is still exact
+    val cents = VersionedTable.readLatest(spark, cb)
+    val liveAll = withNorm(spark.read.format("graft").load(vb)
+      .select(col("vec_id"), col("embedding")))
+    assert(edgeSet(eb) === batchEdges(liveAll, cents))
+    // the exactly-once gate survives vacuum (checkpoint-restated txn
+    // watermark): an empty re-drain moves nothing
     val vBefore = VersionedTable.latestVersion(eb)
     GraphIndexPipeline.runAvailableNow(spark, vb, eb, rb, cb, cp)
     assert(VersionedTable.latestVersion(eb) === vBefore)

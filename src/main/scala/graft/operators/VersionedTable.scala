@@ -2466,7 +2466,9 @@ object VersionedTable {
                    targetBytes: Long,
                    minSmallFiles: Int = 2,
                    statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): Long = {
+                   bloomCols: Seq[String] = Nil,
+                   reshape: Option[(Int, DataFrame) => DataFrame] = None)
+      : Long = {
     require(smallBytes > 0 && targetBytes > 0,
       s"byte thresholds must be positive: small=$smallBytes target=$targetBytes")
     retrying(maxAttempts = 5) {
@@ -2483,9 +2485,15 @@ object VersionedTable {
         val outFiles = math.max(1L,
           (totalSmall + targetBytes - 1L) / targetBytes).toInt
         val rid = featuresAsOf(base, prevV.get).contains("rowid")
-        val packed = readEntries(s, base, small.map(_._1), schema,
+        val folded = readEntries(s, base, small.map(_._1), schema,
           withRowIds = rid)
-          .repartition(outFiles)
+        // `reshape` (given the computed output file count) replaces
+        // the plain repartition — the seam a RANGE-CLUSTERED table
+        // (the graph index's cell layout) keeps its locality through:
+        // a blind repartition would interleave the clusters and loosen
+        // every zone map the layout bought (r15)
+        val packed = reshape.map(f => f(outFiles, folded))
+          .getOrElse(folded.repartition(outFiles))
         // rewritten files keep the table's stats discipline, like
         // DML rewrites — pruning never silently degrades
         val (zc, bc) = statsDiscipline(base)

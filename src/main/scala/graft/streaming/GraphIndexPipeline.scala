@@ -92,7 +92,13 @@ object GraphIndexPipeline {
           batch, id)
         if (maintain)
           IndexMaintenance.boundedHistory(s,
-            Seq(edgesBase, routingBase, centroidsBase))
+            Seq(edgesBase, routingBase, centroidsBase),
+            // compaction preserves the adjacency's CELL clustering —
+            // a blind repartition would interleave cells and void the
+            // ∝-delta file-pruning bound the bench records
+            reshapes = Map(edgesBase -> ((nf: Int, df: DataFrame) =>
+              df.repartitionByRange(nf, col("cell"), col("src"))
+                .sortWithinPartitions(col("cell"), col("src")))))
         ()
       }
       .start()

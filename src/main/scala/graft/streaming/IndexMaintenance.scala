@@ -28,20 +28,26 @@ import graft.operators.VersionedTable
 object IndexMaintenance {
 
   /** One steady-state pass over `bases`. Returns per-base new head
-    * versions (unchanged when nothing compacted).
+    * versions (unchanged when nothing compacted). `reshapes` lets a
+    * range-clustered table (the graph index's cell layout) keep its
+    * locality through compaction — see
+    * [[VersionedTable.compactSmall]]'s reshape seam.
     */
   def boundedHistory(s: SparkSession, bases: Seq[String],
                      retainVersions: Int = 16,
                      smallBytes: Long = 1L << 20,
                      targetBytes: Long = 16L << 20,
-                     minSmallFiles: Int = 8): Seq[Long] = {
+                     minSmallFiles: Int = 8,
+                     reshapes: Map[String, (Int, org.apache.spark.sql
+                       .DataFrame) => org.apache.spark.sql.DataFrame] =
+                       Map.empty): Seq[Long] = {
     require(retainVersions >= 4,
       "retainVersions must keep at least the last drain's commits " +
         "(txn stamp + maintenance) — 4 or more")
     bases.flatMap { b =>
       VersionedTable.latestVersion(b).map { _ =>
         VersionedTable.compactSmall(s, b, smallBytes, targetBytes,
-          minSmallFiles)
+          minSmallFiles, reshape = reshapes.get(b))
         val head = VersionedTable.latestVersion(b).get
         val floor = head - retainVersions + 1
         if (floor > 1L) VersionedTable.vacuum(b, floor)

@@ -246,11 +246,17 @@ object GraphIndexPipeline {
       // in the same manifest publish, so no crash point exists where
       // the historical adjacency is deleted but its replacement never
       // arrived (the two-commit delete-then-append shape broke the
-      // edges(u)=top-G-over-ever-arrived invariant on replay)
+      // edges(u)=top-G-over-ever-arrived invariant on replay).
+      // EXPLICIT partition count (cells/4): an unpinned range
+      // repartition gets AQE-coalesced to one partition at small
+      // scale, landing the whole adjacency in ONE file — which voids
+      // the cell zone-map pruning every ∝-delta claim rides on
       VersionedTable.commitReplaceKeys(s, edgesBase, "src", affected,
         merged, statsCols = Seq("src", "cell"),
         bloomCols = Seq("src", "dst"), txn = Some(TxnApp -> id),
-        reshape = _.repartitionByRange(col("cell"), col("src"))
+        reshape = _.repartitionByRange(
+            math.max(1, (centroids.count() / 4L).toInt),
+            col("cell"), col("src"))
           .sortWithinPartitions(col("cell"), col("src")))
       routedNew.unpersist()
       fresh.unpersist()
@@ -339,10 +345,13 @@ object GraphIndexPipeline {
         .select(col("src"), col("dst"), col("ecos"))
         .join(cellOf, "src")
         .select(col("cell"), col("src"), col("dst"), col("ecos"))
+      // same pinned cell-granular file count as applyBatch's rewrite
+      val nCells = routing.select(col("cid")).distinct().count()
       VersionedTable.commitReplaceKeys(s, edgesBase, "src", repairable,
         repaired, statsCols = Seq("src", "cell"),
         bloomCols = Seq("src", "dst"),
-        reshape = _.repartitionByRange(col("cell"), col("src"))
+        reshape = _.repartitionByRange(math.max(1, (nCells / 4L).toInt),
+            col("cell"), col("src"))
           .sortWithinPartitions(col("cell"), col("src")))
       cand.unpersist()
       repairable.unpersist()

@@ -313,14 +313,65 @@ object VersionedTable {
     * the old double floor could land the stored partition key one day
     * off the `days()` function SPJ evaluates).
     */
-  def epochDayCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def epochDayCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    epochPeriodCol(c, 86400000000L)
+
+  private def epochPeriodCol(c: org.apache.spark.sql.Column,
+                             micros: Long): org.apache.spark.sql.Column = {
     // all-decimal: long arithmetic would wrap for micros within one
-    // day of Long.MinValue (m - pmod underflows), and plain decimal
-    // division would scale-round quotients within 43 ms of a boundary
-    // — subtracting the decimal pmod first makes the division exact
+    // period of Long.MinValue (m - pmod underflows), and plain decimal
+    // division would scale-round quotients near a boundary —
+    // subtracting the decimal pmod first makes the division exact
     val m = unix_micros(c).cast("decimal(38,0)")
-    val d = lit(86400000000L)
+    val d = lit(micros)
     ((m - pmod(m, d)) / d).cast("int")
+  }
+
+  /** UTC epoch hour — the `hours(ts)` transform ([[epochDay]]'s
+    * discipline at hour granularity; Iceberg's hot-data event layout).
+    */
+  def epochHour(micros: Long): Int =
+    Math.floorDiv(micros, 3600000000L).toInt
+
+  def epochHourCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    epochPeriodCol(c, 3600000000L)
+
+  /** Months since 1970-01 in UTC — the `months(ts)` transform
+    * (calendar months are irregular, so this is field arithmetic, not
+    * a fixed-width division; exact integers end to end).
+    */
+  def epochMonth(micros: Long): Int = {
+    val sec = Math.floorDiv(micros, 1000000L)
+    val d = java.time.Instant.ofEpochSecond(sec)
+      .atOffset(java.time.ZoneOffset.UTC)
+    (d.getYear - 1970) * 12 + d.getMonthValue - 1
+  }
+
+  def epochMonthCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
+
+  /** The supported time-partition granularities, coarse to fine. */
+  val TimeGrans: Seq[String] = Seq("months", "days", "hours")
+
+  /** One shared dispatch for every consumer of a time transform (write
+    * layout, stats verifier, catalog functions) — no drift.
+    */
+  def timePeriodCol(gran: String,
+                    c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    gran match {
+      case "days" => epochDayCol(c)
+      case "hours" => epochHourCol(c)
+      case "months" => epochMonthCol(c)
+      case other => throw new IllegalArgumentException(
+        s"unknown time granularity '$other' (have: $TimeGrans)")
+    }
+
+  def timePeriod(gran: String, micros: Long): Int = gran match {
+    case "days" => epochDay(micros)
+    case "hours" => epochHour(micros)
+    case "months" => epochMonth(micros)
+    case other => throw new IllegalArgumentException(
+      s"unknown time granularity '$other' (have: $TimeGrans)")
   }
 
   /** NDV sketch size: 128 mins ≈ ±9% relative error, ~1.4 KB base64
@@ -846,21 +897,23 @@ object VersionedTable {
         .getBytes("UTF-8"))
   }
 
-  /** The declared layout, if any: ("bucket", "n:c1[,c2]") or
-    * ("days", col).
+  /** The declared layout, if any: ("bucket", "n:c1[,c2]") or a time
+    * granularity ("days"|"hours"|"months", col).
     */
   def declaredLayout(base: String): Option[(String, String)] =
-    layoutLines(base).find(l => l._1 == "bucket" || l._1 == "days")
+    layoutLines(base).find(l =>
+      l._1 == "bucket" || TimeGrans.contains(l._1))
 
   /** Persist the declared layout (DDL-time; see [[declaredLayout]]).
     * Preserves a declared within-layout sort order, the other sidecar
     * line.
     */
   def declareLayout(base: String, kind: String, spec: String): Unit = {
-    require(kind == "bucket" || kind == "days",
-      s"layout kind must be bucket|days, got '$kind'")
+    require(kind == "bucket" || TimeGrans.contains(kind),
+      s"layout kind must be bucket|days|hours|months, got '$kind'")
     writeLayoutLines(base, (kind, spec) +:
-      layoutLines(base).filterNot(l => l._1 == "bucket" || l._1 == "days"))
+      layoutLines(base).filterNot(l =>
+        l._1 == "bucket" || TimeGrans.contains(l._1)))
   }
 
   /** WITHIN-LAYOUT SORT ORDER (r15 — the Iceberg bucket+sort-order
@@ -1119,13 +1172,23 @@ object VersionedTable {
     * EVERY live entry carries exactly one `<col>#days` token and all
     * agree on the column. Returns the (physical) timestamp column.
     */
-  def daysSpecOf(es: Seq[ManifestEntry]): Option[String] = {
+  def daysSpecOf(es: Seq[ManifestEntry]): Option[String] =
+    timeSpecOf(es).collect { case ("days", c) => c }
+
+  /** The snapshot's time-partition layout across ALL granularities
+    * (days/hours/months — r15): every live entry carries exactly one
+    * `<col>#<gran>` time token and all agree on (granularity, column).
+    * Returns (granularity, physical column).
+    */
+  def timeSpecOf(es: Seq[ManifestEntry]): Option[(String, String)] = {
     if (es.isEmpty) return None
     val specs = es.map { e =>
       val ds = e.stats.collect {
-        case (k, DaysStat(_)) if k.endsWith("#days") =>
-          k.stripSuffix("#days")
-      }.toSeq
+        case (k, DaysStat(_)) =>
+          TimeGrans.collectFirst {
+            case g if k.endsWith(s"#$g") => (g, k.stripSuffix(s"#$g"))
+          }
+      }.toSeq.flatten
       if (ds.size == 1) Some(ds.head) else None
     }
     if (specs.forall(_.isDefined) && specs.flatten.distinct.size == 1)
@@ -3489,15 +3552,16 @@ object VersionedTable {
           (spec.substring(i + 1), spec.substring(0, i).toInt)
       }.filter { case (cs, _) =>
         splitBucketCols(cs).forall(df.columns.contains) }
-    lazy val declaredDays: Option[String] =
-      declaredLayout(base).collect { case ("days", c) => c }
-        .filter(df.columns.contains)
+    lazy val declaredTime: Option[(String, String)] =
+      declaredLayout(base).collect {
+        case (g, c) if TimeGrans.contains(g) => (g, c)
+      }.filter { case (_, c) => df.columns.contains(c) }
     val effBucketBy: Option[(String, Int)] = bucketBy.orElse {
       // an explicit daysBy is a LAYOUT CHANGE — it overrides the
       // sticky bucket claim rather than conflicting with it
       if (!inheritBucket || daysBy.isDefined) None
       else declaredBucket.orElse {
-        if (declaredDays.isDefined) None
+        if (declaredTime.isDefined) None
         else prevSnap.flatMap { case (pes, pschema) =>
           bucketSpecOf(pes).flatMap { case (physCols, n) =>
             val logical = splitBucketCols(physCols).map { pc =>
@@ -3514,37 +3578,41 @@ object VersionedTable {
         }
       }
     }
-    // DAY-PARTITIONED layout (`days(ts)`): sticky exactly like the
-    // bucket discipline — once the snapshot is day-partitioned, every
-    // data-adding commit re-partitions its delta by UTC epoch day
-    // unless an explicit alternative layout opts out (inheritBucket
-    // gates both layout claims). Declaration-first like the bucket leg.
-    val effDaysBy: Option[String] = daysBy.orElse {
-      if (!inheritBucket || effBucketBy.isDefined) None
-      else declaredDays.orElse {
-        prevSnap.flatMap { case (pes, pschema) =>
-          daysSpecOf(pes).flatMap { pc =>
-            (pschema match {
-              case Some(st) if ColumnMapping.isMapped(st) =>
-                ColumnMapping.toLogical(st).get(pc)
-              case _ => Some(pc)
-            }).filter(df.columns.contains)
+    // TIME-PARTITIONED layout (`days(ts)` / `hours(ts)` / `months(ts)`
+    // — r15 generalizes the r14 days leg to the Iceberg transform
+    // family): sticky exactly like the bucket discipline — once the
+    // snapshot is time-partitioned, every data-adding commit
+    // re-partitions its delta by the same UTC period unless an
+    // explicit alternative layout opts out (inheritBucket gates both
+    // layout claims). Declaration-first like the bucket leg.
+    val effTimeBy: Option[(String, String)] =
+      daysBy.map(c => ("days", c)).orElse {
+        if (!inheritBucket || effBucketBy.isDefined) None
+        else declaredTime.orElse {
+          prevSnap.flatMap { case (pes, pschema) =>
+            timeSpecOf(pes).flatMap { case (g, pc) =>
+              (pschema match {
+                case Some(st) if ColumnMapping.isMapped(st) =>
+                  ColumnMapping.toLogical(st).get(pc)
+                case _ => Some(pc)
+              }).filter(df.columns.contains).map(g -> _)
+            }
           }
         }
       }
-    }
-    effDaysBy.foreach { c =>
+    effTimeBy.foreach { case (g, c) =>
       require(!c.contains('=') && !c.contains('\t') && !c.contains('#') &&
         !c.contains(','),
-        s"days column name '$c' would corrupt the manifest line format")
+        s"time-partition column name '$c' would corrupt the manifest " +
+          "line format")
       require(df.schema(c).dataType == TimestampType,
-        s"daysBy column '$c' must be timestamp, got ${df.schema(c).dataType}")
+        s"$g column '$c' must be timestamp, got ${df.schema(c).dataType}")
       require(bucketBy.isEmpty,
-        "daysBy and bucketBy are mutually exclusive layouts")
+        "time partitioning and bucketBy are mutually exclusive layouts")
     }
     effBucketBy.foreach { case (cs, n) =>
-      require(effDaysBy.isEmpty,
-        "daysBy and bucketBy are mutually exclusive layouts")
+      require(effTimeBy.isEmpty,
+        "time partitioning and bucketBy are mutually exclusive layouts")
       require(n >= 1, s"bucketBy bucket count must be >= 1, got $n")
       val bcols = splitBucketCols(cs)
       require(bcols.nonEmpty, "bucketBy needs at least one column")
@@ -3606,7 +3674,7 @@ object VersionedTable {
     // rule); the sort columns join the zone-map stats set below so the
     // locality is actually readable.
     val sortPhys: Seq[String] =
-      if (effBucketBy.isEmpty && effDaysBy.isEmpty) Seq.empty
+      if (effBucketBy.isEmpty && effTimeBy.isEmpty) Seq.empty
       else declaredSortWithin(base).filter(df.columns.contains).map(phys)
     // HASH-BUCKETED LAYOUT: one shuffle at write — partition index IS
     // pmod(murmur3(col), n) (HashPartitioning's partitionIdExpression
@@ -3658,17 +3726,18 @@ object VersionedTable {
       case Some(bs) if bs.size > 1 => bs.indices.map(i => s"__graft_b$i")
       case _ => Seq.empty
     }
-    if (effDaysBy.isDefined) {
-      // DAY-PARTITIONED write: one shuffle clusters each day, the
-      // parquet writer's partitionBy splits files one-day-pure (the
-      // derived day column never lands in the files — the timestamp
-      // does, and the verifier recomputes the day from it), then the
-      // day dirs FLATTEN into the manifest's flat layout (driver
-      // renames, O(files)) so every path invariant (d{v}-{nonce}/
-      // file, stream regexes, bucket-id lookups) holds unchanged.
-      val c = effDaysBy.get
+    if (effTimeBy.isDefined) {
+      // TIME-PARTITIONED write: one shuffle clusters each period
+      // (day/hour/month), the parquet writer's partitionBy splits
+      // files one-period-pure (the derived period column never lands
+      // in the files — the timestamp does, and the verifier recomputes
+      // the period from it), then the period dirs FLATTEN into the
+      // manifest's flat layout (driver renames, O(files)) so every
+      // path invariant (d{v}-{nonce}/file, stream regexes, bucket-id
+      // lookups) holds unchanged.
+      val (g, c) = effTimeBy.get
       val dayed = dfOut
-        .withColumn("__graft_day", epochDayCol(col(phys(c))))
+        .withColumn("__graft_day", timePeriodCol(g, col(phys(c))))
         .repartition(col("__graft_day"))
       val daySorted =
         if (sortPhys.isEmpty) dayed
@@ -3730,7 +3799,7 @@ object VersionedTable {
         bloomCols.map(phys), effNdvCols.map(phys),
         effBucketBy.map { case (cs, n) =>
           (splitBucketCols(cs).map(phys).mkString(","), n) },
-        effDaysBy.map(phys))
+        effTimeBy.map { case (g, c) => (g, phys(c)) })
     // a fresh file absent from the grouped scan is PROVABLY empty
     // (zero rows ⟹ no group; all-null columns still group) — keep it
     // out of the manifest, so deletes that empty a file don't strand
@@ -3893,7 +3962,7 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil,
       ndvCols: Seq[String] = Nil,
       bucketBy: Option[(String, Int)] = None,
-      daysBy: Option[String] = None)
+      timeBy: Option[(String, String)] = None)
       : Map[String, (Long, Map[String, Stat])] = {
     val df = s.read.parquet(dir)
     def proj(c: String): Column = df.schema(c).dataType match {
@@ -3931,12 +4000,13 @@ object VersionedTable {
             max(pmod(hash(col(c)), lit(n))).as(s"__bkt_hi_$c"))
           }
         } ++
-        // day VERIFICATION: recomputed from the timestamp itself (the
-        // derived partition column never lands in files), min == max
-        // per file by the partitionBy construction
-        daysBy.toSeq.flatMap { c => Seq(
-          min(epochDayCol(col(c))).as("__day_lo"),
-          max(epochDayCol(col(c))).as("__day_hi"))
+        // time-period VERIFICATION: recomputed from the timestamp
+        // itself (the derived partition column never lands in files),
+        // min == max per file by the partitionBy construction — one
+        // dispatch for days/hours/months
+        timeBy.toSeq.flatMap { case (g, c) => Seq(
+          min(timePeriodCol(g, col(c))).as("__day_lo"),
+          max(timePeriodCol(g, col(c))).as("__day_hi"))
         })
     df.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -3980,7 +4050,7 @@ object VersionedTable {
             s"$c#bucket" -> (BucketStat(n, lo): Stat)
           }
         }.toMap
-        val dayTok = daysBy.map { c =>
+        val dayTok = timeBy.map { case (g, c) =>
           // NULL timestamps land in their own default-partition file
           // whose day extrema are null; getAs[Int] would unbox that to
           // 0 and record a FALSE verified day-0 claim SPJ would group
@@ -3989,18 +4059,18 @@ object VersionedTable {
           // like Iceberg's identity/days source-column contract
           require(r.getAs[Any]("__day_lo") != null &&
             r.getAs[Any]("__day_hi") != null,
-            s"day-partitioned write has NULL '$c' timestamps " +
-              s"(${r.getAs[String]("__f")}) — the days($c) layout " +
+            s"time-partitioned write has NULL '$c' timestamps " +
+              s"(${r.getAs[String]("__f")}) — the $g($c) layout " +
               "requires a non-null partition column; filter or fill " +
               "nulls before committing")
           val lo = r.getAs[Int]("__day_lo")
           val hi = r.getAs[Int]("__day_hi")
           require(lo == hi,
-            s"day-partitioned write produced a MULTI-DAY file " +
-              s"(${r.getAs[String]("__f")}: days $lo..$hi on '$c') — " +
+            s"time-partitioned write produced a MULTI-PERIOD file " +
+              s"(${r.getAs[String]("__f")}: $g $lo..$hi on '$c') — " +
               "refusing to record a co-location claim the planner " +
               "would elide shuffles on")
-          s"$c#days" -> (DaysStat(lo): Stat)
+          s"$c#$g" -> (DaysStat(lo): Stat)
         }.toMap
         r.getAs[String]("__f") ->
           ((r.getAs[Long]("__rows"),

@@ -3935,6 +3935,73 @@ object SinkQueries {
         ORDER BY o_orderpriority
       """),
       // bench=false: fixture-write-dominated like q192/q197/q199
+      bench = false),
+
+    // q201: hours(ts) SPJ under the oracle gate (r15) — the
+    // hot-event-table leg of the time-transform family q199 proved at
+    // day granularity: two HOURLY rollups of events written
+    // `hoursBy=tsh` (one UTC-epoch-hour-pure file per hour, verified;
+    // `<col>#hours` tokens), read through the catalog whose scans
+    // report KeyGroupedPartitioning(hours(tsh)) resolved by the new
+    // `hours` function — the timestamp-keyed join plans with ZERO
+    // exchanges, pinned as data; per-hour values hash-check against
+    // the raw-events twin.
+    Q("q201_hours_spj",
+      (s, d) => {
+        val ns = s"q201_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        val ev = Tables.events(s, d)
+          .select(date_trunc("hour", col("ts")).as("tsh"), col("value"))
+        ev.groupBy(col("tsh"))
+          .agg(count(lit(1)).as("n_events"))
+          .write.format("graft").option("hoursBy", "tsh")
+          .option("statsCols", "tsh")
+          .mode("append").save(s"$wh/$ns/cnt")
+        ev.groupBy(col("tsh"))
+          .agg(sum(graft.functions.ColumnOps.e2(col("value"))).as("val_e2"))
+          .write.format("graft").option("hoursBy", "tsh")
+          .option("statsCols", "tsh")
+          .mode("append").save(s"$wh/$ns/vals")
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.autoBroadcastJoinThreshold")
+        val prev = confs.map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.table(s"graft.$ns.cnt")
+            .join(s.table(s"graft.$ns.vals"), "tsh")
+          val exchanges = "Exchange hashpartitioning".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
+          j.select(date_format(col("tsh"), "yyyy-MM-dd HH").as("hour"),
+              col("n_events"), col("val_e2"))
+            .withColumn("exchanges", lit(exchanges.toLong))
+            .orderBy(col("hour"))
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH d1 AS (
+          SELECT date_trunc('hour', ts) AS tsh, CAST(COUNT(*) AS BIGINT)
+                   AS n_events
+          FROM events GROUP BY 1
+        ), d2 AS (
+          SELECT date_trunc('hour', ts) AS tsh,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS val_e2
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(d1.tsh, '%Y-%m-%d %H') AS hour, n_events, val_e2,
+               CAST(0 AS BIGINT) AS exchanges
+        FROM d1 JOIN d2 USING (tsh)
+        ORDER BY hour
+      """),
+      // bench=false: fixture-write-dominated like q192/q197/q199
       bench = false)
   )
 }

@@ -105,19 +105,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     VersionedTable.latestVersion(basePath(ident)).isDefined
 
   /** `PARTITIONED BY` transforms the DDL accepts: `bucket(n, c...)`
-    * (the hash/grid layout — one or several keys) and `days(ts)` (the
-    * date transform). Identity partitioning and the year/month/hour
-    * family are refused with the cure named; the declared layout
-    * persists as the table's DEFAULT (`VersionedTable.declareLayout`)
-    * so the first data write — and any write after a voided claim —
-    * shapes its delta per the declaration (the Iceberg partition-spec
-    * semantic).
+    * (the hash/grid layout — one or several keys) and the
+    * `days(ts)`/`hours(ts)`/`months(ts)` time family (r15 completes
+    * the Iceberg set). Identity partitioning is refused with the cure
+    * named; the declared layout persists as the table's DEFAULT
+    * (`VersionedTable.declareLayout`) so the first data write — and
+    * any write after a voided claim — shapes its delta per the
+    * declaration (the Iceberg partition-spec semantic).
     */
   private def layoutOf(partitions: Array[Transform])
       : Option[(String, String)] = {
     if (partitions.isEmpty) return None
     require(partitions.length == 1,
-      "graft tables take ONE layout transform: bucket(n, col...) or days(ts)")
+      "graft tables take ONE layout transform: bucket(n, col...) or " +
+        "days/hours/months(ts)")
     val t = partitions.head
     def cols = t.references().map(_.fieldNames().mkString(".")).mkString(",")
     t.name() match {
@@ -128,11 +129,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }.getOrElse(throw new IllegalArgumentException(
           "bucket(n, col...) needs a literal bucket count"))
         Some(("bucket", s"$n:$cols"))
-      case "days" => Some(("days", cols))
+      case g if VersionedTable.TimeGrans.contains(g) => Some((g, cols))
       case other => throw new UnsupportedOperationException(
         s"graft supports PARTITIONED BY (bucket(n, col...)) and " +
-          s"(days(ts)); got '$other' — range layouts go through " +
-          "clusterBy/OPTIMIZE ZORDER instead")
+          s"(days|hours|months(ts)); got '$other' — range layouts go " +
+          "through clusterBy/OPTIMIZE ZORDER instead")
     }
   }
 
@@ -327,13 +328,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "bucket"),
-        Identifier.of(namespace, "days"))
+        Identifier.of(namespace, "days"),
+        Identifier.of(namespace, "hours"),
+        Identifier.of(namespace, "months"))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
     else if (ident.name() == "days") GraftDaysFunction
+    else if (ident.name() == "hours") new GraftTimeFunction("hours")
+    else if (ident.name() == "months") new GraftTimeFunction("months")
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -447,8 +447,14 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                   s"INSERT has ${data.schema.length} columns, table " +
                     s"declares ${tableSchema.length} (positional insert " +
                     "needs matching arity)")
+                // backtick-quote the synthetic names: an unaliased
+                // INSERT SELECT expression's auto-name can contain
+                // dots (e.g. `ts + make_interval(...0.000000)`), which
+                // bare col() would parse as struct-field access
                 data.select(data.columns.zip(tableSchema.fields).map {
-                  case (c, f) => data.col(c).cast(f.dataType).as(f.name)
+                  case (c, f) =>
+                    data.col(s"`${c.replace("`", "``")}`")
+                      .cast(f.dataType).as(f.name)
                 }.toSeq: _*)
               }
             def colsOpt(name: String) = Option(info.options.get(name))
@@ -499,16 +505,28 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               "sortWithinBuckets composes with bucketBy/daysBy; it is " +
                 "mutually exclusive with zorderCols/clusterBy (those " +
                 "ARE the sort)")
-            // DAY-PARTITIONED layout: `daysBy=<tsCol>` — the Iceberg
+            // TIME-PARTITIONED layout: `daysBy=<tsCol>` — the Iceberg
             // days(ts) transform (one-day-pure files, verified; SPJ on
             // the timestamp key); a layout like bucketBy, so the same
-            // exclusions apply
+            // exclusions apply. r15 adds `hoursBy`/`monthsBy` (the rest
+            // of the Iceberg family) — declared as the table's current
+            // layout generation, which declaration-first inheritance
+            // applies to this commit and every one after.
             val daysBy = Option(info.options.get("daysBy")).map(_.trim)
-            require(daysBy.isEmpty ||
+            val timeDecl = Seq("hoursBy" -> "hours", "monthsBy" -> "months")
+              .flatMap { case (opt, g) =>
+                Option(info.options.get(opt)).map(_.trim).map(g -> _) }
+            require(daysBy.size + timeDecl.size <= 1,
+              "daysBy/hoursBy/monthsBy are mutually exclusive (one time " +
+                "granularity per table)")
+            require((daysBy.isEmpty && timeDecl.isEmpty) ||
               (bucketBy.isEmpty && zc.isEmpty && cb.isEmpty &&
                 Option(info.options.get("numFiles")).isEmpty),
-              "daysBy is mutually exclusive with bucketBy/zorderCols/" +
-                "clusterBy/numFiles (the day split is the layout)")
+              "daysBy/hoursBy/monthsBy are mutually exclusive with " +
+                "bucketBy/zorderCols/clusterBy/numFiles (the time split " +
+                "is the layout)")
+            timeDecl.foreach { case (g, c) =>
+              VersionedTable.declareLayout(base, g, c) }
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
             if (swb.nonEmpty) {
               require(bucketBy.isDefined || daysBy.isDefined ||

@@ -141,3 +141,37 @@ object GraftBoundDays extends ScalarFunction[Integer] {
     if (input.isNullAt(0)) null
     else VersionedTable.epochDay(input.getLong(0))
 }
+
+/** The catalog's `hours`/`months` functions (r15 — the rest of the
+  * Iceberg time-transform family): hour-partitioned hot event tables
+  * and month-partitioned archives get the same zero-shuffle SPJ the
+  * `days` leg proved, through the same resolution path. Semantics are
+  * [[VersionedTable.epochHour]] / [[VersionedTable.epochMonth]] — the
+  * single definitions the write layout and stats verifier share.
+  */
+final class GraftTimeFunction(gran: String) extends UnboundFunction {
+  override def name(): String = gran
+  override def description(): String =
+    s"$gran(ts) — UTC epoch ${gran.stripSuffix("s")} index; the graft " +
+      "time-partition layout function"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"$gran takes (timestamp), got ${inputType.length} args")
+    inputType(0).dataType match {
+      case TimestampType => new GraftBoundTime(gran)
+      case other => throw new UnsupportedOperationException(
+        s"$gran supports timestamp keys, got ${other.catalogString}")
+    }
+  }
+}
+
+final class GraftBoundTime(gran: String) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(TimestampType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = gran
+  override def isResultNullable: Boolean = true
+  override def canonicalName(): String = s"graft.$gran(timestamp)"
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else VersionedTable.timePeriod(gran, input.getLong(0))
+}

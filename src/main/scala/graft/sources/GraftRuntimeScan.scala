@@ -73,8 +73,8 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
     // filtering, and the grouping must see the pruned index.
     if (bucketLayout.isDefined)
       new GraftKeyedBatch(() => current, bucketKeyOf)
-    else if (daysLayout.isDefined)
-      new GraftKeyedBatch(() => current, dayKeyOf)
+    else if (timeLayout.isDefined)
+      new GraftKeyedBatch(() => current, timeKeyOf)
     else current.toBatch
   }
 
@@ -90,9 +90,10 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       }.toMap
     }.getOrElse(Map.empty)
 
-  private def dayKeyOf: Map[String, Seq[Int]] =
+  private def timeKeyOf: Map[String, Seq[Int]] =
     entries.flatMap(e => e.stats.collectFirst {
-      case (k, VersionedTable.DaysStat(d)) if k.endsWith("#days") =>
+      case (k, VersionedTable.DaysStat(d))
+          if VersionedTable.TimeGrans.exists(g => k.endsWith(s"#$g")) =>
         e.path -> Seq(d)
     }).toMap
 
@@ -118,16 +119,18 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       if (cols.forall(_.isDefined)) Some((cols.flatten, n)) else None
     }
 
-  /** The snapshot's day-partition layout, claimable by THIS scan —
-    * the [[bucketLayout]] discipline for the `days(ts)` transform.
+  /** The snapshot's time-partition layout (days/hours/months — r15),
+    * claimable by THIS scan — the [[bucketLayout]] discipline for the
+    * Iceberg time-transform family.
     */
-  private lazy val daysLayout: Option[String] =
-    VersionedTable.daysSpecOf(entries).flatMap { pc =>
+  private lazy val timeLayout: Option[(String, String)] =
+    VersionedTable.timeSpecOf(entries).flatMap { case (g, pc) =>
       val toLogical = graft.operators.ColumnMapping.toLogical(schema)
       toLogical.get(pc)
         .orElse(if (graft.operators.ColumnMapping.isMapped(schema)) None
                 else Some(pc))
         .filter(c => current.readSchema().fieldNames.contains(c))
+        .map(g -> _)
     }
 
   override def outputPartitioning(): Partitioning = bucketLayout match {
@@ -140,10 +143,15 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       // and EnsureRequirements elides the shuffle on both sides
       new KeyGroupedPartitioning(
         cols.map(c => Expressions.bucket(n, c)).toArray, groups)
-    case None => daysLayout match {
-      case Some(c) =>
-        new KeyGroupedPartitioning(Array(Expressions.days(c)),
-          dayKeyOf.values.toSeq.distinct.size)
+    case None => timeLayout match {
+      case Some((g, c)) =>
+        val t = g match {
+          case "days" => Expressions.days(c)
+          case "hours" => Expressions.hours(c)
+          case "months" => Expressions.months(c)
+        }
+        new KeyGroupedPartitioning(Array(t),
+          timeKeyOf.values.toSeq.distinct.size)
       case None => new UnknownPartitioning(0)
     }
   }

@@ -683,6 +683,84 @@ class GraftSpjSpec extends SparkSuite {
     }
   }
 
+  test("hours(ts) + months(ts) transforms (r15): the rest of the " +
+      "Iceberg time family — period-pure files, zero-shuffle joins " +
+      "through the catalog functions, sticky appends") {
+    val s = spark
+    import s.implicits._
+    def rows(periods: Range, perPeriod: Int, periodMs: Long) =
+      periods.flatMap { p =>
+        (0 until perPeriod).map { i =>
+          (new java.sql.Timestamp(p.toLong * periodMs +
+            i * (periodMs / 60)), p.toLong * 100 + i)
+        }
+      }.toDF("ts", "v")
+    // HOURS: two hot event rollups, hour-partitioned via write option
+    val haBase = s"$warehouse/$ns/hr_a"
+    val hbBase = s"$warehouse/$ns/hr_b"
+    rows(0 until 6, 4, 3600000L).write.format("graft")
+      .option("hoursBy", "ts").mode("append").save(haBase)
+    rows(3 until 9, 4, 3600000L).write.format("graft")
+      .option("hoursBy", "ts").mode("append").save(hbBase)
+    def spec(base: String) = VersionedTable.timeSpecOf(
+      VersionedTable.entries(base, VersionedTable.latestVersion(base).get))
+    assert(spec(haBase) === Some(("hours", "ts")))
+    // every file carries ONE hour token; a plain append inherits
+    rows(9 until 10, 2, 3600000L).write.format("graft")
+      .mode("append").save(haBase)
+    assert(spec(haBase) === Some(("hours", "ts")))
+    withSpj {
+      val j = spark.table(s"graft.$ns.hr_a").as("a")
+        .join(spark.table(s"graft.$ns.hr_b").as("b"),
+          col("a.ts") === col("b.ts"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "hour-partitioned join on the timestamp must not shuffle")
+      assert(j.count() === 3L * 4) // hours 3..5 overlap, ts-equal 1:1
+    }
+    // MONTHS: archive tables via DDL transform; calendar months are
+    // irregular so the field-arithmetic period must agree end to end
+    spark.sql(s"CREATE TABLE graft.$ns.mo_a (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO graft.$ns.mo_a SELECT " +
+      "timestamp'2023-11-15 00:00:00' + make_interval(0, id, 0, CAST(id AS INT) % 3), " +
+      "id FROM range(0, 8)")
+    spark.sql(s"CREATE TABLE graft.$ns.mo_b (ts TIMESTAMP, w BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO graft.$ns.mo_b SELECT " +
+      "timestamp'2023-11-15 00:00:00' + make_interval(0, id, 0, CAST(id AS INT) % 3), " +
+      "id * 2 FROM range(0, 8)")
+    val moBase = s"$warehouse/$ns/mo_a"
+    assert(spec(moBase) === Some(("months", "ts")))
+    // the month index crosses a year boundary in this fixture — pin
+    // the shared definition against the driver-side epochMonth
+    val es = VersionedTable.entries(moBase,
+      VersionedTable.latestVersion(moBase).get)
+    val got = es.flatMap(_.stats.collect {
+      case (k, VersionedTable.DaysStat(m)) if k.endsWith("#months") => m
+    }).toSet
+    assert(got === (0 until 8).map(i =>
+      VersionedTable.epochMonth(
+        java.sql.Timestamp.valueOf("2023-11-15 00:00:00").getTime * 1000L)
+        + i).toSet)
+    withSpj {
+      val j = spark.table(s"graft.$ns.mo_a").as("a")
+        .join(spark.table(s"graft.$ns.mo_b").as("b"),
+          col("a.ts") === col("b.ts"))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "month-partitioned join on the timestamp must not shuffle")
+      assert(j.count() === 8L)
+    }
+    // null refusal is granularity-generic
+    val e = intercept[Exception] {
+      Seq((None: Option[java.sql.Timestamp], 1L)).toDF("ts", "v")
+        .select(col("ts").cast("timestamp").as("ts"), col("v"))
+        .write.format("graft").mode("append").save(haBase)
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("days(ts) transform (r14): daysBy tables join on the timestamp " +
       "with zero shuffle; files are one-day-pure and sticky") {
     val s = spark

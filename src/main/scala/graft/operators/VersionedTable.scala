@@ -350,8 +350,18 @@ object VersionedTable {
   def epochMonthCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
 
+  /** Years since 1970 in UTC — the `years(ts)` transform. */
+  def epochYear(micros: Long): Int = {
+    val sec = Math.floorDiv(micros, 1000000L)
+    java.time.Instant.ofEpochSecond(sec)
+      .atOffset(java.time.ZoneOffset.UTC).getYear - 1970
+  }
+
+  def epochYearCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (year(c) - lit(1970)).cast("int")
+
   /** The supported time-partition granularities, coarse to fine. */
-  val TimeGrans: Seq[String] = Seq("months", "days", "hours")
+  val TimeGrans: Seq[String] = Seq("years", "months", "days", "hours")
 
   /** One shared dispatch for every consumer of a time transform (write
     * layout, stats verifier, catalog functions) — no drift.
@@ -362,6 +372,7 @@ object VersionedTable {
       case "days" => epochDayCol(c)
       case "hours" => epochHourCol(c)
       case "months" => epochMonthCol(c)
+      case "years" => epochYearCol(c)
       case other => throw new IllegalArgumentException(
         s"unknown time granularity '$other' (have: $TimeGrans)")
     }
@@ -370,6 +381,7 @@ object VersionedTable {
     case "days" => epochDay(micros)
     case "hours" => epochHour(micros)
     case "months" => epochMonth(micros)
+    case "years" => epochYear(micros)
     case other => throw new IllegalArgumentException(
       s"unknown time granularity '$other' (have: $TimeGrans)")
   }
@@ -910,7 +922,7 @@ object VersionedTable {
     */
   def declareLayout(base: String, kind: String, spec: String): Unit = {
     require(kind == "bucket" || TimeGrans.contains(kind),
-      s"layout kind must be bucket|days|hours|months, got '$kind'")
+      s"layout kind must be bucket|years|months|days|hours, got '$kind'")
     writeLayoutLines(base, (kind, spec) +:
       layoutLines(base).filterNot(l =>
         l._1 == "bucket" || TimeGrans.contains(l._1)))

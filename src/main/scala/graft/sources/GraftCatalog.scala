@@ -330,7 +330,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       Array(Identifier.of(namespace, "bucket"),
         Identifier.of(namespace, "days"),
         Identifier.of(namespace, "hours"),
-        Identifier.of(namespace, "months"))
+        Identifier.of(namespace, "months"),
+        Identifier.of(namespace, "years"))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
@@ -339,6 +340,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     else if (ident.name() == "days") GraftDaysFunction
     else if (ident.name() == "hours") new GraftTimeFunction("hours")
     else if (ident.name() == "months") new GraftTimeFunction("months")
+    else if (ident.name() == "years") new GraftTimeFunction("years")
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -513,16 +513,17 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             // layout generation, which declaration-first inheritance
             // applies to this commit and every one after.
             val daysBy = Option(info.options.get("daysBy")).map(_.trim)
-            val timeDecl = Seq("hoursBy" -> "hours", "monthsBy" -> "months")
+            val timeDecl = Seq("hoursBy" -> "hours", "monthsBy" -> "months",
+              "yearsBy" -> "years")
               .flatMap { case (opt, g) =>
                 Option(info.options.get(opt)).map(_.trim).map(g -> _) }
             require(daysBy.size + timeDecl.size <= 1,
-              "daysBy/hoursBy/monthsBy are mutually exclusive (one time " +
+              "daysBy/hoursBy/monthsBy/yearsBy are mutually exclusive (one time " +
                 "granularity per table)")
             require((daysBy.isEmpty && timeDecl.isEmpty) ||
               (bucketBy.isEmpty && zc.isEmpty && cb.isEmpty &&
                 Option(info.options.get("numFiles")).isEmpty),
-              "daysBy/hoursBy/monthsBy are mutually exclusive with " +
+              "daysBy/hoursBy/monthsBy/yearsBy are mutually exclusive with " +
                 "bucketBy/zorderCols/clusterBy/numFiles (the time split " +
                 "is the layout)")
             timeDecl.foreach { case (g, c) =>

@@ -752,6 +752,18 @@ class GraftSpjSpec extends SparkSuite {
         "month-partitioned join on the timestamp must not shuffle")
       assert(j.count() === 8L)
     }
+    // YEARS: the archive-of-archives granularity, same machinery
+    val yaBase = s"$warehouse/$ns/yr_a"
+    (0 until 6).map(y => (java.sql.Timestamp.valueOf(
+        s"${2020 + y}-03-0${1 + y % 3} 12:00:00"), y.toLong))
+      .toDF("ts", "v").write.format("graft")
+      .option("yearsBy", "ts").mode("append").save(yaBase)
+    assert(spec(yaBase) === Some(("years", "ts")))
+    val yes = VersionedTable.entries(yaBase,
+      VersionedTable.latestVersion(yaBase).get)
+    assert(yes.flatMap(_.stats.collect {
+      case (k, VersionedTable.DaysStat(y)) if k.endsWith("#years") => y
+    }).toSet === (50 until 56).toSet) // 2020..2025 − 1970
     // null refusal is granularity-generic
     val e = intercept[Exception] {
       Seq((None: Option[java.sql.Timestamp], 1L)).toDF("ts", "v")

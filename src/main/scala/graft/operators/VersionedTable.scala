@@ -1540,7 +1540,7 @@ object VersionedTable {
   def statsDiscipline(base: String): (Seq[String], Seq[String]) = {
     val (keys, logical) = disciplineKeys(base)
     (keys.filterNot(k => k.endsWith("#bloom") || k.endsWith("#kmv") ||
-        k.endsWith("#bucket") || k.endsWith("#days"))
+        k.endsWith("#bucket") || TimeGrans.exists(g => k.endsWith(s"#$g")))
        .flatMap(logical),
       keys.filter(_.endsWith("#bloom")).map(_.stripSuffix("#bloom"))
         .flatMap(logical))
@@ -2671,6 +2671,55 @@ object VersionedTable {
     * then the zero-exchange claim returns. Returns the new version
     * (unchanged when nothing is stale).
     */
+  /** [[rebucketStale]] generalized across the LAYOUT FAMILY (r15):
+    * `kind` is `bucket` (spec `n:c1[,c2]`) or a time granularity
+    * (`days|hours|months|years`, spec = the timestamp column). Declares
+    * the new generation, then rewrites ONLY the files whose verified
+    * layout token disagrees — so a days→months archive transition (or
+    * hours→days roll-up of cold data) costs the stale files, not the
+    * table, with the same mid-transition correctness (mixed snapshots
+    * refuse the co-location claim).
+    */
+  def relayoutStale(s: SparkSession, base: String, kind: String,
+                    spec: String, statsCols: Seq[String] = Nil): Long = {
+    if (kind == "bucket") {
+      val i = spec.indexOf(':')
+      require(i > 0 && i < spec.length - 1,
+        s"bucket spec takes <numBuckets>:<col[,col2]>, got '$spec'")
+      return rebucketStale(s, base, spec.substring(i + 1).trim,
+        spec.substring(0, i).trim.toInt, statsCols)
+    }
+    require(TimeGrans.contains(kind),
+      s"layout kind must be bucket|${TimeGrans.mkString("|")}, got '$kind'")
+    declareLayout(base, kind, spec)
+    retrying(maxAttempts = 5) {
+      val prevV = latestVersion(base)
+      require(prevV.isDefined, s"nothing to relayout in $base")
+      val (es0, schema0) = replay(base, prevV.get)
+      val physMap = schema0.filter(ColumnMapping.isMapped)
+        .map(ColumnMapping.toPhysical).getOrElse(Map.empty[String, String])
+      val wantCol = physMap.getOrElse(spec.trim, spec.trim)
+      def isCurrent(e: ManifestEntry): Boolean =
+        e.stats.exists {
+          case (k, DaysStat(_)) => k == s"$wantCol#$kind"
+          case _ => false
+        }
+      val stale = es0.filterNot(isCurrent)
+      if (stale.isEmpty) prevV.get
+      else {
+        val rid = featuresAsOf(base, prevV.get).contains("rowid")
+        val rows = readEntries(s, base, stale, schema0, withRowIds = rid)
+        val (sc, bc) = statsDiscipline(base)
+        // no explicit layout param: declaration-first inheritance
+        // shapes the rewrite into the freshly declared generation
+        commitAt(s, base, rows, "relayout", (statsCols ++ sc).distinct,
+          prevV, bloomCols = bc,
+          footprint = ReadScope(stale.map(_.path).toSet, None))(
+          fresh => (fresh, stale.map(_.path)))
+      }
+    }
+  }
+
   def rebucketStale(s: SparkSession, base: String, bucketCol: String,
                     n: Int, statsCols: Seq[String] = Nil): Long = {
     declareLayout(base, "bucket", s"$n:$bucketCol")

@@ -86,7 +86,7 @@ private[sources] object GraftProcedures {
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
       "zorder_by", "zorder_where", "analyze",
       "create_tag", "drop_tag", "clone", "rebucket", "enable_row_ids",
-      "vacuum_dry_run", "set_layout", "rebucket_stale")
+      "vacuum_dry_run", "set_layout", "rebucket_stale", "relayout_stale")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -258,6 +258,22 @@ private[sources] object GraftProcedures {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString)
           Seq(1L)
         }))
+      case "relayout_stale" => Some(new Proc("relayout_stale",
+        "LAYOUT EVOLUTION across the whole family (r15): declare " +
+          "(kind, spec) the current generation -- kind 'bucket' with " +
+          "spec '<n>:<col[,col2]>', or a time granularity " +
+          "days|hours|months|years with spec '<tsCol>' -- and rewrite " +
+          "ONLY the files whose verified layout token disagrees; a " +
+          "days->months archive transition costs the stale files, " +
+          "never the table",
+        Seq(tableParam,
+          ("kind", StringType, "'bucket' or days|hours|months|years"),
+          ("spec", StringType,
+            "bucket: '<numBuckets>:<col>[,col2]'; time: '<tsCol>'")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.relayoutStale(SparkSession.active,
+          base(in), in.getUTF8String(1).toString,
+          in.getUTF8String(2).toString))))
       case "rebucket_stale" => Some(new Proc("rebucket_stale",
         "LAYOUT EVOLUTION, step 2: rewrite ONLY the files whose bucket " +
           "token differs from (column, num_buckets) -- O(stale files), " +

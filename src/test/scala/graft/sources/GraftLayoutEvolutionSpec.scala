@@ -114,6 +114,68 @@ class GraftLayoutEvolutionSpec extends SparkSuite {
     assert(VersionedTable.latestVersion(aBase) === v0)
   }
 
+  test("TIME-LAYOUT evolution (r15): days->months archive transition " +
+      "via relayout_stale — appends take the new granularity, the " +
+      "scoped rewrite retires only stale day files, SPJ restored") {
+    val s = spark
+    import s.implicits._
+    val aBase = s"$warehouse/$ns/tfact"
+    val bBase = s"$warehouse/$ns/tdim"
+    def rows(days: Range) = days.map { d =>
+      (new java.sql.Timestamp(d.toLong * 86400000L), d.toLong)
+    }.toDF("ts", "v")
+    // 60 days ≈ 2 months, day-partitioned via the r14 path
+    rows(0 until 60).write.format("graft")
+      .option("daysBy", "ts").mode("append").save(aBase)
+    rows(0 until 90).write.format("graft")
+      .option("monthsBy", "ts").mode("append").save(bBase)
+    def spec() = VersionedTable.timeSpecOf(VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get))
+    assert(spec() === Some(("days", "ts")))
+    val oldGen = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get).map(_.path).toSet
+    // declare months; the next append takes the NEW granularity
+    spark.sql(s"CALL graft.system.set_layout('$ns.tfact', 'months', 'ts')")
+    rows(60 until 75).write.format("graft")
+      .mode("append").save(aBase)
+    val mixed = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get)
+    val newGen = mixed.filterNot(e => oldGen.contains(e.path))
+    assert(newGen.nonEmpty && newGen.forall(_.stats.exists {
+      case (k, VersionedTable.DaysStat(_)) => k.endsWith("#months")
+      case _ => false
+    }), "appends must take the declared months granularity")
+    assert(spec() === None, "mixed granularities must refuse the claim")
+    def joined = spark.table(s"graft.$ns.tfact").as("a")
+      .join(spark.table(s"graft.$ns.tdim").as("b"), col("a.ts") === col("b.ts"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(joined.count() === 75L) // days 0..74 overlap
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    // scoped rewrite: only the stale day files are touched
+    val preNew = newGen.map(_.path).toSet
+    spark.sql(s"CALL graft.system.relayout_stale('$ns.tfact', 'months', 'ts')")
+    val post = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get).map(_.path).toSet
+    assert(preNew.subsetOf(post),
+      "current-generation month files must survive the scoped rewrite")
+    assert((post -- preNew).intersect(oldGen).isEmpty,
+      "every stale day file must be retired")
+    assert(spec() === Some(("months", "ts")))
+    withSpj {
+      val j = joined
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "month-partitioned join must plan zero exchanges post-evolution")
+      assert(j.count() === 75L)
+    }
+    // a second call is a no-op
+    val v0 = VersionedTable.latestVersion(aBase)
+    spark.sql(s"CALL graft.system.relayout_stale('$ns.tfact', 'months', 'ts')")
+    assert(VersionedTable.latestVersion(aBase) === v0)
+  }
+
   test("declaration survives where live inheritance would revert: a " +
       "numFiles opt-out void heals on the next plain append") {
     val s = spark

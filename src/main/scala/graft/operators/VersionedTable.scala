@@ -781,9 +781,18 @@ object VersionedTable {
       }
     }
     val cpPrior = latestCheckpointAtOrBefore(base, v)
-    cpPrior.foreach(c => foldTxns(
-      Files.readAllLines(checkpointPath(base, c)).asScala.toSeq))
-    ((cpPrior.getOrElse(0L) + 1L) to v).foreach { u =>
+    val cpPriorLines = cpPrior.map(c =>
+      Files.readAllLines(checkpointPath(base, c)).asScala.toSeq)
+    cpPriorLines.foreach(foldTxns)
+    // a checkpoint written BEFORE this restating existed carries no
+    // watermarks for the history below it — detect via the sentinel
+    // (#txnchecked, stamped on every checkpoint from now on) and fold
+    // the full surviving-marker history exactly once; from the next
+    // checkpoint on the bounded (prior, v] suffix walk resumes
+    val priorChecked =
+      cpPriorLines.exists(_.exists(_.startsWith("#txnchecked=")))
+    val from = if (priorChecked) cpPrior.getOrElse(0L) + 1L else 1L
+    (from to v).foreach { u =>
       val m = markerPath(base, u)
       if (Files.exists(m))
         foldTxns(Files.readAllLines(m).asScala.toSeq)
@@ -792,6 +801,7 @@ object VersionedTable {
                    Seq(s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}")
                  else Seq.empty) ++
       hwm.map(h => s"$RowHwmTag$h").toSeq ++
+      Seq("#txnchecked=1") ++
       txns.toSeq.sortBy(_._1).map { case (a, t) => s"#txn=$a\t$t" } ++
       schema.map(schemaHeader).toSeq ++ entryLines)
       .mkString("", "\n", "\n")
@@ -901,6 +911,18 @@ object VersionedTable {
     }
   }
 
+  /** Snapshot/restore of the layout sidecar — the failure-path seam
+    * (r15 review): write options that DECLARE a layout before their
+    * commit must roll the declaration back when the commit fails, or
+    * a refused write would still flip every later append's shape.
+    */
+  private[graft] def layoutSnapshot(base: String): Seq[(String, String)] =
+    layoutLines(base)
+
+  private[graft] def restoreLayout(base: String,
+                                   lines: Seq[(String, String)]): Unit =
+    writeLayoutLines(base, lines)
+
   private def writeLayoutLines(base: String,
                                lines: Seq[(String, String)]): Unit = {
     Files.createDirectories(logDir(base))
@@ -923,6 +945,25 @@ object VersionedTable {
   def declareLayout(base: String, kind: String, spec: String): Unit = {
     require(kind == "bucket" || TimeGrans.contains(kind),
       s"layout kind must be bucket|years|months|days|hours, got '$kind'")
+    // validate the SPEC here, not on the commit hot path: with
+    // declaration-first inheritance a malformed sidecar would make
+    // every subsequent write throw (r15 review) — refuse it at the
+    // declaration instead
+    if (kind == "bucket") {
+      val i = spec.indexOf(':')
+      val head = if (i > 0) spec.substring(0, i).trim else ""
+      require(i > 0 && i < spec.length - 1 &&
+        head.nonEmpty && head.length <= 9 && head.forall(_.isDigit) &&
+        head.toInt >= 1 &&
+        splitBucketCols(spec.substring(i + 1)).nonEmpty,
+        s"bucket layout spec must be '<numBuckets>:<col[,col2]>' with a " +
+          s"positive count, got '$spec'")
+    } else {
+      require(spec.trim.nonEmpty && !spec.contains('\t') &&
+        !spec.contains(',') && !spec.contains('\n'),
+        s"$kind layout spec must be a single timestamp column name, " +
+          s"got '$spec'")
+    }
     writeLayoutLines(base, (kind, spec) +:
       layoutLines(base).filterNot(l =>
         l._1 == "bucket" || TimeGrans.contains(l._1)))
@@ -1094,6 +1135,38 @@ object VersionedTable {
     * — or whose stat kind doesn't match the range kind — is never
     * skipped: pruning degrades to reading, not to wrong answers.
     */
+  /** Key-probe values normalized to the TABLE column's declared type
+    * (r15 review): blooms were written by hashing the COLUMN's values
+    * (xxhash64 of int ≠ long ≠ string), so probing with a caller's
+    * differently-typed literals (an IntegerType keys frame against a
+    * LongType column) would false-negative and silently skip files
+    * that hold matches. Values not losslessly representable in the
+    * column's type can match nothing and are dropped; an unknown or
+    * un-bloomable column type probes nothing (extrema ranges still
+    * prune — the conservative degrade).
+    */
+  private def normalizedKeyProbe(schema: Option[StructType],
+                                 keyCol: String,
+                                 vs: Seq[Any]): Seq[PruneRange] = {
+    val dt = schema.map(ColumnMapping.visible)
+      .flatMap(_.fields.find(_.name == keyCol)).map(_.dataType)
+    val normalized: Option[Seq[Any]] = dt match {
+      case Some(StringType) =>
+        if (vs.forall(_.isInstanceOf[String])) Some(vs) else None
+      case Some(LongType) =>
+        Some(vs.collect { case n: java.lang.Number =>
+          java.lang.Long.valueOf(n.longValue): Any })
+      case Some(IntegerType) =>
+        Some(vs.collect {
+          case n: java.lang.Number
+              if n.longValue >= Int.MinValue && n.longValue <= Int.MaxValue =>
+            java.lang.Integer.valueOf(n.intValue): Any
+        })
+      case _ => None // byte/short/unknown: no blooms for these types
+    }
+    normalized.filter(_.nonEmpty).map(KeyProbe(keyCol, _)).toSeq
+  }
+
   def pruneTyped(es: Seq[ManifestEntry],
                  ranges: Seq[PruneRange]): Seq[ManifestEntry] =
     es.filter(e => ranges.forall {
@@ -2151,11 +2224,12 @@ object VersionedTable {
             else Seq(LongRange(keyCol,
               ext.getAs[Number]("__lo").longValue,
               ext.getAs[Number]("__hi").longValue))
+          val (es, schema) = replay(base, prevV.get)
           val probes: Seq[PruneRange] =
             if (n <= probeLimit)
-              Seq(KeyProbe(keyCol, k.collect().map(_.get(0)).toIndexedSeq))
+              normalizedKeyProbe(schema, keyCol,
+                k.collect().map(_.get(0)).toIndexedSeq)
             else Seq.empty
-          val (es, schema) = replay(base, prevV.get)
           val mapped = ColumnMapping.mapRanges(schema, ranges ++ probes)
           val touched = pruneTyped(es, mapped)
           if (touched.isEmpty) prevV.get
@@ -2239,11 +2313,12 @@ object VersionedTable {
             else Seq(LongRange(keyCol,
               ext.getAs[Number]("__lo").longValue,
               ext.getAs[Number]("__hi").longValue))
+          val (es, schema) = replay(base, prevV.get)
           val probes: Seq[PruneRange] =
             if (n > 0L && n <= probeLimit)
-              Seq(KeyProbe(keyCol, k.collect().map(_.get(0)).toIndexedSeq))
+              normalizedKeyProbe(schema, keyCol,
+                k.collect().map(_.get(0)).toIndexedSeq)
             else Seq.empty
-          val (es, schema) = replay(base, prevV.get)
           val mapped = ColumnMapping.mapRanges(schema, ranges ++ probes)
           val touched = if (n == 0L) Seq.empty else pruneTyped(es, mapped)
           val out =
@@ -2634,12 +2709,7 @@ object VersionedTable {
     */
   def rebucket(s: SparkSession, base: String, bucketCol: String,
                n: Int, statsCols: Seq[String] = Nil): Long = {
-    // keep the declared generation in sync — with declaration-first
-    // inheritance a stale sidecar would silently revert later appends
-    // to the pre-rebucket layout
-    if (declaredLayout(base).isDefined)
-      declareLayout(base, "bucket", s"$n:$bucketCol")
-    retrying(maxAttempts = 5) {
+    val v = retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to rebucket in $base")
       val (es0, schema0) = replay(base, prevV.get)
@@ -2654,23 +2724,16 @@ object VersionedTable {
         footprint = ReadScope(prevPaths.toSet, None))(
         fresh => (fresh, prevPaths))
     }
+    // keep the declared generation in sync AFTER success (r15 review:
+    // declaring before a commit that then fails would flip later
+    // appends' shape as a side effect of a failed operation) — with
+    // declaration-first inheritance a stale sidecar would otherwise
+    // silently revert later appends to the pre-rebucket layout
+    if (declaredLayout(base).isDefined)
+      declareLayout(base, "bucket", s"$n:$bucketCol")
+    v
   }
 
-  /** LAYOUT EVOLUTION, the scoped leg (r15 — Iceberg partition
-    * evolution as the model: each file's verified `#bucket` token IS
-    * its layout generation, the declared layout is the CURRENT one,
-    * and they need not agree): rewrite ONLY the files whose token
-    * differs from `(bucketCol, n)` — O(stale-generation files), the
-    * [[compactSmall]] footprint discipline — so a bucket-count change
-    * on a 100 TB table costs the stale data, not the table. Also
-    * declares `(bucketCol, n)` as the current generation, so from this
-    * call on every append/DML delta lands in the new layout
-    * (declaration-first inheritance). Mid-transition reads stay
-    * CORRECT by construction: [[bucketSpecOf]] refuses a mixed
-    * snapshot, so joins shuffle until the last stale file retires,
-    * then the zero-exchange claim returns. Returns the new version
-    * (unchanged when nothing is stale).
-    */
   /** [[rebucketStale]] generalized across the LAYOUT FAMILY (r15):
     * `kind` is `bucket` (spec `n:c1[,c2]`) or a time granularity
     * (`days|hours|months|years`, spec = the timestamp column). Declares
@@ -2720,6 +2783,21 @@ object VersionedTable {
     }
   }
 
+  /** LAYOUT EVOLUTION, the bucket leg (r15 — Iceberg partition
+    * evolution as the model: each file's verified `#bucket` token IS
+    * its layout generation, the declared layout is the CURRENT one,
+    * and they need not agree): rewrite ONLY the files whose token
+    * differs from `(bucketCol, n)` — O(stale-generation files), the
+    * [[compactSmall]] footprint discipline — so a bucket-count change
+    * on a 100 TB table costs the stale data, not the table. Also
+    * declares `(bucketCol, n)` as the current generation, so from this
+    * call on every append/DML delta lands in the new layout
+    * (declaration-first inheritance). Mid-transition reads stay
+    * CORRECT by construction: [[bucketSpecOf]] refuses a mixed
+    * snapshot, so joins shuffle until the last stale file retires,
+    * then the zero-exchange claim returns. Returns the new version
+    * (unchanged when nothing is stale).
+    */
   def rebucketStale(s: SparkSession, base: String, bucketCol: String,
                     n: Int, statsCols: Seq[String] = Nil): Long = {
     declareLayout(base, "bucket", s"$n:$bucketCol")
@@ -3670,6 +3748,21 @@ object VersionedTable {
         s"$g column '$c' must be timestamp, got ${df.schema(c).dataType}")
       require(bucketBy.isEmpty,
         "time partitioning and bucketBy are mutually exclusive layouts")
+      // months/years derive CALENDAR fields (year()/month()) which
+      // follow the session zone, while the catalog's months()/years()
+      // functions — what SPJ evaluates — are hard-UTC. days/hours are
+      // pure epoch arithmetic and immune. Enforce the engine's pinned
+      // UTC convention HERE (r15 review) instead of letting a non-UTC
+      // writer mint tokens the planner would mis-group joins on.
+      if (g == "months" || g == "years") {
+        val tz = s.sessionState.conf.sessionLocalTimeZone
+        require(java.time.ZoneId.of(tz).normalized() ==
+          java.time.ZoneOffset.UTC,
+          s"$g(ts) layouts require a UTC session " +
+            s"(spark.sql.session.timeZone=$tz): the calendar-field " +
+            "partition tokens must match the hard-UTC catalog function " +
+            "SPJ evaluates")
+      }
     }
     effBucketBy.foreach { case (cs, n) =>
       require(effTimeBy.isEmpty,

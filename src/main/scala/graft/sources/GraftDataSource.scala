@@ -526,11 +526,19 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               "daysBy/hoursBy/monthsBy/yearsBy are mutually exclusive with " +
                 "bucketBy/zorderCols/clusterBy/numFiles (the time split " +
                 "is the layout)")
+            // sidecar declarations roll back if the commit below
+            // fails (r15 review: a refused write must not flip the
+            // table's layout generation as a side effect)
+            val layoutPrior: Option[Seq[(String, String)]] =
+              if (timeDecl.nonEmpty || swb.nonEmpty)
+                Some(VersionedTable.layoutSnapshot(base))
+              else None
             timeDecl.foreach { case (g, c) =>
               VersionedTable.declareLayout(base, g, c) }
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
             if (swb.nonEmpty) {
               require(bucketBy.isDefined || daysBy.isDefined ||
+                timeDecl.nonEmpty ||
                 VersionedTable.declaredLayout(base).isDefined ||
                 VersionedTable.latestVersion(base).isDefined,
                 "sortWithinBuckets needs a bucket/days layout to sort " +
@@ -558,6 +566,7 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             // writer asked for THAT layout, and re-bucketing would
             // destroy it; the co-location claim then voids safely
             val inherit = zc.isEmpty && cb.isEmpty && nf.isEmpty
+            try {
             if (replaceFilters.nonEmpty) {
               val rowPred = replaceFilters.flatMap(GraftFilters.toColumn)
                 .reduceOption(_ && _).getOrElse(
@@ -593,6 +602,11 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                 stats, bloomCols = blooms, ndvCols = ndvs,
                 bucketBy = bucketBy, inheritBucket = inherit,
                 daysBy = daysBy)
+            } catch {
+              case t: Throwable =>
+                layoutPrior.foreach(VersionedTable.restoreLayout(base, _))
+                throw t
+            }
             ()
           }
       }

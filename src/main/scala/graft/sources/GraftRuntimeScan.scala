@@ -149,6 +149,7 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
           case "days" => Expressions.days(c)
           case "hours" => Expressions.hours(c)
           case "months" => Expressions.months(c)
+          case "years" => Expressions.years(c)
         }
         new KeyGroupedPartitioning(Array(t),
           timeKeyOf.values.toSeq.distinct.size)

@@ -305,6 +305,8 @@ object GraphIndexPipeline {
       .withColumn("deg", coalesce(col("deg"), lit(0L)))
       .filter(col("deg") < Degree)
       .select(col("src"), col("deg")).persist()
+    var cand: org.apache.spark.sql.DataFrame = null
+    var repairable: org.apache.spark.sql.DataFrame = null
     try {
       if (degLow.isEmpty) return 0L
       val uCells = routing
@@ -313,18 +315,18 @@ object GraphIndexPipeline {
         .select(col("src"), col("cid"))
       val lr1 = routing.filter(col("crank") === 1)
         .select(col("vec_id").as("dst"), col("cid"))
-      val cand = uCells.join(lr1, "cid")
+      cand = uCells.join(lr1, "cid")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
         .dropDuplicates("src", "dst")
         .persist()
-      val repairable = degLow
+      repairable = degLow
         .join(cand.groupBy(col("src")).agg(count(lit(1)).as("nc")),
           Seq("src"), "left")
         .filter(coalesce(col("nc"), lit(0L)) > col("deg"))
         .select(col("src")).persist()
       val n = repairable.count()
-      if (n == 0L) { cand.unpersist(); repairable.unpersist(); return 0L }
+      if (n == 0L) return 0L
       val live = withNorm(s.read.format("graft").load(vecsBase)
         .select(col("vec_id"), col("embedding")), "embedding")
         .select(col("vec_id"), col("emb"), col("nrm"))
@@ -353,10 +355,16 @@ object GraphIndexPipeline {
         reshape = _.repartitionByRange(math.max(1, (nCells / 4L).toInt),
             col("cell"), col("src"))
           .sortWithinPartitions(col("cell"), col("src")))
-      cand.unpersist()
-      repairable.unpersist()
       n
-    } finally { degLow.unpersist(); () }
+    } finally {
+      // every cached frame releases on ALL exits (r15 review: an
+      // unpersist outside the finally leaked on a failed commit in the
+      // steady-state maintenance loop)
+      degLow.unpersist()
+      if (cand != null) cand.unpersist()
+      if (repairable != null) repairable.unpersist()
+      ()
+    }
   }
 
   /** Serve top-`k` ANN for `queries(query_id, qemb, qnrm)` off the

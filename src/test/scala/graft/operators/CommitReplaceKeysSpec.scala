@@ -87,6 +87,28 @@ class CommitReplaceKeysSpec extends SparkSuite {
       .as[String].collect().toSeq === Seq("X"))
   }
 
+  test("an IntegerType keys frame against a LongType bloomed column " +
+      "still replaces (probe values normalize to the column's type)") {
+    val base = TempDirs.scoped("rk_probetype")
+    VersionedTable.commitAppend(spark, base,
+      spark.range(0, 300).select(col("id").as("k"),
+        col("id").cast("string").as("v")).coalesce(3),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    // keys arrive as INT (e.g. literals from a caller) — the file
+    // blooms were hashed from LONGs; un-normalized probes would
+    // false-negative, skip the file, and leave the old row alive
+    val s2 = spark
+    import s2.implicits._
+    VersionedTable.commitReplaceKeys(spark, base, "k",
+      Seq(137).toDF("k"), Seq((137L, "X")).toDF("k", "v"),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val vs = VersionedTable.readLatest(spark, base)
+      .filter(col("k") === 137L).select(col("v"))
+      .as[String].collect().toSeq
+    assert(vs === Seq("X"), s"old row must be replaced, got $vs")
+    assert(VersionedTable.readLatest(spark, base).count() === 300L)
+  }
+
   test("row-tracking tables are refused loudly") {
     val base = TempDirs.scoped("rk_rowid")
     VersionedTable.commitAppend(spark, base,

@@ -151,15 +151,16 @@ class GraphIndexPipelineSpec extends SparkSuite {
     val head = VersionedTable.latestVersion(rb).get
     assert(head > 20L, "fixture should have accrued history")
     val logDir = java.nio.file.Paths.get(rb, "_log")
-    val markers = java.nio.file.Files.list(logDir).iterator()
+    val markerStream = java.nio.file.Files.list(logDir)
     val nMarkers =
       try {
+        val it = markerStream.iterator()
         var n = 0
-        while (markers.hasNext) {
-          if (markers.next().getFileName.toString.endsWith(".commit")) n += 1
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".commit")) n += 1
         }
         n
-      } finally ()
+      } finally markerStream.close()
     assert(nMarkers <= 16 + 1,
       s"history should be vacuumed to retention, got $nMarkers markers")
     // reads within retention intact; the index state is still exact

@@ -4002,6 +4002,197 @@ object SinkQueries {
         ORDER BY hour
       """),
       // bench=false: fixture-write-dominated like q192/q197/q199
+      bench = false),
+
+    // q202: truncate(width, col) STORAGE-PARTITIONED JOIN under the
+    // oracle gate (r16 — the LAST Iceberg transform joins the family):
+    // two per-order rollups of lineitem written
+    // `truncateBy=1000:l_orderkey` (one prefix-pure file per 1000-wide
+    // orderkey band, verified; `<col>#trunc` tokens), read through the
+    // catalog whose scans report KeyGroupedPartitioning(
+    // truncate_1000(l_orderkey)) — the orderkey join plans with ZERO
+    // exchanges on either side, pinned as data; a one-prefix slice
+    // opens fewer files than live (prefix-range pruning off the trunc
+    // token alone, `slice_pruned`), with the slice's own aggregates
+    // hash-checked so pruning can never silently drop rows. Per-prefix
+    // join values hash-check against the raw-lineitem DuckDB twin.
+    Q("q202_truncate_spj",
+      (s, d) => {
+        val ns = s"q202_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        val cntBase = s"$wh/$ns/cnt"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"))
+        li.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"))
+          .write.format("graft").option("truncateBy", "1000:l_orderkey")
+          .mode("append").save(cntBase)
+        li.groupBy(col("l_orderkey"))
+          .agg(sum(graft.functions.ColumnOps.e2(col("l_quantity")))
+            .as("qty_e2"))
+          .write.format("graft").option("truncateBy", "1000:l_orderkey")
+          .mode("append").save(s"$wh/$ns/qty")
+        // one-prefix slice: prunes off the trunc token (NO statsCols
+        // were declared), and its aggregates ride the hash gate
+        val slice = s.read.format("graft").load(cntBase)
+          .filter(col("l_orderkey").between(2000L, 2499L))
+          .agg(count(lit(1)).as("n"), sum(col("n_items")).as("it")).head()
+        val (kept, total) =
+          graft.sources.GraftScanMetrics.lastPrune(cntBase).get
+        val slicePruned = if (kept < total) 1L else 0L
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.autoBroadcastJoinThreshold")
+        val prev = confs.map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.table(s"graft.$ns.cnt")
+            .join(s.table(s"graft.$ns.qty"), "l_orderkey")
+          val exchanges = "Exchange hashpartitioning".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
+          j.groupBy((col("l_orderkey") -
+              pmod(col("l_orderkey"), lit(1000L))).as("prefix"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("n_items")).as("items"),
+              sum(col("qty_e2")).as("qty_e2"))
+            .withColumn("exchanges", lit(exchanges.toLong))
+            .withColumn("slice_pruned", lit(slicePruned))
+            .withColumn("slice_orders", lit(slice.getAs[Long]("n")))
+            .withColumn("slice_items", lit(slice.getAs[Long]("it")))
+            .orderBy(col("prefix"))
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+          FROM lineitem GROUP BY 1
+        ), qty AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS qty_e2
+          FROM lineitem GROUP BY 1
+        ), sl AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS slice_orders,
+                 CAST(SUM(n_items) AS BIGINT) AS slice_items
+          FROM cnt WHERE l_orderkey BETWEEN 2000 AND 2499
+        )
+        SELECT (l_orderkey // 1000) * 1000 AS prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(n_items) AS BIGINT) AS items,
+               CAST(SUM(qty_e2) AS BIGINT) AS qty_e2,
+               CAST(0 AS BIGINT) AS exchanges,
+               CAST(1 AS BIGINT) AS slice_pruned,
+               sl.slice_orders, sl.slice_items
+        FROM cnt JOIN qty USING (l_orderkey) CROSS JOIN sl
+        GROUP BY 1, sl.slice_orders, sl.slice_items
+        ORDER BY prefix
+      """),
+      // bench=false: fixture-write-dominated like q192/q197/q199
+      bench = false),
+
+    // q203: WRITABLE BRANCHES / WRITE-AUDIT-PUBLISH under the oracle
+    // gate (r16, judge ask #1): main holds 3/4 of the documents; a
+    // POISONED batch (negative n_chars on half its rows) stages onto a
+    // branch, the q136-discipline expectation audit runs against the
+    // branch head and flags it — the branch is DISCARDED, main never
+    // sees a poisoned row; a clean batch re-stages on a fresh branch,
+    // audits green, and `CALL graft.system.fast_forward` publishes it
+    // as ONE atomic main commit. The registered row set is the final
+    // per-lang profile of main (hash-checked against the raw-documents
+    // twin — any poisoned row leaking through flips sum_chars), with
+    // the lifecycle facts pinned as data: main's row count while the
+    // branch diverged, both audits' violation counts, the publish
+    // version (fork+1 — exactly one commit), and a branch≡main
+    // equality flag computed by comparing the branch head's aggregate
+    // rows (captured BEFORE the consuming publish) against main's
+    // after.
+    Q("q203_branch_wap",
+      (s, d) => {
+        import graft.operators.VersionedTable
+        val ns = s"q203_${java.util.UUID.randomUUID().toString.take(8)}"
+        val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+        val tBase = s"$wh/$ns/t"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long")
+            .as("n_chars"))
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .write.format("graft").mode("append").save(tBase)
+        val mainRowsBefore = s.read.format("graft").load(tBase).count()
+        // ---- stage 1: the poisoned batch ----
+        s.sql(s"CALL graft.system.create_branch('$ns.t', 'stage', 0)")
+        val bb = VersionedTable.branchBase(tBase, "stage")
+        val batch = docs.filter(col("doc_id") % 4 === 3)
+        batch.withColumn("n_chars",
+            when(col("doc_id") % 8 === 7, lit(-1L))
+              .otherwise(col("n_chars")))
+          .write.format("graft").mode("append").save(bb)
+        def audit(b: String): Long = s.read.format("graft").load(b)
+          .filter(col("n_chars") < 0L).count()
+        val bad1 = audit(bb)
+        require(bad1 > 0L, "fixture should trip the audit")
+        // red audit → the batch never publishes; main is still clean
+        s.sql(s"CALL graft.system.drop_branch('$ns.t', 'stage')")
+        // ---- stage 2: the clean batch ----
+        s.sql(s"CALL graft.system.create_branch('$ns.t', 'stage', 0)")
+        batch.write.format("graft").mode("append").save(bb)
+        val bad2 = audit(bb)
+        val mainWhileDiverged = s.read.format("graft").load(tBase).count()
+        // the branch head's profile, captured before the consuming
+        // publish — the byte-equality witness
+        def profile(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+        val branchProfile = profile(s.read.format("graft").load(bb))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val ffV = s.sql(s"CALL graft.system.fast_forward('$ns.t', 'stage')")
+          .head().getLong(0)
+        val mainAfter = profile(s.read.format("graft").load(tBase))
+        val matches = mainAfter.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+          branchProfile
+        mainAfter
+          .withColumn("main_rows_while_diverged", lit(mainWhileDiverged))
+          .withColumn("main_rows_before", lit(mainRowsBefore))
+          .withColumn("audit_bad_poisoned", lit(bad1))
+          .withColumn("audit_bad_clean", lit(bad2))
+          .withColumn("publish_version", lit(ffV))
+          .withColumn("branch_equals_main", lit(if (matches) 1L else 0L))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents
+        ), facts AS (
+          SELECT
+            CAST((SELECT COUNT(*) FROM d WHERE doc_id % 4 <> 3) AS BIGINT)
+              AS main_rows_before,
+            CAST((SELECT COUNT(*) FROM d
+                  WHERE doc_id % 4 = 3 AND doc_id % 8 = 7) AS BIGINT)
+              AS audit_bad_poisoned
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               facts.main_rows_before AS main_rows_while_diverged,
+               facts.main_rows_before,
+               facts.audit_bad_poisoned,
+               CAST(0 AS BIGINT) AS audit_bad_clean,
+               CAST(2 AS BIGINT) AS publish_version,
+               CAST(1 AS BIGINT) AS branch_equals_main
+        FROM d CROSS JOIN facts
+        GROUP BY lang, facts.main_rows_before, facts.audit_bad_poisoned
+        ORDER BY lang
+      """),
+      // bench=false: fixture-write-dominated like q192/q197/q199
       bench = false)
   )
 }

@@ -118,7 +118,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (partitions.isEmpty) return None
     require(partitions.length == 1,
       "graft tables take ONE layout transform: bucket(n, col...) or " +
-        "days/hours/months(ts)")
+        s"${VersionedTable.TimeGrans.mkString("/")}(ts)")
     val t = partitions.head
     def cols = t.references().map(_.fieldNames().mkString(".")).mkString(",")
     t.name() match {
@@ -129,11 +129,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }.getOrElse(throw new IllegalArgumentException(
           "bucket(n, col...) needs a literal bucket count"))
         Some(("bucket", s"$n:$cols"))
+      case "truncate" =>
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          "truncate(width, col) needs a literal width"))
+        Some(("truncate", s"$w:$cols"))
       case g if VersionedTable.TimeGrans.contains(g) => Some((g, cols))
       case other => throw new UnsupportedOperationException(
         s"graft supports PARTITIONED BY (bucket(n, col...)) and " +
-          s"(days|hours|months(ts)); got '$other' — range layouts go " +
-          "through clusterBy/OPTIMIZE ZORDER instead")
+          s"(${VersionedTable.TimeGrans.mkString("|")}(ts)); got " +
+          s"'$other' — range layouts go through clusterBy/OPTIMIZE " +
+          "ZORDER instead")
     }
   }
 
@@ -331,7 +339,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         Identifier.of(namespace, "days"),
         Identifier.of(namespace, "hours"),
         Identifier.of(namespace, "months"),
-        Identifier.of(namespace, "years"))
+        Identifier.of(namespace, "years"),
+        Identifier.of(namespace, "truncate"))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
@@ -341,6 +350,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     else if (ident.name() == "hours") new GraftTimeFunction("hours")
     else if (ident.name() == "months") new GraftTimeFunction("months")
     else if (ident.name() == "years") new GraftTimeFunction("years")
+    else if (ident.name() == "truncate") GraftTruncateFunction
+    else if (ident.name().startsWith("truncate_") &&
+        ident.name().stripPrefix("truncate_").nonEmpty &&
+        ident.name().stripPrefix("truncate_").length <= 9 &&
+        ident.name().stripPrefix("truncate_").forall(_.isDigit))
+      // the width-pinned family the scan reports for SPJ — resolved on
+      // demand, one function per declared width (see
+      // GraftTruncateWidthFunction's scaladoc for why the width rides
+      // in the name)
+      new GraftTruncateWidthFunction(
+        ident.name().stripPrefix("truncate_").toInt)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

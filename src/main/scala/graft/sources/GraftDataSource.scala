@@ -526,26 +526,38 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               "daysBy/hoursBy/monthsBy/yearsBy are mutually exclusive with " +
                 "bucketBy/zorderCols/clusterBy/numFiles (the time split " +
                 "is the layout)")
-            // sidecar declarations roll back if the commit below
-            // fails (r15 review: a refused write must not flip the
-            // table's layout generation as a side effect)
+            // TRUNCATE-partitioned layout (r16 — the last Iceberg
+            // transform): `truncateBy=<width>:<col>` floors long keys /
+            // prefixes string keys, one-prefix-pure files (verified;
+            // SPJ + prefix-range pruning); a layout like bucketBy, so
+            // the same exclusions apply.
+            val truncateBy = Option(info.options.get("truncateBy")).map { sp =>
+              val i = sp.indexOf(':')
+              val w = if (i > 0) sp.substring(0, i).trim else ""
+              require(i > 0 && i < sp.length - 1 && w.nonEmpty &&
+                w.length <= 9 && w.forall(_.isDigit) && w.toInt >= 1,
+                s"truncateBy takes <width>:<column> with a positive " +
+                  s"width, got '$sp'")
+              (sp.substring(i + 1).trim, w.toInt)
+            }
+            require(truncateBy.isEmpty ||
+              (bucketBy.isEmpty && daysBy.isEmpty && timeDecl.isEmpty &&
+                zc.isEmpty && cb.isEmpty &&
+                Option(info.options.get("numFiles")).isEmpty),
+              "truncateBy is mutually exclusive with bucketBy/daysBy/" +
+                "hoursBy/monthsBy/yearsBy/zorderCols/clusterBy/numFiles " +
+                "(the prefix split is the layout)")
+            // sidecar declarations roll back if anything below fails —
+            // INCLUDING the validations between here and the commit
+            // (r15 review + r15 advice: a refused write must not flip
+            // the table's layout generation as a side effect, so every
+            // declare call sits inside the try that restores the
+            // snapshot)
             val layoutPrior: Option[Seq[(String, String)]] =
               if (timeDecl.nonEmpty || swb.nonEmpty)
                 Some(VersionedTable.layoutSnapshot(base))
               else None
-            timeDecl.foreach { case (g, c) =>
-              VersionedTable.declareLayout(base, g, c) }
             val nf = Option(info.options.get("numFiles")).map(_.toInt)
-            if (swb.nonEmpty) {
-              require(bucketBy.isDefined || daysBy.isDefined ||
-                timeDecl.nonEmpty ||
-                VersionedTable.declaredLayout(base).isDefined ||
-                VersionedTable.latestVersion(base).isDefined,
-                "sortWithinBuckets needs a bucket/days layout to sort " +
-                  "within — pass bucketBy/daysBy, or declare the layout " +
-                  "first")
-              VersionedTable.declareSortWithin(base, swb)
-            }
             import org.apache.spark.sql.functions.col
             val clustered =
               if (zc.length >= 2) {
@@ -567,6 +579,18 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
             // destroy it; the co-location claim then voids safely
             val inherit = zc.isEmpty && cb.isEmpty && nf.isEmpty
             try {
+            timeDecl.foreach { case (g, c) =>
+              VersionedTable.declareLayout(base, g, c) }
+            if (swb.nonEmpty) {
+              require(bucketBy.isDefined || daysBy.isDefined ||
+                timeDecl.nonEmpty ||
+                VersionedTable.declaredLayout(base).isDefined ||
+                VersionedTable.latestVersion(base).isDefined,
+                "sortWithinBuckets needs a bucket/days layout to sort " +
+                  "within — pass bucketBy/daysBy, or declare the layout " +
+                  "first")
+              VersionedTable.declareSortWithin(base, swb)
+            }
             if (replaceFilters.nonEmpty) {
               val rowPred = replaceFilters.flatMap(GraftFilters.toColumn)
                 .reduceOption(_ && _).getOrElse(
@@ -591,21 +615,34 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
                 // overwrite(cond) was silently dropped — pass through
                 // like the append/replace branches
                 ndvCols = ndvs, bucketBy = bucketBy,
-                inheritBucket = inherit)
+                inheritBucket = inherit, truncateBy = truncateBy)
             } else if (replace || overwrite)
               VersionedTable.commitReplace(data.sparkSession, base, clustered,
                 stats, bloomCols = blooms, ndvCols = ndvs,
                 bucketBy = bucketBy, inheritBucket = inherit,
-                daysBy = daysBy)
+                daysBy = daysBy, truncateBy = truncateBy)
             else
               VersionedTable.commitAppend(data.sparkSession, base, clustered,
                 stats, bloomCols = blooms, ndvCols = ndvs,
                 bucketBy = bucketBy, inheritBucket = inherit,
-                daysBy = daysBy)
+                daysBy = daysBy, truncateBy = truncateBy)
             } catch {
               case t: Throwable =>
                 layoutPrior.foreach(VersionedTable.restoreLayout(base, _))
                 throw t
+            }
+            // an explicit bucketBy/daysBy on a DECLARED table re-syncs
+            // the declaration AFTER the commit succeeds (r15 advice:
+            // declaration-first inheritance would otherwise flip the
+            // very next plain append back to the stale declared
+            // generation, silently re-mixing the snapshot a user just
+            // relaid out) — mirroring how rebucket syncs post-success
+            if (VersionedTable.declaredLayout(base).isDefined) {
+              bucketBy.foreach { case (c, n) =>
+                VersionedTable.declareLayout(base, "bucket", s"$n:$c") }
+              daysBy.foreach(c => VersionedTable.declareLayout(base, "days", c))
+              truncateBy.foreach { case (c, w) =>
+                VersionedTable.declareLayout(base, "truncate", s"$w:$c") }
             }
             ()
           }
@@ -635,8 +672,11 @@ class GraftFileIndex(spark: SparkSession, base: String,
     val ranges = dataFilters
       .flatMap(e => org.apache.spark.sql.GraftBridge.translateFilter(e))
       .flatMap(f => GraftFilters.toRanges(f, schema))
+    // keyed by the SCAN-KEY suffix (VersionedTable.relKey): listed
+    // file paths never carry a clone's `../` prefix, so raw-path
+    // keying would silently drop every shared entry from the read
     val kept = VersionedTable.pruneTyped(manifest, ranges)
-      .map(_.path).toSet
+      .map(e => VersionedTable.relKey(e.path)).toSet
     val pruned = all.map(pd =>
       pd.copy(files = pd.files.filter(f => kept.contains(relName(f.getPath)))))
     GraftScanMetrics.record(base, kept.size, manifest.size)

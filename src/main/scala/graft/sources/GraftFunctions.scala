@@ -175,3 +175,117 @@ final class GraftBoundTime(gran: String) extends ScalarFunction[Integer] {
     if (input.isNullAt(0)) null
     else VersionedTable.timePeriod(gran, input.getLong(0))
 }
+
+/** The catalog's `truncate` function (r16 — the last member of the
+  * Iceberg transform family): a truncate-partitioned graft scan
+  * reports `KeyGroupedPartitioning(truncate(w, col))`, Spark resolves
+  * the transform against THIS function, and two prefix-partitioned
+  * tables joining on the key shuffle NEITHER side. Semantics are
+  * [[VersionedTable.truncLong]] (floor to a multiple of w) /
+  * [[VersionedTable.truncStr]] (first w code points) — the single
+  * definitions the write layout and stats verifier share.
+  */
+object GraftTruncateFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(width, col) — long/int keys floor to a multiple of " +
+      "width; string keys keep their first width code points; the " +
+      "graft prefix-partition layout function"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"truncate takes (width, key), got ${inputType.length} args")
+    require(inputType(0).dataType == IntegerType,
+      s"truncate's first argument is the INT width, got " +
+        s"${inputType(0).dataType.catalogString}")
+    inputType(1).dataType match {
+      case IntegerType | LongType | StringType =>
+        new GraftBoundTruncate(inputType(1).dataType)
+      case other => throw new UnsupportedOperationException(
+        s"truncate supports int/long/string keys, got ${other.catalogString}")
+    }
+  }
+}
+
+/** `truncate` bound to a concrete key type. Long/int keys return LONG
+  * (one canonical prefix domain for both integral widths — the write
+  * layout casts to long before flooring, so the function must agree);
+  * string keys return STRING. Null keys propagate SQL null (the
+  * [[GraftBoundDays]] rule — the one-side-shuffle SPJ may evaluate
+  * this over an unpartitioned frame).
+  */
+final class GraftBoundTruncate(keyType: DataType)
+    extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType =
+    if (keyType == StringType) StringType else LongType
+  override def name(): String = "truncate"
+  override def isResultNullable: Boolean = true
+  override def canonicalName(): String =
+    s"graft.truncate(${keyType.catalogString})"
+  override def produceResult(input: InternalRow): Any = {
+    if (input.isNullAt(1)) return null
+    val w = input.getInt(0)
+    keyType match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          VersionedTable.truncStr(input.getUTF8String(1).toString, w))
+      case IntegerType => VersionedTable.truncLong(input.getInt(1).toLong, w)
+      case _ => VersionedTable.truncLong(input.getLong(1), w)
+    }
+  }
+}
+
+/** The WIDTH-PINNED truncate family (`truncate_<w>(col)`) — what the
+  * scan actually REPORTS for SPJ. Spark's KeyGroupedPartitioning
+  * requires every partition expression to have exactly ONE leaf, and
+  * its attribute-matching checks every leaf against the join keys — a
+  * literal width argument fails both. `bucket` dodges this because
+  * Spark special-cases BucketTransform (numBuckets travels out-of-band
+  * in TransformExpression); the generic ApplyTransform path has no
+  * such slot, so the width rides in the function NAME instead — one
+  * single-leaf transform per width, resolved on demand by
+  * [[GraftCatalog.loadFunction]] (`truncate_100`, `truncate_5`, ...),
+  * exactly the shape the days/hours family already proves out.
+  * Same-width scans share a `canonicalName` and co-partition; scans of
+  * DIFFERENT widths never falsely claim compatibility (distinct
+  * names). Semantics are the generic [[GraftTruncateFunction]]'s.
+  */
+final class GraftTruncateWidthFunction(w: Int) extends UnboundFunction {
+  require(w >= 1, s"truncate width must be >= 1, got $w")
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(col) — truncate(col) at pinned width $w; the graft " +
+      "prefix-partition layout function SPJ resolves"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"truncate_$w takes (key), got ${inputType.length} args")
+    inputType(0).dataType match {
+      case IntegerType | LongType | StringType =>
+        new GraftBoundTruncateW(inputType(0).dataType, w)
+      case other => throw new UnsupportedOperationException(
+        s"truncate_$w supports int/long/string keys, got " +
+          other.catalogString)
+    }
+  }
+}
+
+final class GraftBoundTruncateW(keyType: DataType, w: Int)
+    extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType =
+    if (keyType == StringType) StringType else LongType
+  override def name(): String = s"truncate_$w"
+  override def isResultNullable: Boolean = true
+  override def canonicalName(): String =
+    s"graft.truncate_$w(${keyType.catalogString})"
+  override def produceResult(input: InternalRow): Any = {
+    if (input.isNullAt(0)) return null
+    keyType match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          VersionedTable.truncStr(input.getUTF8String(0).toString, w))
+      case IntegerType => VersionedTable.truncLong(input.getInt(0).toLong, w)
+      case _ => VersionedTable.truncLong(input.getLong(0), w)
+    }
+  }
+}

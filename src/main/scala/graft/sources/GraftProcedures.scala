@@ -86,7 +86,8 @@ private[sources] object GraftProcedures {
     Seq("restore", "vacuum", "compact", "compact_small", "zorder",
       "zorder_by", "zorder_where", "analyze",
       "create_tag", "drop_tag", "clone", "rebucket", "enable_row_ids",
-      "vacuum_dry_run", "set_layout", "rebucket_stale", "relayout_stale")
+      "vacuum_dry_run", "set_layout", "rebucket_stale", "relayout_stale",
+      "create_branch", "fast_forward", "drop_branch", "resort_stale")
 
   /** Procedures for one catalog instance; `tableBase` is the
     * catalog's name→commit-log-base resolution.
@@ -285,6 +286,53 @@ private[sources] object GraftProcedures {
         out("version" -> LongType),
         in => Seq(VersionedTable.rebucketStale(SparkSession.active,
           base(in), in.getUTF8String(1).toString, in.getInt(2)))))
+      case "create_branch" => Some(new Proc("create_branch",
+        "WRITE-AUDIT-PUBLISH, step 1: fork a zero-copy WRITABLE BRANCH " +
+          "at a committed version (0 = latest) -- stage commits on it " +
+          "(it lives at <table>/_branches/<name>, a full graft table), " +
+          "audit the branch head, then CALL fast_forward to publish",
+        Seq(tableParam,
+          ("branch", StringType, "branch name (letters, digits, _ - .)"),
+          ("version", LongType, "fork version (0 = latest)")),
+        out("fork_version" -> LongType),
+        in => {
+          val v = in.getLong(2)
+          Seq(VersionedTable.createBranch(SparkSession.active, base(in),
+            in.getUTF8String(1).toString,
+            if (v <= 0L) None else Some(v)))
+        }))
+      case "fast_forward" => Some(new Proc("fast_forward",
+        "WRITE-AUDIT-PUBLISH, step 3: atomically advance main to the " +
+          "branch head as ONE commit (#op=fast_forward) and consume " +
+          "the branch -- refuses loudly (main untouched, branch " +
+          "intact) if a concurrent writer advanced main past the fork",
+        Seq(tableParam,
+          ("branch", StringType, "branch name to publish")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.fastForward(SparkSession.active,
+          base(in), in.getUTF8String(1).toString))))
+      case "drop_branch" => Some(new Proc("drop_branch",
+        "discard a staged branch without publishing: delete its " +
+          "directory and release the fork snapshot's retention pin",
+        Seq(tableParam,
+          ("branch", StringType, "branch name to drop")),
+        out("dropped" -> LongType),
+        in => {
+          VersionedTable.dropBranch(base(in), in.getUTF8String(1).toString)
+          Seq(1L)
+        }))
+      case "resort_stale" => Some(new Proc("resort_stale",
+        "SORT-ORDER EVOLUTION: rewrite ONLY the files whose zone-map " +
+          "span on the declared within-layout sort column exceeds " +
+          "max_span (stale-generation locality) -- O(stale files); " +
+          "files already tight carry forward untouched",
+        Seq(tableParam,
+          ("max_span", LongType,
+            "largest acceptable per-file hi-lo span on the first " +
+              "declared sort column")),
+        out("version" -> LongType),
+        in => Seq(VersionedTable.resortStale(SparkSession.active,
+          base(in), in.getLong(1)))))
       case "rebucket" => Some(new Proc("rebucket",
         "OPTIMIZE REBUCKET: rewrite the latest snapshot hash-bucketed " +
           "num_buckets ways on column -- establishes (or changes) the " +

@@ -75,26 +75,42 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
       new GraftKeyedBatch(() => current, bucketKeyOf)
     else if (timeLayout.isDefined)
       new GraftKeyedBatch(() => current, timeKeyOf)
+    else if (truncLayout.isDefined)
+      new GraftKeyedBatch(() => current, truncKeyOf)
     else current.toBatch
   }
 
   /** Per-file partition key (one id per key column, canonical col
     * order — the same order [[outputPartitioning]] lists transforms).
     */
-  private def bucketKeyOf: Map[String, Seq[Int]] =
+  private def bucketKeyOf: Map[String, Seq[Any]] =
     VersionedTable.bucketSpecOf(entries).map { case (physCols, _) =>
       val cols = VersionedTable.splitBucketCols(physCols)
       entries.map { e =>
-        e.path -> cols.map(pc =>
-          e.stats(s"$pc#bucket").asInstanceOf[BucketStat].id)
+        // scan-key suffix: planned file paths never carry a clone's
+        // `../` prefix (VersionedTable.relKey's contract)
+        VersionedTable.relKey(e.path) -> cols.map(pc =>
+          e.stats(s"$pc#bucket").asInstanceOf[BucketStat].id: Any)
       }.toMap
     }.getOrElse(Map.empty)
 
-  private def timeKeyOf: Map[String, Seq[Int]] =
+  private def timeKeyOf: Map[String, Seq[Any]] =
     entries.flatMap(e => e.stats.collectFirst {
       case (k, VersionedTable.DaysStat(d))
           if VersionedTable.TimeGrans.exists(g => k.endsWith(s"#$g")) =>
-        e.path -> Seq(d)
+        VersionedTable.relKey(e.path) -> Seq(d: Any)
+    }).toMap
+
+  /** Truncate-layout partition keys, INTERNAL form (java Long /
+    * UTF8String — what the HasPartitionKey row must carry).
+    */
+  private def truncKeyOf: Map[String, Seq[Any]] =
+    entries.flatMap(e => e.stats.collectFirst {
+      case (k, VersionedTable.TruncStat(_, v)) if k.endsWith("#trunc") =>
+        VersionedTable.relKey(e.path) -> Seq(java.lang.Long.valueOf(v): Any)
+      case (k, VersionedTable.TruncStrStat(_, v)) if k.endsWith("#trunc") =>
+        VersionedTable.relKey(e.path) -> Seq(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v): Any)
     }).toMap
 
   // ----- storage-partitioned joins ([[SupportsReportPartitioning]])
@@ -133,6 +149,19 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
         .map(g -> _)
     }
 
+  /** The snapshot's truncate-partition layout (r16), claimable by THIS
+    * scan — the [[timeLayout]] discipline for `truncate(w, col)`.
+    */
+  private lazy val truncLayout: Option[(String, Int)] =
+    VersionedTable.truncSpecOf(entries).flatMap { case (pc, w) =>
+      val toLogical = graft.operators.ColumnMapping.toLogical(schema)
+      toLogical.get(pc)
+        .orElse(if (graft.operators.ColumnMapping.isMapped(schema)) None
+                else Some(pc))
+        .filter(c => current.readSchema().fieldNames.contains(c))
+        .map(_ -> w)
+    }
+
   override def outputPartitioning(): Partitioning = bucketLayout match {
     case Some((cols, n)) =>
       val groups = bucketKeyOf.values.toSeq.distinct.size
@@ -153,7 +182,19 @@ class GraftRuntimeScan(initial: ParquetScan, val base: String,
         }
         new KeyGroupedPartitioning(Array(t),
           timeKeyOf.values.toSeq.distinct.size)
-      case None => new UnknownPartitioning(0)
+      case None => truncLayout match {
+        case Some((c, w)) =>
+          // the WIDTH-PINNED single-arg transform (truncate_<w>(col)):
+          // KeyGroupedPartitioning demands one-leaf expressions whose
+          // every leaf matches a join key, so a literal width argument
+          // can never satisfy a join distribution — the width rides in
+          // the function name instead (GraftTruncateWidthFunction)
+          new KeyGroupedPartitioning(
+            Array(Expressions.apply(s"truncate_$w",
+              Expressions.column(c))),
+            truncKeyOf.values.toSeq.distinct.size)
+        case None => new UnknownPartitioning(0)
+      }
     }
   }
   override def description(): String = s"Graft ${current.description()}"
@@ -435,7 +476,7 @@ object GraftRuntimeScan {
   * SPJ never forces one-giant-task-per-group.
   */
 private[sources] class GraftKeyedBatch(scan: () => ParquetScan,
-                                       ids: Map[String, Seq[Int]])
+                                       ids: Map[String, Seq[Any]])
     extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -456,9 +497,12 @@ private[sources] class GraftKeyedBatch(scan: () => ParquetScan,
     val maxSplit = FilePartition.maxSplitBytes(spark,
       chunks.map(_.length).sum)
     var idx = -1
-    import scala.math.Ordering.Implicits.seqOrdering
-    byBucket.toSeq.sortBy(_._1).flatMap { case (id, fs) =>
-      val key = new GenericInternalRow(id.map(i => i: Any).toArray)
+    // deterministic partition-id assignment only (grouping itself is
+    // Spark's InternalRow-comparable wrapper): order groups by their
+    // keys' string form — stable for int/long/UTF8String keys alike
+    byBucket.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .flatMap { case (id, fs) =>
+      val key = new GenericInternalRow(id.toArray)
       FilePartition.getFilePartitions(spark, fs.toSeq, maxSplit).map { fp =>
         idx += 1
         new GraftBucketedFilePartition(idx, fp.files, key)

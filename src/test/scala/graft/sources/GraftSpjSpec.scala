@@ -837,4 +837,131 @@ class GraftSpjSpec extends SparkSuite {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
+
+  test("truncate(w, col) transform (r16): long-prefix tables join with " +
+      "zero shuffle; prefix pruning; mixed generations void the claim " +
+      "and relayout_stale retires them") {
+    val s = spark
+    import s.implicits._
+    val aBase = s"$warehouse/$ns/tr_a"
+    val bBase = s"$warehouse/$ns/tr_b"
+    (1L to 400L).map(k => (k, k * 3L)).toDF("k", "v").write.format("graft")
+      .option("truncateBy", "100:k").mode("append").save(aBase)
+    (200L to 600L).map(k => (k, k * 7L)).toDF("k", "w").write.format("graft")
+      .option("truncateBy", "100:k").mode("append").save(bBase)
+    def specOf(b: String) = VersionedTable.truncSpecOf(
+      VersionedTable.entries(b, VersionedTable.latestVersion(b).get))
+    assert(specOf(aBase) === Some(("k", 100)))
+    assert(specOf(bBase) === Some(("k", 100)))
+    // a PLAIN append inherits the truncate layout (sticky discipline)
+    Seq((450L, 9L)).toDF("k", "v").write.format("graft")
+      .mode("append").save(aBase)
+    assert(specOf(aBase) === Some(("k", 100)),
+      "a plain append on a truncate-partitioned table must inherit it")
+    withSpj {
+      val j = spark.table(s"graft.$ns.tr_a").as("a")
+        .join(spark.table(s"graft.$ns.tr_b").as("b"),
+          col("a.k") === col("b.k"))
+        .select(col("a.k"), col("a.v"), col("b.w"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"truncate-partitioned join must not shuffle:\n$plan")
+      val got = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (200L to 400L).map(k => (k, k * 3L, k * 7L)).toSet +
+        ((450L, 9L, 450L * 7L))
+      assert(got === want)
+    }
+    // PREFIX-RANGE pruning off the trunc token alone (no statsCols
+    // were declared): a slice inside one 100-wide prefix opens only
+    // that prefix's files
+    val sliced = spark.read.format("graft").load(bBase)
+      .filter(col("k").between(220L, 280L))
+    assert(sliced.collect().map(_.getLong(0)).sorted === (220L to 280L))
+    val (kept, total) = GraftScanMetrics.lastPrune(bBase).get
+    assert(kept < total,
+      s"prefix slice should prune trunc files, kept $kept of $total")
+    // MIXED GENERATIONS (the negative control): declare a NEW width —
+    // the next append lands width-50 files, truncSpecOf goes None, and
+    // the join falls back to shuffling (correct, never a stale claim)
+    VersionedTable.declareLayout(aBase, "truncate", "50:k")
+    Seq((460L, 10L)).toDF("k", "v").write.format("graft")
+      .mode("append").save(aBase)
+    assert(specOf(aBase) === None,
+      "a mixed-width snapshot must refuse the co-location claim")
+    withSpj {
+      val j = spark.table(s"graft.$ns.tr_a").as("a")
+        .join(spark.table(s"graft.$ns.tr_b").as("b"),
+          col("a.k") === col("b.k"))
+      assert(j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "mixed truncate generations must shuffle")
+    }
+    // relayout_stale retires the stale generation: O(stale files) —
+    // every file then carries width 50 and the b side rebuilt to match
+    // re-establishes SPJ
+    VersionedTable.relayoutStale(spark, aBase, "truncate", "50:k")
+    assert(specOf(aBase) === Some(("k", 50)))
+    VersionedTable.relayoutStale(spark, bBase, "truncate", "50:k")
+    assert(specOf(bBase) === Some(("k", 50)))
+    withSpj {
+      val j = spark.table(s"graft.$ns.tr_a").as("a")
+        .join(spark.table(s"graft.$ns.tr_b").as("b"),
+          col("a.k") === col("b.k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"post-relayout truncate join must not shuffle:\n$plan")
+      assert(j.count() === 203L) // 200..400 ∪ {450, 460}
+    }
+    // malformed relayout spec fails with the friendly message
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.relayoutStale(spark, aBase, "truncate", "ab:k")
+    }
+    assert(e.getMessage.contains("truncate layout spec"))
+  }
+
+  test("truncate on STRING keys (r16): URL-prefix corpora join " +
+      "shuffle-free and prune by prefix") {
+    val s = spark
+    import s.implicits._
+    val hosts = Seq("alpha", "bravo", "china", "delta", "echos")
+    def rows(n: Int) = (0 until n).map { i =>
+      (s"${hosts(i % hosts.size)}/page$i", i.toLong)
+    }
+    val aBase = s"$warehouse/$ns/trs_a"
+    val bBase = s"$warehouse/$ns/trs_b"
+    rows(200).toDF("url", "v").write.format("graft")
+      .option("truncateBy", "5:url").mode("append").save(aBase)
+    rows(300).toDF("url", "w").write.format("graft")
+      .option("truncateBy", "5:url").mode("append").save(bBase)
+    val es = VersionedTable.entries(aBase,
+      VersionedTable.latestVersion(aBase).get)
+    assert(VersionedTable.truncSpecOf(es) === Some(("url", 5)))
+    // every file is prefix-pure per its verified token
+    es.foreach { e =>
+      e.stats.get("url#trunc") match {
+        case Some(VersionedTable.TruncStrStat(5, p)) =>
+          assert(hosts.contains(p), s"unexpected prefix $p")
+        case other => fail(s"missing/typed-wrong trunc token: $other")
+      }
+    }
+    withSpj {
+      val j = spark.table(s"graft.$ns.trs_a").as("a")
+        .join(spark.table(s"graft.$ns.trs_b").as("b"),
+          col("a.url") === col("b.url"))
+        .select(col("a.url"), col("a.v"), col("b.w"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"string-truncate join must not shuffle:\n$plan")
+      assert(j.count() === 200L)
+    }
+    // string prefix-range pruning: an equality inside one host's
+    // prefix keeps only that prefix's files
+    val one = spark.read.format("graft").load(bBase)
+      .filter(col("url") === "bravo/page1")
+    assert(one.collect().map(_.getLong(1)).toSeq === Seq(1L))
+    val (kept, total) = GraftScanMetrics.lastPrune(bBase).get
+    assert(kept < total,
+      s"string prefix probe should prune, kept $kept of $total")
+  }
 }

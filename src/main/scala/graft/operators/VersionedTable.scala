@@ -316,11 +316,19 @@ object VersionedTable {
   final case class TruncStrStat(w: Int, v: String) extends Stat
 
   /** Floor `v` to a multiple of `w` — the Iceberg `truncate(w, long)`
-    * definition, negative-safe and exact over the full long range
-    * (BigInt avoids the Long.MinValue - remainder underflow).
+    * definition, negative-safe. Exact via BigInt; a floor that falls
+    * BELOW Long.MinValue (only possible for v within w of the minimum)
+    * REFUSES loudly rather than wrapping to a wrong positive prefix
+    * (Iceberg's own int arithmetic silently overflows there; the
+    * write-path verifier and SQL function must never disagree).
     */
-  def truncLong(v: Long, w: Int): Long =
-    (BigInt(v) - BigInt(v).mod(BigInt(w))).toLong
+  def truncLong(v: Long, w: Int): Long = {
+    val f = BigInt(v) - BigInt(v).mod(BigInt(w))
+    require(f >= BigInt(Long.MinValue),
+      s"truncate($w, $v) floors below Long.MinValue — keys within " +
+        "one width of the long minimum have no representable prefix")
+    f.toLong
+  }
 
   /** First `w` CODE POINTS of `s` — matching Spark's `substring`
     * semantics exactly (the write layout, verifier and SQL `truncate`
@@ -3021,15 +3029,42 @@ object VersionedTable {
   def resortStale(s: SparkSession, base: String, maxSpan: Long,
                   statsCols: Seq[String] = Nil): Long = {
     require(maxSpan >= 0L, s"maxSpan must be >= 0, got $maxSpan")
-    require(declaredSortWithin(base).nonEmpty,
+    val sortCols = declaredSortWithin(base)
+    require(sortCols.nonEmpty,
       s"$base declares no within-layout sort order — declareSortWithin " +
         "(or the sortWithinBuckets write option) first")
     retrying(maxAttempts = 5) {
       val prevV = latestVersion(base)
       require(prevV.isDefined, s"nothing to resort in $base")
-      val spans = sortSpans(base, prevV.get)
+      // ONE replay feeds both the span audit and the rewrite (r16
+      // review: sortSpans(base, v) would replay the same version again)
       val (es0, schema0) = replay(base, prevV.get)
-      val stale = es0.filter(e => spans(e.path).forall(_ > maxSpan))
+      // a STRING sort column has no numeric span to threshold — every
+      // file would read as stale forever and each call would rewrite
+      // the whole table (the O(stale) contract violated silently);
+      // refuse loudly instead (r16 review)
+      schema0.foreach { st =>
+        val visible = ColumnMapping.visible(st)
+        visible.fields.find(_.name == sortCols.head).foreach { f =>
+          val ok = f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 DateType | TimestampType | TimestampNTZType => true
+            case _ => false
+          }
+          require(ok, s"resortStale thresholds a NUMERIC span; sort " +
+            s"column '${sortCols.head}' is ${f.dataType.catalogString} " +
+            "— string sort orders have per-file zone maps but no span " +
+            "width to evolve on")
+        }
+      }
+      val physMap = schema0.filter(ColumnMapping.isMapped)
+        .map(ColumnMapping.toPhysical).getOrElse(Map.empty[String, String])
+      val sc0 = physMap.getOrElse(sortCols.head, sortCols.head)
+      def spanOf(e: ManifestEntry): Option[Long] = e.stats.get(sc0) match {
+        case Some(ColStats(lo, hi)) => Some(hi - lo)
+        case _ => None
+      }
+      val stale = es0.filter(e => spanOf(e).forall(_ > maxSpan))
       if (stale.isEmpty) prevV.get
       else {
         val rid = featuresAsOf(base, prevV.get).contains("rowid")
@@ -3316,10 +3351,15 @@ object VersionedTable {
     val cloned = es.map(e => e.copy(path = s"$rel/${e.path}"))
     val feats = featuresAsOf(source, v) ++
       featuresOfBody(es.map(formatEntry).mkString("\n"))
+    // the row-id HIGH-WATER MARK travels with the clone (r16 review):
+    // without it the clone's rowHwmAsOf reads 0 and the first append
+    // on the branch would MINT ids colliding with the cloned rows'
+    val hwm = if (feats.contains("rowid"))
+      Seq(s"$RowHwmTag${rowHwmAsOf(source, v)}") else Seq.empty
     val body = (Seq("#op=clone") ++
       (if (feats.nonEmpty)
          Seq(s"$FeaturesTag${feats.toSeq.sorted.mkString(",")}")
-       else Seq.empty) ++
+       else Seq.empty) ++ hwm ++
       schemaOpt.map(schemaHeader).toSeq ++
       cloned.map("+" + formatEntry(_))).mkString("", "\n", "\n")
     publish(target, 1L, body)
@@ -3380,9 +3420,14 @@ object VersionedTable {
       s"branch '$name' already exists on $base")
     val forkV = version.getOrElse(latestVersion(base).getOrElse(
       throw new IllegalArgumentException(s"no graft table at $base")))
-    shallowClone(s, base, bb, Some(forkV))
+    // record the fork FIRST (r16 review): a crash between the two
+    // steps then leaves a LISTED zero-commit branch that dropBranch
+    // can clean and a retried createBranch heals (overwrite + clone),
+    // instead of a clone-without-fork dir no API could repair
+    Files.createDirectories(logDir(bb))
     LogStore.forPath(forkPath(bb)).overwrite(forkPath(bb),
       s"$forkV\n".getBytes("UTF-8"))
+    shallowClone(s, base, bb, Some(forkV))
     forkV
   }
 
@@ -3416,17 +3461,19 @@ object VersionedTable {
     val bb = branchBase(base, name)
     val fp = java.lang.Integer.toHexString(
       Paths.get(bb).toAbsolutePath.normalize.toString.hashCode)
-    deleteRecursively(Paths.get(bb))
+    deleteTree(Paths.get(bb))
     dropTag(base, s"clone-v$forkV-$fp")
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val st = Files.list(p)
-      val children = try st.iterator().asScala.toList finally st.close()
-      children.foreach(deleteRecursively)
-    }
-    Files.deleteIfExists(p); ()
+  /** Depth-first directory delete — the one shared implementation
+    * (drop table, CTAS stage cleanup, drop branch).
+    */
+  private[graft] def deleteTree(dir: Path): Unit = {
+    if (!Files.exists(dir)) return
+    val stream = Files.walk(dir)
+    try stream.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally stream.close()
   }
 
   /** FAST-FORWARD PUBLISH: advance main to the branch head as ONE

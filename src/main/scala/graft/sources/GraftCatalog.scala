@@ -117,8 +117,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       : Option[(String, String)] = {
     if (partitions.isEmpty) return None
     require(partitions.length == 1,
-      "graft tables take ONE layout transform: bucket(n, col...) or " +
-        s"${VersionedTable.TimeGrans.mkString("/")}(ts)")
+      "graft tables take ONE layout transform: bucket(n, col...), " +
+        s"truncate(w, col) or ${VersionedTable.TimeGrans.mkString("/")}(ts)")
     val t = partitions.head
     def cols = t.references().map(_.fieldNames().mkString(".")).mkString(",")
     t.name() match {
@@ -138,7 +138,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         Some(("truncate", s"$w:$cols"))
       case g if VersionedTable.TimeGrans.contains(g) => Some((g, cols))
       case other => throw new UnsupportedOperationException(
-        s"graft supports PARTITIONED BY (bucket(n, col...)) and " +
+        s"graft supports PARTITIONED BY (bucket(n, col...)), " +
+          s"(truncate(w, col)) and " +
           s"(${VersionedTable.TimeGrans.mkString("|")}(ts)); got " +
           s"'$other' — range layouts go through clusterBy/OPTIMIZE " +
           "ZORDER instead")
@@ -247,14 +248,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     true
   }
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    if (!Files.exists(dir)) return
-    // depth-first delete of the table directory (log + data)
-    val stream = Files.walk(dir)
-    try stream.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.delete)
-    finally stream.close()
-  }
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    VersionedTable.deleteTree(dir) // the one shared depth-first delete
 
   // -------------------------------------------------------------------
   // Atomic CTAS / RTAS ([[StagingTableCatalog]]): `CREATE TABLE ... AS

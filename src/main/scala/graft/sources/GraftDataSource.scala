@@ -583,12 +583,12 @@ class GraftTable(val base: String, val snapshotVersion: Option[Long],
               VersionedTable.declareLayout(base, g, c) }
             if (swb.nonEmpty) {
               require(bucketBy.isDefined || daysBy.isDefined ||
-                timeDecl.nonEmpty ||
+                timeDecl.nonEmpty || truncateBy.isDefined ||
                 VersionedTable.declaredLayout(base).isDefined ||
                 VersionedTable.latestVersion(base).isDefined,
-                "sortWithinBuckets needs a bucket/days layout to sort " +
-                  "within — pass bucketBy/daysBy, or declare the layout " +
-                  "first")
+                "sortWithinBuckets needs a bucket/days/truncate layout " +
+                  "to sort within — pass bucketBy/daysBy/truncateBy, or " +
+                  "declare the layout first")
               VersionedTable.declareSortWithin(base, swb)
             }
             if (replaceFilters.nonEmpty) {

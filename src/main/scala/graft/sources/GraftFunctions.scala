@@ -225,6 +225,10 @@ final class GraftBoundTruncate(keyType: DataType)
   override def produceResult(input: InternalRow): Any = {
     if (input.isNullAt(1)) return null
     val w = input.getInt(0)
+    // per-row arg, so the friendly check lives here (bind can't see the
+    // value): truncate(0, k) would otherwise surface as a raw BigInt
+    // modulus error, truncate(-1, s) as StringIndexOutOfBounds
+    require(w >= 1, s"truncate width must be >= 1, got $w")
     keyType match {
       case StringType =>
         org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -324,8 +324,13 @@ class GraftStreamSource(spark: SparkSession, base: String,
             s"carry no row-id base (enableRowIds on $base first)")
         val sq = spark
         import sq.implicits._
+        // keyed by the SCAN-KEY suffix (VersionedTable.relKey): the
+        // __rel regex below never yields a clone/branch entry's `../`
+        // prefix, so raw-path keying would silently drop every shared
+        // file's rows from the id-keyed feed (r16 review)
         val bases = org.apache.spark.sql.functions.broadcast(
-          adds.map(e => (e.path, e.rowBase)).toDF("__rbrel", "__rbbase"))
+          adds.map(e => (VersionedTable.relKey(e.path), e.rowBase))
+            .toDF("__rbrel", "__rbbase"))
         scan
           .withColumn("__rel", regexp_extract(col("_metadata.file_path"),
             "/(d[0-9]+-[^/]+/[^/]+)$", 1))

@@ -223,6 +223,49 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(got === batch)
   }
 
+  test("identity change feed over a SHALLOW CLONE emits the shared " +
+      "snapshot's rows (r16: raw-path keying silently dropped them)") {
+    val src = TempDirs.scoped("graft_cdc_clone_src")
+    val tgt = TempDirs.scoped("graft_cdc_clone_tgt")
+    val dir = TempDirs.scoped("graft_cdc_clone_sink")
+    appendDecade(src, 0L)
+    VersionedTable.enableRowIds(src)
+    VersionedTable.shallowClone(spark, src, tgt)
+    // the clone commit's adds are `../`-prefixed shared entries; the
+    // id-keyed feed must still compute base + position for every row
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("cdcKey", VersionedTable.RowIdCol)
+      .option("startingVersion", "1")
+      .load(tgt).writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+    val ridSchema = StructType(Seq(
+      StructField("version", LongType), StructField("_row_id", LongType),
+      StructField("k_old", LongType), StructField("k_new", LongType),
+      StructField("v_old", LongType), StructField("v_new", LongType),
+      StructField("change_type", StringType)))
+    val got = spark.read.schema(ridSchema).parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getString(6)))
+      .toSet
+    val want = VersionedTable.readLatestWithRowIds(spark, src)
+      .select(col("_row_id"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), "insert")).toSet
+    assert(got === want,
+      s"the clone's shared rows must stream with their ids: $got")
+    // the hwm travels with the clone (r16): an append on the clone
+    // mints FRESH ids above the cloned rows', never colliding
+    appendDecade(tgt, 100L)
+    val ids = VersionedTable.readLatestWithRowIds(spark, tgt)
+      .select(col("_row_id")).collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length,
+      s"clone append minted duplicate row ids: ${ids.sorted.toSeq}")
+  }
+
   test("change feed: a compaction feeds zero rows (no false changes)") {
     val base = TempDirs.scoped("graft_cdc_compact")
     val dir = TempDirs.scoped("graft_cdc_compact_sink")

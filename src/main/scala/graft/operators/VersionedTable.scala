@@ -348,7 +348,19 @@ object VersionedTable {
     case StringType => substring(c, 1, w)
     case _ =>
       val m = c.cast("decimal(38,0)")
-      (m - pmod(m, lit(w.toLong))).cast("long")
+      val f = m - pmod(m, lit(w.toLong))
+      // below-Long.MinValue floors (keys within w of the minimum) must
+      // REFUSE like [[truncLong]] does, with the same message — the
+      // bare cast yields SQL NULL (non-ANSI), which the write-path
+      // verifier then misreports as 'NULL keys' for rows that are not
+      // null, disagreeing with the SQL truncate function (r16 advice)
+      when(f < lit(Long.MinValue).cast("decimal(38,0)"),
+        raise_error(concat(
+          lit(s"truncate($w, "), c.cast("string"),
+          lit(") floors below Long.MinValue — keys within one width of " +
+            "the long minimum have no representable prefix")))
+          .cast("long"))
+        .otherwise(f.cast("long"))
   }
 
   /** UTC epoch day of a timestamp-micros value — THE days(ts)
@@ -3042,20 +3054,31 @@ object VersionedTable {
       // a STRING sort column has no numeric span to threshold — every
       // file would read as stale forever and each call would rewrite
       // the whole table (the O(stale) contract violated silently);
-      // refuse loudly instead (r16 review)
-      schema0.foreach { st =>
-        val visible = ColumnMapping.visible(st)
-        visible.fields.find(_.name == sortCols.head).foreach { f =>
-          val ok = f.dataType match {
+      // refuse loudly instead (r16 review). r16 advice: the refusal
+      // must fire on PROOF of numeric-ness, not on its absence — a
+      // table without a recorded schema (or whose schema doesn't cover
+      // the sort column) previously skipped the check silently, read
+      // every StrStats file as stale, and rewrote the whole table on
+      // every call without ever converging.
+      val sortType = schema0.flatMap(st =>
+        ColumnMapping.visible(st).fields.find(_.name == sortCols.head)
+          .map(_.dataType))
+      sortType match {
+        case Some(t) =>
+          val ok = t match {
             case ByteType | ShortType | IntegerType | LongType |
                  DateType | TimestampType | TimestampNTZType => true
             case _ => false
           }
           require(ok, s"resortStale thresholds a NUMERIC span; sort " +
-            s"column '${sortCols.head}' is ${f.dataType.catalogString} " +
+            s"column '${sortCols.head}' is ${t.catalogString} " +
             "— string sort orders have per-file zone maps but no span " +
             "width to evolve on")
-        }
+        case None =>
+          throw new IllegalArgumentException(
+            s"resortStale thresholds a NUMERIC span; cannot prove sort " +
+              s"column '${sortCols.head}' numeric — no recorded schema " +
+              "covers it (any data commit records the schema)")
       }
       val physMap = schema0.filter(ColumnMapping.isMapped)
         .map(ColumnMapping.toPhysical).getOrElse(Map.empty[String, String])
@@ -3064,6 +3087,18 @@ object VersionedTable {
         case Some(ColStats(lo, hi)) => Some(hi - lo)
         case _ => None
       }
+      // a file carrying STRING stats on a schema-numeric sort column is
+      // a manifest/schema disagreement — refuse rather than eternally
+      // re-rewriting it as "stale" (r16 advice; its span can never
+      // tighten, so treating it as stale never converges)
+      es0.find(_.stats.get(sc0).exists(_.isInstanceOf[StrStats]))
+        .foreach { e =>
+          throw new IllegalStateException(
+            s"resortStale: file ${e.path} carries string stats on sort " +
+              s"column '${sortCols.head}' but the recorded schema types " +
+              "it numeric — stats and schema disagree; re-collect stats " +
+              "before resorting")
+        }
       val stale = es0.filter(e => spanOf(e).forall(_ > maxSpan))
       if (stale.isEmpty) prevV.get
       else {
@@ -3461,8 +3496,12 @@ object VersionedTable {
     val bb = branchBase(base, name)
     val fp = java.lang.Integer.toHexString(
       Paths.get(bb).toAbsolutePath.normalize.toString.hashCode)
-    deleteTree(Paths.get(bb))
+    // tag BEFORE tree (r16 verdict): a crash between the two then
+    // leaves a fork-pinned branch dir a retried dropBranch can still
+    // clean (dropTag is idempotent), instead of a deleted branch whose
+    // orphaned clone tag pins that snapshot's files from vacuum forever
     dropTag(base, s"clone-v$forkV-$fp")
+    deleteTree(Paths.get(bb))
   }
 
   /** Depth-first directory delete — the one shared implementation
@@ -3528,12 +3567,24 @@ object VersionedTable {
     val renamedDir = scala.collection.mutable.Map.empty[String, String]
     try {
       localDirs.foreach { dir =>
-        var target = Paths.get(base, dir)
-        while (Files.exists(target)) {
-          target = Paths.get(base, s"$dir-ff${
-            java.util.UUID.randomUUID().toString.take(4)}")
-        }
+        // re-home under the PUBLISH version and re-arm the mtime (r16
+        // advice): vacuum's in-flight protection age-gates only
+        // unreferenced dirs whose version is AHEAD of main's log and
+        // whose mtime is young — a branch dir keeps its branch-local
+        // version (≤ main's latest) and rename preserves mtime, so a
+        // vacuum racing the move-to-publish window would sweep the
+        // moved files and publish would commit a manifest referencing
+        // vanished data. Named d<forkV+1>-ff* + touched, the moved dir
+        // gets exactly the fresh-write-attempt protection until the
+        // publish references it (or the rollback moves it back).
+        def fresh() = Paths.get(base, s"d${forkV + 1L}-ff${
+          java.util.UUID.randomUUID().toString.take(8)}")
+        var target = fresh()
+        while (Files.exists(target)) target = fresh()
         Files.move(Paths.get(bb, dir), target)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
         moved += ((target, Paths.get(bb, dir)))
         renamedDir(dir) = target.getFileName.toString
       }

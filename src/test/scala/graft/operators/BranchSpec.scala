@@ -133,6 +133,39 @@ class BranchSpec extends SparkSuite {
     assert(VersionedTable.readLatest(spark, base).count() === 8L)
   }
 
+  test("vacuum racing the move-to-publish window (r16 advice): moved " +
+      "branch dirs are re-homed ahead-of-log with a re-armed mtime, so " +
+      "an hours-old staged branch survives a concurrent vacuum") {
+    import scala.jdk.CollectionConverters._
+    val base = tmp("vacrace")
+    VersionedTable.commitAppend(spark, base, df(Seq((1L, 1L))))
+    VersionedTable.createBranch(spark, base, "old")
+    val bb = VersionedTable.branchBase(base, "old")
+    VersionedTable.commitAppend(spark, bb, df((2L to 6L).map(k => (k, k))))
+    // simulate the normal WAP audit window: the branch was staged hours
+    // ago, so every branch-local data dir's mtime is past the vacuum
+    // attempt-retention gate (rename preserves mtime — without the
+    // re-arm the moved dirs would be immediately sweepable)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(bb))
+    try st.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("d"))
+      .foreach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+    finally st.close()
+    val v = VersionedTable.fastForwardHooked(spark, base, "old") { () =>
+      // vacuum races the window between the dir moves and the publish:
+      // the moved dirs are unreferenced by any manifest right now
+      VersionedTable.vacuum(base, retainFrom = 1L)
+    }
+    assert(v === 2L)
+    // publish committed a manifest whose files all exist — the read
+    // proves the racing vacuum deleted nothing the commit references
+    assert(VersionedTable.readLatest(spark, base).collect()
+      .map(_.getLong(0)).toSet === (1L to 6L).toSet)
+  }
+
   test("never-diverged branch: fast-forward is a provable no-op that " +
       "still consumes the branch") {
     val base = tmp("noop")

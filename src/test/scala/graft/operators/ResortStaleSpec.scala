@@ -79,6 +79,30 @@ class ResortStaleSpec extends SparkSuite {
     assert(VersionedTable.readVersion(spark, base, v1).count() === 4000L)
   }
 
+  test("resortStale refuses on a string sort column AND when the " +
+      "schema cannot prove the sort column numeric (r16 advice) — " +
+      "unknown type must not read as 'stale forever'") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("strtype")
+    Seq((1L, "alpha"), (2L, "bravo")).toDF("k", "name")
+      .write.format("graft").option("statsCols", "name")
+      .mode("append").save(base)
+    VersionedTable.declareSortWithin(base, Seq("name"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.resortStale(spark, base, 10L)
+    }
+    assert(e.getMessage.contains("NUMERIC span"))
+    // a sort column the recorded schema does not cover: refuse loudly
+    // instead of treating unknown-type as stale (which would rewrite
+    // the whole table on every call and never converge)
+    VersionedTable.declareSortWithin(base, Seq("ghost"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.resortStale(spark, base, 10L)
+    }
+    assert(e2.getMessage.contains("cannot prove"))
+  }
+
   test("resortStale refuses without a declared sort order; sortSpans " +
       "reports None for files predating the sort column's stats") {
     val s = spark

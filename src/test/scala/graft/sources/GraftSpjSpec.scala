@@ -920,6 +920,35 @@ class GraftSpjSpec extends SparkSuite {
     assert(e.getMessage.contains("truncate layout spec"))
   }
 
+  test("truncate underflow parity (r16 advice): a key within one width " +
+      "of Long.MinValue refuses with truncLong's message on the write " +
+      "path — never the misleading NULL-keys error") {
+    val s = spark
+    import s.implicits._
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder(Option(t.getMessage).getOrElse(""))
+      var c = t.getCause
+      while (c != null) {
+        sb.append(" | ").append(Option(c.getMessage).getOrElse(""))
+        c = c.getCause
+      }
+      sb.toString
+    }
+    val base = s"$warehouse/$ns/tr_uf"
+    val e = intercept[Exception] {
+      Seq((Long.MinValue + 1L, 1L)).toDF("k", "v").write.format("graft")
+        .option("truncateBy", "100:k").mode("append").save(base)
+    }
+    assert(chain(e).contains("floors below Long.MinValue"), chain(e))
+    assert(!chain(e).contains("non-null partition column"), chain(e))
+    // the SQL truncate function refuses identically (truncLong throws)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT graft.truncate(100, ${Long.MinValue + 1L}L)")
+        .collect()
+    }
+    assert(chain(e2).contains("floors below Long.MinValue"), chain(e2))
+  }
+
   test("truncate on STRING keys (r16): URL-prefix corpora join " +
       "shuffle-free and prune by prefix") {
     val s = spark

@@ -7,13 +7,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   * (memo builds, iterative graph rounds, two-phase ranks) show where
   * their seconds go. Not part of the driver contract.
   *
-  * Usage: PROFILE_QUERY=q97_ann_recall sbt "runMain graft.JobProfile"
+  * Usage: PROFILE_QUERY=q97_ann_recall[,q160_...] sbt "runMain graft.JobProfile"
+  * Each named query runs cold-then-warm (2 passes) with Bench's
+  * inter-query hygiene, so memo builds are visible in pass 1 and the
+  * steady-state job breakdown in pass 2.
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val name = sys.env.getOrElse("PROFILE_QUERY", "q1_pricing_summary")
+    val names = sys.env.getOrElse("PROFILE_QUERY", "q1_pricing_summary")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warmup like Bench
@@ -33,12 +37,24 @@ object JobProfile {
         }
       }
     })
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    val dt = (System.nanoTime() - t0) / 1e9
+    names.foreach { name =>
+      (1 to 2).foreach { pass =>
+        System.err.println(s"=== $name pass $pass ===")
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[total] $name pass $pass $dt%.2f s")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
+    }
+    val memos = MemoTimings.snapshot
+    if (memos.nonEmpty)
+      System.err.println("[memos] " + memos.toSeq.sortBy(-_._2)
+        .map { case (n, v) => f"$n=$v%.2f" }.mkString(" "))
     Thread.sleep(500) // let listener events drain
-    System.err.println(f"[total] $name $dt%.2f s")
     spark.stop()
   }
 }

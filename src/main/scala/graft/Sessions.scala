@@ -27,21 +27,34 @@ object Sessions {
     */
   val ObjectHashFallbackThreshold: Int = 1 << 21
 
-  def local(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    // the graft table format as a named SQL catalog (graft.ns.tbl,
-    // VERSION AS OF time travel) — warehouse layout IS the identity
-    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    .config("spark.sql.catalog.graft.warehouse",
-      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      ObjectHashFallbackThreshold.toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def local(cpus: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the graft table format as a named SQL catalog (graft.ns.tbl,
+      // VERSION AS OF time travel) — warehouse layout IS the identity
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        ObjectHashFallbackThreshold.toString)
+      .config("spark.ui.enabled", "false")
+    // Environment passthrough for engine tuning (the optimization-round
+    // parameterization rule: scale-dependent settings ride conf/env, not
+    // constants): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overrides/extends the
+    // defaults above — used for deployment sizing and for A/B measuring
+    // config candidates without a rebuild.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    b.getOrCreate()
+  }
 
   /** Deployment profile: the engine config a MULTI-EXECUTOR cluster
     * needs, applied to a session whose master/resources come from the

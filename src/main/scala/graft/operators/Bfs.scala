@@ -93,6 +93,12 @@ object Bfs {
         .select(col("dst").as("v")).distinct()
         .join(hop, Seq("v"), "left_anti")
         .select(col("v"), lit(i.toLong).as("hop"))
+      // per-sweep EAGER barrier, deliberately (r17 measured the lazy
+      // persist-chain alternative 0.9 s SLOWER at sf0.1: each frontier
+      // is referenced twice per later level — anti-join + final union —
+      // so the un-materialized plan doubles per sweep and analysis +
+      // AQE pay for 2^i copies; the eager checkpoint keeps every
+      // sweep's plan flat)
       val nf = Reliable.barrier(fresh)(_.localCheckpoint())
       hop = hop.unionAll(nf)
       frontier = nf.select(col("v"))

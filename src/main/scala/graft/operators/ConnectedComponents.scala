@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components by iterative min-label propagation (HashMin) —
@@ -78,7 +79,10 @@ object ConnectedComponents {
       var converged = false
       while (!converged && iter < maxIter) {
         // min label among self and neighbors, with the change flag folded
-        // into the same (eagerly checkpointed) frame: one job per round
+        // into the same checkpointed frame. The checkpoint is LAZY: the
+        // convergence count below is the round's first action, so the
+        // label computation and its materialization ride ONE job per
+        // round instead of an eager checkpoint job + a count job.
         val nbrMin = both
           .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
           .groupBy(col("src").as("id"))
@@ -88,7 +92,7 @@ object ConnectedComponents {
           .select(col("id"),
             least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
             coalesce(col("nbr_min") < col("lbl"), lit(false)).as("__changed"))
-          .coalesce(labelPartitions))(_.localCheckpoint())
+          .coalesce(labelPartitions))(_.localCheckpoint(eager = false))
         val newIds = rddIds(updated)
         owned ++= newIds
         val changed = updated.filter(col("__changed")).count()
@@ -132,9 +136,11 @@ object ConnectedComponents {
     * a star rooted at its minimum id in O(log n) rounds (the paper's
     * Theorem 3 — each round roughly halves the height of the pointer
     * forest, the same doubling argument as pointer jumping). Each
-    * round is two grouped aggregates + two equi-joins over the
-    * current edge set — the same per-round shuffle class as HashMin,
-    * but ~log n rounds instead of diameter.
+    * round is two u-partitioned window minima + two distincts over the
+    * current edge set (r17 — the former groupBy+join per phase paid a
+    * second edge shuffle and a join stage for the same per-u minimum)
+    * — the same per-round shuffle class as HashMin, but ~log n rounds
+    * instead of diameter.
     *
     * Convergence detection: the canonical edge set's (count, id-sum,
     * hash-sum) signature is compared between rounds — stable signature
@@ -175,27 +181,39 @@ object ConnectedComponents {
       _.localCheckpoint())
     var s = sig(e)
     var iter = 0
-    var converged = e.isEmpty // an edgeless graph is already stars
+    var converged = s._1 == 0L // an edgeless graph is already stars
+    // per-u minima come from ONE window pass per star phase (r17):
+    // m = min(N(u) ∪ {u}) = least(min(v) over partition(u), u) — the
+    // former groupBy(u)+equi-join pair re-shuffled the edge set twice
+    // per phase and planned a join stage; the window computes the same
+    // minimum in the single partition-by-u exchange the aggregate
+    // already paid. Large-star's output orientation needs no canon
+    // least/greatest: m ≤ u < v gives m < v by construction; likewise
+    // small-star emits (m, v) with m = min(N⁻(u)) ≤ v and (m, u) with
+    // m < u, so only the self-loop filter + distinct remain.
+    val wU = Window.partitionBy(col("u"))
     while (!converged && iter < maxIter) {
       val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      // large-star: m = min over ALL neighbors and self; re-point the
-      // larger neighbors (m ≤ u < v, so no self-loops arise)
-      val lm = nbrs.groupBy(col("u"))
-        .agg(least(min(col("v")), col("u")).as("m"))
-      val ls = canon(nbrs.join(lm, "u").filter(col("v") > col("u"))
-        .select(col("m").as("u"), col("v")))
+      // large-star: every strictly-larger neighbor re-points at
+      // m = min(N(u) ∪ {u}); m ≤ u < v, so no self-loops arise
+      val ls = nbrs
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
       val nbrs2 = ls.unionAll(ls.select(col("v").as("u"), col("u").as("v")))
-      // small-star: m over the smaller neighbors and self; point them
-      // (and u itself) at it
-      val sm = nbrs2.filter(col("v") < col("u")).groupBy(col("u"))
-        .agg(min(col("v")).as("m"))
-      val ss = canon(
-        nbrs2.filter(col("v") < col("u")).join(sm, "u")
-          .select(col("m").as("u"), col("v"))
-          .unionAll(nbrs2.filter(col("v") < col("u")).join(sm, "u")
-            .select(col("m"), col("u").as("v"))
-            .select(col("m").as("u"), col("v"))))
-      val next = Reliable.barrier(ss)(_.localCheckpoint())
+      // small-star: the smaller-or-self neighborhood points at its
+      // minimum; on the v < u frame min(N⁻(u) ∪ {u}) = min(v) over u
+      val neg = nbrs2.filter(col("v") < col("u"))
+        .withColumn("m", min(col("v")).over(wU))
+      val ss = neg.select(col("m").as("u"), col("v"))
+        .unionAll(neg.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // LAZY checkpoint: the signature aggregate below is the round's
+      // first action, so the round's stars and their materialization
+      // ride one job instead of an eager checkpoint job + a sig job
+      val next = Reliable.barrier(ss)(_.localCheckpoint(eager = false))
       val s2 = sig(next)
       converged = s2 == s
       s = s2

@@ -22,9 +22,12 @@ import org.apache.spark.storage.StorageLevel
   * list + degree enrichment is built ONCE and persisted; each sweep is
   * one vertex-keyed equi-join (rank onto edge sources) + one dst-keyed
   * integer-sum aggregate — shuffle volume ∝ |E| per sweep, state ∝
-  * |V|, no all-pairs anywhere. Per-round `localCheckpoint` truncates
-  * the growing lineage (on a cluster, [[Reliable.barrier]] upgrades it
-  * to a reliable checkpoint under the deployment profile).
+  * |V|, no all-pairs anywhere. Lineage is truncated every
+  * [[BarrierEvery]] sweeps and once at the end (`localCheckpoint`; on
+  * a cluster [[Reliable.barrier]] upgrades it to a reliable
+  * checkpoint under the deployment profile) — each sweep references
+  * the previous rank frame exactly once, so the un-barriered plan
+  * grows linearly and the sweeps of one window ride a single job.
   */
 object PageRank {
 
@@ -42,7 +45,7 @@ object PageRank {
     val adj = dir.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = deg.select(col("src").as("v"), lit(1000000L).as("r"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val next = adj
         .join(rank.withColumnRenamed("v", "src"), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
@@ -50,12 +53,32 @@ object PageRank {
         .select(col("dst").as("v"),
           (lit(150000L) + expr("85 * s div 100")).as("r"))
       // undirected doubling guarantees every vertex has in-edges, so
-      // `next` covers all of V — no left join against the vertex set
-      rank = Reliable.barrier(next)(_.localCheckpoint())
+      // `next` covers all of V — no left join against the vertex set.
+      // Barrier CADENCE (r17): each sweep references rank exactly once,
+      // so the plan grows linearly (one join+agg per sweep) and a
+      // per-sweep materialization buys nothing — every sweep is pure
+      // integer arithmetic on deterministic inputs, so even a recompute
+      // reproduces identical ranks. Materialize every BarrierEvery
+      // sweeps (lineage/analysis bound for large iteration counts) and
+      // once at the end; at iters=6 that turns 6 checkpoint jobs + 6
+      // block writes into 1, with identical per-sweep shuffles riding
+      // one job.
+      rank =
+        if (i % BarrierEvery == 0 && i < iters)
+          Reliable.barrier(next)(_.localCheckpoint())
+        else next
     }
+    // final materialization BEFORE adj.unpersist — the returned frame
+    // must never recompute its sweeps against a dropped topology cache
+    val out = Reliable.barrier(rank)(_.localCheckpoint())
     adj.unpersist()
-    rank
+    out
   }
+
+  /** Sweeps between lineage-truncation barriers — a plan-size bound for
+    * long runs, not a correctness need (sweeps are deterministic).
+    */
+  private val BarrierEvery = 8
 
   /** The oracle twin: the same sweeps as a generated chain of
     * aggregate CTEs over a directed-edge CTE `d(src, dst)` (SQL

@@ -75,4 +75,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Guard against single-split scans feeding heavy per-row compute
+    * (r17, guide §2.5 "input skew — one huge unsplittable file ...
+    * otherwise repartition immediately after the read"): the testdata
+    * tables are one single-row-group parquet file each, so every scan
+    * stage — and with it the tokenize/shingle/hash/dot-product work
+    * fused into it — runs as ONE task regardless of cores. When the
+    * scan's split count is below the session's parallelism, hash-
+    * repartition by the given key (deterministic, no sort-before, and
+    * the callers' downstream aggregates/joins are keyed so results are
+    * partitioning-independent); at production scale the split count
+    * exceeds parallelism and this is the identity — the check is what
+    * keeps the repartition from SHRINKING a real cluster's scan.
+    */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+  }
 }

@@ -88,24 +88,24 @@ object KMeans {
     c.map { case (cid, cq) => (cid, cq) }.toDF("cid", "cq")
   }
 
-  /** `struct(dist, cid)` of `q`'s nearest centroid — one per-row fold
-    * over the literal centroid array. Strict `<` with ascending-cid
-    * iteration keeps the lowest cid on ties, identical to
+  /** `struct(dist, cid)` of `q`'s nearest centroid. Strict `<` with
+    * ascending-cid iteration keeps the lowest cid on ties, identical to
     * `min(struct(dist, cid))` over a fan-out. Map-side only.
+    *
+    * r17: runs as the native [[graft.expressions.NearestCentroid]]
+    * flat-loop expression — the former `aggregate(zip_with(...))` fold
+    * over a `typedlit` paid an interpreted lambda dispatch per centroid
+    * COMPONENT per row (HOFs are CodegenFallback), which dominated the
+    * PQ artifact's ~14 corpus passes; the expression's equivalence
+    * contract (ordering, tie-break, wrapping Long arithmetic, the
+    * null→initial-accumulator edge) is pinned in its scaladoc and
+    * KMeansSpec.
     */
   def assignStruct(q: Column, c: Centroids): Column = {
     require(c.nonEmpty, "assignStruct needs at least one centroid")
-    val cents = typedlit(c.map { case (cid, cq) => (cid, cq) })
-    aggregate(cents,
-      struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
-      (acc, cent) => {
-        val d = aggregate(
-          zip_with(q, cent.getField("_2"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, v) => a + v)
-        when(d < acc.getField("dist"),
-          struct(d.as("dist"), cent.getField("_1").as("cid")))
-          .otherwise(acc)
-      })
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.NearestCentroid(
+        org.apache.spark.sql.GraftBridge.expression(q), c))
   }
 
   /** Assign each vector to its nearest centroid (ties → lowest cid):

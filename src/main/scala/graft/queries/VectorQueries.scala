@@ -253,25 +253,16 @@ object VectorQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1).toSeq
-    // per-row top-2 cells as one literal fold (cos DESC, cid — strict
-    // > with ascending-cid iteration reproduces the window's
-    // tie-break exactly); map-side, no fan-out shuffle
-    val centsLit = typedlit(cents)
-    val top2 = aggregate(centsLit,
-      struct(lit(Double.NegativeInfinity).as("c1"), lit(-1L).as("cid1"),
-        lit(Double.NegativeInfinity).as("c2"), lit(-1L).as("cid2")),
-      (acc, c) => {
-        val cos = VectorFunctions.dotNative(col("emb"), c.getField("_2")) /
-          (col("nrm") * c.getField("_3"))
-        when(cos > acc.getField("c1"),
-          struct(cos.as("c1"), c.getField("_1").as("cid1"),
-            acc.getField("c1").as("c2"), acc.getField("cid1").as("cid2")))
-          .when(cos > acc.getField("c2"),
-            struct(acc.getField("c1").as("c1"),
-              acc.getField("cid1").as("cid1"),
-              cos.as("c2"), c.getField("_1").as("cid2")))
-          .otherwise(acc)
-      })
+    // per-row top-2 cells (cos DESC, cid — strict > with ascending-cid
+    // iteration reproduces the window's tie-break exactly); map-side,
+    // no fan-out shuffle. r17: one native flat loop
+    // (graft.expressions.Top2CentroidCos) — the former literal fold
+    // paid an interpreted lambda dispatch per cell component per row
+    val top2 = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.Top2CentroidCos(
+        org.apache.spark.sql.GraftBridge.expression(col("emb")),
+        org.apache.spark.sql.GraftBridge.expression(col("nrm")),
+        cents))
     // land the fold once, THEN fan out (the q58 two-projection
     // discipline — projection collapse would re-run it per reference)
     val t2 = emb.select(col("vec_id"), col("emb"), col("nrm"),

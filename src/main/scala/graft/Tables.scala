@@ -22,8 +22,8 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = spreadRR(load(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame   = spreadRR(load(s, d, "lineitem"))
   /** events.ts arrives in one of two physical shapes depending on the
     * testdata generation: parquet TIMESTAMP(NANOS) (readable only as a
     * nanos long via the legacy conf, then truncated to microseconds) or
@@ -48,7 +48,7 @@ object Tables {
     import org.apache.spark.sql.types._
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    val df = spreadRR(load(s, d, "events"))
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
@@ -73,8 +73,8 @@ object Tables {
         df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame  = spreadRR(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spreadRR(load(s, d, "embeddings"))
 
   /** Guard against single-split scans feeding heavy per-row compute
     * (r17, guide §2.5 "input skew — one huge unsplittable file ...
@@ -93,4 +93,31 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
   }
+
+  /** Round-robin [[spread]] for the fact-table loaders (documents,
+    * events, orders, lineitem, embeddings): no key columns, so scan
+    * pruning contracts are untouched (a keyed repartition would drag
+    * its key into every consumer's ReadSchema), and the
+    * sort-before-repartition default keeps the row→partition
+    * assignment deterministic under retries. Dimension tables stay
+    * un-spread: they ride broadcasts, where an extra exchange is pure
+    * overhead.
+    */
+  private def spreadRR(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (scanParts(df) < p) df.repartition(p) else df
+  }
+
+  /** Scan split count, memoized per (app, plan): `df.rdd` plans the
+    * frame to count partitions, which costs tens of ms — paid once per
+    * table per application instead of inside every query construction
+    * (the layout and split config are constant for the app's lifetime).
+    */
+  private val scanPartsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+  private def scanParts(df: DataFrame): Int =
+    scanPartsMemo.getOrElseUpdate(
+      (df.sparkSession.sparkContext.applicationId,
+        df.queryExecution.analyzed.canonicalized.toString),
+      df.rdd.getNumPartitions)
 }

@@ -139,10 +139,16 @@ object LlmPrepQueries {
     // hash mismatch rather than passing silently.
     Q("q61_contamination",
       (s, d) => {
+        // persisted (r17): the benchmark side and the probe side both
+        // consume this frame, and the 4-gram tokenize+hash dominates
+        // either pass — unpersisted, the corpus was shingled twice per
+        // run (the broadcast build materializes the cache first, so the
+        // probe stage reads cached blocks; no race guard needed)
         val g = Tables.documents(s, d)
           .select(col("doc_id"),
             transform(array_distinct(TextAnalysis.wordNgrams(col("text"), 4)),
               x => xxhash64(x)).as("grams"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = g.filter(col("doc_id") % 50 === 0)
           .select(explode(col("grams")).as("gram")).distinct()
         g.filter(col("doc_id") % 50 =!= 0)

@@ -140,6 +140,10 @@ object SinkQueries {
           .withColumn("nbin",
             expr("(l_orderkey - olo) * 16 DIV (ohi - olo + 1)"))
           .persist()
+        // cache-race guard (the DedupQueries prefixIndex pattern): the
+        // two span aggregates are independent shuffle stages that would
+        // otherwise both recompute the binned frame against a cold cache
+        x.count()
         def spans(df: org.apache.spark.sql.DataFrame, bin: String,
                   suffix: String): org.apache.spark.sql.DataFrame =
           df.groupBy(col(bin).as("bin"))

@@ -580,6 +580,9 @@ object TextQueries {
             explode(array_distinct(
               TextAnalysis.wordNgrams(col("text"), 3))).as("gram"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // cache-race guard: the firsts aggregate and the join probe are
+        // independent shuffle stages over this frame
+        dg.count()
         val firsts = dg.groupBy(col("gram"))
           .agg(min(col("doc_id")).as("first_doc"))
         dg.join(firsts, "gram")
@@ -643,6 +646,10 @@ object TextQueries {
           .groupBy(col("gram"))
           .agg(sort_array(collect_set(col("source"))).as("srcs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // cache-race guard (the DedupQueries prefixIndex pattern): the
+        // sizes aggregate and the pair explode are independent shuffle
+        // stages that otherwise both recompute the cold gram aggregate
+        byGram.count()
         val sizes = byGram.select(explode(col("srcs")).as("source"))
           .groupBy(col("source")).agg(count(lit(1)).as("n"))
         val inter = byGram

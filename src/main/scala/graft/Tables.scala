@@ -22,8 +22,8 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = spreadRR(load(s, d, "orders"))
-  def lineitem(s: SparkSession, d: String): DataFrame   = spreadRR(load(s, d, "lineitem"))
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts arrives in one of two physical shapes depending on the
     * testdata generation: parquet TIMESTAMP(NANOS) (readable only as a
     * nanos long via the legacy conf, then truncated to microseconds) or
@@ -48,7 +48,7 @@ object Tables {
     import org.apache.spark.sql.types._
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spreadRR(load(s, d, "events"))
+    val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
@@ -73,39 +73,33 @@ object Tables {
         df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = spreadRR(load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame = spreadRR(load(s, d, "embeddings"))
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Guard against single-split scans feeding heavy per-row compute
     * (r17, guide §2.5 "input skew — one huge unsplittable file ...
     * otherwise repartition immediately after the read"): the testdata
-    * tables are one single-row-group parquet file each, so every scan
-    * stage — and with it the tokenize/shingle/hash/dot-product work
-    * fused into it — runs as ONE task regardless of cores. When the
-    * scan's split count is below the session's parallelism, hash-
-    * repartition by the given key (deterministic, no sort-before, and
-    * the callers' downstream aggregates/joins are keyed so results are
-    * partitioning-independent); at production scale the split count
-    * exceeds parallelism and this is the identity — the check is what
-    * keeps the repartition from SHRINKING a real cluster's scan.
+    * tables are one single-row-group parquet file each, so a scan
+    * stage — and with it any tokenize/shingle/hash work fused into it
+    * — runs as ONE task regardless of cores. When the scan's split
+    * count is below the session's parallelism, hash-repartition by the
+    * given key (deterministic, no sort-before; callers' downstream
+    * aggregates/joins are keyed so results are partitioning-
+    * independent); at production scale the split count exceeds
+    * parallelism and this is the identity — the check is what keeps
+    * the repartition from SHRINKING a real cluster's scan.
+    *
+    * Deliberately NOT applied inside the table loaders: an r17 A/B/A
+    * (spread on/off/on, same window, 13-query subset) measured a
+    * blanket round-robin spread ~2x SLOWER overall — the extra
+    * exchange + sort-before-repartition costs more than the
+    * parallelism buys on cheap scan stages. It pays only where the
+    * scan-fused per-row compute dominates the query (the shingle
+    * pipeline), so only those call sites opt in.
     */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
-  }
-
-  /** Round-robin [[spread]] for the fact-table loaders (documents,
-    * events, orders, lineitem, embeddings): no key columns, so scan
-    * pruning contracts are untouched (a keyed repartition would drag
-    * its key into every consumer's ReadSchema), and the
-    * sort-before-repartition default keeps the row→partition
-    * assignment deterministic under retries. Dimension tables stay
-    * un-spread: they ride broadcasts, where an extra exchange is pure
-    * overhead.
-    */
-  private def spreadRR(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (scanParts(df) < p) df.repartition(p) else df
+    if (scanParts(df) < p) df.repartition(p, keys: _*) else df
   }
 
   /** Scan split count, memoized per (app, plan): `df.rdd` plans the

@@ -29,7 +29,7 @@ object DedupQueries {
     * once, join cached arrays.
     */
   private def grams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         // shingles carried as xxhash64 longs: every downstream join,
         // explode and intersect works on 8-byte keys instead of ~20-char

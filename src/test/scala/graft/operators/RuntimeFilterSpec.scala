@@ -21,15 +21,10 @@ import graft.SparkSuite
 class RuntimeFilterSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
-  // raw loads, not the spread loaders: InjectRuntimeFilter pattern-matches
-  // the application-side scan directly under the join, and Tables.spreadRR's
-  // small-scale Repartition breaks that match. At production split counts
-  // spreadRR is the identity, so the capability this spec pins — bloom
-  // injection on the engine's fact tables — is exactly the raw-scan shape.
   private def factDimJoin() = {
-    val li = graft.Tables.load(spark, dir, "lineitem")
+    val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"))
-    val hot = graft.Tables.load(spark, dir, "orders")
+    val hot = graft.Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 350000) // highly selective dim slice
       .select(col("o_orderkey"))
     li.join(hot, li("l_orderkey") === hot("o_orderkey"))

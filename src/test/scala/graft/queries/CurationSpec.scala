@@ -125,13 +125,9 @@ class CurationSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans === 1, s"expected a single documents scan, saw $scans")
-    // the only exchanges allowed: the output-ordering range partition,
-    // plus Tables.spreadRR's round-robin scan spread (identity at
-    // production split counts; at test scale it parallelizes the fused
-    // per-row scoring — no keyed/aggregation shuffle may appear)
+    // the only exchange allowed is the output-ordering range partition
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(l =>
-      l.contains("rangepartitioning") || l.contains("RoundRobinPartitioning")),
+    assert(exchanges.forall(_.contains("rangepartitioning")),
       s"unexpected non-ordering exchange:\n$plan")
   }
 

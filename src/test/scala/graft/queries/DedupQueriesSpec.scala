@@ -137,13 +137,9 @@ class DedupQueriesSpec extends SparkSuite {
     val plan = graft.SparkEntry.queries("q85_leakage_safe_split")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
-    // allowed: output-ordering range partition + Tables.spreadRR's
-    // round-robin scan spread (identity at production split counts);
-    // any keyed corpus shuffle still fails here
     val exchanges = plan.linesIterator
       .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
-    assert(exchanges.forall(l =>
-      l.contains("rangepartitioning") || l.contains("RoundRobinPartitioning")),
+    assert(exchanges.forall(_.contains("rangepartitioning")),
       s"unexpected non-ordering corpus shuffle:\n$plan")
   }
 

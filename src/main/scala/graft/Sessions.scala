@@ -47,11 +47,21 @@ object Sessions {
     // constants): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overrides/extends the
     // defaults above — used for deployment sizing and for A/B measuring
     // config candidates without a rebuild.
+    // r18 (r17 advice): each applied override is echoed to stderr so
+    // bench/verify logs always record the effective config — a stray
+    // env var can no longer silently make the verified session differ
+    // from the benched one; empty-key entries (e.g. a leading '=') are
+    // skipped instead of passing an empty config key to Spark.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
-        b.config(k.trim, v.trim)
+        if (k.trim.isEmpty)
+          System.err.println(s"[sessions] SKIPPED extra conf with empty key: '$kv'")
+        else {
+          System.err.println(s"[sessions] extra conf: ${k.trim}=${v.trim}")
+          b.config(k.trim, v.trim)
+        }
       }
     b.getOrCreate()
   }

@@ -106,6 +106,14 @@ object Tables {
     * frame to count partitions, which costs tens of ms — paid once per
     * table per application instead of inside every query construction
     * (the layout and split config are constant for the app's lifetime).
+    *
+    * STATIC-LAYOUT ASSUMPTION (r17 advice): the memo is valid only for
+    * tables whose file set never changes within one application — true
+    * for every current caller (spread consumes only the static
+    * testdata parquet). If spread is ever applied to a graft-catalog
+    * (versioned, rewritable) table, key or invalidate this memo by the
+    * table's snapshot version instead, or a rewrite could leave a
+    * stale split count silently mis-firing the guard.
     */
   private val scanPartsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Int]

@@ -3,8 +3,9 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -19,6 +20,12 @@ import org.apache.spark.sql.types._
   * artifact build runs ~14 such passes). These expressions do the same
   * arithmetic as ONE flat JIT-compiled loop over primitive arrays: per
   * row a single expression-node dispatch, zero boxing inside the loop.
+  * r18: both expressions additionally emit that loop straight into
+  * WHOLE-STAGE CODEGEN (`doGenCode`) — the r17 versions were
+  * CodegenFallback, which broke the codegen span at the hottest map
+  * stage (one virtual eval dispatch per row plus the fallback's
+  * row-conversion overhead); eval() remains as the interpreted path
+  * and the two are line-for-line the same algorithm.
   *
   * EXACT-equivalence contract (the [[DotProduct]] discipline — swapping
   * implementations can never change oracle-checked output):
@@ -37,9 +44,14 @@ import org.apache.spark.sql.types._
   */
 case class NearestCentroid(child: Expression,
                            cents: Seq[(Long, Seq[Long])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(cents.nonEmpty, "NearestCentroid needs at least one centroid")
+  // a mixed-dim centroid list would silently return the initial
+  // accumulator for every row (numElements == dim never matches) —
+  // fail loudly at construction instead (r17 advice)
+  require(cents.forall(_._2.length == cents.head._2.length),
+    "NearestCentroid centroids must all share one dimensionality")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -87,6 +99,60 @@ case class NearestCentroid(child: Expression,
     false
   }
 
+  /** r18: the same flat loop emitted INTO whole-stage codegen — the
+    * r17 expression was CodegenFallback, which broke the
+    * WholeStageCodegen span at the hottest map stage of the PQ/IVF
+    * builds (one virtual eval dispatch + an InternalRow boxing round
+    * trip per row). Arithmetic, iteration order, tie-break and the
+    * null→initial-accumulator edge are line-for-line the eval() above,
+    * so interpreted and compiled paths can never disagree (spec-pinned).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val matRef = ctx.addReferenceObj("nearestCentroidMat", mat, "long[][]")
+    val cidsRef = ctx.addReferenceObj("nearestCentroidIds", cids, "long[]")
+    val rowCls = classOf[GenericInternalRow].getName
+    val best = ctx.freshName("best")
+    val bestCid = ctx.freshName("bestCid")
+    val arr = ctx.freshName("arr")
+    val qa = ctx.freshName("qa")
+    val ok = ctx.freshName("ok")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val dd = ctx.freshName("dd")
+    val x = ctx.freshName("x")
+    val cv = ctx.freshName("cv")
+    ev.copy(code = code"""
+      ${childGen.code}
+      long $best = Long.MAX_VALUE;
+      long $bestCid = -1L;
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+        if ($arr.numElements() == $dim) {
+          boolean $ok = true;
+          for (int $i = 0; $i < $dim; $i++) {
+            if ($arr.isNullAt($i)) { $ok = false; break; }
+          }
+          if ($ok) {
+            long[] $qa = $arr.toLongArray();
+            for (int $c = 0; $c < ${mat.length}; $c++) {
+              long[] $cv = $matRef[$c];
+              long $dd = 0L;
+              for (int $j = 0; $j < $dim; $j++) {
+                long $x = $qa[$j] - $cv[$j];
+                $dd += $x * $x;
+              }
+              if ($dd < $best) { $best = $dd; $bestCid = $cidsRef[$c]; }
+            }
+          }
+        }
+      }
+      InternalRow ${ev.value} = new $rowCls(new Object[] {
+        java.lang.Long.valueOf($best), java.lang.Long.valueOf($bestCid) });
+    """, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
@@ -98,9 +164,12 @@ case class NearestCentroid(child: Expression,
   */
 case class Top2CentroidCos(emb: Expression, nrm: Expression,
                            cents: Seq[(Long, Seq[Double], Double)])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   require(cents.nonEmpty, "Top2CentroidCos needs at least one centroid")
+  // same loud-failure contract as NearestCentroid (r17 advice)
+  require(cents.forall(_._2.length == cents.head._2.length),
+    "Top2CentroidCos centroids must all share one dimensionality")
 
   override def children: Seq[Expression] = Seq(emb, nrm)
 
@@ -165,6 +234,70 @@ case class Top2CentroidCos(emb: Expression, nrm: Expression,
     val n = a.numElements()
     while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
     false
+  }
+
+  /** r18: whole-stage-codegen emission of the same flat loop — see
+    * [[NearestCentroid.doGenCode]]; the branch order (strict `>`
+    * against c1 then c2, NaN falls through) is line-for-line eval().
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val embGen = emb.genCode(ctx)
+    val nrmGen = nrm.genCode(ctx)
+    val matRef = ctx.addReferenceObj("top2CentroidMat", mat, "double[][]")
+    val cidsRef = ctx.addReferenceObj("top2CentroidIds", cids, "long[]")
+    val nrmsRef = ctx.addReferenceObj("top2CentroidNrms", nrms, "double[]")
+    val rowCls = classOf[GenericInternalRow].getName
+    val c1 = ctx.freshName("c1")
+    val cid1 = ctx.freshName("cid1")
+    val c2 = ctx.freshName("c2")
+    val cid2 = ctx.freshName("cid2")
+    val arr = ctx.freshName("arr")
+    val ea = ctx.freshName("ea")
+    val nv = ctx.freshName("nv")
+    val ok = ctx.freshName("ok")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val dot = ctx.freshName("dot")
+    val cos = ctx.freshName("cos")
+    val cv = ctx.freshName("cv")
+    ev.copy(code = code"""
+      ${embGen.code}
+      ${nrmGen.code}
+      double $c1 = Double.NEGATIVE_INFINITY;
+      long $cid1 = -1L;
+      double $c2 = Double.NEGATIVE_INFINITY;
+      long $cid2 = -1L;
+      if (!${embGen.isNull} && !${nrmGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $arr = ${embGen.value};
+        if ($arr.numElements() == $dim) {
+          boolean $ok = true;
+          for (int $i = 0; $i < $dim; $i++) {
+            if ($arr.isNullAt($i)) { $ok = false; break; }
+          }
+          if ($ok) {
+            double[] $ea = $arr.toDoubleArray();
+            double $nv = ${nrmGen.value};
+            for (int $c = 0; $c < ${mat.length}; $c++) {
+              double[] $cv = $matRef[$c];
+              double $dot = 0.0;
+              for (int $j = 0; $j < $dim; $j++) {
+                $dot += $ea[$j] * $cv[$j];
+              }
+              double $cos = $dot / ($nv * $nrmsRef[$c]);
+              if ($cos > $c1) {
+                $c2 = $c1; $cid2 = $cid1; $c1 = $cos; $cid1 = $cidsRef[$c];
+              } else if ($cos > $c2) {
+                $c2 = $cos; $cid2 = $cidsRef[$c];
+              }
+            }
+          }
+        }
+      }
+      InternalRow ${ev.value} = new $rowCls(new Object[] {
+        java.lang.Double.valueOf($c1), java.lang.Long.valueOf($cid1),
+        java.lang.Double.valueOf($c2), java.lang.Long.valueOf($cid2) });
+    """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

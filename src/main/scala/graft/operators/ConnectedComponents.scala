@@ -136,11 +136,12 @@ object ConnectedComponents {
     * a star rooted at its minimum id in O(log n) rounds (the paper's
     * Theorem 3 — each round roughly halves the height of the pointer
     * forest, the same doubling argument as pointer jumping). Each
-    * round is two u-partitioned window minima + two distincts over the
-    * current edge set (r17 — the former groupBy+join per phase paid a
-    * second edge shuffle and a join stage for the same per-u minimum)
-    * — the same per-round shuffle class as HashMin, but ~log n rounds
-    * instead of diameter.
+    * round is two u-partitioned window minima + ONE closing distinct
+    * over the current edge set (r17 — the former groupBy+join per
+    * phase paid a second edge shuffle and a join stage for the same
+    * per-u minimum; r18 — the large-star intermediate needs no dedup
+    * of its own, see the round body) — the same per-round shuffle
+    * class as HashMin, but ~log n rounds instead of diameter.
     *
     * Convergence detection: the canonical edge set's (count, id-sum,
     * hash-sum) signature is compared between rounds — stable signature
@@ -195,12 +196,20 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       // large-star: every strictly-larger neighbor re-points at
-      // m = min(N(u) ∪ {u}); m ≤ u < v, so no self-loops arise
+      // m = min(N(u) ∪ {u}); m ≤ u < v, so no self-loops arise.
+      // NO distinct here (r18 — one exchange per round removed): the
+      // v > u filter keeps exactly |e| rows (e is distinct and
+      // low-oriented, so each edge survives in one direction), i.e.
+      // dropping the dedup cannot GROW the frame — it only lets
+      // coincident (m, v) rows through as duplicates, whose SUPPORT is
+      // unchanged; the small-star window-min is duplicate-blind and
+      // the round's closing distinct restores set semantics before the
+      // signature reads it, so every round's edge SET — and therefore
+      // the round count and the result — is value-identical.
       val ls = nbrs
         .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .distinct()
       val nbrs2 = ls.unionAll(ls.select(col("v").as("u"), col("u").as("v")))
       // small-star: the smaller-or-self neighborhood points at its
       // minimum; on the v < u frame min(N⁻(u) ∪ {u}) = min(v) over u

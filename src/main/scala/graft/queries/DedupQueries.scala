@@ -94,15 +94,24 @@ object DedupQueries {
   private val prefixMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
 
-  /** Per-doc prefix-filter index at threshold `t`: the floor((1-t)|g|)+1
-    * globally-rarest shingles of each doc (rarity = corpus gram
-    * frequency). This IS the dedup index a production corpus persists:
-    * memoized through a temp parquet so q40's all-pairs sweep and q72's
-    * incremental probe build it once per session — on a cluster it is
-    * written once to shared storage and every dedup batch reads it.
+  /** Every prefix-index consumer's threshold is ≥ this (0.8 is the
+    * production threshold; 0.6 is q93's lowest calibration candidate).
+    * The RANKED index is built once at this session-minimum and every
+    * higher threshold filters it — see [[rankedPrefixIndex]].
     */
-  private def prefixIndex(s: SparkSession, d: String, t: Double): DataFrame =
-    memoParquet(prefixMemo, "graft-jacprefix", s, d, t) {
+  private val MinPrefixT = 0.6
+
+  /** The session's ONE ranked prefix index: per doc the
+    * floor((1-[[MinPrefixT]])|g|)+1 globally-rarest shingles WITH
+    * their rarity rank `rn` (1 = rarest) and the doc's gram count
+    * `sz`. The (freq, gram)-ascending ranking is threshold-
+    * independent, so the index at any t ≥ MinPrefixT is literally the
+    * rn ≤ floor((1-t)|g|)+1 prefix of this table (r18 — q40's 0.8
+    * index and q93's 0.6 one were two separate full explode+freq+rank
+    * builds of the same ranking; now one build serves both).
+    */
+  private def rankedPrefixIndex(s: SparkSession, d: String): DataFrame =
+    memoParquet(prefixMemo, "graft-jacprefix", s, d, MinPrefixT) {
       // materialize the shared gram cache BEFORE the index build fans
       // out (r17): the frequency aggregate and the join-probe exchange
       // are independent AQE stages that otherwise launch concurrently
@@ -110,8 +119,7 @@ object DedupQueries {
       // tokenize→shingle→hash→sort pipeline (measured: two parallel
       // 3.4 s jobs doing identical work). One count pays the pipeline
       // once; every downstream stage then reads cached blocks.
-      val g = grams(s, d)
-      g.count()
+      val g = gramsEager(s, d)
       val exploded = g
         .select(col("doc_id"), size(col("grams")).as("sz"),
           explode(col("grams")).as("gram"))
@@ -120,9 +128,25 @@ object DedupQueries {
         .orderBy(col("freq"), col("gram"))
       exploded.join(freq, "gram")
         .withColumn("rn", row_number().over(wPrefix))
-        .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
-        .select(col("doc_id"), col("gram"))
+        .filter(col("rn") <= floor((lit(1.0) - MinPrefixT) * col("sz")) + 1)
+        .select(col("doc_id"), col("sz"), col("rn"), col("gram"))
     }
+
+  /** Per-doc prefix-filter index at threshold `t`: the floor((1-t)|g|)+1
+    * globally-rarest shingles of each doc (rarity = corpus gram
+    * frequency). This IS the dedup index a production corpus persists:
+    * a filter over the session-shared [[rankedPrefixIndex]] — on a
+    * cluster the ranked index is written once to shared storage at the
+    * lowest threshold any consumer calibrates at, and every dedup
+    * batch reads its own prefix of it.
+    */
+  private def prefixIndex(s: SparkSession, d: String, t: Double): DataFrame = {
+    require(t >= MinPrefixT,
+      s"prefix index threshold $t below the ranked-index floor $MinPrefixT")
+    rankedPrefixIndex(s, d)
+      .filter(col("rn") <= floor((lit(1.0) - t) * col("sz")) + 1)
+      .select(col("doc_id"), col("gram"))
+  }
 
   private def jaccardPairs(s: SparkSession, d: String, t: Double): DataFrame =
     memoParquet(pairsMemo, "graft-jacpairs", s, d, t) {

@@ -160,8 +160,10 @@ object JoinQueries {
     // q125 reads the same artifact instead of re-running the join.
     Q("q123_copurchase_similarity",
       (s, d) => {
-        val oi = copurchaseItems(s, d)
-        val cnt = oi.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        // r18: the frequency table is the memo's second artifact — the
+        // former inline oi.groupBy(pk) re-scanned lineitem and re-paid
+        // the distinct exchange on every run
+        val cnt = copurchaseArtifacts(s, d)._2
         copurchaseEdges(s, d)
           .join(cnt.withColumnRenamed("pk", "pi").withColumnRenamed("n", "ni"), "pi")
           .join(cnt.withColumnRenamed("pk", "pj").withColumnRenamed("n", "nj"), "pj")
@@ -570,42 +572,68 @@ object JoinQueries {
       """))
   )
 
-  /** Distinct (order, item) incidence — the shared front of the
-    * co-purchase graph queries (q123/q125). DISTINCT first: a part
-    * appearing on two lineitems of one order is one basket membership.
-    */
-  private def copurchaseItems(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-
   private val copurchaseMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   /** The support-filtered (co ≥ 2) co-purchase edge table (pi < pj,
-    * co) — the expensive basket self-join shared by q123 and q125,
-    * memoized per (app, sfDir) through a temp parquet exactly like
-    * DedupQueries' pair memo: one session computes it once; on a
-    * cluster the co-occurrence edge table is written once to shared
-    * storage and every graph consumer reads it.
+    * co) PLUS the per-item basket-frequency table (pk, n) — shared by
+    * q123/q125/q141/q147, memoized per (app, sfDir) through temp
+    * parquets exactly like DedupQueries' pair memo: one session
+    * computes them once; on a cluster the co-occurrence artifacts are
+    * written once to shared storage and every graph consumer reads
+    * them.
+    *
+    * r18 rewrite of the pair generation (guide §2.4 "remove shuffles
+    * outright"): the former distinct(ok, pk) self-join on ok paid the
+    * distinct exchange PLUS a join exchange before the (pi, pj)
+    * aggregate. Baskets are schema-bounded (≤ 7 lineitems per order),
+    * so ONE groupBy(ok) collects each basket as a sorted distinct
+    * array and the pairs fan out map-side from two generators
+    * (posexplode × slice — ascending array order gives pi < pj by
+    * construction, each unordered pair exactly once): 3 exchanges +
+    * a join stage → 2 exchanges, identical edge rows. The frequency
+    * table rides the same basket pass (one extra explode over the
+    * cached frame) instead of q123 re-scanning lineitem + re-paying
+    * the distinct exchange per run.
     */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame = {
-    val path = copurchaseMemo.getOrElseUpdate(
+  private def copurchaseArtifacts(s: org.apache.spark.sql.SparkSession,
+                                  d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (edges, cnt) = copurchaseMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, d),
       graft.MemoTimings.timed("copurchase-edges") {
-        val out = graft.TempDirs.scoped("graft-copurchase")
-        val oi = copurchaseItems(s, d)
-        oi.as("a")
-          .join(oi.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("pi"), col("b.pk").as("pj"))
+        val eOut = graft.TempDirs.scoped("graft-copurchase")
+        val cOut = graft.TempDirs.scoped("graft-copurchase-cnt")
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy(col("ok"))
+          // collect_set = the old DISTINCT (a part on two lineitems of
+          // one order is one basket membership); sorted so the slice
+          // generator emits each pair once, oriented pi < pj
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .persist()
+        baskets
+          .select(col("items"), posexplode(col("items")).as(Seq("i", "pi")))
+          // elements strictly after 0-based position i = 1-based start
+          // i+2; overshooting length clamps (last element → empty)
+          .select(col("pi"), explode(
+            slice(col("items"), col("i") + lit(2), size(col("items")))).as("pj"))
+          .groupBy(col("pi"), col("pj"))
           .agg(count(lit(1)).as("co"))
           .filter(col("co") >= 2)
-          .write.mode("overwrite").parquet(out)
-        out
+          .write.mode("overwrite").parquet(eOut)
+        // sequential second action over the now-cached baskets — no
+        // race guard needed (the edge write materialized the cache)
+        baskets.select(explode(col("items")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(cOut)
+        baskets.unpersist()
+        (eOut, cOut)
       })
-    s.read.parquet(path)
+    (s.read.parquet(edges), s.read.parquet(cnt))
   }
+
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    copurchaseArtifacts(s, d)._1
 }

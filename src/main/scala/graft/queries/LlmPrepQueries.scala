@@ -151,12 +151,22 @@ object LlmPrepQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = g.filter(col("doc_id") % 50 === 0)
           .select(explode(col("grams")).as("gram")).distinct()
-        g.filter(col("doc_id") % 50 =!= 0)
+        val out = g.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), explode(col("grams")).as("gram"))
           .join(broadcast(bench), "gram")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shared"))
           .orderBy(col("doc_id"))
+        // r18 (r17 verdict #10 — persist lifecycle): materialize the
+        // contaminated-doc report (corpus-tiny) eagerly, then release
+        // the gram cache — the returned frame reads the checkpointed
+        // blocks, so a long-lived embedding caller no longer inherits
+        // a session-lifetime cache of the full shingled corpus.
+        // Bench/Verify sweep checkpoint blocks per query, so nothing
+        // persists across timed runs.
+        val mat = out.localCheckpoint()
+        g.unpersist(false)
+        mat
       },
       Some("""
         WITH g AS (

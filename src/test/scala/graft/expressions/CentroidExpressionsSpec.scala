@@ -122,4 +122,32 @@ class CentroidExpressionsSpec extends SparkSuite {
         && s.getDouble(2) == Double.NegativeInfinity && s.getLong(3) == -1L, s.toString)
     }
   }
+
+  test("compiled (doGenCode) and interpreted (eval) paths agree") {
+    // r18: the expressions gained doGenCode; pin the two execution
+    // paths against each other on dense, tied and null-edge rows —
+    // NO_CODEGEN forces Catalyst's interpreted projections (eval()),
+    // the default config compiles the generated Java.
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](1L, 1L, 1L)),
+      (2L, Seq[java.lang.Long](10L, 10L, 10L)),  // exact tie 2 vs 5
+      (3L, Seq[java.lang.Long](1L, null, 1L)),   // null element
+      (4L, Seq[java.lang.Long](1L, 2L)),         // wrong length
+      (5L, null))                                // null array
+      .toDF("id", "q")
+    def run(): Seq[String] =
+      rows.select(col("id"), KMeans.assignStruct(col("q"), cents).as("m"))
+        .orderBy(col("id")).collect().map(_.toString).toSeq
+    val compiled = run()
+    val keys = Seq("spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+      "spark.sql.codegen.wholeStage" -> "false")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(run() == compiled)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
